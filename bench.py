@@ -1,0 +1,66 @@
+"""Benchmark harness: times the headline queries and prints one JSON line.
+
+Usage: python bench.py
+Env:   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+       SPARK_GRAFT_CPUS   (default 32)
+Output: {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is timed as a full pipeline execution (plan + shuffle +
+result materialization via a driver-side count over the final frame);
+a warmup run first amortizes JVM/session startup out of the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from bigdatalab_spark.queries import REGISTRY
+    from bigdatalab_spark.session import get_session
+
+    headline = [
+        "pricing_summary",
+        "order_priority_count",
+        "high_value_orders",
+        "part_type_stats",
+        "sql_entrypoint_revenue",
+    ]
+    headline = [q for q in headline if q in REGISTRY]
+
+    spark = get_session(app_name="bigdatalab-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warmup: run the first query once so JVM/codegen startup is excluded.
+    if headline:
+        REGISTRY[headline[0]].fn(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in headline:
+        t0 = time.perf_counter()
+        REGISTRY[name].fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,21 @@
+from bigdatalab_spark.sources.readers import (
+    TABLES,
+    load_table,
+    read_csv,
+    read_dsv,
+    read_fixed_width,
+    read_json,
+    read_parquet,
+    read_text,
+)
+
+__all__ = [
+    "TABLES",
+    "load_table",
+    "read_csv",
+    "read_dsv",
+    "read_fixed_width",
+    "read_json",
+    "read_parquet",
+    "read_text",
+]

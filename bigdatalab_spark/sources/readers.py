@@ -1,0 +1,144 @@
+"""Source adapters (SURVEY §2.1 S1-S11).
+
+Every reference source format re-expressed as a declarative ``spark.read``
+so Catalyst gets file-source pushdown (Parquet filters, column pruning,
+partition pruning) for free. Parsing lives here, not in queries: queries
+see typed DataFrames.
+
+Reference parity (file:line cited per adapter):
+
+- text lines         -> ExampleWeather2.scala:26 (sc.textFile)
+- fixed-width (ISD)  -> WeatherData.scala:2-12; MaxTemperatureMapper.java:17-24
+- CSV quoted         -> MovieLensParser.scala:6,15-58 (quote-aware split,
+                        malformed rows dropped)
+- CSV naive/defaults -> StationData.scala:2-14 (quote strip, empty->0.0)
+- DSV pipe tweets    -> ExerciseNetcat.scala:135; 304-streaming README:180
+- JSON               -> 303-spark-sql/README.md:15-16
+- Parquet            -> 303-spark-sql/README.md:40
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+#: Tables in the driver's synthetic warehouse (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan — vectorized reader, filter/column pushdown (S9)."""
+    return spark.read.parquet(path)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one warehouse table from an sf directory."""
+    return read_parquet(spark, f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    return [load_table(spark, sf_dir, n) for n in (names or TABLES)]
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register warehouse tables as temp views for ``spark.sql`` queries
+    (303-spark-sql/README.md:99-101 createOrReplaceTempView pattern)."""
+    for n in names or TABLES:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """One string column ``value`` per line (S1)."""
+    return spark.read.text(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    """JSON source, schema inferred unless given (S6)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    *,
+    header: bool = False,
+    sep: str = ",",
+    quote: str = '"',
+    schema: StructType | str | None = None,
+    drop_malformed: bool = False,
+    infer_schema: bool = False,
+) -> DataFrame:
+    """CSV source covering the reference's three CSV modes (S3/S4/S7/S8).
+
+    ``drop_malformed=True`` reproduces MovieLensParser's Option/flatMap
+    row-dropping (MovieLensParser.scala:22-24,39-41); default mode keeps
+    rows with nulls (StationData's empty->default policy is applied by
+    callers via ``coalesce(cast, lit(default))``).
+    """
+    reader = (
+        spark.read.option("header", str(header).lower())
+        .option("sep", sep)
+        .option("quote", quote)
+    )
+    if drop_malformed:
+        reader = reader.option("mode", "DROPMALFORMED")
+    if infer_schema:
+        reader = reader.option("inferSchema", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
+def read_dsv(spark: SparkSession, path: str, *, sep: str = "|", header: bool = True) -> DataFrame:
+    """Pipe-delimited DSV (tweets, S5)."""
+    return read_csv(spark, path, header=header, sep=sep)
+
+
+@dataclass(frozen=True)
+class FixedWidthField:
+    """One field of a fixed-width record: [start, end) offsets, 0-based."""
+
+    name: str
+    start: int
+    end: int
+    dtype: str = "string"
+    scale: float | None = None  # divide by this after cast (ISD temp /10)
+
+
+def read_fixed_width(
+    spark: SparkSession, path: str, spec: list[FixedWidthField]
+) -> DataFrame:
+    """Fixed-width text parse (S2) — the ISD weather format.
+
+    Pure Column expressions (``substring`` + ``cast``), so the whole parse
+    stays inside whole-stage codegen; no Python executes per row.
+    Offsets mirror WeatherData.scala:3-11 when used with
+    :data:`bigdatalab_spark.sources.schemas.ISD_WEATHER_SPEC`.
+    """
+    df = spark.read.text(path)
+    cols = []
+    for f in spec:
+        c = F.substring(F.col("value"), f.start + 1, f.end - f.start)
+        if f.dtype != "string":
+            c = c.cast(f.dtype)
+        if f.scale is not None:
+            c = c / F.lit(f.scale)
+        cols.append(c.alias(f.name))
+    return df.select(*cols)
