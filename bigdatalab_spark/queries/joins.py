@@ -1,1 +1,211 @@
-"""Placeholder — populated in this round."""
+"""Join queries (SURVEY §2.3 J1-J7) over the synthetic warehouse.
+
+Each reference join strategy re-expressed declaratively:
+
+- J1/J2 shuffle equi-join on a composite key -> Catalyst picks
+  sort-merge / shuffled-hash; AQE re-plans at runtime. The reference's
+  manual ``HashPartitioner(8)`` co-partitioning (Exercise.scala:137-143)
+  is ``EnsureRequirements`` reusing output partitioning.
+- J3/J5 broadcast join -> ``F.broadcast`` replaces the hand-rolled
+  ``sc.broadcast(collectAsMap)`` (ExerciseComplete.scala:240-248).
+- J6 multi-way join -> chained joins, Catalyst reorders.
+- J7 left-outer enrichment of an aggregate onto broadcast dims
+  (ExerciseComplete.scala:354-369).
+
+Plus the reference's hand-taught plan rewrite the optimizer does NOT do
+(303-solutions.scala:45 "Catalyst does not push down aggregations"):
+``preagg_revenue_join`` keeps the pre-aggregate-then-join shape in the
+query text itself. At 100 TB this is the difference between shuffling
+the fact table and shuffling one row per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatalab_spark.operators import money_sum, stable_avg
+from bigdatalab_spark.queries.registry import query
+from bigdatalab_spark.queries.tpch import davg, dsum
+from bigdatalab_spark.sources import load_table
+
+
+@query(
+    "customer_nation_region",
+    ids=("J1", "J3", "J5", "J6", "A7"),
+    oracle=f"""
+        SELECT r_name, n_name,
+               count(*) AS n_customers,
+               {davg('c_acctbal')} AS avg_balance
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+        ORDER BY r_name, n_name
+    """,
+)
+def customer_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ two broadcast dims, then grouped avg. nation/region are tiny
+    at any scale factor — broadcast them explicitly so zero shuffles of
+    the customer side happen before aggregation."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            stable_avg("c_acctbal").alias("avg_balance"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+@query(
+    "lineitem_part_supplier",
+    ids=("J1", "J6", "A7"),
+    oracle=f"""
+        SELECT p_brand, s_name,
+               {dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+               sum(l_quantity) AS total_qty
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY p_brand, s_name
+        ORDER BY p_brand, s_name
+    """,
+)
+def lineitem_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-way fact-to-dim join (J6 shape, Exercise.scala:316-321).
+
+    part/supplier stay dimension-sized relative to lineitem at every
+    scale factor, so both joins broadcast; the only shuffle is the final
+    group-by on (p_brand, s_name). total_qty stays a plain double sum:
+    quantities are small integers, exactly representable, so the sum is
+    order-independent already.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("p_brand", "s_name")
+        .agg(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.sum("l_quantity").alias("total_qty"),
+        )
+        .orderBy("p_brand", "s_name")
+    )
+
+
+@query(
+    "preagg_revenue_join",
+    ids=("J3", "J7", "A4"),
+    oracle=f"""
+        SELECT c_custkey, c_name, n_name, agg.revenue, agg.n_orders
+        FROM (
+            SELECT o_custkey,
+                   {dsum('o_totalprice')} AS revenue,
+                   count(*) AS n_orders
+            FROM orders
+            GROUP BY o_custkey
+        ) agg
+        JOIN customer ON c_custkey = agg.o_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        ORDER BY revenue DESC, c_custkey
+    """,
+)
+def preagg_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation pushdown below join, done BY HAND in the query shape —
+    the one rewrite Catalyst won't do (303-solutions.scala:45,
+    ExerciseComplete.scala:281-294 rdd6c/rdd6d). Aggregate orders down to
+    one row per customer FIRST, then join; at 100 TB the join input
+    shrinks from billions of orders to |customers| rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    agg = orders.groupBy("o_custkey").agg(
+        money_sum("o_totalprice").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return (
+        agg.join(customer, agg.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select("c_custkey", "c_name", "n_name", "revenue", "n_orders")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    )
+
+
+@query(
+    "customer_order_counts_outer",
+    ids=("J7",),
+    oracle=f"""
+        SELECT c_custkey, c_mktsegment,
+               coalesce(agg.n_orders, 0) AS n_orders,
+               coalesce(agg.total_spent, 0.0) AS total_spent
+        FROM customer
+        LEFT JOIN (
+            SELECT o_custkey, count(*) AS n_orders,
+                   {dsum('o_totalprice')} AS total_spent
+            FROM orders GROUP BY o_custkey
+        ) agg ON c_custkey = agg.o_custkey
+        ORDER BY c_custkey
+    """,
+)
+def customer_order_counts_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer enrichment keeping no-match rows — the Option/None path
+    of the reference's broadcast-map lookup (ExerciseComplete.scala:368-369
+    keeps None when a movie has no tags). Customers without orders
+    surface with 0 counts instead of being dropped."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders_raw"),
+        money_sum("o_totalprice").alias("total_spent_raw"),
+    )
+    return (
+        customer.join(agg, customer.c_custkey == agg.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.coalesce("n_orders_raw", F.lit(0)).alias("n_orders"),
+            F.coalesce("total_spent_raw", F.lit(0.0)).alias("total_spent"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "uk_style_filtered_join",
+    ids=("J1", "P3", "A3", "O2"),
+    oracle="""
+        SELECT n_name, c_mktsegment,
+               max(c_acctbal) AS max_balance
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+        GROUP BY n_name, c_mktsegment
+        ORDER BY max_balance DESC, n_name, c_mktsegment
+    """,
+)
+def uk_style_filtered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 302 'UK max temperature' shape (ExerciseComplete.scala:151-153,
+    267-278): filter the dim side BEFORE the join (predicate pushdown done
+    in the query, as rdd6b teaches), join, grouped max, sort desc."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    )
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "c_mktsegment")
+        .agg(F.max("c_acctbal").alias("max_balance"))
+        .orderBy(F.desc("max_balance"), F.asc("n_name"), F.asc("c_mktsegment"))
+    )

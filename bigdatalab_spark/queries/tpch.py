@@ -13,22 +13,37 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bigdatalab_spark.operators import money_sum, stable_avg
 from bigdatalab_spark.queries.registry import query
 from bigdatalab_spark.sources import load_table
+
+# Oracle-side mirror of operators.aggregates: exact decimal accumulation,
+# then double arithmetic — bit-identical to Spark's money_sum/stable_avg.
+# No rounding: round(double) itself diverges between engines (Spark uses
+# the shortest-decimal-string value, DuckDB the binary value).
+DSUM = "CAST(sum(CAST({x} AS DECIMAL(28,6))) AS DOUBLE)"
+
+
+def dsum(x: str, scale: int | None = None) -> str:
+    return DSUM.format(x=x)
+
+
+def davg(x: str, scale: int | None = None) -> str:
+    return f"({DSUM.format(x=x)} / count({x}))"
 
 
 @query(
     "pricing_summary",
     ids=("A4", "A5", "A7", "A8", "O1", "P3"),
-    oracle="""
+    oracle=f"""
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2)                                    AS sum_qty,
-               round(sum(l_extendedprice), 2)                               AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
-               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-               round(avg(l_quantity), 4)                                    AS avg_qty,
-               round(avg(l_extendedprice), 4)                               AS avg_price,
-               round(avg(l_discount), 4)                                    AS avg_disc,
+               {dsum('l_quantity')}                                         AS sum_qty,
+               {dsum('l_extendedprice')}                                    AS sum_base_price,
+               {dsum('l_extendedprice * (1 - l_discount)')}                 AS sum_disc_price,
+               {dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')}   AS sum_charge,
+               {davg('l_quantity')}                                         AS avg_qty,
+               {davg('l_extendedprice')}                                    AS avg_price,
+               {davg('l_discount')}                                         AS avg_disc,
                count(*)                                                     AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -50,13 +65,13 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            money_sum("l_quantity").alias("sum_qty"),
+            money_sum("l_extendedprice").alias("sum_base_price"),
+            money_sum(disc_price).alias("sum_disc_price"),
+            money_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            stable_avg("l_quantity").alias("avg_qty"),
+            stable_avg("l_extendedprice").alias("avg_price"),
+            stable_avg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -90,7 +105,7 @@ def order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids=("P3", "P4", "P5", "P6", "O3"),
     oracle="""
         SELECT o_orderkey AS orderkey, o_custkey,
-               round(o_totalprice * 1.2, 2) AS price_eur,
+               o_totalprice * 1.2 AS price_eur,
                year(o_orderdate) AS order_year
         FROM orders
         WHERE o_totalprice > 400000
@@ -109,7 +124,7 @@ def high_value_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.filter(F.col("o_totalprice") > 400000)
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
         .withColumnRenamed("o_orderkey", "orderkey")
-        .withColumn("price_eur", F.expr("round(o_totalprice * 1.2, 2)"))
+        .withColumn("price_eur", F.expr("o_totalprice * 1.2"))
         .withColumn("order_year", F.year("o_orderdate"))
         .drop("o_totalprice", "o_orderdate")
         .orderBy(F.desc("price_eur"), F.asc("orderkey"))
@@ -119,11 +134,11 @@ def high_value_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "part_type_stats",
     ids=("A3", "A4", "A7"),
-    oracle="""
+    oracle=f"""
         SELECT p_type, p_brand,
-               max(p_retailprice)           AS max_price,
-               round(avg(p_retailprice), 4) AS avg_price,
-               max(p_size)                  AS max_size
+               max(p_retailprice)          AS max_price,
+               {davg('p_retailprice')}     AS avg_price,
+               max(p_size)                 AS max_size
         FROM part
         GROUP BY p_type, p_brand
         ORDER BY p_type, p_brand
@@ -137,25 +152,29 @@ def part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         part.groupBy("p_type", "p_brand")
         .agg(
             F.max("p_retailprice").alias("max_price"),
-            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+            stable_avg("p_retailprice").alias("avg_price"),
             F.max("p_size").alias("max_size"),
         )
         .orderBy("p_type", "p_brand")
     )
 
 
-@query(
-    "sql_entrypoint_revenue",
-    ids=("J4", "A7", "A8"),
-    oracle="""
+_REVENUE_SQL = f"""
         SELECT n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               {dsum('l_extendedprice * (1 - l_discount)')} AS revenue
         FROM customer, orders, lineitem, nation
         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
           AND c_nationkey = n_nationkey
         GROUP BY n_name
         ORDER BY revenue DESC, n_name
-    """,
+"""
+
+
+@query(
+    "sql_entrypoint_revenue",
+    ids=("J4", "A7", "A8"),
+    # Same ANSI SQL text runs in both engines — the oracle IS the query.
+    oracle=_REVENUE_SQL,
 )
 def sql_entrypoint_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ``spark.sql`` entry point with implicit-join SQL syntax —
@@ -164,14 +183,4 @@ def sql_entrypoint_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE into equi-joins and broadcast-plans the small nation side."""
     for name in ("customer", "orders", "lineitem", "nation"):
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
-    return spark.sql(
-        """
-        SELECT n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-        FROM customer, orders, lineitem, nation
-        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
-          AND c_nationkey = n_nationkey
-        GROUP BY n_name
-        ORDER BY revenue DESC, n_name
-        """
-    )
+    return spark.sql(_REVENUE_SQL)

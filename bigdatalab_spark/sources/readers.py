@@ -46,8 +46,26 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one warehouse table from an sf directory."""
-    return read_parquet(spark, f"{sf_dir}/{name}.parquet")
+    """Load one warehouse table from an sf directory.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; read nanos as long (runtime SQL conf) and
+    rebuild the timestamp column-side at microsecond precision.
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    df = None
+    try:
+        df = read_parquet(spark, path)
+        df.schema  # force schema resolution to surface PARQUET_TYPE_ILLEGAL
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = read_parquet(spark, path)
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
