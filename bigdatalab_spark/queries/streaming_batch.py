@@ -1,1 +1,216 @@
-"""Placeholder — populated in this round."""
+"""Windowed / stateful computations (SURVEY §2.8) in batch-verifiable form.
+
+The reference's DStream jobs are processing-time micro-batches
+(ExerciseNetcat.scala:117 sliding windows, :159 updateStateByKey). The
+idiomatic Structured Streaming upgrade keys windows on EVENT time
+(SURVEY §7.4.1); these queries run the exact window/state semantics as
+batch DataFrames over ``events`` so the DuckDB oracle can gate them.
+The live ``readStream`` versions of the same shapes are in
+:mod:`bigdatalab_spark.streaming.jobs` and exercised in
+tests/test_streaming.py; batch and streaming share Spark's incremental
+execution of one logical plan, so this is the same code path Catalyst
+plans for the stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bigdatalab_spark.operators import money_sum
+from bigdatalab_spark.queries.registry import query
+from bigdatalab_spark.queries.tpch import dsum
+from bigdatalab_spark.sources import load_table
+
+
+@query(
+    "events_tumbling_daily",
+    ids=("T7", "T9"),
+    oracle=f"""
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type,
+               count(*) AS n,
+               {dsum('value')} AS sum_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+)
+def events_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregate — ``groupBy(window(ts,'1 day'))``.
+
+    Window start emitted as a string so the oracle hash is stable across
+    timestamp representations.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), money_sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "events_sliding_6h_2h",
+    ids=("T7",),
+    oracle="""
+        WITH shifted AS (
+            SELECT ts, event_type, k
+            FROM events, (SELECT unnest(generate_series(0, 2)) AS k)
+        )
+        SELECT CAST(date_trunc('hour', ts - to_hours(2 * k))
+                    - CASE WHEN hour(date_trunc('hour', ts - to_hours(2 * k))) % 2 = 1
+                           THEN INTERVAL 1 HOUR ELSE INTERVAL 0 HOUR END
+                    AS VARCHAR) AS window_start,
+               event_type, count(*) AS n
+        FROM shifted
+        WHERE ts >= date_trunc('hour', ts - to_hours(2 * k))
+                    - CASE WHEN hour(date_trunc('hour', ts - to_hours(2 * k))) % 2 = 1
+                           THEN INTERVAL 1 HOUR ELSE INTERVAL 0 HOUR END
+          AND ts <  date_trunc('hour', ts - to_hours(2 * k))
+                    - CASE WHEN hour(date_trunc('hour', ts - to_hours(2 * k))) % 2 = 1
+                           THEN INTERVAL 1 HOUR ELSE INTERVAL 0 HOUR END
+                    + INTERVAL 6 HOUR
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+)
+def events_sliding_6h_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (6 h window, 2 h slide) — the trending-hashtags shape
+    (ExerciseNetcat.scala:134 window(Seconds(60), Seconds(5))). Each event
+    lands in 3 overlapping windows; Spark's ``window()`` expands them
+    JVM-side, the oracle replays the same expansion with a generate_series
+    cross join."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "6 hours", "2 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "event_type",
+            "n",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "running_user_counts",
+    ids=("T5", "T6"),
+    oracle="""
+        SELECT user_id, event_id,
+               count(*) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS running_count
+        FROM events
+        WHERE user_id < 10
+        ORDER BY user_id, event_id
+    """,
+)
+def running_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cumulative keyed state of ``updateStateByKey``
+    (ExerciseNetcat.scala:92-94) as a running count over event time —
+    what the state store holds after each element, materialized per row."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        events.filter(F.col("user_id") < 10)
+        .select("user_id", "event_id", F.count(F.lit(1)).over(w).alias("running_count"))
+        .orderBy("user_id", "event_id")
+    )
+
+
+_STREAM_RUN_COUNTER = [0]
+
+
+@query(
+    "streaming_cumulative_counts",
+    ids=("T1", "T2", "T5", "T10", "S12"),
+    oracle=f"""
+        SELECT event_type,
+               count(*) AS total_events,
+               {dsum('value')} AS total_value
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def streaming_cumulative_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Structured Streaming run inside the correctness gate:
+    readStream over the events parquet -> cumulative keyed state
+    (the updateStateByKey job, T5) -> AvailableNow trigger -> memory
+    sink, then the drained state table is returned as a batch frame.
+    Deterministic because AvailableNow processes the full input and
+    complete-mode emits final state; the oracle is the batch equivalent
+    of the final state."""
+    from bigdatalab_spark.streaming import run_stream_to_memory, stream_events
+
+    _STREAM_RUN_COUNTER[0] += 1
+    name = f"stream_cumulative_{_STREAM_RUN_COUNTER[0]}"
+    stream = stream_events(spark, sf_dir)
+    state = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("total_events"),
+        money_sum("value").alias("total_value"),
+    )
+    run_stream_to_memory(state, name, output_mode="complete")
+    return spark.table(name).orderBy("event_type")
+
+
+@query(
+    "sessionized_users",
+    ids=("T9",),
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             > INTERVAL 12 HOUR
+                        OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ), sessions AS (
+            SELECT user_id, ts,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts) AS session_id
+            FROM marked
+        )
+        SELECT user_id, session_id,
+               CAST(min(ts) AS VARCHAR) AS session_start,
+               count(*) AS n_events
+        FROM sessions
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_id
+    """,
+)
+def sessionized_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (12 h inactivity gap) per user.
+
+    Spark's ``session_window`` merges windows in the aggregation; the
+    oracle reproduces it with the classic gaps-and-islands rewrite. We
+    derive session_id by ranking session starts so both representations
+    align. Streaming variant: same groupBy(session_window(...)) under
+    a watermark.
+    """
+    events = load_table(spark, sf_dir, "events")
+    sess = (
+        events.groupBy(F.session_window("ts", "12 hours").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("w.start"))
+    return (
+        sess.select(
+            "user_id",
+            F.row_number().over(w).alias("session_id"),
+            F.col("w.start").cast("string").alias("session_start"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_id")
+    )

@@ -1,1 +1,190 @@
-"""Placeholder — populated in this round."""
+"""Text-analysis queries over ``documents`` (scale extension).
+
+Oracles replay each heuristic formula exactly (same arithmetic order,
+same marker lists generated from the same Python constants).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatalab_spark.queries.registry import query
+from bigdatalab_spark.scale.hashing import portable_hash_sql
+from bigdatalab_spark.scale.textqa import (
+    BPE_PATTERN,
+    LANG_MARKERS,
+    QUALITY_STOPWORDS,
+    bpe_token_count,
+    fingerprints,
+    predict_language,
+    quality_features,
+    whitespace_token_count,
+)
+from bigdatalab_spark.functions import tokenize
+from bigdatalab_spark.sources import load_table
+
+_TOKS_CTE = """
+    toks AS (
+        SELECT *, list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ws
+        FROM documents
+    )
+"""
+
+
+def _marker_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{m}'" for m in LANG_MARKERS[lang]) + "]"
+
+
+_LANG_SCORES = {
+    lang: f"len(list_intersect(list_distinct(ws), {_marker_list(lang)}))"
+    for lang in LANG_MARKERS
+}
+_BEST = "greatest(" + ", ".join(_LANG_SCORES.values()) + ")"
+_PRED_CASE = (
+    "CASE WHEN " + _BEST + " <= 0 THEN 'und' "
+    + " ".join(
+        f"WHEN {_LANG_SCORES[lang]} = {_BEST} THEN '{lang}'"
+        for lang in sorted(_LANG_SCORES)
+    )
+    + " ELSE 'und' END"
+)
+
+
+@query(
+    "lang_id",
+    ids=("SCALE-TEXT",),
+    oracle=f"""
+        WITH {_TOKS_CTE}
+        SELECT doc_id, lang AS labeled_lang,
+               {_PRED_CASE} AS predicted_lang
+        FROM toks
+        ORDER BY doc_id
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language identification next to the table's label."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        predict_language(tokenize("text")).alias("predicted_lang"),
+    ).orderBy("doc_id")
+
+
+_STOPS = "[" + ", ".join(f"'{s}'" for s in QUALITY_STOPWORDS) + "]"
+
+
+@query(
+    "quality_scores",
+    ids=("SCALE-TEXT",),
+    oracle=f"""
+        WITH {_TOKS_CTE},
+        feats AS (
+            SELECT doc_id,
+                   len(ws) AS n_tokens,
+                   length(text) AS n_chars,
+                   len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+                   len(list_intersect(list_distinct(ws), {_STOPS})) AS stop_hits
+            FROM toks
+        )
+        SELECT doc_id, n_tokens, n_chars,
+               CASE WHEN n_tokens > 0
+                    THEN (n_chars - (n_tokens - 1)) / n_tokens
+                    ELSE 0.0 END AS avg_token_len,
+               CASE WHEN n_chars > 0
+                    THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio,
+               CASE WHEN n_tokens > 0
+                    THEN CAST(stop_hits AS DOUBLE) / n_tokens ELSE 0.0 END AS stop_ratio,
+               0.5 * least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+             + 0.3 * least((CASE WHEN n_tokens > 0
+                                 THEN CAST(stop_hits AS DOUBLE) / n_tokens
+                                 ELSE 0.0 END) * 8, 1.0)
+             + 0.2 * (1 - least((CASE WHEN n_chars > 0
+                                      THEN CAST(n_punct AS DOUBLE) / n_chars
+                                      ELSE 0.0 END) * 4, 1.0)) AS quality_score
+        FROM feats
+        ORDER BY doc_id
+    """,
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/punctuation/stopword quality features + compound score."""
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_features(docs).orderBy("doc_id")
+
+
+@query(
+    "token_counts",
+    ids=("SCALE-TEXT",),
+    oracle=f"""
+        SELECT doc_id,
+               len(list_filter(string_split_regex(text, '\\s+'), w -> w <> ''))
+                   AS ws_tokens,
+               len(regexp_extract_all(text, '{BPE_PATTERN}')) AS bpe_tokens
+        FROM documents
+        ORDER BY doc_id
+    """,
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace and BPE-ish-regex token counts per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        whitespace_token_count("text").alias("ws_tokens"),
+        bpe_token_count("text").alias("bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "doc_fingerprints",
+    ids=("SCALE-TEXT", "SCALE-DEDUP"),
+    oracle=f"""
+        WITH norm AS (
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS n
+            FROM documents
+        )
+        SELECT doc_id,
+               md5(n) AS content_md5,
+               (SELECT min({portable_hash_sql('substr(n, i, 8)')})
+                FROM unnest(generate_series(1, length(n) - 7)) t(i)) AS min_window_hash
+        FROM norm
+        ORDER BY doc_id
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash (winnowing-min) + exact md5 fingerprints."""
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprints(docs).orderBy("doc_id")
+
+
+@query(
+    "multimodal_decode",
+    ids=("SCALE-MM",),
+    oracle=f"""
+        WITH h AS (
+            -- payload bytes are exactly the utf-8 of text, so md5(text)
+            -- equals the payload digest (duckdb md5 is VARCHAR-only)
+            SELECT doc_id,
+                   octet_length(encode(text)) AS n_bytes,
+                   md5(text) AS digest,
+                   CAST('0x' || substr(md5(text), 1, 7) AS BIGINT) AS hv
+            FROM documents
+        )
+        SELECT doc_id, n_bytes,
+               ['png', 'jpeg', 'webp'][hv % 3 + 1] AS format,
+               CAST(hv % 64 + 1 AS INT) AS width,
+               CAST(hv % 48 + 1 AS INT) AS height,
+               digest
+        FROM h
+        ORDER BY doc_id
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload pseudo-decode via Arrow-batched ``mapInPandas``
+    (the multimodal plumbing with a deterministic stand-in kernel; the
+    real-codec slot is scale.multimodal.decode_image)."""
+    from bigdatalab_spark.scale.multimodal import fake_decode_image, to_blob_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fake_decode_image(to_blob_table(docs)).orderBy("doc_id")

@@ -1,0 +1,203 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH (shingle -> minhash -> band ->
+bucket-join -> exact-Jaccard verify), SimHash signatures, and n-gram
+Jaccard — all as declarative DataFrame pipelines over
+:mod:`bigdatalab_spark.scale.hashing`'s portable hashes, so the full
+LSH pipeline replays bit-for-bit in the DuckDB oracle.
+
+Scale design (the point of these operators):
+
+- Shingling/hashing is narrow (no shuffle); the first shuffle is the
+  per-(doc, permutation) min — map-side partially aggregated, so the
+  shuffle carries ≤ k rows per doc, not one per shingle.
+- LSH banding turns the quadratic all-pairs problem into a bucket
+  join: only docs sharing a band signature meet, which is the standard
+  way MinHash dedup runs on 100 TB corpora (candidate count scales with
+  collisions, not n²).
+- Exact-Jaccard verification joins shingle sets ONLY for candidate
+  pairs (semi-join pushdown on the pair list).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bigdatalab_spark.functions import normalize_text, tokenize, word_shingles
+from bigdatalab_spark.scale.hashing import (
+    MINHASH_BANDS,
+    MINHASH_COEFFS,
+    MINHASH_ROWS,
+    minhash_value,
+    portable_hash,
+)
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by md5 of normalized text: one row per
+    distinct content with the keeper id (min id) and multiplicity."""
+    return (
+        docs.select(F.col(id_col), F.md5(normalize_text(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def doc_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_shingles(tokenize(text_col), n)).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def minhash_signatures(shingles: DataFrame) -> DataFrame:
+    """k=16 MinHash signature per doc, one shuffle (partial-agg'd mins).
+
+    Returns (doc_id, mh_0 .. mh_15).
+    """
+    h = portable_hash("shingle")
+    aggs = [
+        F.min(minhash_value(h, i)).alias(f"mh_{i}") for i in range(len(MINHASH_COEFFS))
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def _band_col(i: int) -> Column:
+    cols = [F.col(f"mh_{i * MINHASH_ROWS + r}") for r in range(MINHASH_ROWS)]
+    return F.concat_ws("_", *cols)
+
+
+def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
+    """Distinct candidate pairs (doc1 < doc2) sharing >= 1 band signature."""
+    bands = signatures.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band"), _band_col(i).alias("sig"))
+                    for i in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.sig")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+
+
+def jaccard_verify(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
+    """Exact Jaccard for each candidate pair via shingle-set joins.
+
+    Returns (doc1, doc2, n1, n2, n_common, jaccard). The two shingle
+    joins are semi-joins against the (small) candidate list, so shingle
+    sets of non-candidate docs never shuffle.
+    """
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    s1 = shingles.withColumnRenamed("doc_id", "doc1")
+    s2 = shingles.withColumnRenamed("doc_id", "doc2")
+    inter = (
+        pairs.join(s1, "doc1")
+        .join(s2, ["doc2", "shingle"])
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("n_sh", "n1"), "doc1")
+        .join(sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("n_sh", "n2"), "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            "n1",
+            "n2",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_near_dups(
+    docs: DataFrame, threshold: float = 0.5, n: int = 3
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle -> sign -> band ->
+    candidates -> exact-Jaccard filter at ``threshold``."""
+    sh = doc_shingles(docs, n=n)
+    cands = lsh_candidate_pairs(minhash_signatures(sh))
+    return jaccard_verify(cands, sh).filter(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.5, n: int = 3
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dups WITHOUT LSH: candidates = pairs
+    sharing at least one shingle (inverted-index join). The exact
+    baseline the LSH pipeline's recall is measured against; quadratic
+    in the worst case, so gate-scale and test use only."""
+    sh = doc_shingles(docs, n=n)
+    cands = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+    return jaccard_verify(cands, sh).filter(F.col("jaccard") >= threshold)
+
+
+def simhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """28-bit SimHash per document over token hashes (term-frequency
+    weighted): bit_j = 1 iff sum over tokens of (+-1 at bit j) > 0.
+
+    Near-dup docs differ in few bits (probe with hamming distance);
+    entirely column expressions — two hash aggregates, no UDFs.
+    """
+    from bigdatalab_spark.scale.hashing import SIMHASH_BITS
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize(text_col)).alias("token"),
+    )
+    h = portable_hash("token")
+    per_bit = (
+        toks.select("doc_id", h.alias("h"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"),
+            "h",
+        )
+        .groupBy("doc_id", "j")
+        .agg(
+            F.sum(
+                F.expr("CASE WHEN (h & shiftleft(CAST(1 AS BIGINT), j)) <> 0 THEN 1 ELSE -1 END")
+            ).alias("s")
+        )
+    )
+    return (
+        per_bit.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), j) ELSE 0 END")
+            ).alias("simhash")
+        )
+    )

@@ -1,0 +1,163 @@
+"""Similarity search over embedding columns (scale extension).
+
+Brute-force cosine top-k as the exactness baseline, plus a sign-bucket
+(hyperplane-sign) partitioned variant as the scale path: bucketing by
+the sign pattern of leading dimensions is a degenerate-but-deterministic
+random-hyperplane LSH whose buckets shrink the candidate set by ~2^bits,
+and — unlike learned IVF centroids — replays exactly in the SQL oracle.
+
+All vector math is JVM-side higher-order functions (``zip_with`` +
+``aggregate`` fold): per-element double cast keeps the fold
+bit-identical to the oracle's ``list_sum(list_transform(...))``.
+
+Scale notes: brute-force is O(Q x N) but embarrassingly parallel — the
+query side broadcasts, the corpus never shuffles; the bucketed variant
+prunes the corpus scan to matching buckets (partition pruning if the
+corpus is written bucketed/partitioned by ``bucket``). For real ANN at
+100 TB you'd add an IVF coarse quantizer trained offline; the plumbing
+(bucket column, per-bucket top-k) is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SIGN_BUCKET_BITS = 4
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float/double> columns (double fold,
+    index order — deterministic)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def sign_bucket(vec: Column, bits: int = SIGN_BUCKET_BITS) -> Column:
+    """Bucket id from the sign bits of the first ``bits`` dimensions."""
+    out = F.lit(0)
+    for i in range(bits):
+        out = out + F.when(
+            F.element_at(vec, i + 1) >= 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+    return out
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries against the corpus, rank
+    per query. Returns (query_id, rank, neighbor_id, cos_sim)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = F.broadcast(q).crossJoin(c).select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )
+
+
+def bucketed_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Sign-bucket ANN: candidates restricted to the query's bucket.
+
+    The bucket equi-join replaces the cross join — at scale this is the
+    difference between O(Q x N) and O(Q x N / 2^bits), and the bucket
+    column is a partition key for storage-side pruning.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        sign_bucket(F.col(vec_col)).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        sign_bucket(F.col(vec_col)).alias("bucket"),
+    )
+    scored = F.broadcast(q).join(c, "bucket").select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )
+
+
+def embedding_near_dups(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by sign bucket.
+
+    Only pairs inside one bucket are compared (near-identical vectors
+    share sign patterns except within ~|cos boundary| of a hyperplane);
+    candidate count per bucket is what you size ``bits`` against at
+    100 TB.
+    """
+    v = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        sign_bucket(F.col(vec_col)).alias("bucket"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(
+            F.col("a.vid").alias("id1"),
+            F.col("b.vid").alias("id2"),
+            cosine(F.col("a.vec"), F.col("b.vec")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -62,9 +62,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = read_parquet(spark, path)
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-            )
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

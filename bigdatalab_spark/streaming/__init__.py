@@ -1,0 +1,15 @@
+from bigdatalab_spark.streaming.jobs import (
+    kafka_stream,
+    run_stream_to_memory,
+    socket_stream,
+    stream_events,
+    windowed_counts,
+)
+
+__all__ = [
+    "kafka_stream",
+    "run_stream_to_memory",
+    "socket_stream",
+    "stream_events",
+    "windowed_counts",
+]

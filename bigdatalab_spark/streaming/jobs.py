@@ -1,0 +1,149 @@
+"""Structured Streaming jobs (SURVEY §2.8 T1-T10).
+
+The reference's DStream programs re-idiomatized: unbounded DataFrames,
+event-time windows + watermarks instead of processing-time
+``window(Seconds(30), Seconds(3))``, managed state stores instead of
+``updateStateByKey``, checkpoint recovery via ``checkpointLocation``
+instead of ``StreamingContext.getOrCreate`` (ExerciseNetcat.scala:67-81).
+
+Scale notes: every job here is a streaming aggregation whose state is
+partitioned by the grouping key across executors — the same shuffle
+layout as the batch equivalents, so a 1000-executor cluster splits both
+input and state horizontally. Watermarks bound state size (late data
+beyond the watermark is dropped), which the DStream versions could not
+do at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Schema of the events table as read by the file stream (ts arrives as
+#: nanos-since-epoch long; see sources.readers.load_table).
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet — the replayable test
+    payload (FIXTURES.md §9). One file = one micro-batch under
+    ``Trigger.AvailableNow``."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        # FileStreamSource needs a directory; glob-filter to the one table
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def socket_stream(spark: SparkSession, host: str = "localhost", port: int = 9999) -> DataFrame:
+    """Socket text source (ExerciseNetcat.scala:37 ssc.socketTextStream)."""
+    return (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+
+
+def kafka_stream(
+    spark: SparkSession,
+    topics: str,
+    bootstrap: str = "localhost:9092",
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Kafka direct stream (ExerciseKafka.scala:19-26,51-55): subscribe,
+    offset reset; receiverless by construction in Structured Streaming."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topics)
+        .option("startingOffsets", starting_offsets)
+        .load()
+        .selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value", "timestamp")
+    )
+
+
+def windowed_counts(
+    stream: DataFrame,
+    window: str = "1 day",
+    slide: str | None = None,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Event-time windowed counts with watermark — the T7 sliding-window
+    job with the T8 late-data policy the DStream version lacked."""
+    win = (
+        F.window("ts", window, slide) if slide else F.window("ts", window)
+    )
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def cumulative_counts(stream: DataFrame) -> DataFrame:
+    """updateStateByKey (ExerciseNetcat.scala:92-94): cumulative count per
+    key. In Structured Streaming this is a plain streaming aggregation —
+    the state store keeps one row per key, updated each micro-batch."""
+    return stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("total_events"),
+        F.sum("value").alias("total_value"),
+    )
+
+
+def sentiment_style_state(stream: DataFrame) -> DataFrame:
+    """The custom multi-field state machine (T6: totTweets/totSentiment/
+    countSentiment/avgSentiment per country, ExerciseNetcat.scala:176-196)
+    collapses into a streaming agg — count/sum/avg are the state fields."""
+    return stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("sum_value"),
+        F.avg("value").alias("avg_value"),
+    )
+
+
+def run_stream_to_memory(
+    result: DataFrame,
+    name: str,
+    checkpoint_dir: str | None = None,
+    output_mode: str = "complete",
+) -> None:
+    """Run a streaming frame to a memory sink with AvailableNow (process
+    everything, then stop) — the deterministic test harness for every
+    streaming job (SURVEY §5: MemoryStream-style tests). Returns once the
+    stream has drained; results are in ``spark.table(name)``."""
+    writer = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()

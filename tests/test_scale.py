@@ -1,0 +1,122 @@
+"""Tests for the scale extensions (dedup / similarity / text / multimodal)
+plus sketch handle round-trips — properties beyond what the DuckDB
+oracle gate already covers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdatalab_spark.operators.sketches import (
+    BloomFilterHandle,
+    CountMinSketchHandle,
+    bloom_filter,
+    count_min_sketch,
+)
+from bigdatalab_spark.scale.dedup import minhash_near_dups, ngram_jaccard_pairs
+from bigdatalab_spark.scale.multimodal import (
+    decode_image,
+    fake_decode_image,
+    frame_sample,
+    to_blob_table,
+)
+from bigdatalab_spark.scale.similarity import brute_force_topk, bucketed_topk
+from bigdatalab_spark.sources import load_table
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_lsh_recall_vs_exact(spark, sf_dir):
+    """MinHash-LSH must recover the high-similarity pairs the exact
+    quadratic Jaccard finds (recall at jaccard >= 0.8 should be ~1 for
+    16 hashes / 4x4 bands: P[candidate] = 1-(1-j^4)^4 ≈ 0.96-0.99+)."""
+    docs = _docs(spark, sf_dir)
+    exact = {
+        (r.doc1, r.doc2)
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    lsh = {
+        (r.doc1, r.doc2) for r in minhash_near_dups(docs, threshold=0.8).collect()
+    }
+    assert lsh <= exact  # verification step guarantees no false positives
+    if exact:
+        recall = len(lsh & exact) / len(exact)
+        assert recall >= 0.9, f"LSH recall {recall} over {len(exact)} pairs"
+
+
+def test_bucketed_topk_subset_of_bruteforce_pool(spark, sf_dir):
+    """Bucketed ANN returns true cosine ranks within the bucket."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 3")
+    got = bucketed_topk(queries, emb, k=3).collect()
+    assert got, "bucketed ANN returned nothing"
+    # every query's top-1 within bucket is itself (cos=1)
+    top1 = {r.query_id: r for r in got if r.rank == 1}
+    for qid, r in top1.items():
+        assert r.neighbor_id == qid and r.cos_sim == pytest.approx(1.0)
+
+
+def test_bruteforce_topk_ranks_descending(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = brute_force_topk(emb.filter("vec_id < 2"), emb.filter("vec_id >= 2"), k=5)
+    rows = got.collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        sims = [r.cos_sim for r in sorted(rs, key=lambda r: r.rank)]
+        assert sims == sorted(sims, reverse=True)
+        assert len(rs) == 5
+
+
+def test_bloom_roundtrip_and_membership(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    members = docs.filter("doc_id % 2 = 0").select("source")
+    bf = bloom_filter(members, "source", expected_items=64, fpp=1e-6)
+    present = [r.source for r in members.distinct().collect()]
+    for v in present:
+        assert bf.might_contain(v)
+    # serialization round-trip preserves membership
+    bf2 = BloomFilterHandle.from_bytes(spark, bf.to_bytes())
+    for v in present:
+        assert bf2.might_contain(v)
+    assert not bf2.might_contain("definitely-not-a-source-value")
+
+
+def test_cms_roundtrip_and_counts(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    cms = count_min_sketch(events, "event_type", eps=0.01, confidence=0.99, seed=10)
+    exact = dict(
+        (r.event_type, r["count"]) for r in events.groupBy("event_type").count().collect()
+    )
+    for k, n in exact.items():
+        assert cms.estimate_count(k) >= n  # CMS never under-counts
+    cms2 = CountMinSketchHandle.from_bytes(spark, cms.to_bytes())
+    assert cms2.total_count() == cms.total_count()
+    for k, n in exact.items():
+        assert cms2.estimate_count(k) == cms.estimate_count(k)
+
+
+def test_multimodal_real_decoder_is_stubbed(spark, sf_dir):
+    blobs = to_blob_table(_docs(spark, sf_dir).limit(2))
+    with pytest.raises(Exception) as exc_info:
+        decode_image(blobs).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
+
+
+def test_multimodal_fake_decode_and_frame_sample(spark, sf_dir):
+    blobs = to_blob_table(_docs(spark, sf_dir).limit(20))
+    decoded = fake_decode_image(blobs)
+    rows = decoded.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 1 <= r.width <= 64 and 1 <= r.height <= 48
+        assert r.format in ("png", "jpeg", "webp")
+        assert len(r.digest) == 32
+    frames = frame_sample(decoded, every_nth=10)
+    fcount = frames.groupBy("doc_id").count().collect()
+    assert all(r["count"] >= 1 for r in fcount)

@@ -1,0 +1,125 @@
+"""Structured Streaming tests (SURVEY §2.8 T1-T10, §5 streaming plan).
+
+Deterministic harness: file-source stream over the events parquet,
+AvailableNow trigger, memory sink — the MemoryStream-style pattern.
+Each streaming result is checked against its batch equivalent on the
+same data (streams and batches share one logical plan in Spark, so
+equality here is a real end-to-end check of the incremental engine).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdatalab_spark.sources import load_table
+from bigdatalab_spark.streaming import (
+    run_stream_to_memory,
+    stream_events,
+    windowed_counts,
+)
+from bigdatalab_spark.streaming.jobs import (
+    cumulative_counts,
+    sentiment_style_state,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_cumulative_counts_match_batch(spark, sf_dir):
+    """T5 updateStateByKey — final state == batch groupBy on same data."""
+    stream = cumulative_counts(stream_events(spark, sf_dir)).drop("total_value")
+    run_stream_to_memory(stream, "t_cumulative")
+    got = _rows(spark.table("t_cumulative"))
+    want = _rows(
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("total_events"))
+    )
+    assert got == want and len(got) > 0
+
+
+def test_windowed_counts_match_batch(spark, sf_dir):
+    """T7 sliding window + T8 watermark."""
+    stream = windowed_counts(
+        stream_events(spark, sf_dir), window="2 days", slide="1 day"
+    ).drop("sum_value")
+    run_stream_to_memory(stream, "t_windowed")
+    got = _rows(spark.table("t_windowed"))
+    events = load_table(spark, sf_dir, "events")
+    want = _rows(
+        events.groupBy(F.window("ts", "2 days", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").cast("string").alias("window_start"), "event_type", "n"
+        )
+    )
+    assert got == want and len(got) > 0
+
+
+def test_multifield_state_matches_batch(spark, sf_dir):
+    """T6 custom (count,sum,avg) state tuple == streaming agg."""
+    stream = sentiment_style_state(stream_events(spark, sf_dir))
+    run_stream_to_memory(stream, "t_state")
+    got = spark.table("t_state")
+    want = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.avg("value").alias("avg_value"),
+        )
+    )
+    g = {r["user_id"]: r for r in got.collect()}
+    w = {r["user_id"]: r for r in want.collect()}
+    assert set(g) == set(w)
+    for uid in w:
+        assert g[uid]["n_events"] == w[uid]["n_events"]
+        assert g[uid]["sum_value"] == pytest.approx(w[uid]["sum_value"], rel=1e-9)
+        assert g[uid]["avg_value"] == pytest.approx(w[uid]["avg_value"], rel=1e-9)
+
+
+def test_checkpoint_restart(spark, sf_dir, tmp_path):
+    """T4: checkpointed stream recovers and does NOT reprocess drained
+    input (StreamingContext.getOrCreate semantics, ExerciseNetcat.scala:74-78)."""
+    ckpt = str(tmp_path / "ckpt")
+    stream = cumulative_counts(stream_events(spark, sf_dir)).drop("total_value")
+    run_stream_to_memory(stream, "t_ckpt_a", checkpoint_dir=ckpt)
+    first = _rows(spark.table("t_ckpt_a"))
+    assert len(first) > 0
+    # restart from the same checkpoint: all files already committed ->
+    # no new micro-batch -> memory sink for the new run stays empty
+    stream2 = cumulative_counts(stream_events(spark, sf_dir)).drop("total_value")
+    run_stream_to_memory(stream2, "t_ckpt_b", checkpoint_dir=ckpt)
+    assert _rows(spark.table("t_ckpt_b")) == []
+
+
+def test_foreachbatch_per_batch_count(spark, sf_dir):
+    """T2/T3: per-batch processing (the DStream per-RDD semantics) via
+    foreachBatch — counts per micro-batch, sorted desc like the
+    reference's transform(sortByKey(false))."""
+    batches: list[list] = []
+
+    def sink(batch_df, batch_id):
+        batches.append(
+            batch_df.groupBy("event_type")
+            .count()
+            .orderBy(F.desc("count"), "event_type")
+            .collect()
+        )
+
+    q = (
+        stream_events(spark, sf_dir)
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    total = sum(r["count"] for b in batches for r in b)
+    assert total == load_table(spark, sf_dir, "events").count()
+    for b in batches:  # desc order within each batch
+        counts = [r["count"] for r in b]
+        assert counts == sorted(counts, reverse=True)
