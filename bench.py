@@ -26,11 +26,22 @@ def main() -> int:
     from bigdatalab_spark.session import get_session
 
     headline = [
+        # relational core
         "pricing_summary",
-        "order_priority_count",
-        "high_value_orders",
-        "part_type_stats",
         "sql_entrypoint_revenue",
+        "lineitem_part_supplier",
+        "preagg_revenue_join",
+        "top_parts_per_year",
+        # text / wordcount family
+        "word_count",
+        "inverted_index",
+        # windows + streaming (real readStream run)
+        "events_sliding_6h_2h",
+        "streaming_cumulative_counts",
+        # scale extensions
+        "dedup_minhash_lsh",
+        "ann_cosine_topk",
+        "quality_scores",
     ]
     headline = [q for q in headline if q in REGISTRY]
 

@@ -153,7 +153,10 @@ def read_fixed_width(
     for f in spec:
         c = F.substring(F.col("value"), f.start + 1, f.end - f.start)
         if f.dtype != "string":
-            c = c.cast(f.dtype)
+            # try_cast: malformed/short lines yield NULL instead of an
+            # ANSI cast error (Spark 4 default) — the reference's parsers
+            # drop or default bad fields, never abort the job
+            c = F.trim(c).try_cast(f.dtype)
         if f.scale is not None:
             c = c / F.lit(f.scale)
         cols.append(c.alias(f.name))

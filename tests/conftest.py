@@ -20,8 +20,13 @@ SF_DIR_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.
 
 
 @pytest.fixture(scope="session")
-def spark():
-    session = get_session(app_name="bigdatalab-tests", shuffle_partitions=8)
+def spark(tmp_path_factory):
+    warehouse = str(tmp_path_factory.mktemp("warehouse"))
+    session = get_session(
+        app_name="bigdatalab-tests",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": warehouse},
+    )
     yield session
     session.stop()
 

@@ -1,0 +1,218 @@
+"""Golden-output tests: the reference's published expected results
+(301-spark-basics/README.md:68-76) on its own micro-fixtures, plus the
+weather/movielens lab pipelines on constructed fixture files.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdatalab_spark.queries import lab
+from bigdatalab_spark.sources.fixtures import (
+    read_movies,
+    read_ratings,
+    read_stations,
+    read_tags,
+    read_tweets,
+    read_weather,
+)
+
+CAPRA = "sopra la panca la capra campa\nsotto la panca la capra crepa\n"
+
+
+@pytest.fixture()
+def capra_lines(spark, tmp_path):
+    p = tmp_path / "capra.txt"
+    p.write_text(CAPRA)
+    return spark.read.text(str(p))
+
+
+def _isd_line(usaf, wban, year, month, day, raw_temp, quality="1"):
+    """Build a fixed-width ISD line with the load-bearing offsets:
+    usaf[4:10) wban[10:15) year[15:19) month[19:21) day[21:23)
+    temp[87:92) quality[92]."""
+    line = [" "] * 93
+    def put(s, start):
+        for i, ch in enumerate(s):
+            line[start + i] = ch
+    put(usaf.ljust(6), 4)
+    put(wban.ljust(5), 10)
+    put(year, 15)
+    put(month, 19)
+    put(day, 21)
+    put(f"{raw_temp:+05d}", 87)
+    put(quality, 92)
+    return "".join(line)
+
+
+def test_capra_word_count_golden(capra_lines):
+    got = {r.word: r["count"] for r in lab.word_count(capra_lines).collect()}
+    assert got["sopra"] == 1 and got["la"] == 4
+    assert got == {
+        "sopra": 1, "la": 4, "panca": 2, "capra": 2, "campa": 1,
+        "sotto": 1, "crepa": 1,
+    }
+
+
+def test_capra_word_length_golden(capra_lines):
+    got = {r.length: r["count"] for r in lab.word_length_count(capra_lines).collect()}
+    assert got == {2: 4, 5: 8}
+
+
+def test_capra_avg_length_by_initial_golden(capra_lines):
+    got = {
+        r.initial: r.avg_len
+        for r in lab.avg_word_length_by_initial(capra_lines).collect()
+    }
+    assert got["s"] == 5.0 and got["l"] == 2.0
+    assert got["p"] == 5.0 and got["c"] == 5.0
+
+
+def test_capra_inverted_index_golden(capra_lines):
+    got = {r.word: list(r.lines) for r in lab.inverted_index(capra_lines).collect()}
+    assert got["sopra"] == [0] and got["la"] == [0, 1]
+    assert got["panca"] == [0, 1] and got["crepa"] == [1]
+
+
+@pytest.fixture()
+def weather_files(spark, tmp_path):
+    lines = [
+        _isd_line("010010", "99999", "2020", "01", "01", 26),    # 2.6
+        _isd_line("010010", "99999", "2020", "01", "02", -15),   # -1.5
+        _isd_line("010010", "99999", "2020", "02", "01", 104),   # 10.4
+        _isd_line("020020", "99999", "2020", "02", "02", 9999),  # missing
+        _isd_line("020020", "99999", "2021", "02", "03", 52),    # 5.2
+        _isd_line("030030", "11111", "2021", "03", "01", 200),   # 20.0 orphan
+    ]
+    wp = tmp_path / "weather.txt"
+    wp.write_text("\n".join(lines) + "\n")
+    sp = tmp_path / "stations.csv"
+    sp.write_text(
+        '"010010","99999","LONDON CITY","UK","","","51.5","0.1","10",'
+        '"20120101","20209999"\n'
+        '"020020","99999","MANCHESTER","UK","","","53.4","2.2","",'
+        '"20120101","20209999"\n'
+        '"040040","22222","PARIS","FR","","","48.8","2.3","35",'
+        '"20120101","20209999"\n'
+    )
+    return str(wp), str(sp)
+
+
+def test_weather_parse_and_sentinel(spark, weather_files):
+    wpath, _ = weather_files
+    w = read_weather(spark, wpath)
+    rows = {(r.usaf, r.year, r.month, r.day): r for r in w.collect()}
+    assert rows[("010010", "2020", "01", "01")].temperature == pytest.approx(2.6)
+    assert rows[("010010", "2020", "01", "02")].temperature == pytest.approx(-1.5)
+    missing = rows[("020020", "2020", "02", "02")]
+    assert missing.temperature == pytest.approx(999.9)
+    assert not missing.validTemperature
+
+
+def test_station_parse_empty_defaults(spark, weather_files):
+    _, spath = weather_files
+    s = read_stations(spark, spath)
+    rows = {r.usaf: r for r in s.collect()}
+    assert rows["020020"].elevation == 0.0  # empty -> 0.0 (StationData)
+    assert rows["010010"].elevation == 10.0
+    assert rows["010010"].country == "UK"
+
+
+def test_avg_temperature_per_month(spark, weather_files):
+    wpath, _ = weather_files
+    got = {
+        r.month: r.avg_temp
+        for r in lab.avg_temperature_per_month(read_weather(spark, wpath)).collect()
+    }
+    assert got["01"] == pytest.approx((2.6 - 1.5) / 2)
+    assert got["02"] == pytest.approx((10.4 + 5.2) / 2)  # sentinel excluded
+    assert got["03"] == pytest.approx(20.0)
+
+
+def test_max_temperature_per_uk_city(spark, weather_files):
+    wpath, spath = weather_files
+    got = lab.max_temperature_per_uk_city(
+        read_weather(spark, wpath), read_stations(spark, spath)
+    ).collect()
+    # PARIS (FR) excluded; orphan 030030 dropped by inner join;
+    # sorted desc by max_temp
+    assert [(r.name, r.max_temp) for r in got] == [
+        ("LONDON CITY", 10.4),
+        ("MANCHESTER", 5.2),
+    ]
+
+
+@pytest.fixture()
+def movielens_files(tmp_path):
+    mp = tmp_path / "movies.csv"
+    mp.write_text(
+        "movieId,title,genres\n"
+        '1,Toy Story,Animation|Children\n'
+        '2,"Heat, The",Action|Crime\n'
+        "3,Jumanji,(no genres listed)\n"
+        "badrow,,,\n"
+    )
+    rp = tmp_path / "ratings.csv"
+    # 1577836800 = 2020-01-01; 1609459200 = 2021-01-01 (UTC)
+    rp.write_text(
+        "userId,movieId,rating,timestamp\n"
+        "1,1,4.0,1577836800\n"
+        "2,1,5.0,1577836800\n"
+        "1,2,3.0,1577836800\n"
+        "2,2,2.5,1609459200\n"
+        "3,3,4.5,1609459200\n"
+    )
+    tp = tmp_path / "tags.csv"
+    tp.write_text(
+        "userId,movieId,tag,timestamp\n"
+        "1,1,classic,1577836800\n"
+        "1,1,pixar,1577836800\n"
+        "2,3,board game,1609459200\n"
+    )
+    return str(mp), str(rp), str(tp)
+
+
+def test_movielens_parse_quoted_and_malformed(spark, movielens_files):
+    mp, _, _ = movielens_files
+    movies = read_movies(spark, mp)
+    rows = {r.movieId: r for r in movies.collect()}
+    assert rows[2].title == "Heat, The"  # quote-aware comma
+    assert len(rows) == 3  # badrow dropped (DROPMALFORMED)
+
+
+def test_movielens_top_rated_per_year(spark, movielens_files):
+    mp, rp, tp = movielens_files
+    got = lab.top_rated_movies_per_year(
+        read_movies(spark, mp), read_ratings(spark, rp), read_tags(spark, tp), top_n=10
+    ).collect()
+    by_year = {}
+    for r in got:
+        by_year.setdefault(r.year, []).append(r)
+    y2020 = [(r.rank, r.movieId, r.avg_rating, r.n_tags) for r in by_year[2020]]
+    assert y2020 == [(1, 1, 4.5, 2), (2, 2, 3.0, 0)]  # movie 2: no tags -> 0
+    y2021 = [(r.rank, r.movieId, r.avg_rating, r.n_tags) for r in by_year[2021]]
+    assert y2021 == [(1, 3, 4.5, 1), (2, 2, 2.5, 0)]
+
+
+def test_tweets_dsv_header_filter(spark, tmp_path):
+    p = tmp_path / "tweet.dsv"
+    p.write_text(
+        "LANGUAGE|CONTENT|TW_HASHTAGS|SENTIMENT|CITY|COUNTY|STATE|COUNTRY|CONT|NAME|GENDER\n"
+        "it|ciao mondo|#vaccino,#salute|1|Roma|RM|Lazio|Italy|EU|a|male\n"
+        "en|hello|#covid|-1|0|x|y|USA|NA|b|female\n"
+    )
+    tw = read_tweets(spark, str(p))
+    rows = tw.collect()
+    assert len(rows) == 2  # header row filtered by value
+    assert rows[0].tw_hashtags == "#vaccino#salute"  # commas stripped
+    assert rows[1].city == "0"
+
+
+def test_weather_parse_garbage_lines_dont_abort(spark, tmp_path):
+    """Spark 4 ANSI casts abort on malformed input; the fixed-width
+    adapter must instead yield NULL/invalid rows (try_cast policy)."""
+    p = tmp_path / "garbage.txt"
+    p.write_text("garbage\n" + " " * 93 + "\n")
+    rows = read_weather(spark, str(p)).collect()
+    assert len(rows) == 2
+    assert all(r.temperature is None and not r.validTemperature for r in rows)

@@ -1,0 +1,95 @@
+"""Plan audits: assert the optimizations the reference teaches by hand
+are actually present in our physical plans (SURVEY §4) — the 100 TB
+regression guard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdatalab_spark.plans import (
+    exchange_count,
+    has_broadcast_join,
+    pushed_filters,
+    read_schema_columns,
+    wholestage_codegen_count,
+)
+from bigdatalab_spark.queries import REGISTRY
+from bigdatalab_spark.sources import load_table
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    """PushDownPredicates + file-source pushdown (303 README:113-129)."""
+    df = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    fs = pushed_filters(df)
+    assert any("o_totalprice" in f for f in fs), fs
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    """A 2-column projection must not read all 11 lineitem columns."""
+    df = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    cols = read_schema_columns(df)
+    assert set(cols) == {"l_orderkey", "l_quantity"}
+
+
+def test_pricing_summary_prunes_and_pushes(spark, sf_dir):
+    df = REGISTRY["pricing_summary"].fn(spark, sf_dir)
+    cols = set(read_schema_columns(df))
+    assert "l_orderkey" not in cols and "l_partkey" not in cols  # pruned
+    assert any("l_shipdate" in f for f in pushed_filters(df))  # pushed
+    assert wholestage_codegen_count(df) >= 1
+
+
+def test_dim_joins_are_broadcast(spark, sf_dir):
+    for name in ("customer_nation_region", "lineitem_part_supplier", "top_parts_per_year"):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        assert has_broadcast_join(df), f"{name} lost its broadcast join"
+
+
+def test_broadcast_join_saves_shuffles(spark, sf_dir):
+    """The 302 three-way comparison (ExerciseComplete.scala:193-201):
+    broadcast beats shuffle join — verified structurally: broadcasting
+    the dim removes both sides' hash-partition Exchanges."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    shuffled = cust.join(
+        nation.hint("shuffle_hash"), cust.c_nationkey == nation.n_nationkey
+    )
+    broadcast = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    assert exchange_count(broadcast) < exchange_count(shuffled)
+    assert has_broadcast_join(broadcast)
+
+
+def test_preagg_shape_shuffles_reduced_rows(spark, sf_dir):
+    """Aggregation-before-join (the rewrite Catalyst won't do): the
+    aggregate must appear BELOW the join in the executed plan."""
+    df = REGISTRY["preagg_revenue_join"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    agg_pos = plan.find("HashAggregate")
+    join_pos = plan.find("Join")
+    assert agg_pos != -1 and join_pos != -1
+    # executedPlan prints top-down: the join must appear before (above)
+    # the aggregate that feeds it
+    assert join_pos < agg_pos
+
+
+def test_partial_aggregation_present(spark, sf_dir):
+    """Map-side combine (A5) is automatic: partial_ functions appear in
+    the pre-shuffle HashAggregate."""
+    df = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"))
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in plan
+
+
+def test_single_shuffle_for_groupby(spark, sf_dir):
+    """A grouped aggregate costs exactly one shuffle."""
+    df = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"))
+    )
+    assert exchange_count(df) == 1

