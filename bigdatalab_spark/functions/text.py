@@ -41,11 +41,20 @@ def word_shingles(tokens: Column, n: int = 3) -> Column:
 
     ``transform`` over a ``sequence`` of start offsets; entirely JVM-side.
     Used by MinHash/Jaccard dedup.
+
+    PERF: pass a *materialized column* (select the token array into its
+    own column first), not an inline ``split(...)`` expression — higher-
+    order functions defeat subexpression elimination, so an inline
+    tokenizer re-splits the string for every shingle position (O(len²)).
+    Per-position ``element_at`` (O(1)) instead of ``slice`` (O(len))
+    keeps the whole shingling linear in document length.
     """
     return F.when(F.size(tokens) < n, F.array()).otherwise(
         F.transform(
             F.sequence(F.lit(0), F.size(tokens) - n),
-            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tokens, i + k + 1) for k in range(n)]
+            ),
         )
     )
 

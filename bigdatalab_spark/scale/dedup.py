@@ -48,13 +48,18 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "d
 
 
 def doc_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle)."""
-    return (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(word_shingles(tokenize(text_col), n)).alias("shingle"),
-        )
-        .distinct()
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Two-phase select: tokenize ONCE into a materialized array column,
+    then shingle over it — see word_shingles PERF note. Set semantics
+    come from per-doc ``array_distinct`` BEFORE the explode: same rows
+    as a post-explode ``distinct()`` (doc_id is fixed within an array)
+    with zero shuffle instead of a full-data exchange."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks")
+    ).select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(F.col("toks"), n))).alias("shingle"),
     )
 
 
@@ -111,6 +116,11 @@ def jaccard_verify(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     s1 = shingles.withColumnRenamed("doc_id", "doc1")
     s2 = shingles.withColumnRenamed("doc_id", "doc2")
+    # The candidate list and everything derived from it is small relative
+    # to the corpus; AQE converts these joins to broadcast at runtime
+    # from observed sizes (LocalShuffleRead), which beats static hints
+    # here — hints force eager, cache-defeating materializations, and a
+    # static broadcast of per-doc tables would be wrong at corpus scale.
     inter = (
         pairs.join(s1, "doc1")
         .join(s2, ["doc2", "shingle"])
@@ -138,8 +148,14 @@ def minhash_near_dups(
     docs: DataFrame, threshold: float = 0.5, n: int = 3
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle -> sign -> band ->
-    candidates -> exact-Jaccard filter at ``threshold``."""
-    sh = doc_shingles(docs, n=n)
+    candidates -> exact-Jaccard filter at ``threshold``.
+
+    The shingle set feeds both the signature build and the verification
+    joins; cache it so the tokenize/explode/distinct runs once ("cache
+    the shared intermediate", ExerciseComplete.scala:59-62 — same rule
+    at 100 TB, where you'd persist to MEMORY_AND_DISK).
+    """
+    sh = doc_shingles(docs, n=n).cache()
     cands = lsh_candidate_pairs(minhash_signatures(sh))
     return jaccard_verify(cands, sh).filter(F.col("jaccard") >= threshold)
 
@@ -151,7 +167,7 @@ def ngram_jaccard_pairs(
     sharing at least one shingle (inverted-index join). The exact
     baseline the LSH pipeline's recall is measured against; quadratic
     in the worst case, so gate-scale and test use only."""
-    sh = doc_shingles(docs, n=n)
+    sh = doc_shingles(docs, n=n).cache()
     cands = (
         sh.alias("a")
         .join(
