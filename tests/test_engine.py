@@ -1,0 +1,29 @@
+"""Engine facade + CLI surface tests."""
+
+from __future__ import annotations
+
+from bigdatalab_spark.engine import Engine
+
+
+def test_engine_facade_roundtrip(spark, sf_dir, tmp_path):
+    eng = Engine(spark=spark)
+    eng.register_warehouse(sf_dir)
+    n = eng.sql("SELECT count(*) AS n FROM lineitem").collect()[0]["n"]
+    assert n > 0
+    df = eng.query("pricing_summary", sf_dir)
+    assert df.count() > 0
+    assert "pricing_summary" in eng.query_names()
+    out = str(tmp_path / "pq")
+    eng.write_parquet(df, out)
+    assert eng.read_parquet(out).count() == df.count()
+    text = eng.explain(df)
+    assert "Exchange" in text or "AdaptiveSparkPlan" in text
+
+
+def test_cli_list_and_run(capsys):
+    from bigdatalab_spark.__main__ import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "pricing_summary" in out and "sql-oracle" in out
+    assert main(["run", "no_such_query"]) == 2

@@ -123,3 +123,74 @@ def test_foreachbatch_per_batch_count(spark, sf_dir):
     for b in batches:  # desc order within each batch
         counts = [r["count"] for r in b]
         assert counts == sorted(counts, reverse=True)
+
+
+def test_apply_in_pandas_with_state_ewma(spark, sf_dir):
+    """T5/T6 general case: arbitrary keyed state via
+    applyInPandasWithState — final state equals the batch reference
+    implementation on the same (single-file => single-batch) input."""
+    from bigdatalab_spark.streaming.stateful import ewma_per_user, ewma_per_user_batch
+
+    stream = ewma_per_user(stream_events(spark, sf_dir).filter("user_id < 8"))
+    run_stream_to_memory(stream, "t_ewma", output_mode="update")
+    got = {r.user_id: r for r in spark.table("t_ewma").collect()}
+    want = ewma_per_user_batch(
+        load_table(spark, sf_dir, "events").filter("user_id < 8")
+    )
+    assert set(got) == set(want.user_id)
+    for _, w in want.iterrows():
+        g = got[w.user_id]
+        assert g.n_events == w.n_events
+        assert g.ewma_value == pytest.approx(w.ewma_value, rel=1e-12)
+
+
+def test_socket_stream_live(spark):
+    """S12: live socket text source — a real netcat-style server feeds
+    lines to readStream.format('socket'); word counts arrive in the
+    memory sink (ExerciseNetcat word count, T2)."""
+    import socket
+    import threading
+    import time
+
+    from bigdatalab_spark.streaming import socket_stream
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+    srv.listen(1)
+
+    def serve():
+        conn, _ = srv.accept()
+        with conn:
+            conn.sendall(b"sopra la panca la capra campa\n" * 3)
+            time.sleep(8)  # keep the connection open while batches run
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    lines = socket_stream(spark, "127.0.0.1", port)
+    counts = (
+        lines.select(F.explode(F.split("value", " ")).alias("word"))
+        .groupBy("word")
+        .count()
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("t_socket")
+        .outputMode("complete")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        got = {}
+        while time.time() < deadline:
+            got = {r.word: r["count"] for r in spark.table("t_socket").collect()}
+            if got.get("la", 0) >= 6:
+                break
+            time.sleep(0.5)
+        assert got.get("la") == 6 and got.get("sopra") == 3, got
+    finally:
+        q.stop()
+        srv.close()
