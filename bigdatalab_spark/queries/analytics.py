@@ -121,3 +121,78 @@ def sampled_count_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(total, sampled, int(total * 0.05), int(total * 0.15))],
         "n_total long, n_sampled long, lower long, upper long",
     )
+
+
+@query(
+    "salted_skew_agg",
+    ids=("A4", "A5", "§2.10"),
+    oracle="""
+        SELECT l_returnflag,
+               sum(l_quantity) AS total_qty,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+)
+def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-phase aggregation over a 3-value (maximally
+    skewed) key — result identical to the direct groupBy, structure
+    splits each hot key across 16 salt subkeys first."""
+    from bigdatalab_spark.operators.skew import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return salted_agg(
+        li,
+        ["l_returnflag"],
+        partial_aggs=[
+            F.sum("l_quantity").alias("s"),
+            F.count(F.lit(1)).alias("c"),
+        ],
+        merge_aggs=[
+            F.sum("s").alias("total_qty"),
+            F.sum("c").alias("n"),
+        ],
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "table_profile",
+    ids=("A3", "A4", "A10", "A11"),
+    oracle="""
+        SELECT 'o_totalprice' AS col, count(*) AS n_rows,
+               count(o_totalprice) AS n_non_null,
+               count(DISTINCT o_totalprice) AS n_distinct,
+               CAST(min(o_totalprice) AS VARCHAR) AS min_val,
+               CAST(max(o_totalprice) AS VARCHAR) AS max_val
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', count(*), count(o_orderpriority),
+               count(DISTINCT o_orderpriority),
+               CAST(min(o_orderpriority) AS VARCHAR),
+               CAST(max(o_orderpriority) AS VARCHAR)
+        FROM orders
+        ORDER BY col
+    """,
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (count / nulls / distinct / min / max) — the
+    data-quality sweep a training pipeline runs before ingestion; one
+    pass per profiled column set via a single multi-agg projection."""
+    orders = load_table(spark, sf_dir, "orders")
+    profiles = []
+    for c in ("o_totalprice", "o_orderpriority"):
+        profiles.append(
+            orders.agg(
+                F.lit(c).alias("col"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count(c).alias("n_non_null"),
+                F.countDistinct(c).alias("n_distinct"),
+                F.min(c).cast("string").alias("min_val"),
+                F.max(c).cast("string").alias("max_val"),
+            )
+        )
+    out = profiles[0]
+    for p in profiles[1:]:
+        out = out.union(p)
+    return out.orderBy("col")
