@@ -59,10 +59,19 @@ def get_session(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")
     )
+    local_mode = bool(master and master.startswith("local")) or (
+        not master and not os.environ.get("SPARK_MASTER")
+    )
     if master:
         builder = builder.master(master)
-    elif not os.environ.get("SPARK_MASTER"):
+    elif local_mode:
         builder = builder.master(f"local[{cpus}]")
+    if local_mode:
+        # Local single-file datasets are far below the 128 MB default
+        # split size, which would serialize scans on one core; split
+        # finer so all local cores participate. Cluster deployments
+        # (SPARK_MASTER / explicit master) keep the HDFS-friendly default.
+        builder = builder.config("spark.sql.files.maxPartitionBytes", "4m")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -45,6 +45,12 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+#: memo of table DataFrames per (session, path): a DataFrame is an
+#: immutable logical plan, so reuse skips re-reading parquet footers and
+#: re-running schema inference on every query in a session
+_TABLE_MEMO: dict[tuple[int, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one warehouse table from an sf directory.
 
@@ -53,6 +59,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     rebuild the timestamp column-side at microsecond precision.
     """
     path = f"{sf_dir}/{name}.parquet"
+    memo_key = (id(spark), path)
+    cached = _TABLE_MEMO.get(memo_key)
+    if cached is not None:
+        return cached
     df = None
     try:
         df = read_parquet(spark, path)
@@ -63,6 +73,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _TABLE_MEMO[memo_key] = df
     return df
 
 
