@@ -196,3 +196,71 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in profiles[1:]:
         out = out.union(p)
     return out.orderBy("col")
+
+
+@query(
+    "rollup_revenue",
+    ids=("A7", "§2.6"),
+    oracle="""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        ORDER BY status, priority
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP — beyond the reference's surface
+    (SURVEY §2.4 notes no grouping sets) but a free Catalyst built-in the
+    engine declares. NULL grouping markers coalesced to 'ALL' for a
+    representation-stable oracle hash."""
+    from bigdatalab_spark.operators import money_sum
+
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), money_sum("o_totalprice").alias("revenue"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "revenue",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+@query(
+    "pivot_status_by_segment",
+    ids=("A7", "A9"),
+    oracle="""
+        SELECT c_mktsegment,
+               sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS status_f,
+               sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS status_o,
+               sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS status_p
+        FROM customer JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+)
+def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() with pinned pivot values (pinning avoids the
+    extra distinct-values job AND keeps the output schema stable at any
+    scale)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "c_mktsegment",
+            F.coalesce("F", F.lit(0)).alias("status_f"),
+            F.coalesce("O", F.lit(0)).alias("status_o"),
+            F.coalesce("P", F.lit(0)).alias("status_p"),
+        )
+        .orderBy("c_mktsegment")
+    )
