@@ -185,3 +185,69 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Term-frequency-weighted 28-bit SimHash signature per document."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_signatures(docs).orderBy("doc_id")
+
+
+@query(
+    "dedup_clusters",
+    ids=("SCALE-DEDUP",),
+    oracle=f"""
+        WITH {SHINGLES_CTE},
+        params(i, a, b) AS (VALUES {_PARAMS_VALUES}),
+        hashes AS (
+            SELECT doc_id, shingle,
+                   CAST('0x' || substr(md5(shingle), 1, 7) AS BIGINT) AS h
+            FROM shingles
+        ),
+        mh AS (
+            SELECT doc_id, i, min((h * a + b) % {MINHASH_P}) AS v
+            FROM hashes, params
+            GROUP BY doc_id, i
+        ),
+        bands AS (
+            SELECT doc_id, i // {MINHASH_ROWS} AS band,
+                   string_agg(CAST(v AS VARCHAR), '_' ORDER BY i) AS sig
+            FROM mh
+            GROUP BY doc_id, i // {MINHASH_ROWS}
+        ),
+        cands AS (
+            SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                        AND a.doc_id < b.doc_id
+        ),
+        {_VERIFY_SQL},
+        pairs AS (SELECT doc1, doc2 FROM verified WHERE jaccard >= 0.5),
+        edges AS (
+            SELECT doc1 AS src, doc2 AS dst FROM pairs
+            UNION ALL
+            SELECT doc2, doc1 FROM pairs
+        ),
+        reach AS (
+            -- transitive closure by recursion: every (doc, reachable label)
+            SELECT doc_id AS doc, doc_id AS label FROM documents
+            UNION
+            SELECT e.src AS doc, r.label
+            FROM reach r JOIN edges e ON e.dst = r.doc
+        )
+        SELECT doc, min(label) AS cluster_id
+        FROM reach
+        GROUP BY doc
+        ORDER BY doc
+    """.replace("WITH ", "WITH RECURSIVE ", 1),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components (min-label propagation)
+    over the MinHash-LSH near-dup pair graph — the step that turns
+    pairwise similarity into keep/drop groups in a dedup pipeline. The
+    oracle replays the whole stack: shingles -> MinHash -> LSH -> Jaccard
+    -> a recursive-CTE transitive closure."""
+    from bigdatalab_spark.scale.dedup import connected_components, minhash_near_dups
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dups(docs, threshold=0.5).select("doc1", "doc2")
+    nodes = docs.select("doc_id")
+    return (
+        connected_components(nodes, pairs)
+        .select(F.col("doc_id").alias("doc"), "cluster_id")
+        .orderBy("doc")
+    )

@@ -217,3 +217,51 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
             ).alias("simhash")
         )
     )
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    ``nodes``: (doc_id); ``edges``: (doc1, doc2) undirected. Returns
+    (doc_id, cluster_id) where cluster_id is the minimum doc_id in the
+    component — the canonical keeper for near-dup groups.
+
+    Scale design: each iteration is one join + one aggregation (both on
+    the label key); the loop runs O(diameter) times — near-dup clusters
+    are shallow (pairs/triangles), so 3-4 iterations in practice.
+    Results are cached per iteration and the loop exits on a fixpoint
+    (no label changed). This is the GraphX-free label propagation used
+    for dedup clustering on large corpora.
+    """
+    sym = (
+        edges.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
+        .union(edges.select(F.col("doc2").alias("src"), F.col("doc1").alias("dst")))
+    )
+    labels = nodes.select(F.col("doc_id"), F.col("doc_id").alias("cluster_id")).cache()
+    for _ in range(max_iter):
+        # candidate label per node: min over own label and neighbors' labels
+        neighbor_labels = (
+            sym.join(labels, sym.dst == labels.doc_id)
+            .select(F.col("src").alias("doc_id"), "cluster_id")
+        )
+        new_labels = (
+            labels.select("doc_id", "cluster_id")
+            .union(neighbor_labels)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

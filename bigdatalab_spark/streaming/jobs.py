@@ -147,3 +147,41 @@ def run_stream_to_memory(
         writer = writer.option("checkpointLocation", checkpoint_dir)
     q = writer.start()
     q.awaitTermination()
+
+
+def run_stream_to_console(
+    result: DataFrame,
+    output_mode: str = "complete",
+    num_rows: int = 20,
+):
+    """Console sink (K7 — the DStream.print() equivalent,
+    ExerciseNetcat.scala:40). Returns the StreamingQuery; caller stops it."""
+    return (
+        result.writeStream.format("console")
+        .outputMode(output_mode)
+        .option("numRows", str(num_rows))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def write_stream_to_kafka(
+    result: DataFrame,
+    topic: str,
+    bootstrap: str = "localhost:9092",
+    checkpoint_dir: str | None = None,
+):
+    """Kafka sink (K8's producer role, engine-side): requires a
+    ``value`` (and optionally ``key``) string column. Needs the
+    spark-sql-kafka package + a broker — neither exists in this
+    container, so this is the declared-capability slot; the socket
+    server in tests/test_streaming.py plays the producer for live
+    stream tests."""
+    writer = (
+        result.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("topic", topic)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -194,3 +194,84 @@ def test_socket_stream_live(spark):
     finally:
         q.stop()
         srv.close()
+
+
+def test_console_sink_runs(spark, sf_dir):
+    """K7: console sink drains without error (output goes to stdout)."""
+    from bigdatalab_spark.streaming.jobs import cumulative_counts, run_stream_to_console
+
+    q = run_stream_to_console(
+        cumulative_counts(stream_events(spark, sf_dir)).drop("total_value")
+    )
+    q.awaitTermination()
+    assert q.lastProgress is not None
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """T8: with a watermark, an event older than (max_event_time -
+    watermark) arriving in a LATER micro-batch is dropped from the
+    aggregation — the late-data policy DStreams could not express.
+
+    One streaming run, maxFilesPerTrigger=1: the on-time file advances
+    the watermark to 11:00 in batch 1; the late file's 09:00 row arrives
+    in batch 2 and must be discarded.
+    """
+    import os
+    import time
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import StringType, StructField, StructType, TimestampType
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    schema = StructType(
+        [StructField("ts", TimestampType()), StructField("k", StringType())]
+    )
+    def w(path, rows):
+        spark.createDataFrame(rows, "ts string, k string").select(
+            F.col("ts").cast("timestamp"), "k"
+        ).coalesce(1).write.parquet(str(path))
+
+    # Three micro-batches (file mtime order): the LATE-EVENTS watermark is
+    # the PREVIOUS batch's eviction watermark (it lags one batch — Spark
+    # 3.4+ dual-watermark model for multi-stateful-operator support), so
+    # the late row must arrive two batches after the on-time data to be
+    # provably below the filter.
+    w(src / "f1", [("2024-01-01 10:00:00", "a"), ("2024-01-01 12:00:00", "a")])
+    time.sleep(1.1)  # file-source orders batches by modification time
+    w(src / "f2", [("2024-01-01 12:30:00", "a")])
+    time.sleep(1.1)
+    w(src / "f3", [("2024-01-01 09:00:00", "a")])  # 3h+ older than max seen
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(str(src / "*"))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("string").alias("ws"), "k", "n")
+    )
+    # APPEND mode: watermark semantics are enforced — late rows below the
+    # late-events watermark are dropped and counted.
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    )
+    assert dropped == 1  # exactly the 09:00 row
+    counts = {r.ws: r.n for r in spark.table("t_late").collect()}
+    # only the finalized 10:00 window emitted (12:00/12:30 still open);
+    # the late 09:00 window never materialized
+    assert counts == {"2024-01-01 10:00:00": 1}, counts
