@@ -128,3 +128,19 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.embedding_near_dups(emb, threshold=0.4).orderBy("id1", "id2")
+
+
+@query(
+    "ann_ivf_kmeans",
+    ids=("SCALE-SIM",),
+    oracle=None,  # learned centroids are not SQL-replayable; recall vs
+    # brute force is asserted in tests/test_scale.py
+)
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: KMeans coarse quantizer (seeded) + probe-2 bucket search."""
+    from bigdatalab_spark.scale.similarity import ivf_kmeans_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_kmeans_topk(emb.filter("vec_id < 10"), emb, k=3).orderBy(
+        "query_id", "rank"
+    )

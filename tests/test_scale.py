@@ -120,3 +120,43 @@ def test_multimodal_fake_decode_and_frame_sample(spark, sf_dir):
     frames = frame_sample(decoded, every_nth=10)
     fcount = frames.groupBy("doc_id").count().collect()
     assert all(r["count"] >= 1 for r in fcount)
+
+
+def test_pandas_udf_cosine_matches_column_expression(spark, sf_dir):
+    """The Arrow escape hatch computes the same cosine as the JVM fold."""
+    from pyspark.sql import functions as F
+
+    from bigdatalab_spark.scale.similarity import cosine, cosine_pandas_udf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pair = (
+        emb.filter("vec_id < 30").selectExpr("vec_id AS i", "embedding AS a")
+        .crossJoin(emb.filter("vec_id >= 30 AND vec_id < 40").selectExpr("embedding AS b"))
+    )
+    udf = cosine_pandas_udf()
+    both = pair.select(
+        cosine(F.col("a"), F.col("b")).alias("jvm"),
+        udf(F.col("a"), F.col("b")).alias("arrow"),
+    ).collect()
+    assert both
+    for r in both:
+        assert r.arrow == pytest.approx(r.jvm, rel=1e-9)
+
+
+def test_ivf_kmeans_recall_vs_bruteforce(spark, sf_dir):
+    """Probe-2 IVF over 8 centroids must recover most true top-3
+    neighbors (recall@3 >= 0.5 on the synthetic clustered embeddings)."""
+    from bigdatalab_spark.scale.similarity import brute_force_topk, ivf_kmeans_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 10")
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(queries, emb, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_kmeans_topk(queries, emb, k=3).collect()
+    }
+    recall = len(approx & truth) / len(truth)
+    assert recall >= 0.5, f"IVF recall@3 = {recall}"
