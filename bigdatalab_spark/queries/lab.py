@@ -133,3 +133,39 @@ def top_rated_movies_per_year(
         )
         .orderBy("year", "rank")
     )
+
+
+# ---- 303-spark-sql lab queries ----------------------------------------------
+
+
+def transactions_avg_price_per_city(transactions: DataFrame) -> DataFrame:
+    """Real-estate query (303-solutions.scala:4): EUR conversion x1.2,
+    rounded avg per city, descending."""
+    return (
+        transactions.groupBy("city")
+        .agg(F.round(F.avg(F.col("price") * 1.2), 2).alias("avgPrice"))
+        .orderBy(F.desc("avgPrice"))
+    )
+
+
+def gender_pay_gap(userdata: DataFrame) -> DataFrame:
+    """Pay-gap query (303-solutions.scala:11-30): avg salary per
+    (country, gender), self-joined per country, gap as an expr column."""
+    avg_salary = userdata.groupBy("country", "gender").agg(
+        F.avg("salary").alias("avgSalary")
+    )
+    female = (
+        avg_salary.filter("gender = 'Female'")
+        .withColumnRenamed("avgSalary", "f_avgSalary")
+        .drop("gender")
+    )
+    male = (
+        avg_salary.filter("gender = 'Male'")
+        .withColumnRenamed("avgSalary", "m_avgSalary")
+        .drop("gender")
+    )
+    return (
+        female.join(male, "country")
+        .withColumn("gap", F.expr("f_avgSalary - m_avgSalary"))
+        .orderBy("country")
+    )

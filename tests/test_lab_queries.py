@@ -216,3 +216,53 @@ def test_weather_parse_garbage_lines_dont_abort(spark, tmp_path):
     rows = read_weather(spark, str(p)).collect()
     assert len(rows) == 2
     assert all(r.temperature is None and not r.validTemperature for r in rows)
+
+
+def test_transactions_avg_price(spark, tmp_path):
+    """303 real-estate: header + ';' delimiter CSV (S8), x1.2 avg desc."""
+    from bigdatalab_spark.sources.readers import read_csv
+
+    p = tmp_path / "realestate.txt"
+    p.write_text(
+        "street;city;zip;state;beds;baths;sq__ft;type;sale_date;price;latitude;longitude\n"
+        "a st;ROMA;1;RM;2;1;100;Res;x;100000;0;0\n"
+        "b st;ROMA;1;RM;3;2;150;Res;x;200000;0;0\n"
+        "c st;MILANO;2;MI;2;1;90;Res;x;300000;0;0\n"
+    )
+    tx = read_csv(spark, str(p), header=True, sep=";", infer_schema=True)
+    got = lab.transactions_avg_price_per_city(tx).collect()
+    assert [(r.city, r.avgPrice) for r in got] == [
+        ("MILANO", 360000.0),
+        ("ROMA", 180000.0),
+    ]
+
+
+def test_gender_pay_gap(spark):
+    """303 pay gap: avg per (country,gender), join, expr gap column."""
+    rows = [
+        ("Alice", "Female", "IT", 100.0),
+        ("Bea", "Female", "IT", 200.0),
+        ("Carl", "Male", "IT", 100.0),
+        ("Dora", "Female", "FR", 300.0),
+        ("Ed", "Male", "FR", 400.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "first_name string, gender string, country string, salary double"
+    )
+    got = {r.country: r for r in lab.gender_pay_gap(df).collect()}
+    assert got["IT"].gap == pytest.approx(50.0)   # 150 - 100
+    assert got["FR"].gap == pytest.approx(-100.0)  # 300 - 400
+
+
+def test_population_explicit_schema_all_strings(spark, tmp_path):
+    """303 explicit-StructType exercise (S7): every column read as
+    StringType regardless of content."""
+    from bigdatalab_spark.sources.readers import read_csv
+    from bigdatalab_spark.sources.schemas import POPULATION_SCHEMA
+
+    p = tmp_path / "population.csv"
+    p.write_text("00601;18570;41.5;9078;9492\n00602;41520;42.1;20396;21124\n")
+    pop = read_csv(spark, str(p), header=False, sep=";", schema=POPULATION_SCHEMA)
+    assert [f.dataType.simpleString() for f in pop.schema.fields] == ["string"] * 5
+    rows = pop.collect()
+    assert rows[0].zipcode == "00601" and rows[0].avg_age == "41.5"
