@@ -23,9 +23,19 @@ def entry(spark: SparkSession) -> DataFrame:
     return REGISTRY["pricing_summary"].fn(spark, "/root/testdata/sf0.001")
 
 
+def _utc(fn: Callable[[SparkSession, str], DataFrame]):
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # timestamp->string casts in query results must render in UTC to
+        # match the oracle regardless of the driver session's timezone
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    return {name: _utc(spec.fn) for name, spec in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:

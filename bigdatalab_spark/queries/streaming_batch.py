@@ -214,3 +214,58 @@ def sessionized_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+@query(
+    "streaming_dedup",
+    ids=("T5", "SCALE-DEDUP"),
+    oracle="""
+        SELECT user_id, event_type, count(*) AS n
+        FROM (SELECT DISTINCT user_id, event_type FROM events)
+        GROUP BY user_id, event_type
+        ORDER BY user_id, event_type
+    """,
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING dedup: ``dropDuplicates`` over an unbounded stream keeps
+    first-seen (user_id, event_type) pairs in the state store — exact
+    online dedup, the streaming twin of dedup_exact. Drained via
+    AvailableNow; result equals batch DISTINCT."""
+    from bigdatalab_spark.streaming import run_stream_to_memory, stream_events
+
+    _STREAM_RUN_COUNTER[0] += 1
+    name = f"stream_dedup_{_STREAM_RUN_COUNTER[0]}"
+    deduped = stream_events(spark, sf_dir).dropDuplicates(["user_id", "event_type"])
+    out = deduped.select("user_id", "event_type", F.lit(1).alias("n"))
+    run_stream_to_memory(out, name, output_mode="append")
+    return spark.table(name).orderBy("user_id", "event_type")
+
+
+@query(
+    "value_percentiles",
+    ids=("A4",),
+    oracle="""
+        SELECT event_type,
+               quantile_cont(value, 0.5) AS p50,
+               quantile_cont(value, 0.9) AS p90,
+               quantile_cont(value, 0.99) AS p99
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per key (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``: same linear-interpolation definition).
+    The approximate scale path is percentile_approx (t-digest) — exact
+    here so the oracle can gate it."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.9)").alias("p90"),
+            F.expr("percentile(value, 0.99)").alias("p99"),
+        )
+        .orderBy("event_type")
+    )
