@@ -72,6 +72,12 @@ def get_session(
         # finer so all local cores participate. Cluster deployments
         # (SPARK_MASTER / explicit master) keep the HDFS-friendly default.
         builder = builder.config("spark.sql.files.maxPartitionBytes", "4m")
+        # In local mode the driver JVM IS the executor; the 1g default
+        # driver heap fails broadcast builds at ~10x gate scale. Only
+        # effective at JVM launch (first session in the process).
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
