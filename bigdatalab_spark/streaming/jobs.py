@@ -185,3 +185,35 @@ def write_stream_to_kafka(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def stream_stream_interval_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    max_gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with a time-interval condition — beyond
+    the reference's DStream surface entirely (T-extension): correlate a
+    purchase with the same user's click that preceded it by at most
+    ``max_gap``. Both sides carry watermarks so the join state for
+    expired intervals is evicted; without them the state grows without
+    bound. Inputs need columns (user_id, ts [, ...])."""
+    c = clicks.withWatermark("ts", watermark).alias("c")
+    p = purchases.withWatermark("ts", watermark).alias("p")
+    return c.join(
+        p,
+        F.expr(
+            f"""
+            c.user_id = p.user_id AND
+            p.ts > c.ts AND
+            p.ts <= c.ts + INTERVAL {max_gap}
+            """
+        ),
+    ).select(
+        F.col("c.user_id").alias("user_id"),
+        F.col("c.event_id").alias("click_id"),
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("c.ts").alias("click_ts"),
+        F.col("p.ts").alias("purchase_ts"),
+    )

@@ -275,3 +275,36 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # only the finalized 10:00 window emitted (12:00/12:30 still open);
     # the late 09:00 window never materialized
     assert counts == {"2024-01-01 10:00:00": 1}, counts
+
+
+def test_stream_stream_interval_join(spark, sf_dir):
+    """Stream-stream inner join (clicks x purchases within 1 h per user)
+    equals the batch interval join on the same data."""
+    from bigdatalab_spark.streaming.jobs import stream_stream_interval_join
+
+    ev = stream_events(spark, sf_dir)
+    clicks = ev.filter("event_type = 'click'")
+    purchases = ev.filter("event_type = 'purchase'")
+    joined = stream_stream_interval_join(clicks, purchases)
+    run_stream_to_memory(joined, "t_ssj", output_mode="append")
+    got = _rows(spark.table("t_ssj"))
+
+    bev = load_table(spark, sf_dir, "events")
+    bc = bev.filter("event_type = 'click'").alias("c")
+    bp = bev.filter("event_type = 'purchase'").alias("p")
+    want = _rows(
+        bc.join(
+            bp,
+            F.expr(
+                "c.user_id = p.user_id AND p.ts > c.ts "
+                "AND p.ts <= c.ts + INTERVAL 1 HOUR"
+            ),
+        ).select(
+            F.col("c.user_id").alias("user_id"),
+            F.col("c.event_id").alias("click_id"),
+            F.col("p.event_id").alias("purchase_id"),
+            F.col("c.ts").alias("click_ts"),
+            F.col("p.ts").alias("purchase_ts"),
+        )
+    )
+    assert got == want and len(got) > 0
