@@ -52,8 +52,15 @@ def get_session(
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
-        .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")
+        # -Xlog:disable: JVM unified logging (GC warnings etc.) writes to
+        # STDOUT and would corrupt single-JSON-line protocol outputs
+        # (bench.py); application logs still go to stderr via log4j.
+        .config(
+            "spark.driver.extraJavaOptions", "-Duser.timezone=UTC -Xlog:disable"
+        )
+        .config(
+            "spark.executor.extraJavaOptions", "-Duser.timezone=UTC -Xlog:disable"
+        )
         # Parquet vectorized reader + filter/column pushdown are on by
         # default; keep codegen comment output available for plan audits.
         .config("spark.sql.parquet.filterPushdown", "true")
