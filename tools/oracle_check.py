@@ -81,13 +81,16 @@ def compare_frames(spark_pdf, duck_pdf) -> list[str]:
 
 
 def check_query(spark, con, name: str, sf_dir: str) -> list[str]:
-    from bigdatalab_spark.queries import REGISTRY
+    # go through the driver contract (__spark_entry__), not the registry
+    # directly, so wrappers (UTC pinning) are under test too
+    import __spark_entry__ as entry_mod
 
-    spec = REGISTRY[name]
-    sdf = spec.fn(spark, sf_dir).toPandas()
-    if spec.oracle is None:
+    fn = entry_mod.queries()[name]
+    oracle = entry_mod.oracle_sql().get(name)
+    sdf = fn(spark, sf_dir).toPandas()
+    if oracle is None:
         return [] if len(sdf) >= 0 else ["spark query failed"]
-    ddf = con.execute(spec.oracle).fetchdf()
+    ddf = con.execute(oracle).fetchdf()
     return compare_frames(sdf, ddf)
 
 
