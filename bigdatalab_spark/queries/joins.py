@@ -209,3 +209,129 @@ def uk_style_filtered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("c_acctbal").alias("max_balance"))
         .orderBy(F.desc("max_balance"), F.asc("n_name"), F.asc("c_mktsegment"))
     )
+
+
+@query(
+    "semi_join_ordered_customers",
+    ids=("J1", "§2.6"),
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        ORDER BY c_custkey
+    """,
+)
+def semi_join_ordered_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (TPC-H Q4's EXISTS shape): customers with at least
+    one big order — emits each match once, never duplicates, and Spark
+    stops probing per key at first hit."""
+    customer = load_table(spark, sf_dir, "customer")
+    big_orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000
+    )
+    return (
+        customer.join(
+            big_orders, customer.c_custkey == big_orders.o_custkey, "left_semi"
+        )
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "anti_join_idle_customers",
+    ids=("J1", "§2.6"),
+    oracle="""
+        SELECT c_custkey, c_mktsegment, c_acctbal
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        ORDER BY c_custkey
+    """,
+)
+def anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (TPC-H Q22's NOT EXISTS shape): customers with no
+    high-value order — the complement of the semi join, one shuffle on
+    the key. (Filtered to high-value orders so the result is non-empty
+    at every scale factor: every synthetic customer has SOME order.)"""
+    customer = load_table(spark, sf_dir, "customer")
+    big_orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000
+    )
+    return (
+        customer.join(
+            big_orders, customer.c_custkey == big_orders.o_custkey, "left_anti"
+        )
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "below_avg_quantity_revenue",
+    ids=("J1", "A4"),
+    oracle=f"""
+        SELECT {dsum('l_extendedprice')} AS total_price, count(*) AS n_lines
+        FROM lineitem
+        WHERE l_quantity < (
+            SELECT 0.5 * avg(l_quantity)
+            FROM lineitem l2
+            WHERE l2.l_partkey = lineitem.l_partkey
+        )
+    """,
+)
+def below_avg_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17 shape): lineitems below half
+    their part's average quantity. Catalyst decorrelates this into an
+    aggregate + join — the per-part average is computed ONCE, not per
+    row (the plan a hand-rolled SQL engine would need a rewrite pass
+    for). Note: double avg per part is safe unrounded here because the
+    filter compares, not emits, the average — and counts/sums of the
+    surviving integer-quantity rows are representation-stable."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+                   AS total_price,
+               count(*) AS n_lines
+        FROM lineitem
+        WHERE l_quantity < (
+            SELECT 0.5 * avg(l_quantity)
+            FROM lineitem l2
+            WHERE l2.l_partkey = lineitem.l_partkey
+        )
+        """
+    )
+
+
+@query(
+    "multi_distinct_agg",
+    ids=("A7", "A11"),
+    oracle="""
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS n_parts,
+               count(DISTINCT l_suppkey) AS n_supps,
+               sum(l_quantity) AS total_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+)
+def multi_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple DISTINCT aggregates + a plain aggregate in one groupBy —
+    Catalyst's Expand-based rewrite (each distinct column gets its own
+    grouping replica); absent from the reference (SURVEY §2.4 note),
+    declared here."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.sum("l_quantity").alias("total_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
