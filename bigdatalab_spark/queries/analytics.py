@@ -237,9 +237,9 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids=("A7", "A9"),
     oracle="""
         SELECT c_mktsegment,
-               sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS status_f,
-               sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS status_o,
-               sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS status_p
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS status_f,
+               CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS status_o,
+               CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS status_p
         FROM customer JOIN orders ON o_custkey = c_custkey
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment

@@ -169,13 +169,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         per_bit AS (
             SELECT doc_id, j,
-                   sum(CASE WHEN (h & (CAST(1 AS BIGINT) << j)) <> 0
-                            THEN 1 ELSE -1 END) AS s
+                   CAST(sum(CASE WHEN (h & (CAST(1 AS BIGINT) << j)) <> 0
+                            THEN 1 ELSE -1 END) AS BIGINT) AS s
             FROM hashed, (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS j) bits
             GROUP BY doc_id, j
         )
         SELECT doc_id,
-               sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+               CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
         FROM per_bit
         GROUP BY doc_id
         ORDER BY doc_id

@@ -173,13 +173,14 @@ def streaming_cumulative_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH marked AS (
             SELECT user_id, ts,
                    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                             > INTERVAL 12 HOUR
+                             >= INTERVAL 12 HOUR
                         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                         THEN 1 ELSE 0 END AS new_session
             FROM events
         ), sessions AS (
             SELECT user_id, ts,
-                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts) AS session_id
+                   CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts)
+                        AS BIGINT) AS session_id
             FROM marked
         )
         SELECT user_id, session_id,

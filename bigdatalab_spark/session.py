@@ -64,6 +64,10 @@ def get_session(
         # Parquet vectorized reader + filter/column pushdown are on by
         # default; keep codegen comment output available for plan audits.
         .config("spark.sql.parquet.filterPushdown", "true")
+        # events.parquet carries TIMESTAMP(NANOS); reading nanos as long
+        # is a no-op for every other table, so set it once here instead
+        # of probing per-read (load_table rebuilds the ts column).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
     )
     local_mode = bool(master and master.startswith("local")) or (

@@ -45,31 +45,31 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-#: memo of table DataFrames per (session, path): a DataFrame is an
+#: memo of table DataFrames per (application, path): a DataFrame is an
 #: immutable logical plan, so reuse skips re-reading parquet footers and
-#: re-running schema inference on every query in a session
-_TABLE_MEMO: dict[tuple[int, str], DataFrame] = {}
+#: re-running schema inference on every query in a session. Keyed on the
+#: Spark applicationId (stable per live session, never reused after a
+#: stop/start the way CPython can reuse ``id(spark)``).
+_TABLE_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one warehouse table from an sf directory.
 
     ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; read nanos as long (runtime SQL conf) and
-    rebuild the timestamp column-side at microsecond precision.
+    vectorized reader rejects; read nanos as long and rebuild the
+    timestamp column-side at microsecond precision. The legacy conf is
+    set unconditionally — it is a no-op for non-nanos tables — so no
+    probe job ever runs (and none can fail: round 1's probe-and-retry
+    put a deliberately failing Spark job in every cold read's stderr).
     """
     path = f"{sf_dir}/{name}.parquet"
-    memo_key = (id(spark), path)
+    memo_key = (spark.sparkContext.applicationId, path)
     cached = _TABLE_MEMO.get(memo_key)
     if cached is not None:
         return cached
-    df = None
-    try:
-        df = read_parquet(spark, path)
-        df.schema  # force schema resolution to surface PARQUET_TYPE_ILLEGAL
-    except Exception:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = read_parquet(spark, path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = read_parquet(spark, path)
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -1,8 +1,12 @@
 """Self-check harness mimicking the driver's correctness gate.
 
 Runs every registered query through Spark AND its DuckDB oracle on the
-same parquet tables, then compares row count, column names, and values
-order-insensitively (floats within tolerance). Run as a script:
+same parquet tables, then compares row count, column names, per-column
+dtype kind, and an EXACT canonical rendering of every value — no float
+tolerance. This is deliberately as strict as the driver's value-hash:
+an int sum rendered ``967`` must not be compared equal to a float
+``967.0`` (DuckDB HUGEINT leaking through pandas as float64 was exactly
+the round-1 hash-fail mode). Run as a script:
 
     python -m tools.oracle_check [sf_dir] [query ...]
 """
@@ -26,37 +30,47 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _render(v) -> str:
+    """Exact canonical rendering: ints stay ints, floats render via
+    Python's shortest-roundtrip repr, arrays recurse. Two cells are
+    equal iff their renderings are equal — no numeric tolerance."""
+    import numpy as np
+
+    if v is None:
+        return "\x01null"
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        return "\x01null" if math.isnan(f) else repr(f)
+    if isinstance(v, (bool, np.bool_)):
+        return repr(bool(v))
+    if isinstance(v, (int, np.integer)):
+        return repr(int(v))
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(_render(x) for x in v) + "]"
+    return str(v)
+
+
+def _dtype_kind(dtype) -> str:
+    """Collapse dtypes to comparable kinds: i=int, f=float, b=bool,
+    O=object/string, M=datetime. int32 vs int64 is fine; int vs float
+    is a representation bug the driver's hash would catch."""
+    return getattr(dtype, "kind", "O")
+
+
 def _normalize(df):
-    """Sort columns by name and rows by stringified values."""
-    import pandas as pd
-
+    """Sort columns by name and rows by canonical rendering."""
     df = df[sorted(df.columns)].copy()
+    rendered = df.apply(lambda col: col.map(_render))
     if len(df):
-        key = df.astype(str).agg("\x00".join, axis=1)
-        df = df.loc[key.sort_values().index].reset_index(drop=True)
-    return df
-
-
-def _values_equal(a, b, rel_tol=1e-9, abs_tol=1e-9) -> bool:
-    if a is None and b is None:
-        return True
-    if isinstance(a, float) or isinstance(b, float):
-        try:
-            if (isinstance(a, float) and math.isnan(a)) and (
-                isinstance(b, float) and math.isnan(b)
-            ):
-                return True
-            return math.isclose(float(a), float(b), rel_tol=rel_tol, abs_tol=abs_tol)
-        except (TypeError, ValueError):
-            return False
-    if isinstance(a, (list, tuple)) or isinstance(b, (list, tuple)):
-        a, b = list(a), list(b)
-        return len(a) == len(b) and all(_values_equal(x, y) for x, y in zip(a, b))
-    return str(a) == str(b)
+        key = rendered.agg("\x00".join, axis=1)
+        order = key.sort_values().index
+        df = df.loc[order].reset_index(drop=True)
+        rendered = rendered.loc[order].reset_index(drop=True)
+    return df, rendered
 
 
 def compare_frames(spark_pdf, duck_pdf) -> list[str]:
-    """Return list of problems; empty means parity."""
+    """Return list of problems; empty means driver-strict parity."""
     problems: list[str] = []
     sc, dc = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
     if sc != dc:
@@ -64,17 +78,28 @@ def compare_frames(spark_pdf, duck_pdf) -> list[str]:
     if len(spark_pdf) != len(duck_pdf):
         problems.append(f"row count: spark={len(spark_pdf)} oracle={len(duck_pdf)}")
         return problems
-    a, b = _normalize(spark_pdf), _normalize(duck_pdf)
+    for col in sc:
+        ka = _dtype_kind(spark_pdf[col].dtype)
+        kb = _dtype_kind(duck_pdf[col].dtype)
+        if ka != kb:
+            problems.append(
+                f"dtype kind mismatch col {col}: spark={spark_pdf[col].dtype} "
+                f"oracle={duck_pdf[col].dtype} (int-vs-float renders differently "
+                f"under the driver hash)"
+            )
+    if problems:
+        return problems
+    (a, ra), (b, rb) = _normalize(spark_pdf), _normalize(duck_pdf)
     n_bad = 0
     for i in range(len(a)):
         for col in a.columns:
-            va, vb = a.at[i, col], b.at[i, col]
-            va = None if va is None or (isinstance(va, float) and math.isnan(va)) else va
-            vb = None if vb is None or (isinstance(vb, float) and math.isnan(vb)) else vb
-            if not _values_equal(va, vb):
+            if ra.at[i, col] != rb.at[i, col]:
                 n_bad += 1
                 if n_bad <= 5:
-                    problems.append(f"row {i} col {col}: spark={va!r} oracle={vb!r}")
+                    problems.append(
+                        f"row {i} col {col}: spark={a.at[i, col]!r} "
+                        f"oracle={b.at[i, col]!r}"
+                    )
     if n_bad > 5:
         problems.append(f"... {n_bad} mismatched cells total")
     return problems
@@ -89,7 +114,8 @@ def check_query(spark, con, name: str, sf_dir: str) -> list[str]:
     oracle = entry_mod.oracle_sql().get(name)
     sdf = fn(spark, sf_dir).toPandas()
     if oracle is None:
-        return [] if len(sdf) >= 0 else ["spark query failed"]
+        # rows-only gate: the driver requires rows > 0, so do we
+        return [] if len(sdf) > 0 else ["rows-only query returned 0 rows"]
     ddf = con.execute(oracle).fetchdf()
     return compare_frames(sdf, ddf)
 
