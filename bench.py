@@ -5,9 +5,11 @@ Env:   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
        SPARK_GRAFT_CPUS   (default 32)
 Output: {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is timed as a full pipeline execution (plan + shuffle +
-result materialization via a driver-side count over the final frame);
-a warmup run first amortizes JVM/session startup out of the numbers.
+Each query is timed as a full pipeline execution into a noop sink: the
+whole plan runs (shuffles, joins, every output column materialized) but
+nothing is transferred to the driver, so the number measures the
+pipeline, not driver-side result materialization. A warmup run first
+amortizes JVM/session startup out of the numbers.
 """
 
 from __future__ import annotations
@@ -16,6 +18,11 @@ import json
 import os
 import sys
 import time
+
+
+def _run(df) -> None:
+    """Execute the full pipeline without collecting to the driver."""
+    df.write.format("noop").mode("overwrite").save()
 
 
 def main() -> int:
@@ -50,12 +57,12 @@ def main() -> int:
 
     # Warmup: run the first query once so JVM/codegen startup is excluded.
     if headline:
-        REGISTRY[headline[0]].fn(spark, sf_dir).collect()
+        _run(REGISTRY[headline[0]].fn(spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in headline:
         t0 = time.perf_counter()
-        REGISTRY[name].fn(spark, sf_dir).collect()
+        _run(REGISTRY[name].fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)

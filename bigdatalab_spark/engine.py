@@ -16,6 +16,7 @@ plan inspection, and sketch builders.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 
 from bigdatalab_spark import session as _session
@@ -86,6 +87,39 @@ class Engine:
         from bigdatalab_spark.queries import REGISTRY
 
         return sorted(REGISTRY)
+
+    # -- caching / storage levels (§2.10) -------------------------------
+    def persist(self, df: DataFrame, level: str | StorageLevel = "MEMORY_AND_DISK") -> DataFrame:
+        """``persist`` passthrough with named storage levels.
+
+        Reference parity: 302-spark-opt/src/main/scala/Exercise.scala:162-175
+        exercises cache() / persist(MEMORY_ONLY_SER) / persist(DISK_ONLY) /
+        unpersist. On the JVM-serialized levels note: in PySpark every
+        MEMORY_* level stores JVM-serialized bytes already, so
+        MEMORY_ONLY_SER maps to MEMORY_ONLY (the PySpark StorageLevel
+        module does the same).
+        """
+        if isinstance(level, str):
+            try:
+                level = getattr(StorageLevel, level.upper())
+            except AttributeError:
+                raise ValueError(
+                    f"unknown storage level {level!r}; one of "
+                    "MEMORY_ONLY, MEMORY_AND_DISK, DISK_ONLY, "
+                    "MEMORY_ONLY_2, MEMORY_AND_DISK_2, OFF_HEAP, NONE"
+                ) from None
+        return df.persist(level)
+
+    def cache(self, df: DataFrame) -> DataFrame:
+        return df.cache()
+
+    def unpersist(self, df: DataFrame, blocking: bool = False) -> DataFrame:
+        return df.unpersist(blocking)
+
+    def clear_cache(self) -> None:
+        """Drop every cached table/DataFrame in the session (the sweep the
+        reference does with per-RDD unpersist calls at job end)."""
+        self.spark.catalog.clearCache()
 
     # -- plans / sketches ----------------------------------------------
     def explain(self, df: DataFrame, mode: str = "formatted") -> str:

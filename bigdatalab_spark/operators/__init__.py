@@ -1,4 +1,5 @@
 from bigdatalab_spark.operators.aggregates import money_sum, stable_avg
+from bigdatalab_spark.operators.indexing import zip_with_index
 from bigdatalab_spark.operators.joins import broadcast_dim_join, preagg_join
 from bigdatalab_spark.operators.topk import top_n_per_group
 
@@ -8,4 +9,5 @@ __all__ = [
     "preagg_join",
     "stable_avg",
     "top_n_per_group",
+    "zip_with_index",
 ]

@@ -56,21 +56,21 @@ def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def event_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """zipWithIndex (301-solutions.scala:56) as row_number over an explicit
-    total order — deterministic under any partitioning, unlike
-    monotonically_increasing_id (SURVEY §7.4.6).
+    """zipWithIndex (301-solutions.scala:56) — deterministic global index
+    by event_id, via the scale-safe per-partition-offset operator
+    (:func:`bigdatalab_spark.operators.zip_with_index`): range partition,
+    per-partition counts -> cumulative offsets, windowed rank WITHIN each
+    partition. No single-task global sort anywhere in the plan (round 1
+    used an un-partitioned row_number window, which funnels the whole
+    table through one task at scale)."""
+    from bigdatalab_spark.operators import zip_with_index
 
-    NOTE the scale tradeoff: a global row_number over an un-partitioned
-    window funnels through one task. At 100 TB you'd zipWithIndex via
-    per-partition offsets or use the file offset itself; we cap the
-    output at 100 rows so the single-task sort stays tiny.
-    """
     events = load_table(spark, sf_dir, "events")
-    w = Window.orderBy("event_id")
+    indexed = zip_with_index(
+        events.select("event_id", "user_id"), "event_id"
+    )
     return (
-        events.select(
-            (F.row_number().over(w) - 1).alias("idx"), "event_id", "user_id"
-        )
+        indexed.select("idx", "event_id", "user_id")
         .filter(F.col("idx") < 100)
         .orderBy("idx")
     )

@@ -21,8 +21,12 @@ Scale design (the point of these operators):
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
 
 from bigdatalab_spark.functions import normalize_text, tokenize, word_shingles
 from bigdatalab_spark.scale.hashing import (
@@ -80,8 +84,19 @@ def _band_col(i: int) -> Column:
     return F.concat_ws("_", *cols)
 
 
-def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
-    """Distinct candidate pairs (doc1 < doc2) sharing >= 1 band signature."""
+def lsh_candidate_pairs(
+    signatures: DataFrame, max_bucket_size: int | None = None
+) -> DataFrame:
+    """Distinct candidate pairs (doc1 < doc2) sharing >= 1 band signature.
+
+    ``max_bucket_size`` is the quadratic-blowup guard: candidate count
+    inside one (band, sig) bucket is C(size, 2), so a single degenerate
+    signature (empty docs, boilerplate) can go quadratic even though the
+    pipeline as a whole is bucketed. Buckets above the cap are dropped
+    from candidate generation — a logged recall tradeoff, and the safe
+    one: members of a degenerate bucket are overwhelmingly exact/near
+    duplicates of each other that exact dedup already collapses.
+    """
     bands = signatures.select(
         "doc_id",
         F.explode(
@@ -93,6 +108,30 @@ def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.band", "b.sig")
+    if max_bucket_size is not None:
+        from pyspark import StorageLevel
+
+        # bands is consumed twice (hot-bucket scan + pair join); persist
+        # so the signature build runs once. Skinny rows (id + band + sig),
+        # spillable — the 100 TB shape is the same with a real store.
+        bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
+        hot = (
+            bands.groupBy("band", "sig")
+            .agg(F.count(F.lit(1)).alias("n_bucket"))
+            .filter(F.col("n_bucket") > max_bucket_size)
+        )
+        n_hot = hot.count()
+        if n_hot:
+            _LOG.warning(
+                "lsh_candidate_pairs: dropping %d band-buckets larger than "
+                "%d docs (quadratic-candidate guard); members remain "
+                "eligible via their other bands and exact dedup",
+                n_hot,
+                max_bucket_size,
+            )
+            # hot list is tiny (it lists pathological signatures only);
+            # AQE broadcasts the anti-join
+            bands = bands.join(hot.select("band", "sig"), ["band", "sig"], "left_anti")
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -145,7 +184,10 @@ def jaccard_verify(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
 
 
 def minhash_near_dups(
-    docs: DataFrame, threshold: float = 0.5, n: int = 3
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    max_bucket_size: int | None = 500,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle -> sign -> band ->
     candidates -> exact-Jaccard filter at ``threshold``.
@@ -154,9 +196,15 @@ def minhash_near_dups(
     joins; cache it so the tokenize/explode/distinct runs once ("cache
     the shared intermediate", ExerciseComplete.scala:59-62 — same rule
     at 100 TB, where you'd persist to MEMORY_AND_DISK).
+
+    The default bucket cap (500 docs => at most ~125k candidate pairs
+    from any one band-bucket) is far above anything a healthy corpus
+    produces per signature — it exists to stop the degenerate-signature
+    quadratic case, and is a provable no-op at gate scale, which keeps
+    the DuckDB oracle (which replays the uncapped pipeline) exact.
     """
     sh = doc_shingles(docs, n=n).cache()
-    cands = lsh_candidate_pairs(minhash_signatures(sh))
+    cands = lsh_candidate_pairs(minhash_signatures(sh), max_bucket_size=max_bucket_size)
     return jaccard_verify(cands, sh).filter(F.col("jaccard") >= threshold)
 
 
@@ -240,6 +288,7 @@ def connected_components(
         .union(edges.select(F.col("doc2").alias("src"), F.col("doc1").alias("dst")))
     )
     labels = nodes.select(F.col("doc_id"), F.col("doc_id").alias("cluster_id")).cache()
+    converged = False
     for _ in range(max_iter):
         # candidate label per node: min over own label and neighbors' labels
         neighbor_labels = (
@@ -263,5 +312,17 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # labels are still correct WITHIN max_iter hops of each minimum;
+        # components with diameter > max_iter would be silently split —
+        # say so instead of returning them as converged truth
+        _LOG.warning(
+            "connected_components: fixpoint not reached after %d iterations; "
+            "components with diameter > %d carry non-minimal cluster_ids. "
+            "Raise max_iter (each iteration is one join + one aggregation).",
+            max_iter,
+            max_iter,
+        )
     return labels

@@ -1,5 +1,6 @@
 from bigdatalab_spark.streaming.jobs import (
     kafka_stream,
+    processing_time_window_counts,
     run_stream_to_memory,
     socket_stream,
     stream_events,
@@ -8,6 +9,7 @@ from bigdatalab_spark.streaming.jobs import (
 
 __all__ = [
     "kafka_stream",
+    "processing_time_window_counts",
     "run_stream_to_memory",
     "socket_stream",
     "stream_events",

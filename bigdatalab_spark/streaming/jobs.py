@@ -106,6 +106,51 @@ def windowed_counts(
     )
 
 
+def processing_time_window_counts(
+    stream: DataFrame,
+    trigger: str = "3 seconds",
+    key: str = "event_type",
+    checkpoint_dir: str | None = None,
+    on_batch=None,
+):
+    """T7, letter-of-the-reference semantics: PROCESSING-time windows.
+
+    The DStream original windows on wall-clock arrival time
+    (``window(Seconds(30), Seconds(3))`` — ExerciseNetcat.scala:117);
+    everywhere else this engine upgrades to event-time windows +
+    watermarks (SURVEY §7.4.1). This variant keeps the processing-time
+    contract where arrival time IS the intended semantics (ops
+    dashboards, ingest-rate monitoring): a ``processingTime`` trigger
+    fires every ``trigger`` interval and the micro-batch delivered to
+    ``foreachBatch`` is exactly one processing-time window of arrivals —
+    aggregate it per batch and you have the windowed counts, keyed by
+    wall clock, independent of the records' own timestamps.
+
+    ``on_batch(counts_df, batch_id)`` receives each window's aggregate;
+    returns the running StreamingQuery (caller stops it). State is
+    per-batch only — nothing accumulates, so this scales with batch
+    volume, not stream history.
+    """
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        counts = (
+            batch_df.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+            .orderBy(F.desc("n"), key)
+        )
+        if on_batch is not None:
+            on_batch(counts, batch_id)
+
+    writer = (
+        stream.writeStream.foreachBatch(_apply)
+        .outputMode("update")
+        .trigger(processingTime=trigger)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def cumulative_counts(stream: DataFrame) -> DataFrame:
     """updateStateByKey (ExerciseNetcat.scala:92-94): cumulative count per
     key. In Structured Streaming this is a plain streaming aggregation —

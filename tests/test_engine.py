@@ -40,3 +40,29 @@ def test_every_registered_query_is_documented():
     text = coverage.read_text()
     missing = [name for name in REGISTRY if name not in text]
     assert not missing, f"queries missing from COVERAGE.md: {missing}"
+
+
+def test_persist_levels_and_clear_cache(spark, sf_dir):
+    """§2.10 StorageLevel parity (Exercise.scala:162-175): persist at a
+    named level is reflected in df.storageLevel and the cached plan;
+    unpersist and clearCache drop it."""
+    from bigdatalab_spark.sources import load_table
+
+    eng = Engine(spark)
+    df = eng.persist(load_table(spark, sf_dir, "nation"), "DISK_ONLY")
+    df.count()  # materialize the cache
+    assert df.storageLevel.useDisk and not df.storageLevel.useMemory
+    plan = df._jdf.queryExecution().withCachedData().toString()
+    assert "InMemoryRelation" in plan
+    eng.unpersist(df, blocking=True)
+    assert not df.storageLevel.useDisk and not df.storageLevel.useMemory
+    df2 = eng.persist(load_table(spark, sf_dir, "region"), "MEMORY_AND_DISK")
+    df2.count()
+    assert df2.storageLevel.useDisk and df2.storageLevel.useMemory
+    assert "InMemoryRelation" in df2._jdf.queryExecution().withCachedData().toString()
+    eng.clear_cache()
+    # a DataFrame's queryExecution is memoized; build a fresh plan over
+    # the same source to observe that the cache manager no longer matches
+    fresh = load_table(spark, sf_dir, "region").filter("r_regionkey >= 0")
+    plan_after = fresh._jdf.queryExecution().withCachedData().toString()
+    assert "InMemoryRelation" not in plan_after

@@ -93,3 +93,28 @@ def test_single_shuffle_for_groupby(spark, sf_dir):
         .agg(F.sum("l_quantity").alias("s"))
     )
     assert exchange_count(df) == 1
+
+
+def test_zip_with_index_is_distributed(spark, sf_dir):
+    """P10 at scale: the global index must come from per-partition
+    offsets, never an un-partitioned row_number window (which would
+    funnel the whole input through one task)."""
+    from bigdatalab_spark.operators import zip_with_index
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    indexed = zip_with_index(events, "event_id")
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    # the only window runs within _pid partitions
+    win_lines = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert win_lines and all("_pid" in l for l in win_lines)
+    # index equals the naive global rank on test-sized data
+    from pyspark.sql.window import Window
+
+    naive = events.select(
+        (F.row_number().over(Window.orderBy("event_id")) - 1).alias("idx"),
+        "event_id",
+    )
+    got = {(r.idx, r.event_id) for r in indexed.select("idx", "event_id").collect()}
+    want = {(r.idx, r.event_id) for r in naive.collect()}
+    assert got == want

@@ -160,3 +160,41 @@ def test_ivf_kmeans_recall_vs_bruteforce(spark, sf_dir):
     }
     recall = len(approx & truth) / len(truth)
     assert recall >= 0.5, f"IVF recall@3 = {recall}"
+
+
+def test_lsh_hot_bucket_cap_prevents_quadratic_blowup(spark):
+    """A degenerate corpus (thousands of identical docs -> one band
+    signature) must not generate C(n,2) candidate pairs: the bucket cap
+    drops the pathological buckets and the pipeline still completes."""
+    from bigdatalab_spark.scale.dedup import (
+        doc_shingles,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    n_docs = 5000
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.lit("boilerplate header common to every page in the crawl").alias("text"),
+    )
+    sh = doc_shingles(docs).cache()
+    sigs = minhash_signatures(sh)
+    capped = lsh_candidate_pairs(sigs, max_bucket_size=100)
+    # uncapped would be C(5000,2) ≈ 12.5M pairs; capped must collapse to 0
+    assert capped.count() == 0
+    # and a mixed corpus keeps its healthy buckets: add 2 genuine near-dup
+    # docs with unique text and verify they still pair up under the cap
+    extra = spark.createDataFrame(
+        [
+            (n_docs + 1, "the quick brown fox jumps over the lazy dog tonight"),
+            (n_docs + 2, "the quick brown fox jumps over the lazy dog today"),
+        ],
+        "doc_id long, text string",
+    )
+    sh2 = doc_shingles(docs.union(extra)).cache()
+    capped2 = lsh_candidate_pairs(minhash_signatures(sh2), max_bucket_size=100)
+    pairs = {(r.doc1, r.doc2) for r in capped2.collect()}
+    assert (n_docs + 1, n_docs + 2) in pairs
+    assert len(pairs) <= 10  # no quadratic leak from the hot bucket
+    sh.unpersist()
+    sh2.unpersist()

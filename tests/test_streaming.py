@@ -308,3 +308,33 @@ def test_stream_stream_interval_join(spark, sf_dir):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_processing_time_window_counts(spark, sf_dir):
+    """T7 letter-of-semantics (ExerciseNetcat.scala:117 processing-time
+    window): a processingTime trigger delivers one wall-clock window of
+    arrivals per micro-batch; the per-batch aggregate is the windowed
+    count. Totals across windows must equal the batch table."""
+    import time as _time
+
+    from bigdatalab_spark.streaming import processing_time_window_counts
+
+    windows: list[tuple[int, list]] = []
+
+    def on_batch(counts_df, batch_id):
+        windows.append((batch_id, counts_df.collect()))
+
+    q = processing_time_window_counts(
+        stream_events(spark, sf_dir), trigger="1 seconds", on_batch=on_batch
+    )
+    deadline = _time.time() + 60
+    while _time.time() < deadline and not windows:
+        _time.sleep(0.5)
+    q.stop()
+    q.awaitTermination()
+    assert windows, "no processing-time window fired within 60s"
+    total = sum(r["n"] for _, rows in windows for r in rows)
+    assert total == load_table(spark, sf_dir, "events").count()
+    for _, rows in windows:  # desc order within each window
+        ns = [r["n"] for r in rows]
+        assert ns == sorted(ns, reverse=True)
