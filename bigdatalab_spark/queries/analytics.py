@@ -202,8 +202,8 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_revenue",
     ids=("A7", "§2.6"),
     oracle="""
-        SELECT coalesce(o_orderstatus, 'ALL') AS status,
-               coalesce(o_orderpriority, 'ALL') AS priority,
+        SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
+               CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
                count(*) AS n,
                CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
         FROM orders
@@ -214,17 +214,28 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical subtotals via ROLLUP — beyond the reference's surface
     (SURVEY §2.4 notes no grouping sets) but a free Catalyst built-in the
-    engine declares. NULL grouping markers coalesced to 'ALL' for a
-    representation-stable oracle hash."""
+    engine declares. Subtotal rows are labeled 'ALL' via grouping() —
+    NOT via coalesce(col, 'ALL'), which would merge genuine NULL data
+    values into the subtotal label on a corpus with nullable keys."""
     from bigdatalab_spark.operators import money_sum
 
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.rollup("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"), money_sum("o_totalprice").alias("revenue"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money_sum("o_totalprice").alias("revenue"),
+            # grouping() is only resolvable inside the rollup aggregate
+            F.grouping("o_orderstatus").alias("_g_status"),
+            F.grouping("o_orderpriority").alias("_g_priority"),
+        )
         .select(
-            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
-            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.when(F.col("_g_status") == 1, F.lit("ALL"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("status"),
+            F.when(F.col("_g_priority") == 1, F.lit("ALL"))
+            .otherwise(F.col("o_orderpriority"))
+            .alias("priority"),
             "n",
             "revenue",
         )

@@ -1,0 +1,132 @@
+"""Training-data pipeline queries beyond the reference's surface:
+as-of joins (event attribution), document chunking, and salient-term
+extraction — the operations a 100 TB curation pipeline runs between
+ingest and training. Registered AFTER the SURVEY-core top-50 (the
+driver records the first 50 registry entries; these are beyond-reference
+extensions whose evidence is the strict local oracle + pytest).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatalab_spark.queries.registry import query
+from bigdatalab_spark.sources import load_table
+
+_CHUNK, _OVERLAP = 32, 8
+_STEP = _CHUNK - _OVERLAP
+
+
+@query(
+    "events_asof_clicks",
+    ids=("SCALE-ASOF", "J1"),
+    oracle="""
+        WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+             c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+        SELECT p.event_id, p.user_id,
+               CAST(p.ts AS VARCHAR) AS ts,
+               CAST(c.ts AS VARCHAR) AS click_ts
+        FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        ORDER BY p.event_id
+    """,
+)
+def events_asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event attribution: each purchase joined to the same user's most
+    recent click at-or-before it (NULL when none) — the as-of join
+    (:mod:`bigdatalab_spark.operators.asof`), implemented as union +
+    keyed running-last window: one shuffle, no range-join blow-up.
+    DuckDB replays it with its native ASOF LEFT JOIN."""
+    from bigdatalab_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter("event_type = 'purchase'").select("event_id", "user_id", "ts")
+    clicks = ev.filter("event_type = 'click'").select("user_id", "ts")
+    return (
+        asof_join(purchases, clicks, on=["user_id"], value_cols=[])
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").cast("string").alias("ts"),
+            F.col("ts_asof").cast("string").alias("click_ts"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "doc_chunks",
+    ids=("SCALE-TEXT", "SCALE-CHUNK"),
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+            FROM documents
+        ),
+        starts AS (
+            SELECT doc_id, toks,
+                   unnest(generate_series(0, len(toks) - 1, {_STEP})) AS start
+            FROM toks
+            WHERE len(toks) > 0
+        )
+        SELECT doc_id,
+               CAST(start // {_STEP} AS BIGINT) AS chunk_id,
+               array_to_string(toks[start + 1 : start + {_CHUNK}], ' ') AS chunk_text,
+               CAST(least({_CHUNK}, len(toks) - start) AS BIGINT) AS n_tokens
+        FROM starts
+        ORDER BY doc_id, chunk_id
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking of the documents table
+    (32-token chunks, 8-token overlap) — narrow, shuffle-free
+    (:func:`bigdatalab_spark.scale.textqa.chunk_documents`)."""
+    from bigdatalab_spark.scale.textqa import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=_CHUNK, overlap=_OVERLAP).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+@query(
+    "top_terms_per_doc",
+    ids=("SCALE-TEXT", "A4", "O5"),
+    oracle="""
+        WITH tokens AS (
+            SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM tokens WHERE term <> ''
+            GROUP BY doc_id, term
+        ),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        ranked AS (
+            SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                   row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf DESC, df.df ASC, tf.term ASC
+                   ) AS rnk
+            FROM tf JOIN df USING (term)
+        )
+        SELECT doc_id, term, tf, df, CAST(rnk AS BIGINT) AS rnk
+        FROM ranked
+        WHERE rnk <= 3
+        ORDER BY doc_id, rnk
+    """,
+)
+def top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 salient terms per document, tf-idf-style but float-free
+    (tf DESC, df ASC, term ASC) so the ranking is exactly reproducible
+    (:func:`bigdatalab_spark.scale.textqa.top_terms_per_doc`)."""
+    from bigdatalab_spark.scale import textqa
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        textqa.top_terms_per_doc(docs, k=3)
+        .withColumnRenamed("rank", "rnk")
+        .withColumn("rnk", F.col("rnk").cast("long"))
+        .orderBy("doc_id", "rnk")
+    )

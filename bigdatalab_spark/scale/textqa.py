@@ -124,3 +124,86 @@ def fingerprints(docs: DataFrame, text_col: str = "text", n: int = 8) -> DataFra
         F.md5(norm).alias("content_md5"),
         min_window_hash.alias("min_window_hash"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the unit
+    of work for embedding / training-sequence pipelines.
+
+    Chunk i covers tokens ``[i*step, i*step + chunk_tokens)`` with
+    ``step = chunk_tokens - overlap``; the last chunk may be short;
+    empty documents yield no chunks. Pure column expressions: tokenize
+    ONCE into a materialized array (higher-order functions defeat
+    subexpression elimination — see word_shingles PERF note), generate
+    start offsets with ``sequence``, explode, slice. Chunking is
+    per-row (narrow, no shuffle): at 100 TB it runs at scan speed and
+    preserves input partitioning.
+
+    Returns (doc_id, chunk_id, chunk_text, n_tokens).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks")
+    )
+    starts = F.when(
+        F.size("toks") > 0,
+        F.sequence(F.lit(0), F.size("toks") - 1, F.lit(step)),
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    return (
+        toks.select("doc_id", "toks", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            (F.col("start") / step).cast("long").alias("chunk_id"),
+            F.concat_ws(
+                " ", F.slice(F.col("toks"), F.col("start") + 1, chunk_tokens)
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(chunk_tokens), F.size("toks") - F.col("start")
+            ).alias("n_tokens"),
+        )
+    )
+
+
+def top_terms_per_doc(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k salient terms per document, tf-idf style but float-free:
+    rank by (term frequency DESC, document frequency ASC, term ASC).
+
+    Integer-only ranking is deliberate: it is the same ordering a
+    tf * log(N/df) score induces for fixed tf (rarer term == higher
+    score) while staying exactly reproducible across engines — no
+    libm log() in the ranking key.
+
+    Scale shape: tf is one shuffle on (doc, term); df one shuffle on
+    term (vocabulary-sized, partially aggregated map-side); the df
+    lookup joins on term and AQE broadcast-converts it when the
+    vocabulary fits. Returns (doc_id, term, tf, df, rank).
+    """
+    from pyspark.sql.window import Window
+
+    tokens = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokenize(text_col)).alias("term")
+    )
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        tf.join(df, "term")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "rank")
+    )

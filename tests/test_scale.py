@@ -198,3 +198,118 @@ def test_lsh_hot_bucket_cap_prevents_quadratic_blowup(spark):
     assert len(pairs) <= 10  # no quadratic leak from the hot bucket
     sh.unpersist()
     sh2.unpersist()
+
+
+def test_asof_join_matches_naive_range_join(spark, sf_dir):
+    """asof_join (union + keyed running-last window, one shuffle) must
+    equal the naive range-join + per-group argmax on test-sized data,
+    in both directions."""
+    from bigdatalab_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter("event_type = 'purchase'").select("event_id", "user_id", "ts")
+    clicks = ev.filter("event_type = 'click'").select("user_id", "ts")
+
+    back = asof_join(purchases, clicks, on=["user_id"], value_cols=[])
+    naive_back = (
+        purchases.alias("p")
+        .join(
+            clicks.alias("c"),
+            (F.col("p.user_id") == F.col("c.user_id")) & (F.col("c.ts") <= F.col("p.ts")),
+            "left",
+        )
+        .groupBy("p.event_id")
+        .agg(F.max("c.ts").alias("want"))
+    )
+    assert back.count() == purchases.count()  # left join: every left row once
+    mismatch = (
+        back.join(naive_back, "event_id")
+        .filter(
+            (F.col("ts_asof").isNull() != F.col("want").isNull())
+            | (F.col("ts_asof") != F.col("want"))
+        )
+        .count()
+    )
+    assert mismatch == 0
+
+    fwd = asof_join(purchases, clicks, on=["user_id"], value_cols=[], direction="forward")
+    naive_fwd = (
+        purchases.alias("p")
+        .join(
+            clicks.alias("c"),
+            (F.col("p.user_id") == F.col("c.user_id")) & (F.col("c.ts") >= F.col("p.ts")),
+            "left",
+        )
+        .groupBy("p.event_id")
+        .agg(F.min("c.ts").alias("want"))
+    )
+    assert fwd.count() == purchases.count()
+    mismatch_f = (
+        fwd.join(naive_fwd, "event_id")
+        .filter(
+            (F.col("ts_asof").isNull() != F.col("want").isNull())
+            | (F.col("ts_asof") != F.col("want"))
+        )
+        .count()
+    )
+    assert mismatch_f == 0
+
+
+def test_chunk_documents_reconstructs_and_bounds(spark, sf_dir):
+    """Chunk invariants: non-overlap prefixes concatenate back to the
+    tokenized document; every chunk within size bounds; empty docs yield
+    no chunks; chunking is narrow (no Exchange in the plan)."""
+    from bigdatalab_spark.functions import tokenize
+    from bigdatalab_spark.scale.textqa import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunk, overlap = 32, 8
+    step = chunk - overlap
+    chunks = chunk_documents(docs, chunk_tokens=chunk, overlap=overlap)
+    plan = chunks._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # narrow: runs at scan speed
+    assert chunks.filter((F.col("n_tokens") < 1) | (F.col("n_tokens") > chunk)).count() == 0
+    # reconstruction: first `step` tokens of each chunk, concatenated in
+    # chunk order, equal the original token stream (the overlap suffix
+    # of each chunk re-appears as the next chunk's prefix)
+    prefix = F.concat_ws(" ", F.slice(F.split("chunk_text", r"\s+"), 1, step))
+    # collect_list order is nondeterministic -> rebuild via sort_array
+    rebuilt = (
+        chunks.withColumn("prefix", prefix)
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("chunk_id", "prefix"))),
+                    lambda s: s["prefix"],
+                ),
+            ).alias("rebuilt")
+        )
+    )
+    orig = docs.select("doc_id", F.concat_ws(" ", tokenize("text")).alias("orig"))
+    diff = rebuilt.join(orig, "doc_id").filter(F.col("rebuilt") != F.col("orig")).count()
+    assert diff == 0
+
+
+def test_top_terms_per_doc_rank_contract(spark, sf_dir):
+    """<=k rows per doc, ranks 1..k contiguous, tf weakly decreasing."""
+    from bigdatalab_spark.scale.textqa import top_terms_per_doc
+
+    docs = load_table(spark, sf_dir, "documents")
+    top = top_terms_per_doc(docs, k=3).cache()
+    per_doc = top.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("rank").alias("max_r"),
+        F.min("rank").alias("min_r"),
+    )
+    assert per_doc.filter("n > 3 OR max_r != n OR min_r != 1").count() == 0
+    # tf weakly decreasing along rank
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy("rank")
+    bad = top.withColumn("prev_tf", F.lag("tf").over(w)).filter(
+        F.col("prev_tf").isNotNull() & (F.col("tf") > F.col("prev_tf"))
+    )
+    assert bad.count() == 0
+    top.unpersist()
