@@ -130,3 +130,43 @@ def top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.col("rnk").cast("long"))
         .orderBy("doc_id", "rnk")
     )
+
+
+@query(
+    "train_val_test_split",
+    ids=("SCALE-CURATION",),
+    oracle="""
+        WITH assigned AS (
+            SELECT doc_id,
+                   CASE
+                       WHEN h < 8000 THEN 'train'
+                       WHEN h < 9000 THEN 'val'
+                       ELSE 'test'
+                   END AS split
+            FROM (
+                SELECT doc_id,
+                       CAST('0x' || substr(md5('split-v1' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)
+                           % 10000 AS h
+                FROM documents
+            )
+        )
+        SELECT split, count(*) AS n_docs, CAST(min(doc_id) AS BIGINT) AS min_doc_id
+        FROM assigned
+        GROUP BY split
+        ORDER BY split
+    """,
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe deterministic 80/10/10 split of the documents table
+    (:func:`bigdatalab_spark.scale.curation.hash_split`): assignment is
+    a pure function of (salt, doc_id) — stable across runs, engines and
+    corpus growth — replayed exactly by the DuckDB oracle."""
+    from bigdatalab_spark.scale.curation import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .orderBy("split")
+    )

@@ -1,0 +1,72 @@
+"""Dataset curation operators: deterministic splits and stratified
+sampling — the last mile between a deduplicated corpus and training.
+
+Both are narrow/cheap by construction: assignment is a pure function of
+the row (hash or RNG), so neither operator shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bigdatalab_spark.scale.hashing import portable_hash
+
+#: hash buckets for split assignment — weights resolve to integer
+#: thresholds out of this many buckets
+SPLIT_BUCKETS = 10_000
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "split-v1",
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe deterministic train/val/test assignment.
+
+    The split is a pure function of ``(salt, key)`` — the portable
+    28-bit md5 hash mod ``SPLIT_BUCKETS`` against cumulative weight
+    thresholds — so:
+
+    - all rows sharing a key (all chunks of a document, all documents of
+      a domain) land in the SAME split: group-aware, no train/test
+      leakage through near-identical siblings;
+    - assignment is stable across runs, engines, partitionings, and
+      corpus growth (a new document never moves an old one);
+    - re-salting produces an independent split without touching data.
+
+    Narrow (no shuffle): the hash and the CASE chain are codegen'd
+    column expressions. Replayable in DuckDB for the exact-parity
+    oracle: ``CAST('0x' || substr(md5(salt || key), 1, 7) AS BIGINT)
+    % 10000``.
+    """
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(weights.values())
+    bucket = portable_hash(F.concat(F.lit(salt), F.col(key_col).cast("string"))) % SPLIT_BUCKETS
+    expr = None
+    acc = 0.0
+    for name, wgt in weights.items():
+        acc += wgt
+        threshold = int(round(SPLIT_BUCKETS * acc / total))
+        cond = bucket < threshold
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    # float rounding can leave the last threshold a hair under
+    # SPLIT_BUCKETS; the final otherwise pins stragglers to the last split
+    expr = expr.otherwise(F.lit(list(weights)[-1]))
+    return df.withColumn(split_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    seed: int = 7,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (``sampleBy`` passthrough): keep
+    each stratum at its own rate — downsample over-represented sources/
+    languages/domains without touching rare ones. RNG is engine-specific
+    (seeded, reproducible within Spark), so tests assert distributional
+    bounds rather than exact rows."""
+    return df.sampleBy(strata_col, fractions=fractions, seed=seed)

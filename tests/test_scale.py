@@ -313,3 +313,44 @@ def test_top_terms_per_doc_rank_contract(spark, sf_dir):
     )
     assert bad.count() == 0
     top.unpersist()
+
+
+def test_hash_split_deterministic_and_narrow(spark, sf_dir):
+    """Split assignment is a pure row function: stable across runs and
+    partitionings, proportions near the weights, and no Exchange in the
+    plan (narrow). Re-salting yields a different assignment."""
+    from bigdatalab_spark.scale.curation import hash_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    s1 = hash_split(docs, "doc_id")
+    assert "Exchange" not in s1._jdf.queryExecution().executedPlan().toString()
+    rows1 = {(r.doc_id, r.split) for r in s1.collect()}
+    rows2 = {(r.doc_id, r.split) for r in hash_split(docs.repartition(13), "doc_id").collect()}
+    assert rows1 == rows2  # partitioning-invariant
+    n = docs.count()
+    by_split = {r.split: r["count"] for r in s1.groupBy("split").count().collect()}
+    assert set(by_split) <= {"train", "val", "test"}
+    assert abs(by_split.get("train", 0) / n - 0.8) < 0.1
+    resalted = {(r.doc_id, r.split) for r in hash_split(docs, "doc_id", salt="v2").collect()}
+    assert resalted != rows1
+
+
+def test_stratified_sample_respects_fractions(spark, sf_dir):
+    """Per-stratum rates honored within binomial tolerance; unlisted
+    strata dropped; same seed -> same sample."""
+    from bigdatalab_spark.scale.curation import stratified_sample
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    fr = {"click": 0.5, "purchase": 1.0}
+    s = stratified_sample(ev, "event_type", fr, seed=11)
+    got = {r.event_type: r["count"] for r in s.groupBy("event_type").count().collect()}
+    assert set(got) <= set(fr)
+    totals = {r.event_type: r["count"] for r in ev.groupBy("event_type").count().collect()}
+    assert got.get("purchase", 0) == totals["purchase"]  # rate 1.0 keeps all
+    import math
+
+    n, p = totals["click"], 0.5
+    tol = 4 * math.sqrt(n * p * (1 - p))
+    assert abs(got.get("click", 0) - n * p) < tol
+    again = {r.event_id for r in stratified_sample(ev, "event_type", fr, seed=11).collect()}
+    assert again == {r.event_id for r in s.collect()}
