@@ -170,3 +170,131 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
         .orderBy("split")
     )
+
+
+_BUDGET = 128
+
+
+@query(
+    "packed_sequences",
+    ids=("SCALE-CURATION", "SCALE-TEXT"),
+    oracle=f"""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+            FROM documents
+        ),
+        chunks AS (
+            SELECT doc_id,
+                   CAST(start // {_STEP} AS BIGINT) AS chunk_id,
+                   CAST(least({_CHUNK}, len(toks) - start) AS BIGINT) AS n_tokens
+            FROM (
+                SELECT doc_id, toks,
+                       unnest(generate_series(0, len(toks) - 1, {_STEP})) AS start
+                FROM toks
+                WHERE len(toks) > 0
+            )
+        ),
+        packed AS (
+            SELECT doc_id, chunk_id, n_tokens,
+                   CAST(0 AS BIGINT) AS seq_id, n_tokens AS acc
+            FROM chunks WHERE chunk_id = 0
+            UNION ALL
+            SELECT c.doc_id, c.chunk_id, c.n_tokens,
+                   CASE WHEN p.acc + c.n_tokens > {_BUDGET}
+                        THEN p.seq_id + 1 ELSE p.seq_id END,
+                   CASE WHEN p.acc + c.n_tokens > {_BUDGET}
+                        THEN c.n_tokens ELSE p.acc + c.n_tokens END
+            FROM chunks c
+            JOIN packed p ON c.doc_id = p.doc_id AND c.chunk_id = p.chunk_id + 1
+        )
+        SELECT doc_id, seq_id,
+               count(*) AS n_chunks,
+               CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
+        FROM packed
+        GROUP BY doc_id, seq_id
+        ORDER BY doc_id, seq_id
+    """,
+)
+def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget sequence packing of the chunked corpus
+    (budget 128): chunk -> applyInPandas greedy packer
+    (:func:`bigdatalab_spark.scale.curation.pack_sequences`) -> per-
+    sequence sizes. The sequential close-on-overflow rule is replayed
+    by the oracle as a recursive CTE (same technique as dedup_clusters'
+    transitive closure)."""
+    from bigdatalab_spark.scale.curation import pack_sequences
+    from bigdatalab_spark.scale.textqa import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=_CHUNK, overlap=_OVERLAP).select(
+        "doc_id", "chunk_id", "n_tokens"
+    )
+    return (
+        pack_sequences(chunks, budget=_BUDGET)
+        .groupBy("doc_id", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tokens").alias("seq_tokens"),
+        )
+        .orderBy("doc_id", "seq_id")
+    )
+
+
+@query(
+    "repetition_scores",
+    ids=("SCALE-TEXT",),
+    oracle="""
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, token, count(*) AS tf
+            FROM (SELECT doc_id, unnest(toks) AS token FROM base)
+            GROUP BY doc_id, token
+        ),
+        tok_stats AS (
+            SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+                   count(*) AS n_distinct_tokens, max(tf) AS top_tf
+            FROM tf GROUP BY doc_id
+        ),
+        bg AS (
+            SELECT doc_id, bg, count(*) AS bf
+            FROM (
+                SELECT doc_id,
+                       unnest(list_transform(generate_series(1, len(toks) - 1),
+                                             i -> toks[i] || ' ' || toks[i + 1])) AS bg
+                FROM base
+            )
+            GROUP BY doc_id, bg
+        ),
+        bg_stats AS (
+            SELECT doc_id, CAST(sum(bf) AS BIGINT) AS n_bigrams,
+                   count(*) AS n_distinct_bigrams
+            FROM bg GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+               coalesce(t.n_tokens, 0) AS n_tokens,
+               coalesce(t.n_distinct_tokens, 0) AS n_distinct_tokens,
+               CASE WHEN coalesce(t.n_tokens, 0) > 0
+                    THEN CAST(t.top_tf AS DOUBLE) / t.n_tokens ELSE 0.0 END
+                   AS top_token_share,
+               CASE WHEN coalesce(g.n_bigrams, 0) > 0
+                    THEN 1 - CAST(g.n_distinct_bigrams AS DOUBLE) / g.n_bigrams
+                    ELSE 0.0 END AS dup_bigram_share
+        FROM base b
+        LEFT JOIN tok_stats t USING (doc_id)
+        LEFT JOIN bg_stats g USING (doc_id)
+        ORDER BY doc_id
+    """,
+)
+def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters over the documents table
+    (:func:`bigdatalab_spark.scale.textqa.repetition_scores`): top-token
+    share and duplicated-bigram share as exact-integer ratios."""
+    from bigdatalab_spark.scale import textqa
+
+    docs = load_table(spark, sf_dir, "documents")
+    return textqa.repetition_scores(docs).orderBy("doc_id")

@@ -70,3 +70,51 @@ def stratified_sample(
     (seeded, reproducible within Spark), so tests assert distributional
     bounds rather than exact rows."""
     return df.sampleBy(strata_col, fractions=fractions, seed=seed)
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    budget: int = 128,
+    id_col: str = "doc_id",
+    order_col: str = "chunk_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Greedy token-budget sequence packing: walk each document's chunks
+    in order, close the current sequence when adding the next chunk
+    would exceed ``budget`` tokens. Adds ``seq_id`` (0-based per doc).
+
+    The greedy close-on-overflow rule is inherently sequential, so this
+    is the sanctioned Arrow escape hatch: ``applyInPandas`` per
+    document — groups are document-sized (tiny), partitioned by hash of
+    the id across executors, so the Python stage scales horizontally
+    and is batched through Arrow, never row-at-a-time pickling.
+
+    Deterministic: assignment depends only on the chunk order within
+    the document, so it is partition-count invariant and exactly
+    replayable by a recursive CTE (see the train-pipeline oracle).
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # build a FRESH StructType: DataFrame.schema is cached on the frame
+    # and StructType.add mutates in place — appending to it directly
+    # corrupts the source frame's resolved schema
+    cols = [f.name for f in chunks.schema.fields]
+    out_schema = StructType(
+        list(chunks.schema.fields) + [StructField("seq_id", LongType())]
+    )
+
+    def pack(pdf):
+        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        seq_ids = []
+        seq, acc = 0, 0
+        for n in pdf[tokens_col]:
+            n = int(n)
+            if acc and acc + n > budget:
+                seq += 1
+                acc = 0
+            acc += n
+            seq_ids.append(seq)
+        pdf["seq_id"] = seq_ids
+        return pdf[cols + ["seq_id"]]
+
+    return chunks.groupBy(id_col).applyInPandas(pack, schema=out_schema)

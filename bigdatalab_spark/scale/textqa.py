@@ -207,3 +207,62 @@ def top_terms_per_doc(
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "tf", "df", "rank")
     )
+
+
+def repetition_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Repetition-based quality signals (the Gopher-rule family):
+    share of the most frequent token and share of duplicated bigrams.
+    Boilerplate and low-quality machine-generated text score high on
+    both; real prose stays low.
+
+    Shapes: two keyed aggregations (token counts, bigram counts), both
+    partially aggregated map-side; ratios are exact-integer divisions
+    cast to double, so results replay bit-for-bit in SQL.
+
+    Returns (doc_id, n_tokens, n_distinct_tokens, top_token_share,
+    dup_bigram_share).
+    """
+    from bigdatalab_spark.functions import word_shingles
+
+    base = docs.select(F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks"))
+    tf = (
+        base.select("doc_id", F.explode("toks").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tok_stats = tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct_tokens"),
+        F.max("tf").alias("top_tf"),
+    )
+    bg = (
+        base.select("doc_id", F.explode(word_shingles(F.col("toks"), 2)).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("bf"))
+    )
+    bg_stats = bg.groupBy("doc_id").agg(
+        F.sum("bf").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("n_distinct_bigrams"),
+    )
+    return (
+        base.select("doc_id")
+        .join(tok_stats, "doc_id", "left")
+        .join(bg_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_distinct_tokens", F.lit(0)).alias("n_distinct_tokens"),
+            F.when(
+                F.coalesce("n_tokens", F.lit(0)) > 0,
+                F.col("top_tf").cast("double") / F.col("n_tokens"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top_token_share"),
+            F.when(
+                F.coalesce("n_bigrams", F.lit(0)) > 0,
+                1 - F.col("n_distinct_bigrams").cast("double") / F.col("n_bigrams"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_bigram_share"),
+        )
+    )

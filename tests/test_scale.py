@@ -354,3 +354,56 @@ def test_stratified_sample_respects_fractions(spark, sf_dir):
     assert abs(got.get("click", 0) - n * p) < tol
     again = {r.event_id for r in stratified_sample(ev, "event_type", fr, seed=11).collect()}
     assert again == {r.event_id for r in s.collect()}
+
+
+def test_pack_sequences_budget_and_contiguity(spark, sf_dir):
+    """Every packed sequence fits the budget (chunks are <= 32 << 128),
+    seq_ids are contiguous from 0 per doc, and chunk order is preserved
+    (a chunk never lands in an earlier seq than a prior chunk)."""
+    from bigdatalab_spark.scale.curation import pack_sequences
+    from bigdatalab_spark.scale.textqa import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=32, overlap=8).select(
+        "doc_id", "chunk_id", "n_tokens"
+    )
+    packed = pack_sequences(chunks, budget=128).cache()
+    over = (
+        packed.groupBy("doc_id", "seq_id")
+        .agg(F.sum("n_tokens").alias("tot"))
+        .filter("tot > 128")
+        .count()
+    )
+    assert over == 0
+    seqs = packed.groupBy("doc_id").agg(
+        F.min("seq_id").alias("lo"),
+        F.max("seq_id").alias("hi"),
+        F.countDistinct("seq_id").alias("n"),
+    )
+    assert seqs.filter("lo != 0 OR n != hi + 1").count() == 0
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy("chunk_id")
+    regress = packed.withColumn("prev_seq", F.lag("seq_id").over(w)).filter(
+        F.col("prev_seq").isNotNull() & (F.col("seq_id") < F.col("prev_seq"))
+    )
+    assert regress.count() == 0
+    packed.unpersist()
+
+
+def test_repetition_scores_flag_boilerplate(spark):
+    """A repeated-token doc must out-score varied prose on both signals."""
+    from bigdatalab_spark.scale.textqa import repetition_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam"),
+            (2, "a quick brown fox jumps over the lazy dog before dawn"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_scores(docs).collect()}
+    assert rows[1].top_token_share == 1.0
+    assert rows[1].dup_bigram_share > 0.8
+    assert rows[2].top_token_share < 0.2
+    assert rows[2].dup_bigram_share == 0.0
