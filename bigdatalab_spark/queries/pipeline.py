@@ -298,3 +298,140 @@ def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return textqa.repetition_scores(docs).orderBy("doc_id")
+
+
+def _curation_oracle() -> str:
+    """Compose the full curation-pipeline oracle from the exact SQL
+    replays the component queries already use: exact-dedup keepers ->
+    MinHash-LSH near-dup clusters (recursive closure) -> quality filter
+    -> deterministic split."""
+    from bigdatalab_spark.queries.dedup import SHINGLES_CTE, _PARAMS_VALUES, _VERIFY_SQL
+    from bigdatalab_spark.scale.hashing import MINHASH_P, MINHASH_ROWS
+
+    shingles_over_keepers = SHINGLES_CTE.replace("FROM documents", "FROM keepers")
+    return f"""
+        WITH RECURSIVE keeper_ids AS (
+            SELECT min(doc_id) AS doc_id
+            FROM documents
+            GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+        ),
+        keepers AS (SELECT d.* FROM documents d JOIN keeper_ids USING (doc_id)),
+        {shingles_over_keepers},
+        params(i, a, b) AS (VALUES {_PARAMS_VALUES}),
+        hashes AS (
+            SELECT doc_id, shingle,
+                   CAST('0x' || substr(md5(shingle), 1, 7) AS BIGINT) AS h
+            FROM shingles
+        ),
+        mh AS (
+            SELECT doc_id, i, min((h * a + b) % {MINHASH_P}) AS v
+            FROM hashes, params
+            GROUP BY doc_id, i
+        ),
+        bands AS (
+            SELECT doc_id, i // {MINHASH_ROWS} AS band,
+                   string_agg(CAST(v AS VARCHAR), '_' ORDER BY i) AS sig
+            FROM mh
+            GROUP BY doc_id, i // {MINHASH_ROWS}
+        ),
+        cands AS (
+            SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                        AND a.doc_id < b.doc_id
+        ),
+        {_VERIFY_SQL},
+        pairs AS (SELECT doc1, doc2 FROM verified WHERE jaccard >= 0.5),
+        edges AS (
+            SELECT doc1 AS src, doc2 AS dst FROM pairs
+            UNION ALL
+            SELECT doc2, doc1 FROM pairs
+        ),
+        reach AS (
+            SELECT doc_id AS doc, doc_id AS label FROM keepers
+            UNION
+            SELECT e.src AS doc, r.label
+            FROM reach r JOIN edges e ON e.dst = r.doc
+        ),
+        clusters AS (SELECT doc, min(label) AS cluster_id FROM reach GROUP BY doc),
+        reps AS (SELECT doc AS doc_id FROM clusters WHERE doc = cluster_id),
+        survivors AS (
+            SELECT k.*, list_filter(string_split_regex(k.text, '\\s+'), w -> w <> '') AS ws
+            FROM keepers k JOIN reps USING (doc_id)
+        ),
+        quality AS (
+            SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+                   0.5 * least(CAST(len(ws) AS DOUBLE) / 64.0, 1.0)
+                 + 0.3 * least((CASE WHEN len(ws) > 0
+                                     THEN CAST(len(list_intersect(list_distinct(ws),
+                                          ['the','a','of','and','is','to','in','that','it'])) AS DOUBLE) / len(ws)
+                                     ELSE 0.0 END) * 8, 1.0)
+                 + 0.2 * (1 - least((CASE WHEN length(text) > 0
+                                          THEN CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / length(text)
+                                          ELSE 0.0 END) * 4, 1.0)) AS quality_score
+            FROM survivors
+        ),
+        passed AS (SELECT doc_id, n_tokens FROM quality WHERE quality_score >= 0.5),
+        assigned AS (
+            SELECT n_tokens,
+                   CASE WHEN h < 8000 THEN 'train'
+                        WHEN h < 9000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+                SELECT n_tokens,
+                       CAST('0x' || substr(md5('split-v1' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)
+                           % 10000 AS h
+                FROM passed
+            )
+        )
+        SELECT split, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total
+        FROM assigned
+        GROUP BY split
+        ORDER BY split
+    """
+
+
+@query(
+    "curation_pipeline",
+    ids=("SCALE-DEDUP", "SCALE-TEXT", "SCALE-CURATION"),
+    oracle=_curation_oracle(),
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation as ONE declarative pipeline:
+    exact dedup (keep min id per content hash) -> MinHash-LSH near-dup
+    clustering (keep each cluster's representative) -> quality filter
+    (compound score >= 0.5) -> leakage-safe deterministic split ->
+    per-split doc/token counts. Every stage is the already-verified
+    component operator; the oracle replays all of it, recursive closure
+    included. This is the query a 100 TB training-data pipeline runs
+    end to end: each stage shuffles only on its semantic key."""
+    from bigdatalab_spark.scale.curation import hash_split
+    from bigdatalab_spark.scale.dedup import (
+        connected_components,
+        exact_dedup_groups,
+        minhash_near_dups,
+    )
+    from bigdatalab_spark.scale.textqa import quality_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    keeper_ids = exact_dedup_groups(docs).select(F.col("keep_id").alias("doc_id"))
+    keepers = docs.join(keeper_ids, "doc_id", "left_semi")
+    pairs = minhash_near_dups(keepers, threshold=0.5).select("doc1", "doc2")
+    clusters = connected_components(keepers.select("doc_id"), pairs)
+    reps = clusters.filter("doc_id = cluster_id").select("doc_id")
+    survivors = keepers.join(reps, "doc_id", "left_semi")
+    passed = (
+        quality_features(survivors)
+        .filter(F.col("quality_score") >= 0.5)
+        .select("doc_id", "n_tokens")
+    )
+    return (
+        hash_split(passed, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens_total"),
+        )
+        .orderBy("split")
+    )
