@@ -435,3 +435,46 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@query(
+    "click_purchase_attribution",
+    ids=("T-EXT", "J1"),
+    oracle="""
+        SELECT c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               c.user_id,
+               CAST(c.ts AS VARCHAR) AS click_ts,
+               CAST(p.ts AS VARCHAR) AS purchase_ts
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts > c.ts
+         AND p.ts <= c.ts + INTERVAL 1 HOUR
+        ORDER BY click_id, purchase_id
+    """,
+)
+def click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream time-interval join
+    (:func:`bigdatalab_spark.streaming.jobs.stream_stream_interval_join`,
+    equivalence-tested against a live dual readStream in
+    tests/test_streaming.py): every (click, purchase) pair of the same
+    user within one hour. In streaming, both sides carry watermarks so
+    expired join state is evicted; this batch form is the oracle-checked
+    semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter("event_type = 'click'").select("event_id", "user_id", "ts")
+    purchases = ev.filter("event_type = 'purchase'").select("event_id", "user_id", "ts")
+    joined = clicks.alias("c").join(
+        purchases.alias("p"),
+        F.expr(
+            "c.user_id = p.user_id AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR"
+        ),
+    )
+    return joined.select(
+        F.col("c.event_id").alias("click_id"),
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("c.user_id").alias("user_id"),
+        F.col("c.ts").cast("string").alias("click_ts"),
+        F.col("p.ts").cast("string").alias("purchase_ts"),
+    ).orderBy("click_id", "purchase_id")
