@@ -45,6 +45,10 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    reserved = {"_t", "_rv", "_side", "_match"}
+    clash = reserved & set(left.columns) | reserved & set(right.columns)
+    if clash:
+        raise ValueError(f"asof_join reserves internal columns {sorted(clash)}")
     value_cols = (
         value_cols
         if value_cols is not None

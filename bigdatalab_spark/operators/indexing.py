@@ -46,6 +46,8 @@ def zip_with_index(
     the same pattern holds (MEMORY_AND_DISK, or checkpoint for very wide
     inputs).
     """
+    if "_pid" in df.columns:
+        raise ValueError("zip_with_index reserves the internal column '_pid'")
     spark = df.sparkSession
     parts = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
