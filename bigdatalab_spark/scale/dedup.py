@@ -309,10 +309,17 @@ def connected_components(
     (no label changed). This is the GraphX-free label propagation used
     for dedup clustering on large corpora.
     """
+    from pyspark import StorageLevel
+
+    # the edge list is re-joined EVERY iteration; without a persist each
+    # iteration recomputes the edges' full upstream lineage (for LSH
+    # near-dup pairs that is the entire shingle->minhash->band->jaccard
+    # pipeline, times O(diameter)). Edges are pair-sized — tiny relative
+    # to the corpus — so persist is the right call at any scale.
     sym = (
         edges.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
         .union(edges.select(F.col("doc2").alias("src"), F.col("doc1").alias("dst")))
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     labels = nodes.select(F.col("doc_id"), F.col("doc_id").alias("cluster_id")).cache()
     converged = False
     for _ in range(max_iter):
@@ -351,4 +358,7 @@ def connected_components(
             max_iter,
             max_iter,
         )
+    # labels were materialized by the change-detection count each
+    # iteration, so the edge cache is no longer needed
+    sym.unpersist()
     return labels
