@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -108,6 +109,88 @@ def fake_decode_image(blobs: DataFrame) -> DataFrame:
             )
 
     return blobs.mapInPandas(kernel, schema=DECODED_SCHEMA)
+
+
+#: schema of REAL (non-stubbed) binary features — computable on raw
+#: bytes with no media codec
+BINARY_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("sniffed_format", StringType()),
+        StructField("entropy_bits", DoubleType()),
+        StructField("printable_ratio", DoubleType()),
+        StructField("null_ratio", DoubleType()),
+    ]
+)
+
+#: magic-byte prefixes for container sniffing (public file signatures)
+_MAGIC = [
+    (b"\x89PNG\r\n\x1a\n", "png"),
+    (b"\xff\xd8\xff", "jpeg"),
+    (b"GIF8", "gif"),
+    (b"RIFF", "riff"),
+    (b"%PDF", "pdf"),
+    (b"PK\x03\x04", "zip"),
+    (b"\x1f\x8b", "gzip"),
+    (b"fLaC", "flac"),
+    (b"OggS", "ogg"),
+]
+
+
+def binary_features(blobs: DataFrame) -> DataFrame:
+    """REAL feature extraction over raw binary payloads — no codec
+    needed, so nothing here is stubbed: magic-byte format sniffing,
+    Shannon byte entropy (bits/byte; ~8 for compressed media, much
+    lower for text), printable-ASCII ratio, NUL-byte ratio. These are
+    the triage features a multimodal ingest uses to route payloads
+    (is this really a jpeg? is this 'text' file secretly binary?)
+    before any expensive decode.
+
+    numpy-vectorized inside Arrow batches (``np.bincount`` per payload
+    — no per-byte Python), ``mapInPandas`` per partition: narrow, scan
+    speed, blobs never shuffle.
+    """
+    import numpy as np
+
+    def sniff(b: bytes) -> str:
+        for magic, name in _MAGIC:
+            if b.startswith(magic):
+                return name
+        return "unknown"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_bytes, fmts, ents, prints, nulls = [], [], [], [], []
+            for p in pdf["payload"]:
+                b = bytes(p)
+                n = len(b)
+                n_bytes.append(n)
+                fmts.append(sniff(b))
+                if n == 0:
+                    ents.append(0.0)
+                    prints.append(0.0)
+                    nulls.append(0.0)
+                    continue
+                counts = np.bincount(
+                    np.frombuffer(b, dtype=np.uint8), minlength=256
+                )
+                probs = counts[counts > 0] / n
+                ents.append(float(-(probs * np.log2(probs)).sum()))
+                prints.append(float(counts[32:127].sum() / n))
+                nulls.append(float(counts[0] / n))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_bytes": n_bytes,
+                    "sniffed_format": fmts,
+                    "entropy_bits": ents,
+                    "printable_ratio": prints,
+                    "null_ratio": nulls,
+                }
+            )
+
+    return blobs.mapInPandas(kernel, schema=BINARY_FEATURES_SCHEMA)
 
 
 def frame_sample(decoded: DataFrame, every_nth: int = 10) -> DataFrame:

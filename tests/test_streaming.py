@@ -338,3 +338,99 @@ def test_processing_time_window_counts(spark, sf_dir):
     for _, rows in windows:  # desc order within each window
         ns = [r["n"] for r in rows]
         assert ns == sorted(ns, reverse=True)
+
+
+def test_streaming_session_windows_close_on_watermark(spark, tmp_path):
+    """T9 streaming twin: session_window under readStream + watermark.
+    A session is emitted (append mode) once the watermark passes its
+    end (last event + gap); a newer session still within the gap of the
+    stream head stays open and is NOT emitted."""
+    import time
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    schema = StructType(
+        [
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("k", StringType()),
+        ]
+    )
+
+    def w(path, rows):
+        spark.createDataFrame(rows, "ts string, user_id long, k string").select(
+            F.col("ts").cast("timestamp"), "user_id", "k"
+        ).coalesce(1).write.parquet(str(path))
+
+    # user 1: two events 30 min apart on day 1 -> ONE session, closed
+    # long before the stream head. user 2: one event near the head ->
+    # session still open at termination.
+    w(
+        src / "f1",
+        [
+            ("2024-01-01 10:00:00", 1, "a"),
+            ("2024-01-01 10:30:00", 1, "a"),
+        ],
+    )
+    time.sleep(1.1)
+    w(src / "f2", [("2024-01-05 10:00:00", 2, "a")])
+    time.sleep(1.1)
+    # a third file two batches later pushes the (lagging) eviction
+    # watermark firmly past user 1's session end (dual-watermark model)
+    w(src / "f3", [("2024-01-06 10:00:00", 2, "a")])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(str(src / "*"))
+    )
+    sess = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "2 hours").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("string").alias("session_start"),
+            "n_events",
+        )
+    )
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("t_sess_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in spark.table("t_sess_stream").collect()
+    }
+    # user 1's merged 2-event session emitted; user 2's sessions at the
+    # stream head may or may not have closed (watermark lag) — assert
+    # the closed session exactly and no phantom user-1 sessions
+    assert (1, "2024-01-01 10:00:00", 2) in got
+    assert all(u != 1 or s == "2024-01-01 10:00:00" for u, s, _ in got)
+    # batch twin over the same files merges the same session
+    batch = (
+        spark.read.schema(schema)
+        .parquet(str(src / "*"))
+        .groupBy(F.session_window("ts", "2 hours").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").cast("string").alias("session_start"), "n_events")
+    )
+    want_user1 = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in batch.filter("user_id = 1").collect()
+    }
+    assert want_user1 == {(1, "2024-01-01 10:00:00", 2)}
