@@ -436,3 +436,24 @@ def test_binary_features_real_values(spark):
     assert math.isclose(rows[4].null_ratio, 0.5)
     assert math.isclose(rows[4].entropy_bits, 1.0)
     assert rows[5].n_bytes == 0 and rows[5].entropy_bits == 0.0
+
+
+def test_approx_percentile_within_accuracy_bound(spark, sf_dir):
+    """A12-family extension: approx_percentile's rank error is bounded by
+    1/accuracy — verified against the exact percentile the engine's
+    value_percentiles query computes."""
+    ev = load_table(spark, sf_dir, "events")
+    accuracy = 100  # rank error <= n/accuracy
+    row = ev.select(
+        F.expr(f"approx_percentile(value, array(0.5, 0.95), {accuracy})").alias("ap"),
+        F.expr("percentile(value, array(0.5, 0.95))").alias("exact"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    values = sorted(r.value for r in ev.select("value").collect())
+    n = row.n
+    for approx, q in zip(row.ap, (0.5, 0.95)):
+        # translate value error to rank error via the sorted sample
+        import bisect
+
+        rank = bisect.bisect_left(values, approx)
+        assert abs(rank - q * n) <= n / accuracy + 1, (q, approx, rank)

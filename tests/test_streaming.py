@@ -434,3 +434,64 @@ def test_streaming_session_windows_close_on_watermark(spark, tmp_path):
         for r in batch.filter("user_id = 1").collect()
     }
     assert want_user1 == {(1, "2024-01-01 10:00:00", 2)}
+
+
+def test_drop_duplicates_within_watermark_bounds_state(spark, tmp_path):
+    """Scale-critical streaming dedup variant: dropDuplicatesWithinWatermark
+    keeps dedup state only for the watermark horizon (bounded state at
+    100 TB/day ingest, vs dropDuplicates' unbounded key set). Within the
+    horizon duplicates are suppressed; a duplicate arriving after the
+    watermark passed its first occurrence may re-emit — the documented
+    tradeoff."""
+    import time
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType, TimestampType
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    schema = StructType(
+        [
+            StructField("ts", TimestampType()),
+            StructField("event_key", StringType()),
+            StructField("user_id", LongType()),
+        ]
+    )
+
+    def w(path, rows):
+        spark.createDataFrame(rows, "ts string, event_key string, user_id long").select(
+            F.col("ts").cast("timestamp"), "event_key", "user_id"
+        ).coalesce(1).write.parquet(str(path))
+
+    # batch 1: k1 twice (in-batch dup) + k2; batch 2: k1 again within
+    # the 1h horizon -> suppressed
+    w(
+        src / "f1",
+        [
+            ("2024-01-01 10:00:00", "k1", 1),
+            ("2024-01-01 10:05:00", "k1", 1),
+            ("2024-01-01 10:10:00", "k2", 2),
+        ],
+    )
+    time.sleep(1.1)
+    w(src / "f2", [("2024-01-01 10:20:00", "k1", 1)])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(str(src / "*"))
+    )
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_key"]
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("t_dedup_wm")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    keys = [r.event_key for r in spark.table("t_dedup_wm").collect()]
+    assert sorted(keys) == ["k1", "k2"]  # each key exactly once
