@@ -36,12 +36,16 @@ def asof_join(
     value_cols: list[str] | None = None,
     direction: str = "backward",
     suffix: str = "_asof",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """Left as-of join: every left row, plus ``right_ts + value_cols``
     of its nearest right match (NULLs when no match exists yet).
 
     Matched columns are appended as ``<right_ts><suffix>`` and
-    ``<col><suffix>``.
+    ``<col><suffix>``. ``tolerance`` (an SQL interval string like
+    ``'1 hour'``) bounds how far the match may lie from the left
+    timestamp: a nearest match older (backward) / newer (forward) than
+    the tolerance is nulled out — the standard feature-staleness guard.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -86,6 +90,16 @@ def asof_join(
         .filter(F.col("_side") == F.lit(1 if direction == "backward" else 0))
         .filter(F.col("_rv").isNull())  # keep genuine left rows only
     )
+    if tolerance is not None:
+        matched_ts = F.col(f"_match.{right_ts}{suffix}")
+        in_range = (
+            matched_ts >= F.col("_t") - F.expr(f"INTERVAL {tolerance}")
+            if direction == "backward"
+            else matched_ts <= F.col("_t") + F.expr(f"INTERVAL {tolerance}")
+        )
+        matched = matched.withColumn(
+            "_match", F.when(in_range, F.col("_match"))
+        )
     return matched.select(
         *out_cols,
         F.col(f"_match.{right_ts}{suffix}").alias(f"{right_ts}{suffix}"),

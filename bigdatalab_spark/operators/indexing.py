@@ -66,12 +66,19 @@ def zip_with_index(
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    offset_map = F.create_map(
-        *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+    # empty input => no offsets; an argless create_map() is typed
+    # map<void,void> and fails the int lookup, so skip the lookup (there
+    # are no rows for it to index anyway)
+    offset = (
+        F.create_map(*[F.lit(x) for pid_off in offsets.items() for x in pid_off])[
+            F.col("_pid")
+        ]
+        if offsets
+        else F.lit(0)
     )
     w = Window.partitionBy("_pid").orderBy(*order_cols)
     indexed = stamped.withColumn(
         idx_name,
-        (offset_map[F.col("_pid")] + F.row_number().over(w) - 1).cast("long"),
+        (offset + F.row_number().over(w) - 1).cast("long"),
     ).drop("_pid")
     return indexed

@@ -104,3 +104,71 @@ def test_portable_hash_range_and_determinism(spark, strings):
     b = {r.s: r.h for r in df.select("s", portable_hash("s").alias("h")).collect()}
     assert a == b
     assert all(0 <= h < 2**28 for h in a.values())
+
+
+@given(rows=texts, chunk=st.integers(2, 6), overlap=st.integers(0, 1))
+@settings(**SETTINGS)
+def test_chunking_covers_every_token_exactly(spark, rows, chunk, overlap):
+    """For ANY text and (chunk, overlap): concatenating each chunk's
+    first `step` tokens in order reconstructs the token stream; chunk
+    sizes stay within (0, chunk]; empty docs yield no chunks."""
+    from bigdatalab_spark.functions import tokenize
+    from bigdatalab_spark.scale.textqa import chunk_documents
+
+    step = chunk - overlap
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rows)], "doc_id long, text string"
+    )
+    chunks = chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect()
+    by_doc: dict = {}
+    for r in sorted(chunks, key=lambda r: (r.doc_id, r.chunk_id)):
+        assert 1 <= r.n_tokens <= chunk
+        by_doc.setdefault(r.doc_id, []).append(r.chunk_text.split())
+    for i, t in enumerate(rows):
+        want = [w for w in t.split() if w]
+        got_chunks = by_doc.get(i, [])
+        if not want:
+            assert got_chunks == []
+            continue
+        rebuilt = []
+        for c in got_chunks:
+            rebuilt.extend(c[:step])
+        # the final chunk may extend past the last step boundary
+        assert rebuilt[: len(want)] == want[: len(rebuilt)]
+        flat_full = [w for c in got_chunks for w in c]
+        assert set(flat_full) <= set(want)
+        assert rebuilt == want or rebuilt == want[: len(rebuilt)]
+
+
+@given(
+    keys=st.lists(st.integers(0, 10_000), min_size=1, max_size=50, unique=True),
+    salt=st.sampled_from(["a", "b"]),
+)
+@settings(**SETTINGS)
+def test_hash_split_total_and_stable(spark, keys, salt):
+    """Every key gets exactly one split; assignment is a pure function
+    of (salt, key) — independent of what other keys are present."""
+    from bigdatalab_spark.scale.curation import hash_split
+
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+    full = {r.doc_id: r.split for r in hash_split(df, "doc_id", salt=salt).collect()}
+    assert set(full) == set(keys)
+    assert set(full.values()) <= {"train", "val", "test"}
+    half = spark.createDataFrame([(k,) for k in keys[: len(keys) // 2 + 1]], "doc_id long")
+    sub = {r.doc_id: r.split for r in hash_split(half, "doc_id", salt=salt).collect()}
+    for k, s in sub.items():
+        assert full[k] == s  # corpus growth never moves an old key
+
+
+@given(n=st.integers(0, 60), parts=st.integers(1, 5))
+@settings(**SETTINGS)
+def test_zip_with_index_is_a_permutation(spark, n, parts):
+    """For ANY size and partition count, idx is exactly 0..n-1 assigned
+    in key order."""
+    from bigdatalab_spark.operators import zip_with_index
+
+    df = spark.range(n).select((F.col("id") * 7 % 61).alias("k"))
+    got = zip_with_index(df, "k", num_partitions=parts).orderBy("idx").collect()
+    assert [r.idx for r in got] == list(range(n))
+    ks = [r.k for r in got]
+    assert ks == sorted(ks)

@@ -457,3 +457,44 @@ def test_approx_percentile_within_accuracy_bound(spark, sf_dir):
 
         rank = bisect.bisect_left(values, approx)
         assert abs(rank - q * n) <= n / accuracy + 1, (q, approx, rank)
+
+
+def test_asof_join_tolerance(spark, sf_dir):
+    """tolerance bounds match staleness: a backward match older than the
+    interval is nulled; equals the naive range join with the same bound."""
+    from bigdatalab_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter("event_type = 'purchase'").select("event_id", "user_id", "ts")
+    clicks = ev.filter("event_type = 'click'").select("user_id", "ts")
+    tol = asof_join(
+        purchases, clicks, on=["user_id"], value_cols=[], tolerance="1 hour"
+    )
+    naive = (
+        purchases.alias("p")
+        .join(
+            clicks.alias("c"),
+            (F.col("p.user_id") == F.col("c.user_id"))
+            & (F.col("c.ts") <= F.col("p.ts"))
+            & (F.col("c.ts") >= F.col("p.ts") - F.expr("INTERVAL 1 HOUR")),
+            "left",
+        )
+        .groupBy("p.event_id")
+        .agg(F.max("c.ts").alias("want"))
+    )
+    assert tol.count() == purchases.count()
+    mismatch = (
+        tol.join(naive, "event_id")
+        .filter(
+            (F.col("ts_asof").isNull() != F.col("want").isNull())
+            | (F.col("ts_asof") != F.col("want"))
+        )
+        .count()
+    )
+    assert mismatch == 0
+    # tolerance must strictly reduce (or keep) the matched count
+    full = asof_join(purchases, clicks, on=["user_id"], value_cols=[])
+    assert (
+        tol.filter("ts_asof IS NOT NULL").count()
+        <= full.filter("ts_asof IS NOT NULL").count()
+    )
