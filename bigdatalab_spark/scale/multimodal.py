@@ -193,6 +193,62 @@ def binary_features(blobs: DataFrame) -> DataFrame:
     return blobs.mapInPandas(kernel, schema=BINARY_FEATURES_SCHEMA)
 
 
+def resize_image(blobs: DataFrame, width: int, height: int) -> DataFrame:
+    """Real-codec resize slot — like :func:`decode_image`, the pixel
+    operation needs an image library this environment does not have, so
+    the kernel is the clearly-marked stub; use :func:`fake_resize_image`
+    for the tested plumbing."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "image codecs (PIL/libvips) are not available in this "
+            "environment; use fake_resize_image for the tested plumbing"
+        )
+
+    return blobs.mapInPandas(kernel, schema=RESIZED_SCHEMA)
+
+
+#: schema of a resized-image record: target dims + a payload slot (the
+#: fake twin carries a digest-derived stand-in, a real codec the pixels)
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def fake_resize_image(blobs: DataFrame, width: int, height: int) -> DataFrame:
+    """Deterministic resize stand-in with the REAL plumbing: same
+    mapInPandas signature, batch shape, and output schema as a codec
+    resize; the payload is a digest-seeded byte block of the exact
+    size a real w*h*3 RGB buffer would occupy, so downstream size
+    accounting and writes are exercised honestly."""
+    n_out = width * height * 3
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for p in pdf["payload"]:
+                seed = hashlib.md5(bytes(p)).digest()
+                reps = n_out // len(seed) + 1
+                payloads.append((seed * reps)[:n_out])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": width,
+                    "height": height,
+                    "n_bytes": n_out,
+                    "payload": payloads,
+                }
+            )
+
+    return blobs.mapInPandas(kernel, schema=RESIZED_SCHEMA)
+
+
 def frame_sample(decoded: DataFrame, every_nth: int = 10) -> DataFrame:
     """Frame-sampling shape: explode a per-asset frame index AFTER decode
     (blobs never shuffle), one row per sampled frame. Frame count is

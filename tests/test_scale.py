@@ -498,3 +498,28 @@ def test_asof_join_tolerance(spark, sf_dir):
         tol.filter("ts_asof IS NOT NULL").count()
         <= full.filter("ts_asof IS NOT NULL").count()
     )
+
+
+def test_multimodal_resize_plumbing(spark, sf_dir):
+    """Resize: real slot stubbed (no codecs), fake twin produces exact
+    RGB-buffer-sized payloads deterministically."""
+    from bigdatalab_spark.scale.multimodal import (
+        fake_resize_image,
+        resize_image,
+        to_blob_table,
+    )
+
+    blobs = to_blob_table(_docs(spark, sf_dir).limit(5))
+    with pytest.raises(Exception) as exc_info:
+        resize_image(blobs, 32, 24).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
+    rows = fake_resize_image(blobs, 32, 24).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert (r.width, r.height) == (32, 24)
+        assert r.n_bytes == 32 * 24 * 3 and len(bytes(r.payload)) == r.n_bytes
+    # deterministic: same input -> same payload bytes
+    again = fake_resize_image(blobs, 32, 24).collect()
+    assert {bytes(r.payload) for r in rows} == {bytes(r.payload) for r in again}
