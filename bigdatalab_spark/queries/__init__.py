@@ -21,9 +21,9 @@ from bigdatalab_spark.queries import (  # noqa: F401  (import = registration)
     weather,
     wordcount,
 )
-from bigdatalab_spark.queries import pipeline  # noqa: F401  (registers AFTER the
-# SURVEY-core top-50 on purpose: beyond-reference extensions must not displace
-# driver-window entries; _DEMOTED still sorts last)
+from bigdatalab_spark.queries import datapipe, pipeline  # noqa: F401  (register
+# AFTER the SURVEY-core top-50 on purpose: beyond-reference extensions must not
+# displace driver-window entries; _DEMOTED still sorts last)
 from bigdatalab_spark.queries.registry import REGISTRY, QuerySpec
 
 # The driver's correctness gate records the FIRST 50 registry entries, so

@@ -1,0 +1,338 @@
+"""Training-data pipeline queries, second wave: benchmark
+decontamination (n-gram overlap and near-dup cluster leakage), PII
+redaction, deterministic corpus shuffling, mixture-weight sampling, and
+BPE merge statistics. Registered AFTER the SURVEY-core top-50 (driver
+records the first 50 registry entries); evidence is the strict local
+oracle + pytest, same contract as :mod:`bigdatalab_spark.queries.pipeline`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatalab_spark.queries.registry import query
+from bigdatalab_spark.sources import load_table
+
+_NGRAM = 5
+
+_SPLIT_CTE = """
+    assigned AS (
+        SELECT doc_id,
+               CASE WHEN h < 8000 THEN 'train'
+                    WHEN h < 9000 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5('split-v1' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)
+                       % 10000 AS h
+            FROM documents
+        )
+    )
+"""
+
+
+@query(
+    "decontam_ngram_overlap",
+    ids=("SCALE-DECONTAM", "SCALE-CURATION"),
+    oracle=f"""
+        WITH words AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ws
+            FROM documents
+        ),
+        {_SPLIT_CTE},
+        ngrams AS (
+            SELECT DISTINCT w.doc_id,
+                   CAST('0x' || substr(md5(array_to_string(ws[i:i+{_NGRAM - 1}], ' ')), 1, 7) AS BIGINT)
+                       AS ngram_h
+            FROM words w,
+                 LATERAL (SELECT unnest(generate_series(1, len(ws) - {_NGRAM - 1})) AS i) t
+            WHERE len(ws) >= {_NGRAM}
+        ),
+        train AS (
+            SELECT n.doc_id, ngram_h
+            FROM ngrams n JOIN assigned a USING (doc_id)
+            WHERE a.split = 'train'
+        ),
+        holdout AS (
+            SELECT n.doc_id AS holdout_doc_id, ngram_h
+            FROM ngrams n JOIN assigned a USING (doc_id)
+            WHERE a.split IN ('val', 'test')
+        )
+        SELECT t.doc_id,
+               count(DISTINCT t.ngram_h) AS n_shared_ngrams,
+               count(DISTINCT h.holdout_doc_id) AS n_holdout_docs
+        FROM train t JOIN holdout h USING (ngram_h)
+        GROUP BY t.doc_id
+        ORDER BY t.doc_id
+    """,
+)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination, GPT-3 style: train documents sharing
+    any word 5-gram with a val/test document
+    (:func:`bigdatalab_spark.scale.decontam.ngram_contamination` over
+    the deterministic hash split). The join runs on 28-bit portable
+    n-gram hashes — never on text — so the oracle replays it exactly."""
+    from bigdatalab_spark.scale.curation import hash_split
+    from bigdatalab_spark.scale.decontam import ngram_contamination
+
+    docs = hash_split(load_table(spark, sf_dir, "documents"), "doc_id")
+    return ngram_contamination(docs, n=_NGRAM).orderBy("doc_id")
+
+
+def _cluster_leak_oracle() -> str:
+    from bigdatalab_spark.queries.dedup import (
+        SHINGLES_CTE,
+        _PARAMS_VALUES,
+        _VERIFY_SQL,
+    )
+    from bigdatalab_spark.scale.hashing import MINHASH_P, MINHASH_ROWS
+
+    return f"""
+        WITH RECURSIVE {SHINGLES_CTE},
+        params(i, a, b) AS (VALUES {_PARAMS_VALUES}),
+        hashes AS (
+            SELECT doc_id, shingle,
+                   CAST('0x' || substr(md5(shingle), 1, 7) AS BIGINT) AS h
+            FROM shingles
+        ),
+        mh AS (
+            SELECT doc_id, i, min((h * a + b) % {MINHASH_P}) AS v
+            FROM hashes, params
+            GROUP BY doc_id, i
+        ),
+        bands AS (
+            SELECT doc_id, i // {MINHASH_ROWS} AS band,
+                   string_agg(CAST(v AS VARCHAR), '_' ORDER BY i) AS sig
+            FROM mh
+            GROUP BY doc_id, i // {MINHASH_ROWS}
+        ),
+        cands AS (
+            SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                        AND a.doc_id < b.doc_id
+        ),
+        {_VERIFY_SQL},
+        pairs AS (SELECT doc1, doc2 FROM verified WHERE jaccard >= 0.5),
+        edges AS (
+            SELECT doc1 AS src, doc2 AS dst FROM pairs
+            UNION ALL
+            SELECT doc2, doc1 FROM pairs
+        ),
+        reach AS (
+            SELECT doc_id AS doc, doc_id AS label FROM documents
+            UNION
+            SELECT e.src AS doc, r.label
+            FROM reach r JOIN edges e ON e.dst = r.doc
+        ),
+        clusters AS (SELECT doc AS doc_id, min(label) AS cluster_id FROM reach GROUP BY doc),
+        {_SPLIT_CTE},
+        labeled AS (
+            SELECT c.doc_id, c.cluster_id, a.split
+            FROM clusters c JOIN assigned a USING (doc_id)
+        ),
+        holdout AS (
+            SELECT cluster_id, count(*) AS n_holdout_in_cluster
+            FROM labeled WHERE split IN ('val', 'test')
+            GROUP BY cluster_id
+        )
+        SELECT l.doc_id, l.cluster_id, h.n_holdout_in_cluster
+        FROM labeled l JOIN holdout h USING (cluster_id)
+        WHERE l.split = 'train'
+        ORDER BY l.doc_id
+    """
+
+
+@query(
+    "cluster_split_decontam",
+    ids=("SCALE-DECONTAM", "SCALE-DEDUP"),
+    oracle=_cluster_leak_oracle(),
+)
+def cluster_split_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware decontamination: train documents whose MinHash-LSH
+    cluster contains a val/test document — catches the paraphrased
+    leakage that exact n-gram overlap misses
+    (:func:`bigdatalab_spark.scale.decontam.cluster_split_leakage`).
+    The oracle replays the full stack: shingles -> MinHash -> LSH ->
+    Jaccard -> recursive-closure clusters -> split join."""
+    from bigdatalab_spark.scale.curation import hash_split
+    from bigdatalab_spark.scale.decontam import cluster_split_leakage
+    from bigdatalab_spark.scale.dedup import connected_components, minhash_near_dups
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dups(docs, threshold=0.5).select("doc1", "doc2")
+    clusters = connected_components(docs.select("doc_id"), pairs)
+    splits = hash_split(docs.select("doc_id"), "doc_id").select("doc_id", "split")
+    return cluster_split_leakage(clusters, splits).orderBy("doc_id")
+
+
+def _pii_oracle() -> str:
+    from bigdatalab_spark.scale.pii import redact_pii_sql
+
+    count_frags, redacted = redact_pii_sql("raw")
+    frags = ",\n               ".join(count_frags)
+    return f"""
+        WITH enriched AS (
+            SELECT doc_id,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com or +1 555 '
+                        || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+                        || ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                        || '.' || CAST(doc_id % 100 AS VARCHAR) AS raw
+            FROM documents
+        )
+        SELECT doc_id,
+               {frags},
+               md5({redacted}) AS redacted_md5
+        FROM enriched
+        ORDER BY doc_id
+    """
+
+
+@query(
+    "pii_redaction",
+    ids=("SCALE-PII", "SCALE-TEXT"),
+    oracle=_pii_oracle(),
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex-tier PII scrub (:func:`bigdatalab_spark.scale.pii.redact_pii`):
+    emails, IPv4s, phone-shaped number runs redacted in a fixed order,
+    with per-kind counts. The synthetic corpus carries no PII, so the
+    query first plants deterministic contact strings derived from
+    doc_id — the operator sees realistic mixed text and the oracle
+    replays enrichment, counting, and replacement exactly (md5 of the
+    scrubbed text proves byte-identical redaction across engines)."""
+    from bigdatalab_spark.scale.pii import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555 "),
+            F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+            F.lit(" at 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            (F.col("doc_id") % 100).cast("string"),
+        ).alias("raw"),
+    )
+    return (
+        redact_pii(enriched, text_col="raw")
+        .select(
+            "doc_id",
+            "n_email",
+            "n_ipv4",
+            "n_phone",
+            F.md5("redacted").alias("redacted_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "deterministic_shuffle_order",
+    ids=("SCALE-CURATION", "P10"),
+    oracle="""
+        SELECT doc_id, h AS shuffle_hash,
+               CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS shuffle_pos
+        FROM (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5('shuf-v1' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) AS h
+            FROM documents
+        )
+        ORDER BY shuffle_pos
+    """,
+)
+def deterministic_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-stable global training shuffle
+    (:func:`bigdatalab_spark.scale.curation.deterministic_shuffle`):
+    position = rank of the salted portable hash, assigned with the
+    scale-safe zipWithIndex shape (range partition + per-partition
+    offsets — no single-task global sort). The oracle is a plain
+    row_number over the same hash."""
+    from bigdatalab_spark.scale.curation import deterministic_shuffle
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_shuffle(docs, "doc_id").select(
+        "doc_id", "shuffle_hash", "shuffle_pos"
+    ).orderBy("shuffle_pos")
+
+
+_MIX_RATES = {"de": 1.0, "en": 0.5, "es": 0.75, "fr": 0.25, "zh": 0.1}
+_MIX_CASE = " ".join(
+    f"WHEN '{k}' THEN {int(round(v * 10000))}" for k, v in _MIX_RATES.items()
+)
+
+
+@query(
+    "domain_mix_counts",
+    ids=("SCALE-CURATION", "P11"),
+    oracle=f"""
+        SELECT lang, count(*) AS n_kept, min(doc_id) AS min_doc_id
+        FROM documents
+        WHERE CAST('0x' || substr(md5('mix-v1' || lang || '|' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)
+                  % 10000
+              < CASE lang {_MIX_CASE} ELSE 10000 END
+        GROUP BY lang
+        ORDER BY lang
+    """,
+)
+def domain_mix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-weight corpus assembly
+    (:func:`bigdatalab_spark.scale.curation.domain_mix`): keep each
+    language at its own deterministic rate (de 100%, en 50%, es 75%,
+    fr 25%, zh 10%) via the salted portable hash — the reproducible
+    twin of ``sampleBy`` whose sample the SQL oracle replays exactly."""
+    from bigdatalab_spark.scale.curation import domain_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        domain_mix(docs, "lang", _MIX_RATES)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.min("doc_id").alias("min_doc_id"))
+        .orderBy("lang")
+    )
+
+
+@query(
+    "bpe_merge_stats",
+    ids=("SCALE-TEXT", "A1", "O4"),
+    oracle="""
+        WITH toks AS (
+            SELECT list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ws
+            FROM documents
+        ),
+        pairs AS (
+            SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+                                         i -> ws[i] || ' ' || ws[i + 1])) AS pair
+            FROM toks
+            WHERE len(ws) >= 2
+        )
+        SELECT pair, count(*) AS n
+        FROM pairs
+        GROUP BY pair
+        ORDER BY n DESC, pair ASC
+        LIMIT 20
+    """,
+)
+def bpe_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide adjacent-pair frequencies — the statistic a BPE/
+    WordPiece tokenizer trainer computes to pick its next merge. One
+    partially-aggregated shuffle on the pair, then a TakeOrdered top-20
+    (count DESC, pair ASC — deterministic at the cut)."""
+    from bigdatalab_spark.functions import tokenize, word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(tokenize("text").alias("toks"))
+    return (
+        base.select(F.explode(word_shingles(F.col("toks"), 2)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )

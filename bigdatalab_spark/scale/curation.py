@@ -58,6 +58,72 @@ def hash_split(
     return df.withColumn(split_col, expr)
 
 
+def domain_mix(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "mix-v1",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the *mixture-weights*
+    step of corpus assembly (keep 50% of web, 100% of wiki, ...).
+
+    Unlike :func:`stratified_sample` (Spark's seeded RNG, engine-
+    specific), the keep decision here is a pure function of
+    ``(salt, stratum, key)`` via the portable md5 hash, so the sampled
+    corpus is identical across runs, engines, partitionings and corpus
+    growth — and exactly replayable by the SQL oracle. Narrow
+    (hash + CASE + filter), preserves input partitioning; changing the
+    salt draws an independent sample.
+    """
+    bucket = (
+        portable_hash(
+            F.concat(
+                F.lit(salt),
+                F.col(strata_col).cast("string"),
+                F.lit("|"),
+                F.col(key_col).cast("string"),
+            )
+        )
+        % SPLIT_BUCKETS
+    )
+    threshold = F.lit(int(round(default_rate * SPLIT_BUCKETS)))
+    for name, rate in rates.items():
+        threshold = F.when(
+            F.col(strata_col) == name, F.lit(int(round(rate * SPLIT_BUCKETS)))
+        ).otherwise(threshold)
+    return df.filter(bucket < threshold)
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    salt: str = "shuf-v1",
+    pos_col: str = "shuffle_pos",
+) -> DataFrame:
+    """Epoch-stable global training-order shuffle.
+
+    Training pipelines need the corpus in a *random but reproducible*
+    order. Position = rank of the portable hash ``H(salt || key)``
+    (ties broken by the key), computed with the scale-safe global-index
+    shape (:func:`bigdatalab_spark.operators.indexing.zip_with_index`):
+    range-partition on the hash, per-partition counts -> cumulative
+    offsets, per-partition row_number — no single-task global sort, so
+    the shuffle order of a 100 TB corpus is assigned with every stage
+    parallel. A new ``salt`` (e.g. per epoch) is a fresh permutation.
+
+    Adds ``shuffle_hash`` and ``pos_col`` (0-based).
+    """
+    from bigdatalab_spark.operators.indexing import zip_with_index
+
+    hashed = df.withColumn(
+        "shuffle_hash",
+        portable_hash(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
+    )
+    return zip_with_index(hashed, "shuffle_hash", key_col, idx_name=pos_col)
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

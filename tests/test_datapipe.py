@@ -1,0 +1,137 @@
+"""Unit tests for the second-wave pipeline operators: decontamination,
+PII redaction, deterministic shuffle, domain mixing, BPE pair stats."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdatalab_spark.scale.curation import deterministic_shuffle, domain_mix
+from bigdatalab_spark.scale.decontam import cluster_split_leakage, ngram_contamination
+from bigdatalab_spark.scale.pii import redact_pii
+
+
+def test_ngram_contamination_flags_only_real_overlap(spark):
+    docs = spark.createDataFrame(
+        [
+            # shares the 5-gram "a b c d e" with the test doc
+            (1, "x y a b c d e z", "train"),
+            # no 5-token window in common with any holdout doc
+            (2, "p q r s t u v w", "train"),
+            # too short for any 5-gram: can never be contaminated
+            (3, "a b c d", "train"),
+            (10, "a b c d e f g", "test"),
+            (11, "m n o p q", "val"),
+        ],
+        "doc_id long, text string, split string",
+    )
+    out = ngram_contamination(docs, n=5).orderBy("doc_id").collect()
+    assert [(r.doc_id, r.n_shared_ngrams, r.n_holdout_docs) for r in out] == [
+        (1, 1, 1)
+    ]
+
+
+def test_cluster_split_leakage_counts_holdout_members(spark):
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5)],
+        "doc_id long, cluster_id long",
+    )
+    splits = spark.createDataFrame(
+        [(1, "train"), (2, "test"), (3, "val"), (4, "train"), (5, "train"), (6, "train")],
+        "doc_id long, split string",
+    )
+    out = cluster_split_leakage(clusters, splits).orderBy("doc_id").collect()
+    # cluster 1 leaks (one test + one val member); clusters 4 and 5 are
+    # train-only, so docs 4-6 must NOT be flagged
+    assert [(r.doc_id, r.cluster_id, r.n_holdout_in_cluster) for r in out] == [
+        (1, 1, 2)
+    ]
+
+
+def test_redact_pii_exact_counts_and_text(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail alice.smith+x@corp.example.org now"),
+            (2, "server at 192.168.1.250 rebooted"),
+            (3, "call +1 555 0199 or 555-867-5309 today"),
+            (4, "bob@a.io and carol@b.co from 10.0.0.1"),
+            (5, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert (rows[1].n_email, rows[1].n_ipv4, rows[1].n_phone) == (1, 0, 0)
+    assert rows[1].redacted == "mail <EMAIL> now"
+    assert rows[2].redacted == "server at <IP> rebooted"
+    assert (rows[3].n_email, rows[3].n_ipv4, rows[3].n_phone) == (0, 0, 2)
+    assert rows[3].redacted == "call <PHONE> or <PHONE> today"
+    assert (rows[4].n_email, rows[4].n_ipv4, rows[4].n_phone) == (2, 1, 0)
+    assert rows[4].redacted == "<EMAIL> and <EMAIL> from <IP>"
+    assert rows[5].redacted == rows[5].text
+
+
+def test_redact_pii_replacement_tokens_are_stable(spark):
+    # an already-redacted text must pass through unchanged: replacement
+    # tokens contain no digits or '@', so no pattern can re-match them
+    df = spark.createDataFrame(
+        [(1, "ping <EMAIL> from <IP> via <PHONE>")], "doc_id long, text string"
+    )
+    row = redact_pii(df).collect()[0]
+    assert row.redacted == row.text
+    assert (row.n_email, row.n_ipv4, row.n_phone) == (0, 0, 0)
+
+
+def test_deterministic_shuffle_is_a_stable_permutation(spark):
+    docs = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    a = deterministic_shuffle(docs, "doc_id")
+    pos = sorted(r.shuffle_pos for r in a.collect())
+    assert pos == list(range(200))  # exact permutation, no gaps/dupes
+    order_a = [r.doc_id for r in a.orderBy("shuffle_pos").collect()]
+    order_b = [
+        r.doc_id
+        for r in deterministic_shuffle(docs, "doc_id").orderBy("shuffle_pos").collect()
+    ]
+    assert order_a == order_b  # reproducible across runs
+    assert order_a != list(range(200))  # and actually shuffled
+    order_c = [
+        r.doc_id
+        for r in deterministic_shuffle(docs, "doc_id", salt="epoch-2")
+        .orderBy("shuffle_pos")
+        .collect()
+    ]
+    assert order_c != order_a  # a new salt is a fresh permutation
+
+
+def test_domain_mix_rates_and_determinism(spark):
+    docs = spark.createDataFrame(
+        [(i, "keep" if i % 2 else "drop") for i in range(400)],
+        "doc_id long, lang string",
+    )
+    kept = domain_mix(docs, "lang", {"keep": 1.0, "drop": 0.0})
+    langs = {r.lang for r in kept.select("lang").distinct().collect()}
+    assert langs == {"keep"}  # rate 1.0 keeps all, rate 0.0 drops all
+    assert kept.count() == 200
+    half = domain_mix(docs, "lang", {"keep": 0.5, "drop": 0.5})
+    n = half.count()
+    assert 120 <= n <= 280  # ~200 expected over 400 rows
+    assert half.count() == n  # deterministic: same plan, same sample
+    # missing stratum falls back to default_rate=1.0
+    other = domain_mix(docs, "lang", {"absent": 0.0})
+    assert other.count() == 400
+
+
+def test_word_pair_counts_exact(spark):
+    from bigdatalab_spark.functions import tokenize, word_shingles
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x")], "doc_id long, text string"
+    )
+    pairs = (
+        docs.select(tokenize("text").alias("toks"))
+        .select(F.explode(word_shingles(F.col("toks"), 2)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .collect()
+    )
+    assert [(r.pair, r.n) for r in pairs] == [("a b", 3), ("b a", 1), ("b c", 1)]
