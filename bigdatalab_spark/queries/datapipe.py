@@ -11,7 +11,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bigdatalab_spark.operators import money_sum
 from bigdatalab_spark.queries.registry import query
+from bigdatalab_spark.queries.tpch import dsum
 from bigdatalab_spark.sources import load_table
 
 _NGRAM = 5
@@ -336,3 +338,134 @@ def bpe_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(20)
     )
+
+
+@query(
+    "event_gap_stats",
+    ids=("A4", "T-EXT", "P1"),
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id,
+                   epoch_us(ts) - epoch_us(lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+            FROM events
+        )
+        SELECT user_id,
+               count(*) AS n_gaps,
+               CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+               CAST(sum(gap_us) AS DOUBLE) / count(*) AS avg_gap_us
+        FROM gaps
+        WHERE gap_us IS NOT NULL
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+)
+def event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap statistics per user via ``lag`` — the windowed
+    lead/lag family over event streams (inactivity detection, rate
+    estimation). Gaps are exact integer microseconds; the average is an
+    exact integer sum divided in double, so it replays bit-for-bit.
+    Scale shape: the window partitions by user_id — state is one user's
+    events per window instance, parallel across the key space."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.max("gap_us").alias("max_gap_us"),
+            (F.sum("gap_us").cast("double") / F.count(F.lit(1))).alias("avg_gap_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "cdc_latest_by_key",
+    ids=("O5", "T-EXT"),
+    oracle="""
+        SELECT user_id, event_id,
+               CAST(ts AS VARCHAR) AS ts,
+               event_type, value
+        FROM (
+            SELECT *,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events
+        )
+        WHERE rn = 1
+        ORDER BY user_id
+    """,
+)
+def cdc_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction: the latest record per key (events as a
+    changelog keyed by user_id, newest by (ts, event_id) wins) — the
+    keep-last-version pattern every incremental ingest pipeline runs.
+    One shuffle on the key; within each key the window instance scans
+    that key's rows only, so compaction parallelizes across keys at
+    100 TB the same way the streaming dedup state does."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.col("ts").cast("string").alias("ts"),
+            "event_type",
+            "value",
+        )
+        .orderBy("user_id")
+    )
+
+
+_STREAM_STATIC_COUNTER = [0]
+
+
+@query(
+    "stream_static_segment_value",
+    ids=("T-EXT", "J3", "S12", "T1", "T10"),
+    oracle=f"""
+        SELECT c.c_mktsegment AS segment,
+               count(*) AS n_events,
+               {dsum('e.value')} AS total_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY segment
+        ORDER BY segment
+    """,
+)
+def stream_static_segment_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL stream-static join run inside the correctness gate:
+    readStream over events -> broadcast join to the static customer dim
+    (:func:`bigdatalab_spark.streaming.jobs.stream_static_join`) ->
+    keyed aggregation -> AvailableNow -> memory sink. The static side
+    holds no stream state and is re-scanned per micro-batch; the oracle
+    is the batch join+agg equivalent of the drained final state."""
+    from bigdatalab_spark.streaming import run_stream_to_memory, stream_events
+    from bigdatalab_spark.streaming.jobs import stream_static_join
+
+    _STREAM_STATIC_COUNTER[0] += 1
+    name = f"stream_static_seg_{_STREAM_STATIC_COUNTER[0]}"
+    stream = stream_events(spark, sf_dir)
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    enriched = stream_static_join(stream, dim, on="user_id", how="inner")
+    state = enriched.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        money_sum("value").alias("total_value"),
+    )
+    run_stream_to_memory(state, name, output_mode="complete")
+    return spark.table(name).orderBy("segment")

@@ -232,6 +232,23 @@ def write_stream_to_kafka(
     return writer.start()
 
 
+def stream_static_join(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str = "user_id",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join — the canonical streaming lookup:
+    each micro-batch of the unbounded side joins the *bounded* dim
+    table (no watermark needed: static sides hold no join state, Spark
+    re-plans the dim scan per micro-batch, so slowly-changing dims are
+    picked up on file refresh). The dim is marked broadcast — at
+    cluster scale a dimension that fits in executor memory must never
+    shuffle the stream; if it outgrows broadcast, Spark falls back to a
+    per-batch shuffle join with the same semantics."""
+    return stream.join(F.broadcast(dim), on, how)
+
+
 def stream_stream_interval_join(
     clicks: DataFrame,
     purchases: DataFrame,

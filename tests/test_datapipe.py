@@ -135,3 +135,57 @@ def test_word_pair_counts_exact(spark):
         .collect()
     )
     assert [(r.pair, r.n) for r in pairs] == [("a b", 3), ("b a", 1), ("b c", 1)]
+
+
+def test_cdc_latest_by_key_newest_wins_with_tiebreak(spark):
+    from pyspark.sql.window import Window
+
+    log = spark.createDataFrame(
+        [
+            (1, 100, "2024-01-01 00:00:00", "a"),
+            (2, 100, "2024-01-02 00:00:00", "b"),  # newer ts wins
+            (3, 200, "2024-01-01 00:00:00", "c"),
+            (4, 200, "2024-01-01 00:00:00", "d"),  # same ts: higher event_id wins
+        ],
+        "event_id long, user_id long, ts string, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    latest = (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .orderBy("user_id")
+        .collect()
+    )
+    assert [(r.user_id, r.event_id, r.event_type) for r in latest] == [
+        (100, 2, "b"),
+        (200, 4, "d"),
+    ]
+
+
+def test_stream_static_join_matches_batch_and_broadcasts(spark, sf_dir):
+    from bigdatalab_spark.sources import load_table
+    from bigdatalab_spark.streaming import run_stream_to_memory, stream_events
+    from bigdatalab_spark.streaming.jobs import stream_static_join
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    stream = stream_events(spark, sf_dir)
+    agg = (
+        stream_static_join(stream, dim, on="user_id", how="inner")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    run_stream_to_memory(agg, "t_stream_static", output_mode="complete")
+    got = {
+        r.c_mktsegment: r.n for r in spark.table("t_stream_static").collect()
+    }
+    expect = {
+        r.c_mktsegment: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .join(dim, "user_id")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expect and got  # same final state, non-empty
