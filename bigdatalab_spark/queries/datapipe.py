@@ -57,15 +57,13 @@ _SPLIT_CTE = """
             FROM ngrams n JOIN assigned a USING (doc_id)
             WHERE a.split = 'train'
         ),
-        holdout AS (
-            SELECT n.doc_id AS holdout_doc_id, ngram_h
+        holdout_set AS (
+            SELECT DISTINCT ngram_h
             FROM ngrams n JOIN assigned a USING (doc_id)
             WHERE a.split IN ('val', 'test')
         )
-        SELECT t.doc_id,
-               count(DISTINCT t.ngram_h) AS n_shared_ngrams,
-               count(DISTINCT h.holdout_doc_id) AS n_holdout_docs
-        FROM train t JOIN holdout h USING (ngram_h)
+        SELECT t.doc_id, count(*) AS n_shared_ngrams
+        FROM train t JOIN holdout_set h USING (ngram_h)
         GROUP BY t.doc_id
         ORDER BY t.doc_id
     """,
@@ -74,8 +72,10 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination, GPT-3 style: train documents sharing
     any word 5-gram with a val/test document
     (:func:`bigdatalab_spark.scale.decontam.ngram_contamination` over
-    the deterministic hash split). The join runs on 28-bit portable
-    n-gram hashes — never on text — so the oracle replays it exactly."""
+    the deterministic hash split). The join runs the linear *set* shape
+    on 28-bit portable n-gram hashes — never doc-pairs, never text —
+    so the oracle replays it exactly and the cost stays proportional
+    to the train side at 100 TB."""
     from bigdatalab_spark.scale.curation import hash_split
     from bigdatalab_spark.scale.decontam import ngram_contamination
 

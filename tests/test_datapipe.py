@@ -26,9 +26,14 @@ def test_ngram_contamination_flags_only_real_overlap(spark):
         "doc_id long, text string, split string",
     )
     out = ngram_contamination(docs, n=5).orderBy("doc_id").collect()
-    assert [(r.doc_id, r.n_shared_ngrams, r.n_holdout_docs) for r in out] == [
-        (1, 1, 1)
-    ]
+    assert [(r.doc_id, r.n_shared_ngrams) for r in out] == [(1, 1)]
+    # boilerplate guard: an n-gram in >max_holdout_df holdout docs is ignored
+    many = spark.createDataFrame(
+        [(1, "a b c d e x", "train"), (10, "a b c d e", "test"), (11, "a b c d e", "val")],
+        "doc_id long, text string, split string",
+    )
+    assert ngram_contamination(many, n=5, max_holdout_df=1).count() == 0
+    assert ngram_contamination(many, n=5, max_holdout_df=2).count() == 1
 
 
 def test_cluster_split_leakage_counts_holdout_members(spark):
