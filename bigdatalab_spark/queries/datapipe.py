@@ -469,3 +469,86 @@ def stream_static_segment_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_stream_to_memory(state, name, output_mode="complete")
     return spark.table(name).orderBy("segment")
+
+
+def _incremental_oracle() -> str:
+    from bigdatalab_spark.queries.dedup import (
+        SHINGLES_CTE,
+        _PARAMS_VALUES,
+        _VERIFY_SQL,
+    )
+    from bigdatalab_spark.scale.hashing import MINHASH_P, MINHASH_ROWS
+
+    return f"""
+        WITH {SHINGLES_CTE},
+        params(i, a, b) AS (VALUES {_PARAMS_VALUES}),
+        hashes AS (
+            SELECT doc_id, shingle,
+                   CAST('0x' || substr(md5(shingle), 1, 7) AS BIGINT) AS h
+            FROM shingles
+        ),
+        mh AS (
+            SELECT doc_id, i, min((h * a + b) % {MINHASH_P}) AS v
+            FROM hashes, params
+            GROUP BY doc_id, i
+        ),
+        bands AS (
+            SELECT doc_id, i // {MINHASH_ROWS} AS band,
+                   string_agg(CAST(v AS VARCHAR), '_' ORDER BY i) AS sig
+            FROM mh
+            GROUP BY doc_id, i // {MINHASH_ROWS}
+        ),
+        cands AS (
+            SELECT DISTINCT b.doc_id AS doc1, c.doc_id AS doc2
+            FROM bands b JOIN bands c ON b.band = c.band AND b.sig = c.sig
+            WHERE b.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+        ),
+        {_VERIFY_SQL},
+        near AS (SELECT DISTINCT doc1 AS doc_id FROM verified WHERE jaccard >= 0.5),
+        bh AS (
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash
+            FROM documents WHERE doc_id % 2 = 1
+        ),
+        ch AS (
+            SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash
+            FROM documents WHERE doc_id % 2 = 0
+        ),
+        exact AS (
+            SELECT doc_id FROM bh JOIN ch USING (content_hash)
+            UNION
+            SELECT b.doc_id
+            FROM bh b JOIN bh b2
+              ON b2.content_hash = b.content_hash AND b2.doc_id < b.doc_id
+        )
+        SELECT b.doc_id,
+               CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                    WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                    ELSE 'new' END AS status
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) b
+        LEFT JOIN exact e ON e.doc_id = b.doc_id
+        LEFT JOIN near n ON n.doc_id = b.doc_id
+        ORDER BY b.doc_id
+    """
+
+
+@query(
+    "incremental_dedup_status",
+    ids=("SCALE-DEDUP", "SCALE-CURATION"),
+    oracle=_incremental_oracle(),
+)
+def incremental_dedup_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest dedup: classify a new batch (odd doc_ids) against the
+    existing corpus (even doc_ids) as exact_dup / near_dup / new WITHOUT
+    re-clustering the corpus
+    (:func:`bigdatalab_spark.scale.dedup.incremental_dedup`). Candidate
+    generation is batch×corpus band joins only — daily cost tracks the
+    batch, and corpus signatures would come from a signature store in
+    production. The oracle replays signatures for all docs and restricts
+    candidates to the same cross-parity pairs."""
+    from bigdatalab_spark.scale.dedup import incremental_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter("doc_id % 2 = 0")
+    batch = docs.filter("doc_id % 2 = 1")
+    return incremental_dedup(batch, corpus).orderBy("doc_id")

@@ -84,6 +84,21 @@ def _band_col(i: int) -> Column:
     return F.concat_ws("_", *cols)
 
 
+def band_rows(signatures: DataFrame) -> DataFrame:
+    """Explode a signature frame to one row per (doc_id, band, sig)."""
+    return signatures.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band"), _band_col(i).alias("sig"))
+                    for i in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.sig")
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, max_bucket_size: int | None = None
 ) -> DataFrame:
@@ -98,17 +113,7 @@ def lsh_candidate_pairs(
     other that exact dedup already collapses. Audit what a cap would
     drop with :func:`lsh_bucket_stats`.
     """
-    bands = signatures.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(i).alias("band"), _band_col(i).alias("sig"))
-                    for i in range(MINHASH_BANDS)
-                ]
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.band", "b.sig")
+    bands = band_rows(signatures)
     if max_bucket_size is not None:
         from pyspark import StorageLevel
         from pyspark.sql.window import Window
@@ -151,20 +156,8 @@ def lsh_bucket_stats(signatures: DataFrame, max_bucket_size: int | None = None) 
     (band, sig) with ``n_docs`` and, when ``max_bucket_size`` is given,
     a ``dropped`` flag marking buckets the cap would exclude. Run this
     (it is one aggregate) before tightening the cap on a new corpus."""
-    sizes = (
-        signatures.select(
-            "doc_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(F.lit(i).alias("band"), _band_col(i).alias("sig"))
-                        for i in range(MINHASH_BANDS)
-                    ]
-                )
-            ).alias("b"),
-        )
-        .groupBy("b.band", "b.sig")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
+    sizes = band_rows(signatures).groupBy("band", "sig").agg(
+        F.count(F.lit(1)).alias("n_docs")
     )
     if max_bucket_size is not None:
         sizes = sizes.withColumn("dropped", F.col("n_docs") > max_bucket_size)
@@ -232,6 +225,95 @@ def minhash_near_dups(
     sh = doc_shingles(docs, n=n).cache()
     cands = lsh_candidate_pairs(minhash_signatures(sh), max_bucket_size=max_bucket_size)
     return jaccard_verify(cands, sh).filter(F.col("jaccard") >= threshold)
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    max_bucket_size: int | None = 500,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus — the daily-ingest
+    operation: the corpus is never re-clustered, only the batch is
+    classified. Returns ``(doc_id, status)`` for every batch document:
+
+    - ``'exact_dup'``: normalized content already in the corpus, or an
+      earlier (lower-id) batch document has the same content;
+    - ``'near_dup'``: a verified corpus near-duplicate exists
+      (MinHash-LSH candidates batch×corpus, exact Jaccard >= threshold);
+    - ``'new'``: neither.
+
+    Scale design: candidate generation joins the batch's band rows
+    against the corpus' — batch×corpus only, never corpus×corpus, so
+    the daily cost is proportional to the batch. In production the
+    corpus side's signatures/bands are precomputed once and stored
+    (they are pure per-doc functions — exactly what a signature store
+    holds); recomputing here keeps the operator self-contained.
+    Batch-internal NEAR-dups (both docs new today) are deliberately
+    not classified — they surface in the next full clustering pass;
+    batch-internal EXACT dups are caught (min-id keeper rule).
+    ``max_bucket_size`` caps degenerate corpus-side buckets, same guard
+    and rationale as :func:`lsh_candidate_pairs`. Ids must be unique
+    across batch ∪ corpus.
+    """
+    from pyspark.sql.window import Window
+
+    bh = batch.select(
+        F.col(id_col).alias("doc_id"), F.md5(normalize_text(text_col)).alias("content_hash")
+    )
+    ch = corpus.select(F.md5(normalize_text(text_col)).alias("content_hash")).distinct()
+    wmin = Window.partitionBy("content_hash")
+    exact_ids = (
+        bh.join(ch, "content_hash", "left_semi")
+        .select("doc_id")
+        .union(
+            bh.withColumn("_min", F.min("doc_id").over(wmin))
+            .filter(F.col("doc_id") > F.col("_min"))
+            .select("doc_id")
+        )
+        .distinct()
+    )
+    sh_b = doc_shingles(batch, text_col, id_col, n).cache()
+    sh_c = doc_shingles(corpus, text_col, id_col, n).cache()
+    bands_b = band_rows(minhash_signatures(sh_b))
+    bands_c = band_rows(minhash_signatures(sh_c))
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("band", "sig")
+        bands_c = (
+            bands_c.withColumn("_n_bucket", F.count(F.lit(1)).over(wb))
+            .filter(F.col("_n_bucket") <= max_bucket_size)
+            .drop("_n_bucket")
+        )
+    cands = (
+        bands_b.alias("b")
+        .join(
+            bands_c.alias("c"),
+            (F.col("b.band") == F.col("c.band")) & (F.col("b.sig") == F.col("c.sig")),
+        )
+        .select(F.col("b.doc_id").alias("doc1"), F.col("c.doc_id").alias("doc2"))
+        .distinct()
+    )
+    near_ids = (
+        jaccard_verify(cands, sh_b.union(sh_c))
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("doc1").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        batch.select(F.col(id_col).alias("doc_id"))
+        .join(exact_ids.withColumn("_e", F.lit(True)), "doc_id", "left")
+        .join(near_ids.withColumn("_n", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_e"), F.lit("exact_dup"))
+            .when(F.col("_n"), F.lit("near_dup"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+    )
 
 
 def ngram_jaccard_pairs(

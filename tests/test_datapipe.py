@@ -194,3 +194,30 @@ def test_stream_static_join_matches_batch_and_broadcasts(spark, sf_dir):
         .collect()
     }
     assert got == expect and got  # same final state, non-empty
+
+
+def test_incremental_dedup_statuses(spark):
+    from bigdatalab_spark.scale.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "an entirely different corpus document about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            # exact copy of corpus doc 0 (same normalized content)
+            (11, "The  quick brown fox jumps over the lazy dog tonight"),
+            # near-dup of corpus doc 0: one word changed
+            (13, "the quick brown fox jumps over the lazy cat tonight"),
+            # genuinely new
+            (15, "completely unrelated text with no overlap whatsoever here"),
+            # exact dup of an EARLIER batch doc (15): later id loses
+            (17, "completely unrelated text with no overlap whatsoever here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.status for r in incremental_dedup(batch, corpus).collect()}
+    assert out == {11: "exact_dup", 13: "near_dup", 15: "new", 17: "exact_dup"}
