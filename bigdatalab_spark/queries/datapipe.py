@@ -1,9 +1,11 @@
 """Training-data pipeline queries, second wave: benchmark
 decontamination (n-gram overlap and near-dup cluster leakage), PII
-redaction, deterministic corpus shuffling, mixture-weight sampling, and
-BPE merge statistics. Registered AFTER the SURVEY-core top-50 (driver
-records the first 50 registry entries); evidence is the strict local
-oracle + pytest, same contract as :mod:`bigdatalab_spark.queries.pipeline`.
+redaction, deterministic corpus shuffling, mixture-weight sampling,
+BPE merge statistics, lead/lag gap analysis, CDC latest-per-key
+compaction, a real stream-static join, and incremental batch-vs-corpus
+dedup. Registered AFTER the SURVEY-core top-50 (driver records the
+first 50 registry entries); evidence is the strict local oracle +
+pytest, same contract as :mod:`bigdatalab_spark.queries.pipeline`.
 """
 
 from __future__ import annotations

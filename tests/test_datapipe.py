@@ -221,3 +221,16 @@ def test_incremental_dedup_statuses(spark):
     )
     out = {r.doc_id: r.status for r in incremental_dedup(batch, corpus).collect()}
     assert out == {11: "exact_dup", 13: "near_dup", 15: "new", 17: "exact_dup"}
+
+
+def test_domain_mix_samples_are_nested_across_rates(spark):
+    # same salt => the kept set at a lower rate is a subset of the kept
+    # set at a higher rate (thresholding one fixed hash), so mixture
+    # weights can be tuned without resampling churn
+    docs = spark.createDataFrame(
+        [(i, "web") for i in range(300)], "doc_id long, lang string"
+    )
+    small = {r.doc_id for r in domain_mix(docs, "lang", {"web": 0.2}).collect()}
+    large = {r.doc_id for r in domain_mix(docs, "lang", {"web": 0.6}).collect()}
+    assert small <= large
+    assert len(small) < len(large)
