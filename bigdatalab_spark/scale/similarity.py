@@ -204,17 +204,20 @@ def ivf_kmeans_topk(
 
     Offline phase: fit KMeans(seed) on the corpus, assign every vector a
     centroid id (this is the partition/bucket column you'd write the
-    corpus by at 100 TB). Online phase: route each query to its
-    ``n_probe`` nearest centroids driver-side (centroid table is tiny),
-    then exact cosine top-k within the probed buckets only.
+    corpus by at 100 TB). Online phase: route queries to their
+    ``n_probe`` nearest centroids with a broadcast join against the
+    centroid table (tiny — it lives on every executor; only the model
+    fit and the centroid literals touch the driver), then exact cosine
+    top-k within the probed buckets only. The routing is fully
+    distributed — a query *set* of any size streams through the same
+    broadcast-nested-loop + per-query window, nothing is collected.
 
-    Deterministic given the seed, but the centroids are not
-    SQL-replayable -> registered as a rows-only query; recall vs
-    brute force is asserted in tests/test_scale.py.
+    Deterministic given the seed (probe ties broken by bucket id), but
+    the centroids are not SQL-replayable -> registered as a rows-only
+    query; recall vs brute force is asserted in tests/test_scale.py.
     """
-    import numpy as np
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     corpus_v = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -225,22 +228,27 @@ def ivf_kmeans_topk(
     assigned = model.transform(corpus_v).select(
         "neighbor_id", "cv", F.col("prediction").alias("bucket")
     )
-    centers = np.stack(model.clusterCenters())
 
     q_rows = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    q_local = q_rows.collect()  # queries are few by construction
-    probe_pairs = []
-    for r in q_local:
-        qv = np.asarray(r["qv"], dtype="float64")
-        sims = centers @ qv / (
-            np.linalg.norm(centers, axis=1) * np.linalg.norm(qv) + 1e-12
-        )
-        for b in np.argsort(-sims)[:n_probe]:
-            probe_pairs.append((r["query_id"], int(b)))
     spark = queries.sparkSession
-    probes = spark.createDataFrame(probe_pairs, "query_id long, bucket int")
+    centroids = spark.createDataFrame(
+        [(int(b), [float(x) for x in c]) for b, c in enumerate(model.clusterCenters())],
+        "bucket int, center array<double>",
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("c_sim"), F.asc("bucket"))
+    probes = (
+        q_rows.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "bucket",
+            cosine(F.col("qv"), F.col("center")).alias("c_sim"),
+        )
+        .withColumn("_pr", F.row_number().over(wp))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "bucket")
+    )
 
     scored = (
         F.broadcast(probes.join(F.broadcast(q_rows), "query_id"))
@@ -251,8 +259,6 @@ def ivf_kmeans_topk(
             cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
         )
     )
-    from pyspark.sql.window import Window
-
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
