@@ -234,3 +234,31 @@ def test_domain_mix_samples_are_nested_across_rates(spark):
     large = {r.doc_id for r in domain_mix(docs, "lang", {"web": 0.6}).collect()}
     assert small <= large
     assert len(small) < len(large)
+
+
+def test_new_operators_tolerate_degenerate_inputs(spark):
+    from bigdatalab_spark.scale.dedup import incremental_dedup
+
+    schema = "doc_id long, text string"
+    empty = spark.createDataFrame([], schema)
+    batch = spark.createDataFrame(
+        [(1, "some brand new text here today"), (2, "some brand new text here today")],
+        schema,
+    )
+    # empty corpus: nothing can be exact/near vs corpus; batch-internal
+    # exact dup (doc 2) still caught
+    out = {r.doc_id: r.status for r in incremental_dedup(batch, empty).collect()}
+    assert out == {1: "new", 2: "exact_dup"}
+    # empty batch: empty result, schema intact
+    res = incremental_dedup(empty, batch)
+    assert res.columns == ["doc_id", "status"] and res.count() == 0
+
+    # no holdout docs at all: contamination result is empty, not an error
+    train_only = spark.createDataFrame(
+        [(1, "a b c d e f", "train")], "doc_id long, text string, split string"
+    )
+    assert ngram_contamination(train_only, n=5).count() == 0
+
+    # empty frame through the shuffle keeps schema and yields no rows
+    shuffled = deterministic_shuffle(spark.createDataFrame([], schema), "doc_id")
+    assert shuffled.count() == 0 and "shuffle_pos" in shuffled.columns
