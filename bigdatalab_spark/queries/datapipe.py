@@ -16,11 +16,12 @@ from pyspark.sql import functions as F
 from bigdatalab_spark.operators import money_sum
 from bigdatalab_spark.queries.registry import query
 from bigdatalab_spark.queries.tpch import dsum
+from bigdatalab_spark.scale.hashing import portable_hash_sql
 from bigdatalab_spark.sources import load_table
 
 _NGRAM = 5
 
-_SPLIT_CTE = """
+_SPLIT_CTE = f"""
     assigned AS (
         SELECT doc_id,
                CASE WHEN h < 8000 THEN 'train'
@@ -28,7 +29,7 @@ _SPLIT_CTE = """
                     ELSE 'test' END AS split
         FROM (
             SELECT doc_id,
-                   CAST('0x' || substr(md5('split-v1' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)
+                   {portable_hash_sql("'split-v1' || CAST(doc_id AS VARCHAR)")}
                        % 10000 AS h
             FROM documents
         )
@@ -48,7 +49,7 @@ _SPLIT_CTE = """
         {_SPLIT_CTE},
         ngrams AS (
             SELECT DISTINCT w.doc_id,
-                   CAST('0x' || substr(md5(array_to_string(ws[i:i+{_NGRAM - 1}], ' ')), 1, 7) AS BIGINT)
+                   {portable_hash_sql(f"array_to_string(ws[i:i+{_NGRAM - 1}], ' ')")}
                        AS ngram_h
             FROM words w,
                  LATERAL (SELECT unnest(generate_series(1, len(ws) - {_NGRAM - 1})) AS i) t
@@ -241,12 +242,12 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "deterministic_shuffle_order",
     ids=("SCALE-CURATION", "P10"),
-    oracle="""
+    oracle=f"""
         SELECT doc_id, h AS shuffle_hash,
                CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS shuffle_pos
         FROM (
             SELECT doc_id,
-                   CAST('0x' || substr(md5('shuf-v1' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) AS h
+                   {portable_hash_sql("'shuf-v1' || CAST(doc_id AS VARCHAR)")} AS h
             FROM documents
         )
         ORDER BY shuffle_pos
@@ -279,7 +280,7 @@ _MIX_CASE = " ".join(
     oracle=f"""
         SELECT lang, count(*) AS n_kept, min(doc_id) AS min_doc_id
         FROM documents
-        WHERE CAST('0x' || substr(md5('mix-v1' || lang || '|' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)
+        WHERE {portable_hash_sql("'mix-v1' || lang || '|' || CAST(doc_id AS VARCHAR)")}
                   % 10000
               < CASE lang {_MIX_CASE} ELSE 10000 END
         GROUP BY lang
@@ -432,9 +433,6 @@ def cdc_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_STREAM_STATIC_COUNTER = [0]
-
-
 @query(
     "stream_static_segment_value",
     ids=("T-EXT", "J3", "S12", "T1", "T10"),
@@ -455,10 +453,9 @@ def stream_static_segment_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     holds no stream state and is re-scanned per micro-batch; the oracle
     is the batch join+agg equivalent of the drained final state."""
     from bigdatalab_spark.streaming import run_stream_to_memory, stream_events
-    from bigdatalab_spark.streaming.jobs import stream_static_join
+    from bigdatalab_spark.streaming.jobs import stream_static_join, unique_sink_name
 
-    _STREAM_STATIC_COUNTER[0] += 1
-    name = f"stream_static_seg_{_STREAM_STATIC_COUNTER[0]}"
+    name = unique_sink_name("stream_static_seg")
     stream = stream_events(spark, sf_dir)
     dim = (
         load_table(spark, sf_dir, "customer")

@@ -130,9 +130,6 @@ def running_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_STREAM_RUN_COUNTER = [0]
-
-
 @query(
     "streaming_cumulative_counts",
     ids=("T1", "T2", "T5", "T10", "S12"),
@@ -153,10 +150,13 @@ def streaming_cumulative_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic because AvailableNow processes the full input and
     complete-mode emits final state; the oracle is the batch equivalent
     of the final state."""
-    from bigdatalab_spark.streaming import run_stream_to_memory, stream_events
+    from bigdatalab_spark.streaming import (
+        run_stream_to_memory,
+        stream_events,
+        unique_sink_name,
+    )
 
-    _STREAM_RUN_COUNTER[0] += 1
-    name = f"stream_cumulative_{_STREAM_RUN_COUNTER[0]}"
+    name = unique_sink_name("stream_cumulative")
     stream = stream_events(spark, sf_dir)
     state = stream.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("total_events"),
@@ -232,10 +232,13 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-seen (user_id, event_type) pairs in the state store — exact
     online dedup, the streaming twin of dedup_exact. Drained via
     AvailableNow; result equals batch DISTINCT."""
-    from bigdatalab_spark.streaming import run_stream_to_memory, stream_events
+    from bigdatalab_spark.streaming import (
+        run_stream_to_memory,
+        stream_events,
+        unique_sink_name,
+    )
 
-    _STREAM_RUN_COUNTER[0] += 1
-    name = f"stream_dedup_{_STREAM_RUN_COUNTER[0]}"
+    name = unique_sink_name("stream_dedup")
     deduped = stream_events(spark, sf_dir).dropDuplicates(["user_id", "event_type"])
     out = deduped.select("user_id", "event_type", F.lit(1).alias("n"))
     run_stream_to_memory(out, name, output_mode="append")

@@ -77,13 +77,18 @@ def domain_mix(
     (hash + CASE + filter), preserves input partitioning; changing the
     salt draws an independent sample.
     """
+    # NULL-safe: concat NULL-propagates, and NULL < threshold would
+    # silently DROP every row with a NULL stratum or key. Coalesce both
+    # into the hash input so NULL strata form their own stratum sampled
+    # at default_rate (the threshold CASE already falls through to the
+    # default when the equality is NULL).
     bucket = (
         portable_hash(
             F.concat(
                 F.lit(salt),
-                F.col(strata_col).cast("string"),
+                F.coalesce(F.col(strata_col).cast("string"), F.lit("\x00")),
                 F.lit("|"),
-                F.col(key_col).cast("string"),
+                F.coalesce(F.col(key_col).cast("string"), F.lit("\x00")),
             )
         )
         % SPLIT_BUCKETS

@@ -25,6 +25,7 @@ import logging
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 _LOG = logging.getLogger(__name__)
 
@@ -99,6 +100,21 @@ def band_rows(signatures: DataFrame) -> DataFrame:
     ).select("doc_id", "b.band", "b.sig")
 
 
+def cap_buckets(bands: DataFrame, max_bucket_size: int) -> DataFrame:
+    """Drop (band, sig) buckets larger than ``max_bucket_size`` — the
+    degenerate-signature quadratic guard. Implemented as a window count
+    over (band, sig): the window's hash exchange is the SAME
+    distribution the downstream bucket join requires, so Catalyst
+    reuses it and the guard costs a within-partition sort, not an
+    extra pass."""
+    wb = Window.partitionBy("band", "sig")
+    return (
+        bands.withColumn("_n_bucket", F.count(F.lit(1)).over(wb))
+        .filter(F.col("_n_bucket") <= max_bucket_size)
+        .drop("_n_bucket")
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, max_bucket_size: int | None = None
 ) -> DataFrame:
@@ -116,20 +132,11 @@ def lsh_candidate_pairs(
     bands = band_rows(signatures)
     if max_bucket_size is not None:
         from pyspark import StorageLevel
-        from pyspark.sql.window import Window
 
-        # bucket size as a window count over (band, sig): the window's
-        # hash exchange on (band, sig) is the SAME distribution the pair
-        # self-join below requires, so Catalyst reuses it — the guard
-        # costs a within-partition sort, not an extra pass or persist.
-        # (A groupBy+anti-join variant needs bands materialized twice;
-        # measured ~25% on the whole LSH pipeline at sf0.1.)
-        wb = Window.partitionBy("band", "sig")
-        bands = (
-            bands.withColumn("_n_bucket", F.count(F.lit(1)).over(wb))
-            .filter(F.col("_n_bucket") <= max_bucket_size)
-            .drop("_n_bucket")
-        )
+        # (a groupBy+anti-join variant of the cap needs bands
+        # materialized twice; measured ~25% on the whole LSH pipeline
+        # at sf0.1 — hence the window-count shape in cap_buckets)
+        bands = cap_buckets(bands, max_bucket_size)
         # the pair self-join consumes bands twice and Catalyst does not
         # reuse the exchange across self-join sides — persist the capped
         # result so signatures + guard compute once (A/B at sf0.1:
@@ -259,11 +266,13 @@ def incremental_dedup(
     and rationale as :func:`lsh_candidate_pairs`. Ids must be unique
     across batch ∪ corpus.
     """
-    from pyspark.sql.window import Window
-
+    # NULL content hashes (NULL/unreadable text) are never exact-dups:
+    # SQL equality never matches NULL, and a partitionBy would silently
+    # group all NULLs together — filter them out of BOTH exact paths so
+    # the semantics match the corpus-side join and the SQL oracle
     bh = batch.select(
         F.col(id_col).alias("doc_id"), F.md5(normalize_text(text_col)).alias("content_hash")
-    )
+    ).filter(F.col("content_hash").isNotNull())
     ch = corpus.select(F.md5(normalize_text(text_col)).alias("content_hash")).distinct()
     wmin = Window.partitionBy("content_hash")
     exact_ids = (
@@ -281,12 +290,7 @@ def incremental_dedup(
     bands_b = band_rows(minhash_signatures(sh_b))
     bands_c = band_rows(minhash_signatures(sh_c))
     if max_bucket_size is not None:
-        wb = Window.partitionBy("band", "sig")
-        bands_c = (
-            bands_c.withColumn("_n_bucket", F.count(F.lit(1)).over(wb))
-            .filter(F.col("_n_bucket") <= max_bucket_size)
-            .drop("_n_bucket")
-        )
+        bands_c = cap_buckets(bands_c, max_bucket_size)
     cands = (
         bands_b.alias("b")
         .join(

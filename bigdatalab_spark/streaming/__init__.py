@@ -4,6 +4,7 @@ from bigdatalab_spark.streaming.jobs import (
     run_stream_to_memory,
     socket_stream,
     stream_events,
+    unique_sink_name,
     windowed_counts,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "run_stream_to_memory",
     "socket_stream",
     "stream_events",
+    "unique_sink_name",
     "windowed_counts",
 ]

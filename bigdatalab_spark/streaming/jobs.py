@@ -172,6 +172,17 @@ def sentiment_style_state(stream: DataFrame) -> DataFrame:
     )
 
 
+_SINK_COUNTER = [0]
+
+
+def unique_sink_name(prefix: str) -> str:
+    """Fresh memory-sink query name per stream run: memory-sink tables
+    are session-global, so re-running a gate query must not collide
+    with (or silently read) a previous run's table."""
+    _SINK_COUNTER[0] += 1
+    return f"{prefix}_{_SINK_COUNTER[0]}"
+
+
 def run_stream_to_memory(
     result: DataFrame,
     name: str,

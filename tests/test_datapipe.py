@@ -262,3 +262,15 @@ def test_new_operators_tolerate_degenerate_inputs(spark):
     # empty frame through the shuffle keeps schema and yields no rows
     shuffled = deterministic_shuffle(spark.createDataFrame([], schema), "doc_id")
     assert shuffled.count() == 0 and "shuffle_pos" in shuffled.columns
+
+
+def test_domain_mix_keeps_null_stratum_at_default_rate(spark):
+    docs = spark.createDataFrame(
+        [(1, "web"), (2, None), (3, None), (4, "web")], "doc_id long, lang string"
+    )
+    # NULL stratum is its own stratum at default_rate: 1.0 keeps all
+    kept = domain_mix(docs, "lang", {"web": 0.0}, default_rate=1.0)
+    assert {r.doc_id for r in kept.collect()} == {2, 3}
+    # and default_rate=0.0 drops the NULLs while named rates still apply
+    kept2 = domain_mix(docs, "lang", {"web": 1.0}, default_rate=0.0)
+    assert {r.doc_id for r in kept2.collect()} == {1, 4}
