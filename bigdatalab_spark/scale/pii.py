@@ -31,7 +31,11 @@ from pyspark.sql import functions as F
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
-    ("phone", r"\+?\d[\d -]{6,}\d", "<PHONE>"),
+    # grouped shape (optional +cc, optional 3-digit group, 3+4 core) so
+    # date-like digit runs (2024-01-02, 2020-2024, 1.2.3) can never
+    # align — the naive \d[\d -]{6,}\d redacts every ISO date in a
+    # corpus as a phone number
+    ("phone", r"(\+\d{1,3}[ -])?\b(\d{3}[ -])?\d{3}[ -]\d{4}\b", "<PHONE>"),
 )
 
 

@@ -274,3 +274,20 @@ def test_domain_mix_keeps_null_stratum_at_default_rate(spark):
     # and default_rate=0.0 drops the NULLs while named rates still apply
     kept2 = domain_mix(docs, "lang", {"web": 1.0}, default_rate=0.0)
     assert {r.doc_id for r in kept2.collect()} == {1, 4}
+
+
+def test_redact_pii_does_not_eat_dates_or_versions(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "released 2024-01-02 10:00:00 and 2020-2024 range"),
+            (2, "build 20240102 id 123456789"),
+            (3, "call 555-867-5309 or +44 20 7946 0958 maybe"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in redact_pii(df).collect()}
+    # dates, year ranges, bare digit runs: NOT phones
+    assert rows[1].redacted == rows[1].text and rows[1].n_phone == 0
+    assert rows[2].redacted == rows[2].text and rows[2].n_phone == 0
+    # real phone shapes still caught
+    assert rows[3].n_phone >= 1 and "555-867-5309" not in rows[3].redacted
