@@ -551,3 +551,68 @@ def incremental_dedup_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter("doc_id % 2 = 0")
     batch = docs.filter("doc_id % 2 = 1")
     return incremental_dedup(batch, corpus).orderBy("doc_id")
+
+
+def _simhash_pairs_oracle() -> str:
+    from bigdatalab_spark.scale.hashing import SIMHASH_BITS
+
+    width = SIMHASH_BITS // 4
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+            FROM documents
+        ),
+        hashed AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(token), 1, 7) AS BIGINT) AS h
+            FROM toks WHERE token <> ''
+        ),
+        per_bit AS (
+            SELECT doc_id, j,
+                   CAST(sum(CASE WHEN (h & (CAST(1 AS BIGINT) << j)) <> 0
+                            THEN 1 ELSE -1 END) AS BIGINT) AS s
+            FROM hashed, (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS j) bits
+            GROUP BY doc_id, j
+        ),
+        sigs AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+            FROM per_bit
+            GROUP BY doc_id
+        ),
+        bands AS (
+            SELECT doc_id, i AS band, (simhash >> ({width} * i)) & {(1 << width) - 1} AS val
+            FROM sigs, (SELECT unnest(generate_series(0, 3)) AS i) bi
+        ),
+        cands AS (
+            SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.val = b.val
+                        AND a.doc_id < b.doc_id
+        )
+        SELECT doc1, doc2,
+               CAST(bit_count(xor(s1.simhash, s2.simhash)) AS BIGINT) AS hamming
+        FROM cands
+        JOIN sigs s1 ON s1.doc_id = doc1
+        JOIN sigs s2 ON s2.doc_id = doc2
+        WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 2
+        ORDER BY doc1, doc2
+    """
+
+
+@query(
+    "simhash_hamming_pairs",
+    ids=("SCALE-DEDUP",),
+    oracle=_simhash_pairs_oracle(),
+)
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at hamming distance <= 2 via bit-banding
+    (:func:`bigdatalab_spark.scale.dedup.simhash_near_dups`): the 28-bit
+    signature splits into 4 bands, so any pair within distance 3 shares
+    a bit-identical band BY PIGEONHOLE — banding with guaranteed recall,
+    the deterministic counterpart to MinHash-LSH's probabilistic
+    s-curve. Integer-only, exact SQL replay including bit_count(xor)."""
+    from bigdatalab_spark.scale.dedup import simhash_near_dups
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dups(docs, max_hamming=2).orderBy("doc1", "doc2")

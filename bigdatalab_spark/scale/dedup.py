@@ -379,6 +379,81 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
     )
 
 
+def simhash_near_dups(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, found via banding.
+
+    Split the 28-bit signature into ``n_bands`` equal bit-bands and
+    bucket-join on (band, value): two signatures within hamming
+    distance ``d < n_bands`` differ in at most ``n_bands - 1`` bits, so
+    BY PIGEONHOLE at least one band is bit-identical — banding has
+    **guaranteed 100% recall** for ``max_hamming <= n_bands - 1``
+    (unlike MinHash-LSH's probabilistic s-curve). Candidates are then
+    verified exactly with ``bit_count(xor)``.
+
+    Scale shape mirrors the MinHash pipeline: signatures are two keyed
+    aggregates, banding is a narrow explode, the bucket join meets only
+    signatures sharing a band value, and verification touches
+    candidates only. Integer-only end to end — replays exactly in SQL.
+    Returns (doc1, doc2, hamming).
+    """
+    from bigdatalab_spark.scale.hashing import SIMHASH_BITS
+
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"recall guarantee needs max_hamming <= n_bands - 1 "
+            f"({max_hamming} > {n_bands - 1}); raise n_bands"
+        )
+    width = SIMHASH_BITS // n_bands
+    sigs = simhash_signatures(docs, text_col, id_col).cache()
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.val")
+    cands = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+    s1 = sigs.select(F.col("doc_id").alias("doc1"), F.col("simhash").alias("sh1"))
+    s2 = sigs.select(F.col("doc_id").alias("doc2"), F.col("simhash").alias("sh2"))
+    return (
+        cands.join(s1, "doc1")
+        .join(s2, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))).cast("long").alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def connected_components(
     nodes: DataFrame, edges: DataFrame, max_iter: int = 20
 ) -> DataFrame:

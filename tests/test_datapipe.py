@@ -291,3 +291,29 @@ def test_redact_pii_does_not_eat_dates_or_versions(spark):
     assert rows[2].redacted == rows[2].text and rows[2].n_phone == 0
     # real phone shapes still caught
     assert rows[3].n_phone >= 1 and "555-867-5309" not in rows[3].redacted
+
+
+def test_simhash_banding_recall_is_exhaustive(spark, sf_dir):
+    # pigeonhole guarantee: banded candidates must find EVERY pair with
+    # hamming <= n_bands - 1; compare against the brute-force xor join
+    from bigdatalab_spark.scale.dedup import simhash_near_dups, simhash_signatures
+    from bigdatalab_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    banded = {
+        (r.doc1, r.doc2) for r in simhash_near_dups(docs, max_hamming=3).collect()
+    }
+    sigs = simhash_signatures(docs)
+    s1 = sigs.select(F.col("doc_id").alias("doc1"), F.col("simhash").alias("h1"))
+    s2 = sigs.select(F.col("doc_id").alias("doc2"), F.col("simhash").alias("h2"))
+    brute = {
+        (r.doc1, r.doc2)
+        for r in s1.crossJoin(s2)
+        .filter("doc1 < doc2")
+        .filter(F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))) <= 3)
+        .collect()
+    }
+    assert banded == brute and brute  # exact recall, non-trivially
+
+    with pytest.raises(ValueError):
+        simhash_near_dups(docs, max_hamming=4, n_bands=4)
