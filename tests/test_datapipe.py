@@ -317,3 +317,17 @@ def test_simhash_banding_recall_is_exhaustive(spark, sf_dir):
 
     with pytest.raises(ValueError):
         simhash_near_dups(docs, max_hamming=4, n_bands=4)
+
+
+def test_redact_pii_is_idempotent_on_adversarial_battery(spark):
+    battery = [
+        (1, "mail alice.smith+x@corp.example.org now"),
+        (2, "server at 192.168.1.250 rebooted 2024-01-02 10:00:00"),
+        (3, "call +1 555 0199 or 555-867-5309 re 2020-2024"),
+        (4, "bob@a.io x@y.zw 10.0.0.1 1.2.3.4.5 v1.2.3 20240102"),
+    ]
+    df = spark.createDataFrame(battery, "doc_id long, text string")
+    once = redact_pii(df).select("doc_id", F.col("redacted").alias("text"))
+    twice = redact_pii(once)
+    diffs = twice.filter(F.col("redacted") != F.col("text")).count()
+    assert diffs == 0  # a second pass changes nothing
