@@ -331,3 +331,17 @@ def test_redact_pii_is_idempotent_on_adversarial_battery(spark):
     twice = redact_pii(once)
     diffs = twice.filter(F.col("redacted") != F.col("text")).count()
     assert diffs == 0  # a second pass changes nothing
+
+
+def test_observe_quality_rides_the_existing_job(spark, sf_dir):
+    from bigdatalab_spark.operators.observe import observe_quality
+    from bigdatalab_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    observed, obs = observe_quality(orders, ["o_custkey"])
+    kept = observed.filter("o_totalprice > 0").count()  # the one action
+    m = obs.get
+    assert m["n_rows"] == orders.count()  # observed BEFORE the filter
+    assert m["n_null_o_custkey"] == 0
+    assert m["n_distinct_o_custkey"] > 0
+    assert kept > 0
