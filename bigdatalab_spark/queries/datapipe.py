@@ -616,3 +616,43 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return simhash_near_dups(docs, max_hamming=2).orderBy("doc1", "doc2")
+
+
+@query(
+    "winsorized_event_values",
+    ids=("SCALE-CURATION", "A4", "J3"),
+    oracle=f"""
+        WITH cuts AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.05) AS lo,
+                   quantile_cont(value, 0.95) AS hi
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type, c.lo, c.hi,
+               CAST(sum(CASE WHEN e.value < c.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+               CAST(sum(CASE WHEN e.value > c.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+               {dsum('least(greatest(e.value, c.lo), c.hi)')} AS sum_clipped
+        FROM events e JOIN cuts c USING (event_type)
+        GROUP BY e.event_type, c.lo, c.hi
+        ORDER BY e.event_type
+    """,
+)
+def winsorized_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorization of event values
+    (:func:`bigdatalab_spark.scale.curation.winsorize`, P05/P95): exact
+    percentile cuts (same interpolation in both engines), broadcast
+    back, clip, and summarize — clip counts plus a decimal-accumulated
+    sum of the clipped values so the result replays bit-for-bit."""
+    from bigdatalab_spark.scale.curation import winsorize
+
+    ev = load_table(spark, sf_dir, "events")
+    clipped = winsorize(ev, "value", "event_type")
+    return (
+        clipped.groupBy("event_type", "lo", "hi")
+        .agg(
+            F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0)).alias("n_below"),
+            F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0)).alias("n_above"),
+            money_sum("value_clipped").alias("sum_clipped"),
+        )
+        .orderBy("event_type")
+    )

@@ -129,6 +129,34 @@ def deterministic_shuffle(
     return zip_with_index(hashed, "shuffle_hash", key_col, idx_name=pos_col)
 
 
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+) -> DataFrame:
+    """Per-group percentile clipping (winsorization) — the standard
+    outlier-taming step before a value feeds loss weighting, sampling
+    temperature, or any learned statistic.
+
+    Two stages, both keyed on ``group_col``: exact percentile cuts per
+    group (one partially-aggregated shuffle; Spark's ``percentile`` and
+    DuckDB's ``quantile_cont`` share the same interpolation, so cuts
+    replay exactly), then a broadcast join of the tiny cuts table back
+    onto the rows and a pure-expression clip. Adds ``lo``/``hi`` and
+    ``<value_col>_clipped``; original rows and columns pass through.
+    """
+    cuts = df.groupBy(group_col).agg(
+        F.percentile(value_col, F.lit(lo_q)).alias("lo"),
+        F.percentile(value_col, F.lit(hi_q)).alias("hi"),
+    )
+    return df.join(F.broadcast(cuts), group_col).withColumn(
+        f"{value_col}_clipped",
+        F.least(F.greatest(F.col(value_col), F.col("lo")), F.col("hi")),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -345,3 +345,49 @@ def test_observe_quality_rides_the_existing_job(spark, sf_dir):
     assert m["n_null_o_custkey"] == 0
     assert m["n_distinct_o_custkey"] > 0
     assert kept > 0
+
+
+def test_end_to_end_training_export_is_deterministic(spark, sf_dir, tmp_path):
+    """Capstone: dedup -> quality filter -> split -> chunk -> pack ->
+    epoch shuffle -> partitioned parquet export, run twice — identical
+    rows both times (the property that makes a 100 TB run resumable and
+    auditable)."""
+    from bigdatalab_spark.scale.curation import deterministic_shuffle, hash_split
+    from bigdatalab_spark.scale.dedup import exact_dedup_groups
+    from bigdatalab_spark.scale.textqa import chunk_documents, quality_features
+    from bigdatalab_spark.sources import load_table
+
+    def build():
+        docs = load_table(spark, sf_dir, "documents")
+        keepers = docs.join(
+            exact_dedup_groups(docs).select(F.col("keep_id").alias("doc_id")),
+            "doc_id",
+            "left_semi",
+        )
+        passed = keepers.join(
+            quality_features(keepers)
+            .filter("quality_score >= 0.4")
+            .select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        chunks = chunk_documents(hash_split(passed, "doc_id"), 32, 8).join(
+            hash_split(passed, "doc_id").select("doc_id", "split"), "doc_id"
+        )
+        return deterministic_shuffle(chunks, "doc_id").select(
+            "doc_id", "chunk_id", "split", "chunk_text", "shuffle_pos"
+        )
+
+    a = {tuple(r) for r in build().collect()}
+    b = {tuple(r) for r in build().collect()}
+    assert a == b and a  # bitwise-identical corpus across runs
+
+    out = str(tmp_path / "export")
+    build().write.partitionBy("split").parquet(out)
+    back = {
+        tuple(r)
+        for r in spark.read.parquet(out)
+        .select("doc_id", "chunk_id", "split", "chunk_text", "shuffle_pos")
+        .collect()
+    }
+    assert back == a  # export round-trips losslessly
