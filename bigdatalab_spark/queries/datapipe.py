@@ -656,3 +656,59 @@ def winsorized_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "token_balanced_mix_counts",
+    ids=("SCALE-CURATION", "A4"),
+    oracle=f"""
+        WITH wt AS (
+            SELECT doc_id, lang,
+                   CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) AS BIGINT)
+                       AS n_tokens
+            FROM documents
+        ),
+        per AS (
+            SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS stratum_tokens
+            FROM wt GROUP BY lang
+        ),
+        th AS (
+            SELECT lang,
+                   least(10000, CAST(floor(
+                       10000.0
+                       * (CAST(sum(stratum_tokens) OVER () AS DOUBLE) / count(*) OVER ())
+                       / CAST(stratum_tokens AS DOUBLE)
+                   ) AS BIGINT)) AS threshold
+            FROM per
+        )
+        SELECT w.lang, t.threshold,
+               count(*) AS kept_docs,
+               CAST(sum(w.n_tokens) AS BIGINT) AS kept_tokens
+        FROM wt w JOIN th t USING (lang)
+        WHERE {portable_hash_sql("'bmix-v1' || w.lang || '|' || CAST(w.doc_id AS VARCHAR)")}
+                  % 10000 < t.threshold
+        GROUP BY w.lang, t.threshold
+        ORDER BY w.lang
+    """,
+)
+def token_balanced_mix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget-balanced mixture
+    (:func:`bigdatalab_spark.scale.curation.token_balanced_mix`): each
+    language is deterministically downsampled toward an equal share of
+    the TOKEN mass — the unit a trainer actually consumes — with keep
+    rates derived from the data inside the plan (two aggregates + a
+    broadcast; no collect). The oracle re-derives the same thresholds
+    with identical fixed-order arithmetic, so the sample replays
+    exactly."""
+    from bigdatalab_spark.scale.curation import token_balanced_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        token_balanced_mix(docs, "lang")
+        .groupBy("lang", "threshold")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum("n_tokens").alias("kept_tokens"),
+        )
+        .orderBy("lang")
+    )

@@ -129,6 +129,68 @@ def deterministic_shuffle(
     return zip_with_index(hashed, "shuffle_hash", key_col, idx_name=pos_col)
 
 
+def token_balanced_mix(
+    df: DataFrame,
+    strata_col: str,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    salt: str = "bmix-v1",
+) -> DataFrame:
+    """Token-budget-aware mixture: downsample each stratum so no
+    language/domain exceeds an equal share of the TOKEN mass (docs are
+    not the unit that matters to a trainer — tokens are).
+
+    Per-stratum keep-threshold (out of ``SPLIT_BUCKETS``) is derived
+    from the data in-plan: ``min(BUCKETS, floor(BUCKETS * (T/k) / T_s))``
+    where ``T`` is total tokens, ``k`` the stratum count and ``T_s`` the
+    stratum's tokens — over-represented strata shrink toward the equal
+    share, rare strata keep 100%. Every step is a fixed-order integer/
+    double expression on aggregate values, so the derived rates — and
+    therefore the sample — replay exactly in SQL. Two keyed aggregates
+    plus a broadcast of the per-stratum thresholds; the keep decision
+    itself is the same salted-hash filter as :func:`domain_mix`.
+
+    Adds ``n_tokens``, ``threshold`` and keeps only surviving rows.
+    """
+    from bigdatalab_spark.functions import token_count
+    from pyspark.sql.window import Window
+
+    with_tokens = df.withColumn("n_tokens", token_count(text_col).cast("long"))
+    per = with_tokens.groupBy(strata_col).agg(
+        F.sum("n_tokens").alias("stratum_tokens")
+    )
+    wall = Window.partitionBy()
+    thresholds = per.select(
+        strata_col,
+        F.least(
+            F.lit(SPLIT_BUCKETS).cast("long"),
+            F.floor(
+                F.lit(float(SPLIT_BUCKETS))
+                * (
+                    F.sum("stratum_tokens").over(wall)
+                    / F.count(F.lit(1)).over(wall)
+                ).cast("double")
+                / F.col("stratum_tokens").cast("double")
+            ),
+        ).alias("threshold"),
+    )
+    bucket = (
+        portable_hash(
+            F.concat(
+                F.lit(salt),
+                F.coalesce(F.col(strata_col).cast("string"), F.lit("\\x00")),
+                F.lit("|"),
+                F.coalesce(F.col(key_col).cast("string"), F.lit("\\x00")),
+            )
+        )
+        % SPLIT_BUCKETS
+    )
+    return (
+        with_tokens.join(F.broadcast(thresholds), strata_col)
+        .filter(bucket < F.col("threshold"))
+    )
+
+
 def winsorize(
     df: DataFrame,
     value_col: str,

@@ -391,3 +391,27 @@ def test_end_to_end_training_export_is_deterministic(spark, sf_dir, tmp_path):
         .collect()
     }
     assert back == a  # export round-trips losslessly
+
+
+def test_token_balanced_mix_caps_dominant_stratum(spark):
+    from bigdatalab_spark.scale.curation import token_balanced_mix
+
+    # 'big' holds ~10x the token mass of 'small'
+    rows = [(i, "big", "w " * 100) for i in range(100)] + [
+        (1000 + i, "small", "w " * 10) for i in range(100)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    kept = token_balanced_mix(docs, "lang")
+    per = {
+        r.lang: (r.thr, r.toks)
+        for r in kept.groupBy("lang")
+        .agg(F.first("threshold").alias("thr"), F.sum("n_tokens").alias("toks"))
+        .collect()
+    }
+    assert per["small"][0] == 10000  # rare stratum keeps 100%
+    assert per["small"][1] == 1000
+    assert per["big"][0] < 10000  # dominant stratum is rate-capped...
+    # ...to roughly the equal token share (5500 of 11000), hash noise aside
+    assert 3000 <= per["big"][1] <= 8000
+    # deterministic
+    assert kept.count() == token_balanced_mix(docs, "lang").count()
