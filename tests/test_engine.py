@@ -66,3 +66,20 @@ def test_persist_levels_and_clear_cache(spark, sf_dir):
     fresh = load_table(spark, sf_dir, "region").filter("r_regionkey >= 0")
     plan_after = fresh._jdf.queryExecution().withCachedData().toString()
     assert "InMemoryRelation" not in plan_after
+
+
+def test_driver_window_contract_holds():
+    """The driver records only the FIRST 50 registry entries. Every
+    beyond-reference extension (pipeline/datapipe modules) must register
+    past the window, and the SURVEY-core block must still fill it."""
+    from bigdatalab_spark.queries import REGISTRY
+    from bigdatalab_spark.queries import datapipe, pipeline
+
+    names = list(REGISTRY)
+    window = set(names[:50])
+    ext = {
+        n for n, spec in REGISTRY.items()
+        if spec.fn.__module__ in (pipeline.__name__, datapipe.__name__)
+    }
+    assert not (ext & window), f"extensions displaced core entries: {ext & window}"
+    assert names[46] == "word_count" and names[49] == "inverted_index"
