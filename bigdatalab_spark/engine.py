@@ -100,13 +100,24 @@ class Engine:
         module does the same).
         """
         if isinstance(level, str):
+            name = level.upper()
+            # PySpark's StorageLevel has no *_SER attributes (every MEMORY_*
+            # level is JVM-serialized already) — alias the Scala names the
+            # reference exercise uses to their PySpark equivalents
+            name = {
+                "MEMORY_ONLY_SER": "MEMORY_ONLY",
+                "MEMORY_ONLY_SER_2": "MEMORY_ONLY_2",
+                "MEMORY_AND_DISK_SER": "MEMORY_AND_DISK",
+                "MEMORY_AND_DISK_SER_2": "MEMORY_AND_DISK_2",
+            }.get(name, name)
             try:
-                level = getattr(StorageLevel, level.upper())
+                level = getattr(StorageLevel, name)
             except AttributeError:
                 raise ValueError(
                     f"unknown storage level {level!r}; one of "
                     "MEMORY_ONLY, MEMORY_AND_DISK, DISK_ONLY, "
-                    "MEMORY_ONLY_2, MEMORY_AND_DISK_2, OFF_HEAP, NONE"
+                    "MEMORY_ONLY_2, MEMORY_AND_DISK_2, OFF_HEAP, NONE "
+                    "(plus the Scala *_SER aliases)"
                 ) from None
         return df.persist(level)
 

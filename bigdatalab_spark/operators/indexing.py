@@ -42,9 +42,15 @@ def zip_with_index(
        (a literal ``create_map`` — no join, no extra shuffle).
 
     The stamped frame is persisted because steps 2 and 3 both consume it
-    and partition ids must agree between the two passes; at cluster scale
-    the same pattern holds (MEMORY_AND_DISK, or checkpoint for very wide
-    inputs).
+    and partition ids must agree between the two passes (and between the
+    counts pass and the consumer's final read — repartitionByRange
+    boundaries are sample-based, so a recompute is not guaranteed to
+    reproduce them); at cluster scale the same pattern holds
+    (MEMORY_AND_DISK, or checkpoint for very wide inputs). Because the
+    returned frame still reads from the persisted one, it cannot be
+    unpersisted here: it is freed by ``Engine.clear_cache()`` /
+    ``spark.catalog.clearCache()`` or session end — call one of those
+    between repeated invocations in a long-lived session.
     """
     if "_pid" in df.columns:
         raise ValueError("zip_with_index reserves the internal column '_pid'")

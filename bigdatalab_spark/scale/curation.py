@@ -37,6 +37,12 @@ def hash_split(
       corpus growth (a new document never moves an old one);
     - re-salting produces an independent split without touching data.
 
+    NULL keys are coalesced to the NUL character before hashing (same
+    convention as :func:`domain_mix`), so rows with a NULL key form one
+    deterministic pseudo-key group rather than falling through the CASE
+    chain to the last split by accident. An oracle replaying a NULLable
+    key must apply the same ``coalesce(key, chr(0))``.
+
     Narrow (no shuffle): the hash and the CASE chain are codegen'd
     column expressions. Replayable in DuckDB for the exact-parity
     oracle: ``CAST('0x' || substr(md5(salt || key), 1, 7) AS BIGINT)
@@ -44,7 +50,15 @@ def hash_split(
     """
     weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
     total = sum(weights.values())
-    bucket = portable_hash(F.concat(F.lit(salt), F.col(key_col).cast("string"))) % SPLIT_BUCKETS
+    bucket = (
+        portable_hash(
+            F.concat(
+                F.lit(salt),
+                F.coalesce(F.col(key_col).cast("string"), F.lit("\x00")),
+            )
+        )
+        % SPLIT_BUCKETS
+    )
     expr = None
     acc = 0.0
     for name, wgt in weights.items():
@@ -178,9 +192,9 @@ def token_balanced_mix(
         portable_hash(
             F.concat(
                 F.lit(salt),
-                F.coalesce(F.col(strata_col).cast("string"), F.lit("\\x00")),
+                F.coalesce(F.col(strata_col).cast("string"), F.lit("\x00")),
                 F.lit("|"),
-                F.coalesce(F.col(key_col).cast("string"), F.lit("\\x00")),
+                F.coalesce(F.col(key_col).cast("string"), F.lit("\x00")),
             )
         )
         % SPLIT_BUCKETS
@@ -207,15 +221,27 @@ def winsorize(
     DuckDB's ``quantile_cont`` share the same interpolation, so cuts
     replay exactly), then a broadcast join of the tiny cuts table back
     onto the rows and a pure-expression clip. Adds ``lo``/``hi`` and
-    ``<value_col>_clipped``; original rows and columns pass through.
+    ``<value_col>_clipped``; original rows and columns pass through —
+    including rows whose group is NULL (the join is null-safe, matching
+    the NULL-group cuts row ``groupBy`` produced).
     """
-    cuts = df.groupBy(group_col).agg(
-        F.percentile(value_col, F.lit(lo_q)).alias("lo"),
-        F.percentile(value_col, F.lit(hi_q)).alias("hi"),
+    cuts = (
+        df.groupBy(group_col)
+        .agg(
+            F.percentile(value_col, F.lit(lo_q)).alias("lo"),
+            F.percentile(value_col, F.lit(hi_q)).alias("hi"),
+        )
+        .withColumnRenamed(group_col, "__w_group")
     )
-    return df.join(F.broadcast(cuts), group_col).withColumn(
-        f"{value_col}_clipped",
-        F.least(F.greatest(F.col(value_col), F.col("lo")), F.col("hi")),
+    return (
+        df.join(
+            F.broadcast(cuts), F.col(group_col).eqNullSafe(F.col("__w_group"))
+        )
+        .drop("__w_group")
+        .withColumn(
+            f"{value_col}_clipped",
+            F.least(F.greatest(F.col(value_col), F.col("lo")), F.col("hi")),
+        )
     )
 
 

@@ -228,6 +228,9 @@ def minhash_near_dups(
     produces per signature — it exists to stop the degenerate-signature
     quadratic case, and is a provable no-op at gate scale, which keeps
     the DuckDB oracle (which replays the uncapped pipeline) exact.
+
+    The shingle cache backs the lazy result, so it is not unpersisted
+    here — freed by ``Engine.clear_cache()`` / session end.
     """
     sh = doc_shingles(docs, n=n).cache()
     cands = lsh_candidate_pairs(minhash_signatures(sh), max_bucket_size=max_bucket_size)
@@ -265,6 +268,10 @@ def incremental_dedup(
     ``max_bucket_size`` caps degenerate corpus-side buckets, same guard
     and rationale as :func:`lsh_candidate_pairs`. Ids must be unique
     across batch ∪ corpus.
+
+    The two shingle caches back the lazy result (signature build and
+    Jaccard verify both read them) and so are not unpersisted here —
+    freed by ``Engine.clear_cache()`` / session end.
     """
     # NULL content hashes (NULL/unreadable text) are never exact-dups:
     # SQL equality never matches NULL, and a partitionBy would silently
@@ -401,6 +408,10 @@ def simhash_near_dups(
     signatures sharing a band value, and verification touches
     candidates only. Integer-only end to end — replays exactly in SQL.
     Returns (doc1, doc2, hamming).
+
+    The signature cache backs the lazy result (banding and the xor
+    verify both read it) and so is not unpersisted here — freed by
+    ``Engine.clear_cache()`` / session end.
     """
     from bigdatalab_spark.scale.hashing import SIMHASH_BITS
 

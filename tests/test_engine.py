@@ -68,6 +68,27 @@ def test_persist_levels_and_clear_cache(spark, sf_dir):
     assert "InMemoryRelation" not in plan_after
 
 
+def test_persist_scala_ser_aliases(spark, sf_dir):
+    """The reference exercise persists at MEMORY_ONLY_SER
+    (302-spark-opt/src/main/scala/Exercise.scala:162-175); PySpark has no
+    *_SER levels (every MEMORY_* level is JVM-serialized already), so the
+    Scala names must alias to their PySpark equivalents instead of
+    raising."""
+    from bigdatalab_spark.sources import load_table
+
+    eng = Engine(spark)
+    df = eng.persist(load_table(spark, sf_dir, "nation"), "MEMORY_ONLY_SER")
+    assert df.storageLevel.useMemory and not df.storageLevel.useDisk
+    eng.unpersist(df, blocking=True)
+    df2 = eng.persist(load_table(spark, sf_dir, "region"), "memory_and_disk_ser")
+    assert df2.storageLevel.useMemory and df2.storageLevel.useDisk
+    eng.unpersist(df2, blocking=True)
+    import pytest
+
+    with pytest.raises(ValueError):
+        eng.persist(load_table(spark, sf_dir, "region"), "NOT_A_LEVEL")
+
+
 def test_driver_window_contract_holds():
     """The driver records only the FIRST 50 registry entries. Every
     beyond-reference extension (pipeline/datapipe modules) must register

@@ -335,6 +335,45 @@ def test_hash_split_deterministic_and_narrow(spark, sf_dir):
     assert resalted != rows1
 
 
+def test_curation_null_handling(spark):
+    """NULL keys/groups are first-class, not accidents: hash_split routes
+    NULL keys through the same coalesced hash as domain_mix (one
+    deterministic pseudo-key, not the CASE-fallthrough straggler split),
+    and winsorize's null-safe join keeps NULL-group rows with the cuts
+    row groupBy computed for them."""
+    from bigdatalab_spark.scale.curation import domain_mix, hash_split, winsorize
+
+    df = spark.createDataFrame(
+        [("a",), ("b",), (None,), (None,)], ["k"]
+    )
+    splits = {r.k: r.split for r in hash_split(df, "k").collect()}
+    # both NULL keys land in the SAME split, deterministically
+    assert splits[None] in {"train", "val", "test"}
+    again = {r.k: r.split for r in hash_split(df, "k").collect()}
+    assert splits == again
+    # the NULL pseudo-key hashes like the literal NUL string — the
+    # domain_mix convention — so the assignment is defined, not the
+    # otherwise() straggler
+    nul = {r.k: r.split for r in hash_split(df.selectExpr("chr(0) AS k"), "k").collect()}
+    assert splits[None] == nul["\x00"]
+
+    vals = spark.createDataFrame(
+        [("g", float(v)) for v in range(1, 21)] + [(None, 5.0), (None, 100.0)],
+        ["grp", "v"],
+    )
+    w = winsorize(vals, "v", "grp")
+    assert w.count() == 22  # NULL-group rows pass through
+    null_rows = w.filter("grp IS NULL").select("lo", "hi", "v_clipped").collect()
+    assert len(null_rows) == 2  # joined to the NULL-group cuts row
+    assert all(r.lo is not None and r.hi is not None for r in null_rows)
+
+    # domain_mix keeps NULL strata at default_rate=1.0 (no silent drop)
+    mixed = domain_mix(df.withColumnRenamed("k", "s").withColumn("doc_id", F.lit("d")),
+                       "s", rates={"a": 0.0})
+    kept = [r.s for r in mixed.collect()]
+    assert "a" not in kept and kept.count(None) == 2
+
+
 def test_stratified_sample_respects_fractions(spark, sf_dir):
     """Per-stratum rates honored within binomial tolerance; unlisted
     strata dropped; same seed -> same sample."""

@@ -144,6 +144,10 @@ def main() -> int:
         for p in problems:
             print(f"       {p}")
         failed += bool(problems)
+        # several operators persist shared intermediates that back their
+        # lazy results (LSH shingles, zip_with_index stamps); drop them
+        # between queries so an 80-query sweep doesn't accumulate cache
+        spark.catalog.clearCache()
     print(f"{len(names) - failed}/{len(names)} queries pass")
     return 1 if failed else 0
 
