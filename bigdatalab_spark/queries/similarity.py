@@ -13,10 +13,13 @@ from pyspark.sql import functions as F
 
 from bigdatalab_spark.queries.registry import query
 from bigdatalab_spark.scale.similarity import (
+    RHP_BITS,
+    RHP_SEED,
+    RHP_TABLES,
     SIGN_BUCKET_BITS,
     brute_force_topk,
     bucketed_topk,
-    embedding_near_dups,
+    random_hyperplanes,
 )
 from bigdatalab_spark.sources import load_table
 
@@ -107,27 +110,68 @@ def ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The SAME deterministic hyperplanes embed in the Spark plan and the
+# oracle string — LSH bucketing replays exactly, so the oracle verifies
+# the full multi-table pipeline, not just the cosine verify.
+_RHP_PLANES = random_hyperplanes(64, bits=RHP_BITS, tables=RHP_TABLES, seed=RHP_SEED)
+
+
+def _rhp_sig_sql(v: str, table_planes: list[list[float]]) -> str:
+    terms = []
+    for i, plane in enumerate(table_planes):
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+        dot = (
+            f"list_sum(list_transform(list_zip({v}, {lit}), "
+            f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+        )
+        terms.append(f"CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+_RHP_SIG_ROWS_SQL = "\n            UNION ALL\n".join(
+    f"SELECT vec_id, {t} AS tbl, {_rhp_sig_sql('embedding', tp)} AS sig FROM embeddings"
+    for t, tp in enumerate(_RHP_PLANES)
+)
+
+
 @query(
     "embedding_near_dups",
     ids=("SCALE-DEDUP", "SCALE-SIM"),
     oracle=f"""
-        WITH v AS (
-            SELECT vec_id, embedding, {_bucket('embedding')} AS bucket
-            FROM embeddings
+        WITH sigs AS (
+            {_RHP_SIG_ROWS_SQL}
+        ),
+        pairs AS (
+            SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+            FROM sigs a JOIN sigs b
+              ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id
         )
-        SELECT a.vec_id AS id1, b.vec_id AS id2,
-               {_cos_sql('a.embedding', 'b.embedding')} AS cos_sim
-        FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.4
+        SELECT id1, id2,
+               {_cos_sql('e1.embedding', 'e2.embedding')} AS cos_sim
+        FROM pairs
+        JOIN embeddings e1 ON pairs.id1 = e1.vec_id
+        JOIN embeddings e2 ON pairs.id2 = e2.vec_id
+        WHERE {_cos_sql('e1.embedding', 'e2.embedding')} >= 0.4
         ORDER BY id1, id2
     """,
 )
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs blocked by sign bucket."""
-    from bigdatalab_spark.scale import similarity as sim
+    """Embedding near-dup pairs via multi-table random-hyperplane LSH
+    ({RHP_TABLES} tables × {RHP_BITS} bits, seeded): the r2 single-table
+    leading-dim blocking recovered 12/59 brute-force pairs at this
+    threshold; the table union recovers the rest without an all-pairs
+    join (recall gate: tests/test_scale.py)."""
+    from bigdatalab_spark.scale.similarity import rhp_near_dups
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return sim.embedding_near_dups(emb, threshold=0.4).orderBy("id1", "id2")
+    return rhp_near_dups(
+        emb,
+        threshold=0.4,
+        dim=64,
+        bits=RHP_BITS,
+        tables=RHP_TABLES,
+        seed=RHP_SEED,
+    ).orderBy("id1", "id2")
 
 
 @query(

@@ -20,11 +20,22 @@ corpus is written bucketed/partitioned by ``bucket``). For real ANN at
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 SIGN_BUCKET_BITS = 4
+
+# Registered-query defaults for the multi-table random-hyperplane LSH:
+# pinned (not corpus-derived) so the static SQL oracle replays the same
+# pipeline at every sf. Library callers get corpus-derived bits via
+# ``bits=None`` -> :func:`hyperplane_bits_for`.
+RHP_TABLES = 8
+RHP_BITS = 4
+RHP_SEED = 7
+RHP_PLANE_DECIMALS = 3
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -129,23 +140,28 @@ def bucketed_topk(
     )
 
 
-def embedding_near_dups(
+def sign_bucket_near_dups(
     vectors: DataFrame,
     threshold: float = 0.9,
+    bits: int = SIGN_BUCKET_BITS,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, blocked by sign bucket.
+    """Single-table leading-dimension sign blocking — the cheap variant.
 
-    Only pairs inside one bucket are compared (near-identical vectors
-    share sign patterns except within ~|cos boundary| of a hyperplane);
-    candidate count per bucket is what you size ``bits`` against at
-    100 TB.
+    One hash table, one self-join; recall is limited (a pair is missed
+    whenever ANY of the ``bits`` leading dimensions straddles zero
+    between the two vectors — measured ~20% at threshold 0.4 on the
+    gate corpus). Kept as the minimal-cost option; the production
+    near-dup path is :func:`rhp_near_dups` (multi-table random
+    hyperplanes, recall amplified by table union). Size ``bits`` with
+    :func:`hyperplane_bits_for` so per-bucket candidate counts stay
+    ~constant as the corpus grows.
     """
     v = vectors.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
-        sign_bucket(F.col(vec_col)).alias("bucket"),
+        sign_bucket(F.col(vec_col), bits=bits).alias("bucket"),
     )
     a, b = v.alias("a"), v.alias("b")
     return (
@@ -158,6 +174,169 @@ def embedding_near_dups(
             F.col("a.vid").alias("id1"),
             F.col("b.vid").alias("id2"),
             cosine(F.col("a.vec"), F.col("b.vec")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+# backward-compatible name; the registered query now routes to
+# rhp_near_dups (see queries/similarity.py)
+embedding_near_dups = sign_bucket_near_dups
+
+
+def hyperplane_bits_for(n_rows: int, target_bucket_rows: int = 32, max_bits: int = 24) -> int:
+    """Corpus-sized hash width: ``bits ~= log2(n / target)`` puts the
+    EXPECTED bucket at ``target_bucket_rows`` for sign-random data, so
+    total candidate pairs ~= n * target / 2 — linear in n, not n².
+    At 100 TB you compute n from table metadata (a count over parquet
+    footers), not a data scan. Clamped to [4, max_bits]; 2^bits buckets
+    must also comfortably exceed the executor count for parallelism.
+    """
+    if n_rows <= target_bucket_rows:
+        return 4
+    return max(4, min(max_bits, math.ceil(math.log2(n_rows / target_bucket_rows))))
+
+
+def random_hyperplanes(
+    dim: int,
+    bits: int = RHP_BITS,
+    tables: int = RHP_TABLES,
+    seed: int = RHP_SEED,
+    decimals: int = RHP_PLANE_DECIMALS,
+) -> list[list[list[float]]]:
+    """``tables`` independent sets of ``bits`` Gaussian hyperplanes
+    (Charikar sign-random-projection LSH), deterministic from the seed.
+
+    Rounded to ``decimals`` so the SAME literals embed in the Spark plan
+    and the SQL oracle: rounding does not affect LSH quality (any
+    full-rank projection works) but keeps the oracle string exact. The
+    planes are plan-side constants — tables*bits*dim doubles, broadcast
+    with the plan itself, never a data-side join.
+    """
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return [
+        [[float(x) for x in np.round(plane, decimals)] for plane in table]
+        for table in rng.standard_normal((tables, bits, dim))
+    ]
+
+
+def hyperplane_table_rows(
+    vectors: DataFrame,
+    planes: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vid, tbl, sig) rows — one signature per hash table per vector.
+
+    The embedding analogue of minhash ``band_rows``
+    (bigdatalab_spark/scale/dedup.py): sig packs the sign bit of each
+    plane dot product, computed as the same JVM ``zip_with``+fold used
+    everywhere in this module (bit-identical to the oracle's
+    ``list_sum(list_transform(...))``). Narrow — the explode multiplies
+    rows by ``tables`` but nothing shuffles until the bucket join.
+    """
+    entries = []
+    for t, table in enumerate(planes):
+        sig = F.lit(0)
+        for i, plane in enumerate(table):
+            dot = _dot(F.col(vec_col), F.array(*[F.lit(x) for x in plane]))
+            sig = sig + F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        entries.append(F.struct(F.lit(t).alias("tbl"), sig.alias("sig")))
+    return vectors.select(
+        F.col(id_col).alias("vid"),
+        F.explode(F.array(*entries)).alias("b"),
+    ).select("vid", "b.tbl", "b.sig")
+
+
+def rhp_candidate_pairs(
+    rows: DataFrame, max_bucket_size: int | None = None
+) -> DataFrame:
+    """Distinct candidate pairs (id1 < id2) sharing >= 1 (tbl, sig)
+    bucket — union over the hash tables, exactly the minhash-LSH
+    banding join shape (dedup.lsh_candidate_pairs) keyed on (tbl, sig).
+
+    ``max_bucket_size`` is the same degenerate-bucket quadratic guard:
+    a bucket of b vectors contributes C(b,2) pairs, so one hot bucket
+    (zero vectors, constant embeddings) can go quadratic. The window
+    count reuses the join's own (tbl, sig) exchange; the capped frame is
+    persisted because the self-join reads it twice (freed by
+    Engine.clear_cache / session end).
+    """
+    if max_bucket_size is not None:
+        from pyspark import StorageLevel
+
+        wb = Window.partitionBy("tbl", "sig")
+        rows = (
+            rows.withColumn("_n_bucket", F.count(F.lit(1)).over(wb))
+            .filter(F.col("_n_bucket") <= max_bucket_size)
+            .drop("_n_bucket")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    a, b = rows.alias("a"), rows.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(F.col("a.vid").alias("id1"), F.col("b.vid").alias("id2"))
+        .distinct()
+    )
+
+
+def rhp_near_dups(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    dim: int | None = None,
+    bits: int | None = None,
+    tables: int = RHP_TABLES,
+    seed: int = RHP_SEED,
+    max_bucket_size: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding near-dup pairs via multi-table random-hyperplane LSH.
+
+    Recall is amplified by the table union: a pair at angle θ agrees
+    with one plane w.p. p = 1 − θ/π, collides in one table w.p. p^bits,
+    and is MISSED only if all ``tables`` tables miss —
+    (1 − p^bits)^tables. bits controls bucket size (candidate cost,
+    size with :func:`hyperplane_bits_for`); tables controls recall at
+    fixed bits — the same knobs as minhash rows-per-band × bands.
+    Measured on the gate corpus (threshold 0.4): single-table 4-bit
+    blocking recovers 12/59 brute-force pairs; 8×4 multi-table recovers
+    the sublinear-candidate maximum (see tests/test_scale.py recall
+    gate with planted pairs).
+
+    ``dim``/``bits`` default from the data (one ``first()`` row for dim,
+    one count for bits — metadata-scale driver actions); pass both
+    explicitly in registered queries to keep plan construction job-free
+    and the oracle static. Returns (id1, id2, cos_sim), verified exact
+    cosine — LSH affects candidate RECALL only, never precision.
+    """
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    if bits is None:
+        bits = hyperplane_bits_for(vectors.count())
+    planes = random_hyperplanes(dim, bits=bits, tables=tables, seed=seed)
+    pairs = rhp_candidate_pairs(
+        hyperplane_table_rows(vectors, planes, vec_col=vec_col, id_col=id_col),
+        max_bucket_size=max_bucket_size,
+    )
+    v1 = vectors.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
+    v2 = vectors.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    # pairs ≪ corpus: AQE converts these to broadcast joins at runtime,
+    # so the corpus streams and only the candidate list moves
+    return (
+        pairs.join(v1, "id1")
+        .join(v2, "id2")
+        .select(
+            "id1",
+            "id2",
+            cosine(F.col("v1"), F.col("v2")).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

@@ -562,3 +562,77 @@ def test_multimodal_resize_plumbing(spark, sf_dir):
     # deterministic: same input -> same payload bytes
     again = fake_resize_image(blobs, 32, 24).collect()
     assert {bytes(r.payload) for r in rows} == {bytes(r.payload) for r in again}
+
+
+def test_rhp_near_dups_recall_and_sublinearity(spark):
+    """Multi-table random-hyperplane LSH recall gate, mirroring the
+    SimHash exhaustive test: 150 planted clusters of 3 near-identical
+    vectors (cos >= 0.9 within, ~N(0, 1/sqrt(32)) across), ground truth
+    by brute force. 6 tables x 6 bits must recover >= 90% of true pairs
+    (theory: miss = (1 - p^6)^6 <= 5% at cos 0.9, p = 1 - theta/pi)
+    while generating FAR fewer candidates than the C(n,2) all-pairs join
+    — the blocked-not-quadratic 100 TB requirement."""
+    import numpy as np
+
+    from bigdatalab_spark.scale.similarity import (
+        hyperplane_bits_for,
+        hyperplane_table_rows,
+        random_hyperplanes,
+        rhp_candidate_pairs,
+        rhp_near_dups,
+    )
+
+    rng = np.random.RandomState(11)
+    vecs = []
+    for c in range(150):
+        base = rng.standard_normal(32)
+        base /= np.linalg.norm(base)
+        vecs.append(base)
+        for _ in range(2):
+            # ||0.05*g|| ~ 0.28 -> base-copy cos ~ 0.96, copy-copy ~ 0.93
+            v = base + 0.05 * rng.standard_normal(32)
+            vecs.append(v / np.linalg.norm(v))
+    M = np.stack(vecs)
+    sims = M @ M.T
+    iu = np.triu_indices(len(vecs), 1)
+    truth = {
+        (int(i), int(j))
+        for i, j in zip(iu[0][sims[iu] >= 0.9], iu[1][sims[iu] >= 0.9])
+    }
+    assert len(truth) >= 150  # the planted pairs are really there
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(M)],
+        "vec_id long, embedding array<double>",
+    )
+    found = {
+        (r.id1, r.id2)
+        for r in rhp_near_dups(
+            df, threshold=0.9, dim=32, bits=6, tables=6, seed=3
+        ).collect()
+    }
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.90, f"recall {recall:.3f} < 0.90 ({len(found)} found)"
+    assert found <= truth  # exact cosine verify -> no false positives
+
+    # blocking is sublinear: candidates well under the all-pairs count
+    planes = random_hyperplanes(32, bits=6, tables=6, seed=3)
+    n = len(vecs)
+    n_cand = rhp_candidate_pairs(hyperplane_table_rows(df, planes)).count()
+    assert n_cand < 0.15 * n * (n - 1) / 2, f"{n_cand} candidates ~ quadratic"
+
+    # the degenerate-bucket cap guards the constant-vector quadratic,
+    # same contract as dedup.lsh_candidate_pairs
+    const = spark.createDataFrame(
+        [(i, [1.0] * 32) for i in range(200)], "vec_id long, embedding array<double>"
+    )
+    capped = rhp_candidate_pairs(
+        hyperplane_table_rows(const, planes), max_bucket_size=50
+    ).count()
+    assert capped == 0
+
+    # corpus-sized bits: expected bucket ~ target keeps pair work linear
+    assert hyperplane_bits_for(500) == 4
+    assert hyperplane_bits_for(2_000_000, target_bucket_rows=32) == 16
+    assert hyperplane_bits_for(10) == 4
+    assert hyperplane_bits_for(10**12, max_bits=24) == 24
