@@ -378,6 +378,7 @@ def ivf_kmeans_topk(
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    query_join: str = "broadcast",
 ) -> DataFrame:
     """IVF ANN with a real trained coarse quantizer (pyspark.ml KMeans).
 
@@ -388,13 +389,29 @@ def ivf_kmeans_topk(
     centroid table (tiny — it lives on every executor; only the model
     fit and the centroid literals touch the driver), then exact cosine
     top-k within the probed buckets only. The routing is fully
-    distributed — a query *set* of any size streams through the same
-    broadcast-nested-loop + per-query window, nothing is collected.
+    distributed — nothing is collected — but the CANDIDATE join strategy
+    is a regime choice, ``query_join``:
+
+    - ``"broadcast"`` (default): the probes⋈queries frame broadcasts to
+      the corpus buckets. Assumes Q ≪ N — the usual IVF serving regime
+      (a query batch against a huge corpus). The query set must fit the
+      broadcast limit; it does NOT "stream through at any size".
+    - ``"shuffle"``: big-Q batch mode (offline joins of two corpora,
+      all-pairs dedup between datasets) — plain shuffle equi-join on
+      ``bucket``, both sides exchange-partitioned; no broadcast of
+      either side, so Q may exceed executor memory. Hot buckets (a
+      popular centroid) are AQE's skew-join case — the session factory
+      enables AQE, which splits oversized bucket partitions at runtime;
+      pre-salting is unnecessary because the per-query window below
+      re-shuffles on query_id anyway.
 
     Deterministic given the seed (probe ties broken by bucket id), but
     the centroids are not SQL-replayable -> registered as a rows-only
-    query; recall vs brute force is asserted in tests/test_scale.py.
+    query; recall vs brute force AND broadcast-vs-shuffle result
+    equality are asserted in tests/test_scale.py.
     """
+    if query_join not in ("broadcast", "shuffle"):
+        raise ValueError("query_join must be 'broadcast' or 'shuffle'")
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -429,14 +446,15 @@ def ivf_kmeans_topk(
         .select("query_id", "bucket")
     )
 
-    scored = (
-        F.broadcast(probes.join(F.broadcast(q_rows), "query_id"))
-        .join(assigned, "bucket")
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
-        )
+    routed = probes.join(
+        F.broadcast(q_rows) if query_join == "broadcast" else q_rows, "query_id"
+    )
+    if query_join == "broadcast":
+        routed = F.broadcast(routed)
+    scored = routed.join(assigned, "bucket").select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (

@@ -162,6 +162,33 @@ def test_ivf_kmeans_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.5, f"IVF recall@3 = {recall}"
 
 
+def test_ivf_kmeans_big_query_shuffle_path(spark, sf_dir):
+    """The big-Q regime (query set LARGER than the corpus sample — e.g.
+    offline corpus-vs-corpus joins) must complete via the shuffle
+    bucket join with NO broadcast of the query frame, and return
+    exactly what the broadcast path returns."""
+    from bigdatalab_spark.scale.similarity import ivf_kmeans_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 400")  # Q=400 vs corpus sample N=100
+    corpus = emb.filter("vec_id >= 400").limit(100)
+
+    shuffled = ivf_kmeans_topk(queries, corpus, k=3, query_join="shuffle")
+    # the only broadcast hint in the shuffle-mode plan is the (tiny)
+    # centroid routing table — neither the query frame nor the
+    # probes⋈queries frame is forced to the driver/executors
+    logical = shuffled._jdf.queryExecution().optimizedPlan().toString()
+    assert logical.count("strategy=broadcast") == 1, logical
+
+    broadcasted = ivf_kmeans_topk(queries, corpus, k=3, query_join="broadcast")
+    assert sorted(map(tuple, shuffled.collect())) == sorted(
+        map(tuple, broadcasted.collect())
+    )
+
+    with pytest.raises(ValueError):
+        ivf_kmeans_topk(queries, corpus, query_join="sideways")
+
+
 def test_lsh_hot_bucket_cap_prevents_quadratic_blowup(spark):
     """A degenerate corpus (thousands of identical docs -> one band
     signature) must not generate C(n,2) candidate pairs: the bucket cap
