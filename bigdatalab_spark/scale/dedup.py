@@ -131,20 +131,17 @@ def lsh_candidate_pairs(
     """
     bands = band_rows(signatures)
     if max_bucket_size is not None:
-        from pyspark import StorageLevel
-
-        # (a groupBy+anti-join variant of the cap needs bands
-        # materialized twice; measured ~25% on the whole LSH pipeline
-        # at sf0.1 — hence the window-count shape in cap_buckets)
+        # NOT persisted: the r2 persist here was re-measured in r3 with
+        # interleaved warm runs (SCALE_NOTES) — the capped self-join with
+        # the shingle frame already cached upstream costs ~5% over
+        # uncapped (both sides recompute only the aggregation above the
+        # cache; AQE broadcasts one side at gate scale, SMJ exchange
+        # reuse covers cluster scale), while the persist's
+        # materialization produced 4-10x outlier runs under memory
+        # pressure. Dropped-bucket observability lives in
+        # lsh_bucket_stats(); the hot path stays lazy so the guard adds
+        # no extra job.
         bands = cap_buckets(bands, max_bucket_size)
-        # the pair self-join consumes bands twice and Catalyst does not
-        # reuse the exchange across self-join sides — persist the capped
-        # result so signatures + guard compute once (A/B at sf0.1:
-        # cap+persist ≈ uncapped baseline; cap alone ~+25%). Skinny rows,
-        # spillable; freed by Engine.clear_cache / session end.
-        bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
-        # dropped-bucket observability lives in lsh_bucket_stats(); the
-        # hot path stays lazy so the guard adds no extra job
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(

@@ -260,19 +260,18 @@ def rhp_candidate_pairs(
     ``max_bucket_size`` is the same degenerate-bucket quadratic guard:
     a bucket of b vectors contributes C(b,2) pairs, so one hot bucket
     (zero vectors, constant embeddings) can go quadratic. The window
-    count reuses the join's own (tbl, sig) exchange; the capped frame is
-    persisted because the self-join reads it twice (freed by
-    Engine.clear_cache / session end).
+    count reuses the join's own (tbl, sig) exchange; no persist — the
+    r3 LSH A/B (SCALE_NOTES) showed persisting the capped band frame
+    inside the self-join costs more in materialization/memory pressure
+    than the recompute it saves (cache ``vectors`` upstream if the
+    signature folds are worth saving).
     """
     if max_bucket_size is not None:
-        from pyspark import StorageLevel
-
         wb = Window.partitionBy("tbl", "sig")
         rows = (
             rows.withColumn("_n_bucket", F.count(F.lit(1)).over(wb))
             .filter(F.col("_n_bucket") <= max_bucket_size)
             .drop("_n_bucket")
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
     a, b = rows.alias("a"), rows.alias("b")
     return (
