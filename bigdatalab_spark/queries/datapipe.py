@@ -712,3 +712,83 @@ def token_balanced_mix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def _lm_oracle() -> str:
+    from bigdatalab_spark.scale.lm import LM_SCALE, LM_SCALE_BITS
+
+    hash_ctx = portable_hash_sql("array_to_string(ws[i:i+1], ' ')")
+    hash_tri = portable_hash_sql("array_to_string(ws[i:i+2], ' ')")
+    return f"""
+        WITH words AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS ws
+            FROM documents
+        ),
+        {_SPLIT_CTE},
+        grams AS (
+            SELECT w.doc_id, {hash_ctx} AS ctx_h, {hash_tri} AS tri_h
+            FROM words w,
+                 LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) t
+            WHERE len(ws) >= 3
+        ),
+        train_grams AS (
+            SELECT g.* FROM grams g JOIN assigned a USING (doc_id)
+            WHERE a.split = 'train'
+        ),
+        tri_counts AS (SELECT tri_h, count(*) AS c3 FROM train_grams GROUP BY tri_h),
+        ctx_counts AS (SELECT ctx_h, count(*) AS c2 FROM train_grams GROUP BY ctx_h),
+        vocab AS (
+            SELECT count(DISTINCT tok) AS v
+            FROM (SELECT unnest(ws) AS tok
+                  FROM words w JOIN assigned a USING (doc_id)
+                  WHERE a.split = 'train')
+        ),
+        tok AS (
+            SELECT g.doc_id,
+                   ((coalesce(c.c2, 0) + v.v) * {LM_SCALE})
+                       // (coalesce(t.c3, 0) + 1) AS q
+            FROM grams g
+            LEFT JOIN tri_counts t USING (tri_h)
+            LEFT JOIN ctx_counts c USING (ctx_h), vocab v
+        ),
+        surprise AS (
+            SELECT doc_id,
+                   8 * (length(bin(q)) - 1)
+                       + ((q * 8) >> (length(bin(q)) - 1)) - 8
+                       - {8 * LM_SCALE_BITS} AS s
+            FROM tok
+        )
+        SELECT doc_id,
+               count(*) AS n_trigrams,
+               CAST(sum(s) AS BIGINT) AS surprise_eighth_bits,
+               CAST(sum(s) AS DOUBLE) / (8 * count(*)) AS bits_per_token
+        FROM surprise
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """
+
+
+@query(
+    "lm_perplexity_scores",
+    ids=("SCALE-TEXTQA", "A1", "A4"),
+    oracle=_lm_oracle(),
+)
+def lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style n-gram LM quality filter
+    (:mod:`bigdatalab_spark.scale.lm`): an add-one-smoothed trigram
+    model is trained in-plan on the corpus' deterministic train split
+    and every document is scored by bits-per-token under it — the
+    standard quality signal between heuristic filters and model-based
+    scoring. All per-token arithmetic is integer fixed-point (no libm,
+    no float sums), so the DuckDB oracle replays the entire train+score
+    pipeline bit-for-bit. Reference tie-in: 301-solutions.scala:21-24
+    (wordcount aggregates, extended from counting to modeling)."""
+    from bigdatalab_spark.scale.curation import hash_split
+    from bigdatalab_spark.scale.lm import lm_surprise_scores, train_trigram_model
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = hash_split(docs, "doc_id")
+    reference = split.filter(F.col("split") == "train").drop("split")
+    tri, ctx, vocab = train_trigram_model(reference)
+    return lm_surprise_scores(docs, tri, ctx, vocab).orderBy("doc_id")

@@ -415,3 +415,65 @@ def test_token_balanced_mix_caps_dominant_stratum(spark):
     assert 3000 <= per["big"][1] <= 8000
     # deterministic
     assert kept.count() == token_balanced_mix(docs, "lang").count()
+
+
+def test_lm_surprise_orders_prose_before_gibberish(spark):
+    from bigdatalab_spark.scale.lm import lm_surprise_scores, train_trigram_model
+
+    # reference slice: repetitive natural-ish prose — trigrams repeat
+    prose = "the cat sat on the mat and the dog sat on the rug"
+    reference = spark.createDataFrame(
+        [(i, prose) for i in range(8)], "doc_id long, text string"
+    )
+    tri, ctx, vocab = train_trigram_model(reference)
+    scored_docs = spark.createDataFrame(
+        [
+            (100, "the cat sat on the mat"),       # in-distribution prose
+            (101, "mat rug dog zzz qqq the on"),   # token soup, unseen trigrams
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.bits_per_token
+        for r in lm_surprise_scores(scored_docs, tri, ctx, vocab).collect()
+    }
+    assert out[100] < out[101]
+    # in-distribution prose scores low in absolute terms too (< uniform)
+    v = vocab.collect()[0].v
+    import math
+
+    assert out[100] < math.log2(v)
+
+
+def test_lm_surprise_exact_integer_arithmetic(spark):
+    """The fixed-point surprise must match 8*log2 within 1.5 eighth-bits
+    per token and sum exactly (bigint, no float accumulation)."""
+    import math
+
+    from bigdatalab_spark.scale.lm import lm_surprise_scores, train_trigram_model
+
+    reference = spark.createDataFrame(
+        [(1, "a b c a b c a b d")], "doc_id long, text string"
+    )
+    tri, ctx, vocab = train_trigram_model(reference)
+    row = (
+        lm_surprise_scores(reference, tri, ctx, vocab).collect()[0]
+    )
+    # replay the model in python: tokens a b c a b c a b d
+    toks = "a b c a b c a b d".split()
+    grams = [tuple(toks[i : i + 3]) for i in range(len(toks) - 2)]
+    from collections import Counter
+
+    c3 = Counter(grams)
+    c2 = Counter(g[:2] for g in grams)
+    v = 4
+    total = 0
+    for g in grams:
+        q = ((c2[g[:2]] + v) * (1 << 20)) // (c3[g] + 1)
+        msb = q.bit_length() - 1
+        s = 8 * msb + ((q * 8) >> msb) - 8 - 160
+        total += s
+        assert abs(s - 8 * math.log2((c2[g[:2]] + v) / (c3[g] + 1))) <= 1.5
+    assert row.surprise_eighth_bits == total
+    assert row.n_trigrams == len(grams)
+    assert row.bits_per_token == total / (8 * len(grams))
