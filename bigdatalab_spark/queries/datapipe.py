@@ -792,3 +792,23 @@ def lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference = split.filter(F.col("split") == "train").drop("split")
     tri, ctx, vocab = train_trigram_model(reference)
     return lm_surprise_scores(docs, tri, ctx, vocab).orderBy("doc_id")
+
+
+@query("quality_classifier_scores", ids=("SCALE-TEXTQA", "SCALE-ML"))
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality classifier (:mod:`bigdatalab_spark.scale.quality_ml`):
+    HashingTF + IDF + LogisticRegression fit on the train split's
+    heuristic labels, scoring the held-out splits with the class-1
+    probability. Rows-only by design — model outputs are float dot
+    products (like the trained-KMeans IVF); pytest gates held-out AUC
+    instead of value hashes."""
+    from bigdatalab_spark.scale.curation import hash_split
+    from bigdatalab_spark.scale.quality_ml import (
+        score_documents,
+        train_quality_classifier,
+    )
+
+    docs = hash_split(load_table(spark, sf_dir, "documents"), "doc_id")
+    model = train_quality_classifier(docs.filter(F.col("split") == "train"))
+    holdout = docs.filter(F.col("split") != "train")
+    return score_documents(model, holdout).orderBy("doc_id")

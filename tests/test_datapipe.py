@@ -477,3 +477,35 @@ def test_lm_surprise_exact_integer_arithmetic(spark):
     assert row.surprise_eighth_bits == total
     assert row.n_trigrams == len(grams)
     assert row.bits_per_token == total / (8 * len(grams))
+
+
+def test_quality_classifier_heldout_auc(spark):
+    """The TF-IDF + LR classifier must recover the heuristic labels on
+    held-out documents (AUC gate) — proves the ml-pipeline plumbing end
+    to end, not train fit."""
+    from bigdatalab_spark.scale.curation import hash_split
+    from bigdatalab_spark.scale.quality_ml import (
+        label_documents,
+        score_documents,
+        train_quality_classifier,
+    )
+    from bigdatalab_spark.sources import load_table
+
+    docs = hash_split(
+        load_table(spark, "/root/testdata/sf0.01", "documents"), "doc_id"
+    )
+    train = docs.filter(F.col("split") == "train")
+    holdout = docs.filter(F.col("split") != "train")
+    model = train_quality_classifier(train)
+    scored = score_documents(model, holdout).join(
+        label_documents(holdout).select("doc_id", "label"), "doc_id"
+    )
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+
+    auc = BinaryClassificationEvaluator(
+        rawPredictionCol="p_good", labelCol="label"
+    ).evaluate(scored.withColumn("p_good", F.col("p_good").cast("double")))
+    assert auc >= 0.80, f"held-out AUC {auc:.3f} below gate"
+    # scoring output contract
+    row = scored.first()
+    assert 0.0 <= row.p_good <= 1.0 and row.prediction in (0.0, 1.0)
