@@ -531,3 +531,52 @@ def connected_components(
     # iteration, so the edge cache is no longer needed
     sym.unpersist()
     return labels
+
+
+def save_banded_signatures(
+    signatures: DataFrame,
+    table: str,
+    n_buckets: int = 16,
+    max_bucket_size: int | None = None,
+) -> None:
+    """Persist band rows as a managed table bucketed AND sorted on
+    ``(band, sig)`` — the storage-side co-location story for *repeated*
+    dedup at 100 TB.
+
+    A corpus that is deduplicated on every ingest batch should not pay
+    the band-row shuffle on every run: ``bucketBy`` makes the hash
+    partitioning durable in the table layout (the K5 pattern,
+    303-spark-sql/README.md:72-73, applied to the dedup stack), so every
+    later self-join or batch-vs-corpus join on (band, sig) reads
+    co-located buckets with NO Exchange, and ``sortBy`` lets the
+    sort-merge join skip its sort. The cap guard runs BEFORE the write —
+    degenerate buckets are excluded once at ingest instead of by every
+    consumer.
+    """
+    from bigdatalab_spark.sources.sinks import save_table
+
+    bands = band_rows(signatures)
+    if max_bucket_size is not None:
+        bands = cap_buckets(bands, max_bucket_size)
+    save_table(bands, table, bucket_by=(n_buckets, ["band", "sig"]))
+
+
+def bucketed_candidate_pairs(spark, table: str) -> DataFrame:
+    """LSH candidate pairs from a pre-bucketed band table
+    (:func:`save_banded_signatures`): the same self-join as
+    :func:`lsh_candidate_pairs`, but both sides scan the bucketed
+    layout, so the plan contains no Exchange — asserted in
+    tests/test_sinks.py. At 100 TB this turns every repeated dedup run's
+    dominant shuffle into a co-located table scan."""
+    a = spark.table(table).alias("a")
+    b = spark.table(table).alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )

@@ -104,3 +104,42 @@ def test_ddl_database_and_sql_table(spark):
     spark.sql("DROP TABLE person")
     use_database(spark, "default")
     spark.sql("DROP DATABASE testdb")
+
+
+def test_bucketed_band_table_lsh_join_avoids_shuffle(spark, sf_dir):
+    """Storage-partitioned dedup: band rows written bucketBy(band, sig)
+    self-join with NO Exchange on the scan sides, and the candidate
+    pairs match the shuffle-path lsh_candidate_pairs exactly."""
+    from bigdatalab_spark.scale.dedup import (
+        bucketed_candidate_pairs,
+        doc_shingles,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        save_banded_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(doc_shingles(docs)).cache()
+    save_banded_signatures(sigs, "t_bands_b", n_buckets=4)
+    try:
+        # pin the comparison to the co-located SMJ path: AQE's broadcast
+        # conversion would also avoid the Exchange, but the claim under
+        # test is the durable bucket layout
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            pairs = bucketed_candidate_pairs(spark, "t_bands_b")
+            plan = pairs._jdf.queryExecution().executedPlan().toString()
+            # both join inputs must read the bucketed layout, and the join
+            # keys (band, sig) must never be re-shuffled; distinct() above
+            # the join legitimately exchanges on (doc1, doc2)
+            assert "SelectedBucketsCount" in plan, plan[:2000]
+            assert "Exchange hashpartitioning(band" not in plan, plan[:2000]
+            got = {(r.doc1, r.doc2) for r in pairs.collect()}
+            want = {(r.doc1, r.doc2) for r in lsh_candidate_pairs(sigs).collect()}
+            assert got == want and len(got) > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        sigs.unpersist()
+        spark.sql("DROP TABLE t_bands_b")
