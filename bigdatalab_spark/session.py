@@ -68,6 +68,20 @@ def get_session(
         # is a no-op for every other table, so set it once here instead
         # of probing per-read (load_table rebuilds the ts column).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # RocksDB-backed streaming state: the default
+        # HDFSBackedStateStoreProvider keeps every version of every state
+        # map on the executor HEAP — at a 100 TB/day key space (dedup
+        # keys, session windows) that is an OOM, not a tuning problem.
+        # RocksDB spills state to local disk with changelog checkpointing
+        # to the checkpoint location, bounding executor memory by the
+        # block cache, not the key count. Ships with Spark (rocksdbjni);
+        # exercised by the streaming test suite, incl. the bounded-state
+        # dropDuplicatesWithinWatermark test.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
         .config("spark.ui.enabled", "false")
     )
     local_mode = bool(master and master.startswith("local")) or (

@@ -495,3 +495,13 @@ def test_drop_duplicates_within_watermark_bounds_state(spark, tmp_path):
     q.awaitTermination()
     keys = [r.event_key for r in spark.table("t_dedup_wm").collect()]
     assert sorted(keys) == ["k1", "k2"]  # each key exactly once
+
+
+def test_rocksdb_state_store_is_the_session_default(spark):
+    """The session factory pins RocksDB-backed streaming state (bounded
+    executor memory at 100 TB key spaces); the whole streaming suite —
+    including checkpoint restart and watermark dedup — runs under it."""
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        .endswith("RocksDBStateStoreProvider")
+    )
