@@ -812,3 +812,71 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = train_quality_classifier(docs.filter(F.col("split") == "train"))
     holdout = docs.filter(F.col("split") != "train")
     return score_documents(model, holdout).orderBy("doc_id")
+
+
+@query(
+    "contamination_report",
+    ids=("SCALE-DECONTAM",),
+    oracle=f"""
+        WITH words AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ws
+            FROM documents
+        ),
+        {_SPLIT_CTE},
+        ngrams AS (
+            SELECT DISTINCT w.doc_id,
+                   {portable_hash_sql(f"array_to_string(ws[i:i+{_NGRAM - 1}], ' ')")}
+                       AS ngram_h
+            FROM words w,
+                 LATERAL (SELECT unnest(generate_series(1, len(ws) - {_NGRAM - 1})) AS i) t
+            WHERE len(ws) >= {_NGRAM}
+        ),
+        train_ngrams AS (
+            SELECT n.doc_id AS train_doc_id, ngram_h
+            FROM ngrams n JOIN assigned a USING (doc_id)
+            WHERE a.split = 'train'
+        ),
+        kept_train AS (
+            SELECT t.* FROM train_ngrams t
+            JOIN (
+                SELECT ngram_h FROM train_ngrams
+                GROUP BY ngram_h HAVING count(*) <= 1000
+            ) g USING (ngram_h)
+        ),
+        holdout_ngrams AS (
+            SELECT n.doc_id, a.split, ngram_h
+            FROM ngrams n JOIN assigned a USING (doc_id)
+            WHERE a.split IN ('val', 'test')
+        ),
+        shared AS (
+            SELECT h.doc_id, h.split, k.train_doc_id,
+                   count(*) AS n_shared_ngrams
+            FROM holdout_ngrams h JOIN kept_train k USING (ngram_h)
+            GROUP BY h.doc_id, h.split, k.train_doc_id
+        )
+        SELECT doc_id, split, train_doc_id, n_shared_ngrams, rank
+        FROM (
+            SELECT *, CAST(row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY n_shared_ngrams DESC, train_doc_id ASC
+                   ) AS INT) AS rank
+            FROM shared
+        )
+        WHERE rank <= 5
+        ORDER BY doc_id, rank
+    """,
+)
+def contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holdout-side contamination report
+    (:func:`bigdatalab_spark.scale.decontam.contamination_report`): for
+    every val/test document, the top-5 train documents leaking into it
+    by shared 5-gram count. Intrinsically a doc-pair join, kept linear
+    by the train-df boilerplate guard + immediate per-pair aggregation;
+    the oracle replays the guard, the pair counts, and the total-order
+    ranking exactly."""
+    from bigdatalab_spark.scale.curation import hash_split
+    from bigdatalab_spark.scale.decontam import contamination_report as report
+
+    docs = hash_split(load_table(spark, sf_dir, "documents"), "doc_id")
+    return report(docs, n=_NGRAM, k=5).orderBy("doc_id", "rank")

@@ -509,3 +509,32 @@ def test_quality_classifier_heldout_auc(spark):
     # scoring output contract
     row = scored.first()
     assert 0.0 <= row.p_good <= 1.0 and row.prediction in (0.0, 1.0)
+
+
+def test_contamination_report_ranks_and_guards(spark):
+    from bigdatalab_spark.scale.decontam import contamination_report
+
+    docs = spark.createDataFrame(
+        [
+            # train 1 shares two 5-grams with holdout 10; train 2 shares one
+            (1, "a b c d e f g", "train"),
+            (2, "x a b c d e", "train"),
+            (3, "no overlap here at all", "train"),
+            (10, "a b c d e f g", "val"),
+        ],
+        "doc_id long, text string, split string",
+    )
+    out = [
+        (r.doc_id, r.train_doc_id, r.n_shared_ngrams, r.rank)
+        for r in contamination_report(docs, n=5, k=2).orderBy("doc_id", "rank").collect()
+    ]
+    # doc 10 contains 5-grams {abcde, bcdef, cdefg}; train 1 shares all 3,
+    # train 2 shares only abcde
+    assert out == [(10, 1, 3, 1), (10, 2, 1, 2)]
+    # boilerplate guard: with max_train_df=1 the 5-gram "a b c d e"
+    # (present in 2 train docs) is dropped; train 1 keeps its other grams
+    guarded = [
+        (r.train_doc_id, r.n_shared_ngrams)
+        for r in contamination_report(docs, n=5, k=2, max_train_df=1).collect()
+    ]
+    assert guarded == [(1, 2)]
