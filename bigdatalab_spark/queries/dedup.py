@@ -251,3 +251,51 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("doc"), "cluster_id")
         .orderBy("doc")
     )
+
+
+_SEG_W = 10
+
+
+@query(
+    "dedup_segments",
+    ids=("SCALE-DEDUP",),
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS toks
+            FROM documents
+        ),
+        segs AS (
+            SELECT doc_id, CAST(s AS INT) AS seg_idx,
+                   array_to_string(toks[s*{_SEG_W}+1 : s*{_SEG_W}+{_SEG_W}], ' ') AS seg_text
+            FROM toks,
+                 LATERAL (SELECT unnest(generate_series(
+                     0,
+                     CAST(ceil(len(toks) / CAST({_SEG_W} AS DOUBLE)) AS BIGINT) - 1)) AS s) t
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY seg_text ORDER BY doc_id, seg_idx) AS rn
+            FROM segs
+        )
+        SELECT doc_id,
+               count(*) AS n_segments,
+               count(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
+               coalesce(string_agg(CASE WHEN rn = 1 THEN seg_text END, ' '
+                                   ORDER BY seg_idx), '') AS dedup_text
+        FROM ranked
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+)
+def dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style segment-level exact dedup: drop corpus-wide repeats of
+    10-word segments (keep the first occurrence by (doc_id, seg_idx))
+    and reassemble each document from its surviving segments. The
+    min-struct keeper aggregate partial-aggregates hot boilerplate
+    segments map-side — the window-rank alternative would sort the
+    whole hot bucket on one reducer."""
+    from bigdatalab_spark.scale.dedup import segment_exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return segment_exact_dedup(docs, seg_words=_SEG_W).orderBy("doc_id")

@@ -358,3 +358,122 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(20)
     )
+
+
+@query(
+    "exists_returned_orders",
+    ids=("J4", "A9"),
+    oracle="""
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+)
+def exists_returned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped correlated EXISTS: orders in a date window with at
+    least one returned lineitem, counted per priority. Written as SQL so
+    Catalyst's subquery decorrelation (RewritePredicateSubquery -> left
+    semi join) is under test; the date filter prunes the probe side
+    before the semi join at 100 TB, and the semi join stops at first
+    match instead of multiplying rows."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+# exact-decimal per-part average (see DSUM note above): both engines
+# accumulate the same DECIMAL sum, so the 0.2*avg threshold is
+# bit-identical and borderline rows cannot flip between them
+_PART_AVG = (
+    "0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / count(*))"
+)
+
+
+@query(
+    "small_quantity_revenue",
+    ids=("J1", "A4"),
+    oracle=f"""
+        WITH thresholds AS (
+            SELECT l_partkey AS t_partkey, {_PART_AVG} AS max_qty
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT {dsum('l_extendedprice')} / 7.0 AS avg_yearly
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN thresholds ON t_partkey = l_partkey
+        WHERE p_brand = 'Brand#23' AND l_quantity < max_qty
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped correlated scalar subquery: revenue from orders
+    below 20% of the part's average quantity. Written as SQL with the
+    correlated aggregate subquery so Catalyst's decorrelation
+    (RewriteCorrelatedScalarSubquery -> aggregate + join) is exercised;
+    the oracle states the decorrelated form explicitly. At scale the
+    per-part aggregate shuffles once on l_partkey — the same key the
+    join needs, so the exchange is reused — and the brand filter
+    broadcasts the pruned part side."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        f"""
+        SELECT {dsum('l_extendedprice')} / 7.0 AS avg_yearly
+        FROM lineitem, part
+        WHERE p_partkey = l_partkey
+          AND p_brand = 'Brand#23'
+          AND l_quantity < (
+              SELECT {_PART_AVG}
+              FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
+        """
+    )
+
+
+@query(
+    "cube_order_stats",
+    ids=("A7", "A9"),
+    oracle=f"""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+               count(*) AS n_orders,
+               {dsum('o_totalprice')} AS sum_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregate with grouping_id over (status, priority): all four
+    grouping sets in ONE pass (Spark expands the cube in the Expand
+    operator before a single hash aggregate — no second scan of a
+    100 TB fact table per grouping set)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum("o_totalprice").alias("sum_price"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "sum_price")
+        .orderBy(
+            "gid",
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )

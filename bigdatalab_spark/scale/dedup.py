@@ -580,3 +580,76 @@ def bucketed_candidate_pairs(spark, table: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
         .distinct()
     )
+
+
+def segment_exact_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_words: int = 10,
+) -> DataFrame:
+    """C4-style segment-level exact dedup with document reassembly.
+
+    Split every document into fixed-size word segments (the engine's
+    stand-in for C4's "line" unit — the synthetic corpus is single-line),
+    drop every corpus-wide repeat of a segment keeping only its first
+    occurrence (ordered by ``(doc_id, seg_idx)``), and reassemble each
+    document from its surviving segments.
+
+    Returns (doc_id, n_segments, n_kept, dedup_text).
+
+    Scale design: the keeper per segment is ``min(struct(doc_id,
+    seg_idx))`` from a hash aggregate — partially aggregated map-side,
+    so a boilerplate segment repeated across millions of documents
+    collapses to one row per input partition BEFORE the exchange (a
+    window ``row_number`` over the segment hash would instead sort the
+    full hot bucket on one reducer). The keeper set then hash-joins
+    back on the same ``seg_hash`` distribution (exchange reuse), and
+    reassembly is one doc-keyed aggregate with an order-stable
+    ``array_sort`` over (seg_idx, text) structs — ``collect_list``
+    alone is not order-stable after a shuffle.
+    """
+    toks = docs.select(F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks"))
+    n_segs = F.ceil(F.size("toks") / F.lit(seg_words)).cast("int")
+    segs = (
+        toks.select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.when(F.size("toks") > 0, F.sequence(F.lit(0), n_segs - 1)).otherwise(
+                    F.array().cast("array<int>")
+                )
+            ).alias("seg_idx"),
+        )
+        .select(
+            "doc_id",
+            "seg_idx",
+            F.array_join(
+                F.slice("toks", F.col("seg_idx") * seg_words + 1, seg_words), " "
+            ).alias("seg_text"),
+        )
+        .withColumn("seg_hash", F.md5("seg_text"))
+    )
+    keepers = segs.groupBy("seg_hash").agg(
+        F.min(F.struct("doc_id", "seg_idx")).alias("keeper")
+    )
+    kept = F.struct("doc_id", "seg_idx") == F.col("keeper")
+    return (
+        segs.join(keepers, "seg_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.count(F.when(kept, 1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(kept, F.struct(F.col("seg_idx"), F.col("seg_text")))
+                        )
+                    ),
+                    lambda x: x.seg_text,
+                ),
+                " ",
+            ).alias("dedup_text"),
+        )
+    )

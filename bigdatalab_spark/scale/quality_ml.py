@@ -98,9 +98,29 @@ def train_quality_classifier(
     num_features: int = DEFAULT_NUM_FEATURES,
     seed: int = 7,
 ) -> PipelineModel:
-    """Fit the quality pipeline on labeled training documents."""
+    """Fit the quality pipeline on labeled training documents.
+
+    The fitted model is round-tripped through ML persistence before
+    being returned: a freshly-fit ``LogisticRegressionModel`` carries a
+    ``trainingSummary`` that references the live ``SparkSession``, and
+    any downstream plan that serializes the model's transform closure
+    into a task (e.g. a broadcast join over the scored frame) then
+    fails with ``NotSerializableException: ObservationManager`` via the
+    model -> summary -> session chain. Save/load drops the summary —
+    and is the shape a real pipeline uses anyway (train once, persist,
+    serve the loaded model)."""
+    import shutil
+    import tempfile
+
     labeled = label_documents(train_docs, text_col, label_threshold)
-    return build_quality_pipeline(text_col, num_features, seed).fit(labeled)
+    model = build_quality_pipeline(text_col, num_features, seed).fit(labeled)
+    tmp = tempfile.mkdtemp(prefix="quality-lr-")
+    try:
+        path = f"{tmp}/model"
+        model.write().overwrite().save(path)
+        return PipelineModel.load(path)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def score_documents(

@@ -56,9 +56,14 @@ _TABLE_MEMO: dict[tuple[str, str], DataFrame] = {}
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one warehouse table from an sf directory.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; read nanos as long and rebuild the
-    timestamp column-side at microsecond precision. The legacy conf is
+    ``events.ts`` has shipped in two physical layouts across testdata
+    generations: parquet TIMESTAMP(NANOS) — which Spark's vectorized
+    reader rejects, hence the nanos-as-long legacy conf + column-side
+    rebuild — and TIMESTAMP(MICROS) without UTC adjustment, which
+    Spark 4 reads as TIMESTAMP_NTZ. Normalize BOTH to a session-zone
+    TIMESTAMP (session is pinned UTC) so downstream instant functions
+    (``unix_micros``, watermarks) and the DuckDB oracle's naive
+    rendering agree regardless of the file layout. The legacy conf is
     set unconditionally — it is a no-op for non-nanos tables — so no
     probe job ever runs (and none can fail: round 1's probe-and-retry
     put a deliberately failing Spark job in every cold read's stderr).
@@ -73,6 +78,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif field.name == "ts" and field.dataType.simpleString() == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     _TABLE_MEMO[memo_key] = df
     return df
 

@@ -26,32 +26,46 @@ from pyspark.sql.types import (
     StructType,
 )
 
-#: Schema of the events table as read by the file stream (ts arrives as
-#: nanos-since-epoch long; see sources.readers.load_table).
-EVENTS_STREAM_SCHEMA = StructType(
-    [
+def _events_stream_schema(spark: SparkSession, sf_dir: str) -> StructType:
+    """Stream schema matching the file's actual ``ts`` layout.
+
+    ``events.ts`` has shipped both as TIMESTAMP(NANOS) — readable only
+    as a long under the nanosAsLong legacy conf — and as
+    TIMESTAMP(MICROS)/NTZ. FileStreamSource takes a user schema on
+    faith (no inference), so derive it from the batch reader's resolved
+    schema: a parquet-footer read on the driver, no job."""
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    fields = [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),
+        batch.schema["ts"],
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
         StructField("props", StringType()),
     ]
-)
+    return StructType(fields)
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet — the replayable test
     payload (FIXTURES.md §9). One file = one micro-batch under
-    ``Trigger.AvailableNow``."""
+    ``Trigger.AvailableNow``. ``ts`` is normalized to a session-zone
+    TIMESTAMP exactly like the batch path (sources.readers.load_table),
+    so stream and batch twins see identical instants."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = _events_stream_schema(spark, sf_dir)
     raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(schema)
         # FileStreamSource needs a directory; glob-filter to the one table
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = schema["ts"].dataType.simpleString()
+    if ts_type == "bigint":  # nanos-as-long layout
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def socket_stream(spark: SparkSession, host: str = "localhost", port: int = 9999) -> DataFrame:

@@ -663,3 +663,33 @@ def test_rhp_near_dups_recall_and_sublinearity(spark):
     assert hyperplane_bits_for(2_000_000, target_bucket_rows=32) == 16
     assert hyperplane_bits_for(10) == 4
     assert hyperplane_bits_for(10**12, max_bits=24) == 24
+
+
+def test_segment_dedup_drops_repeats_and_reassembles(spark):
+    from bigdatalab_spark.scale.dedup import segment_exact_dedup
+
+    seg_a = " ".join(f"a{i}" for i in range(10))
+    seg_b = " ".join(f"b{i}" for i in range(10))
+    seg_c = " ".join(f"c{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{seg_a} {seg_b}"),        # first occurrence of A and B
+            (2, f"{seg_b} {seg_c}"),        # B is a repeat, C survives
+            (3, seg_a),                     # fully duplicated -> empty text
+            (4, f"{seg_a} tail words"),     # short final segment is its own unit
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in segment_exact_dedup(docs, seg_words=10).collect()
+    }
+    assert out[1]["n_segments"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["dedup_text"] == f"{seg_a} {seg_b}"
+    assert out[2]["n_segments"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["dedup_text"] == seg_c
+    assert out[3]["n_segments"] == 1 and out[3]["n_kept"] == 0
+    assert out[3]["dedup_text"] == ""
+    # the 2-word tail segment differs from seg_a's 10-word segment
+    assert out[4]["n_segments"] == 2 and out[4]["n_kept"] == 1
+    assert out[4]["dedup_text"] == "tail words"
