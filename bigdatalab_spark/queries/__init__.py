@@ -44,12 +44,25 @@ _DEMOTED = (
     "top_customers_per_segment",  # A4/O2/O5 — top_parts_per_year
 )
 
+# Round-3+ operators registered inside SURVEY-core modules but added AFTER
+# the driver window froze (round 2). They move past the window so the
+# scoreboard rows stay byte-stable across rounds; the full-registry
+# tools.oracle_check run covers them with the same strictness.
+_POST_WINDOW = (
+    "dedup_segments",
+    "bloom_incremental_dedup",
+    "exists_returned_orders",
+    "small_quantity_revenue",
+    "cube_order_stats",
+    "semantic_dedup",
+)
+
 
 def _reorder() -> None:
     # pop raises KeyError if a demoted name ever disappears from the
     # registry, so a rename can't silently undo the ordering contract
-    demoted = {n: REGISTRY.pop(n) for n in _DEMOTED}
-    REGISTRY.update(demoted)
+    moved = {n: REGISTRY.pop(n) for n in _POST_WINDOW + _DEMOTED}
+    REGISTRY.update(moved)
 
 
 _reorder()

@@ -299,3 +299,62 @@ def dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return segment_exact_dedup(docs, seg_words=_SEG_W).orderBy("doc_id")
+
+
+def _bloom_oracle() -> str:
+    from bigdatalab_spark.scale.dedup import BLOOM_K, BLOOM_M_BITS
+    from bigdatalab_spark.scale.hashing import MINHASH_COEFFS, MINHASH_P
+
+    seeds = ", ".join(f"({a}, {b})" for a, b in MINHASH_COEFFS[:BLOOM_K])
+    h = "CAST('0x' || substr(md5(ch), 1, 7) AS BIGINT)"
+    return f"""
+        WITH seeds(a, b) AS (VALUES {seeds}),
+        corpus_h AS (
+            SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS ch
+            FROM documents WHERE doc_id % 2 = 0
+        ),
+        corpus_pos AS (
+            SELECT DISTINCT (({h} * a + b) % {MINHASH_P}) % {BLOOM_M_BITS} AS p
+            FROM corpus_h, seeds
+            WHERE ch IS NOT NULL
+        ),
+        batch AS (
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS ch
+            FROM documents WHERE doc_id % 2 = 1
+        ),
+        probe AS (
+            SELECT doc_id, ch,
+                   coalesce(bool_and(
+                       (({h} * a + b) % {MINHASH_P}) % {BLOOM_M_BITS}
+                           IN (SELECT p FROM corpus_pos)), false) AS bloom_positive
+            FROM batch, seeds
+            GROUP BY doc_id, ch
+        )
+        SELECT doc_id, bloom_positive,
+               CASE WHEN NOT bloom_positive THEN 'new'
+                    WHEN ch IN (SELECT ch FROM corpus_h) THEN 'exact_dup'
+                    ELSE 'new_bloom_fp' END AS status
+        FROM probe
+        ORDER BY doc_id
+    """
+
+
+@query(
+    "bloom_incremental_dedup",
+    ids=("SCALE-DEDUP", "A13"),
+    oracle=_bloom_oracle(),
+)
+def bloom_incremental_dedup_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned daily-ingest exact dedup: the corpus (even doc_ids)
+    is summarized once into a portable Bloom bitmap; the batch (odd
+    doc_ids) probes it in a narrow scan and only bloom-positive rows
+    join the corpus hash store for confirmation. The oracle replays the
+    identical hash family position-set, so the engine's false-positive
+    rows must match DuckDB's bit for bit."""
+    from bigdatalab_spark.scale.dedup import bloom_incremental_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter("doc_id % 2 = 0")
+    batch = docs.filter("doc_id % 2 = 1")
+    return bloom_incremental_dedup(batch, corpus).orderBy("doc_id")

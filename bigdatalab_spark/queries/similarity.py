@@ -188,3 +188,18 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_kmeans_topk(emb.filter("vec_id < 10"), emb, k=3).orderBy(
         "query_id", "rank"
     )
+
+
+@query(
+    "semantic_dedup",
+    ids=("SCALE-SIM", "SCALE-DEDUP"),
+    oracle=None,  # KMeans centroids are not SQL-replayable; the keep/drop
+    # decision contract is asserted in tests/test_scale.py
+)
+def semantic_dedup_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: cluster-blocked embedding dedup, one survivor per
+    near-identical group (threshold 0.95, seeded KMeans blocking)."""
+    from bigdatalab_spark.scale.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.95).orderBy("vec_id")

@@ -653,3 +653,138 @@ def segment_exact_dedup(
             ).alias("dedup_text"),
         )
     )
+
+
+# ---- portable Bloom filter (bitmap-as-data) ---------------------------------
+
+#: bloom geometry: 63-bit words sidestep int64 sign handling (a mask is
+#: never negative), so bit tests are plain bitwiseAND against a literal
+#: power-of-two lookup — pure codegen'd column expressions
+BLOOM_WORD_BITS = 63
+BLOOM_K = 4  # hash functions: first 4 MINHASH_COEFFS pairs
+BLOOM_M_BITS = BLOOM_WORD_BITS * 256  # 16128 bits (~2 KB) — gate-sized
+
+
+def _bloom_positions(hash_col: Column, m_bits: int) -> list[Column]:
+    """k bit positions of a 28-bit portable hash, one per seed pair."""
+    from bigdatalab_spark.scale.hashing import MINHASH_COEFFS, MINHASH_P
+
+    return [
+        ((hash_col * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)) % F.lit(m_bits)
+        for a, b in MINHASH_COEFFS[:BLOOM_K]
+    ]
+
+
+def build_portable_bloom(
+    values: DataFrame, value_col: str, m_bits: int = BLOOM_M_BITS
+) -> list[int]:
+    """Distributed Bloom build over a string column -> bitmap words.
+
+    Unlike the JVM ``stat.bloomFilter`` bridge (operators/sketches.py),
+    this bloom is *portable data*: positions come from the engine's
+    md5-derived portable hash family, so membership replays exactly in
+    the DuckDB oracle, and the probe is plain column arithmetic — no
+    sketch object crosses the Py/JVM boundary. Build is one explode +
+    ``bit_or`` hash aggregate (map-side combined; the shuffle carries at
+    most m/63 words per partition), and only the m/63-word bitmap —
+    kilobytes — reaches the driver.
+    """
+    words = (
+        values.select(portable_hash(F.col(value_col)).alias("h"))
+        .filter(F.col("h").isNotNull())
+        .select(F.explode(F.array(*_bloom_positions(F.col("h"), m_bits))).alias("p"))
+        .select(
+            (F.col("p") / BLOOM_WORD_BITS).cast("int").alias("word_idx"),
+            F.element_at(
+                F.array(*[F.lit(1 << j) for j in range(BLOOM_WORD_BITS)]),
+                (F.col("p") % BLOOM_WORD_BITS).cast("int") + 1,
+            ).alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(mask)").alias("word"))
+        .collect()
+    )
+    bitmap = [0] * (m_bits // BLOOM_WORD_BITS + 1)
+    for r in words:
+        bitmap[r["word_idx"]] = r["word"]
+    return bitmap
+
+
+def bloom_might_contain(
+    value_col: Column | str, bitmap: list[int], m_bits: int = BLOOM_M_BITS
+) -> Column:
+    """Membership probe as a pure column expression.
+
+    The bitmap embeds in the plan as a literal array (kilobytes — it
+    ships with the task binary like any broadcast literal; at a 1%-FP
+    bloom over 10^10 corpus keys it would be ~1.5 GB, which is exactly
+    executor-broadcast territory, same shape). No false negatives by
+    construction: every corpus position was OR-ed into the bitmap with
+    the same hash family this probe uses.
+    """
+    c = F.col(value_col) if isinstance(value_col, str) else value_col
+    h = portable_hash(c)
+    arr = F.array(*[F.lit(w) for w in bitmap])
+    powers = F.array(*[F.lit(1 << j) for j in range(BLOOM_WORD_BITS)])
+    cond = F.lit(True)
+    for pos in _bloom_positions(h, m_bits):
+        word = F.element_at(arr, (pos / BLOOM_WORD_BITS).cast("int") + 1)
+        mask = F.element_at(powers, (pos % BLOOM_WORD_BITS).cast("int") + 1)
+        cond = cond & (word.bitwiseAND(mask) != 0)
+    return cond
+
+
+def bloom_incremental_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    m_bits: int = BLOOM_M_BITS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bloom-pruned exact dedup of a new batch against a corpus.
+
+    The 100 TB ingest pattern: the corpus' content-hash set is
+    summarized ONCE into a Bloom bitmap (stored with the corpus, shipped
+    to every executor); each day's batch probes the bitmap in a narrow
+    scan and ONLY bloom-positive rows — true duplicates plus the FP
+    sliver — join the corpus hash store for confirmation. Bloom-negative
+    rows are 'new' with zero join cost and no false negatives, so the
+    daily join input shrinks from |batch| to ~|dups|.
+
+    Returns (doc_id, bloom_positive, status) with status in
+    {'new', 'exact_dup', 'new_bloom_fp'}: 'new_bloom_fp' rows are the
+    measured false positives — the confirm join rejected them, which is
+    WHY the confirm join exists. Batch-internal duplicates are out of
+    scope (see incremental_dedup for the full classifier).
+    """
+    ch = F.md5(normalize_text(text_col))
+    corpus_hashes = (
+        corpus.select(ch.alias("content_hash"))
+        .filter(F.col("content_hash").isNotNull())
+        .distinct()
+    )
+    bitmap = build_portable_bloom(corpus_hashes, "content_hash", m_bits)
+    probed = batch.select(
+        F.col(id_col).alias("doc_id"),
+        ch.alias("content_hash"),
+    ).withColumn(
+        "bloom_positive",
+        F.coalesce(bloom_might_contain(F.col("content_hash"), bitmap, m_bits), F.lit(False)),
+    )
+    confirmed = (
+        probed.filter("bloom_positive")
+        .join(corpus_hashes, "content_hash", "left_semi")
+        .select("doc_id")
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        probed.join(confirmed, "doc_id", "left")
+        .select(
+            "doc_id",
+            "bloom_positive",
+            F.when(~F.col("bloom_positive"), F.lit("new"))
+            .when(F.col("_dup").isNotNull(), F.lit("exact_dup"))
+            .otherwise(F.lit("new_bloom_fp"))
+            .alias("status"),
+        )
+    )

@@ -461,3 +461,73 @@ def ivf_kmeans_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cos_sim")
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup over an embedding column.
+
+    The SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540): cluster
+    the corpus with a seeded KMeans, then compare pairs only WITHIN a
+    cluster and drop every vector that has a lower-id cluster-mate at
+    ``cos_sim >= threshold`` — one survivor per near-identical group,
+    chosen deterministically (the minimum id).
+
+    Returns (vec_id, cluster_id, is_kept, dup_of, max_sim): ``dup_of``
+    is the smallest-id duplicate witness and ``max_sim`` the highest
+    similarity to any lower-id cluster-mate (NULL for kept rows).
+
+    Scale design: the cluster id is the blocking key — the quadratic
+    all-pairs problem becomes per-cluster joins, exactly the LSH-bucket
+    shape (``k`` sized so n/k bounds the bucket; a hot centroid is
+    AQE's skew-join case). At 100 TB the cluster id doubles as the
+    storage partition column so re-runs prune to co-located scans, and
+    the keep decision is a map-side-combinable min aggregate, not a
+    window sort. Pairs missed across cluster boundaries are the
+    documented recall trade-off of the method (mitigate with more
+    clusters + a second pass on boundary shells, or the
+    :func:`rhp_near_dups` multi-table LSH when recall dominates cost).
+    KMeans centroids are not SQL-replayable -> registered rows-only;
+    the decision contract is asserted in tests/test_scale.py.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    v = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        array_to_vector(F.col(vec_col)).alias("features"),
+    )
+    model = KMeans(k=n_clusters, seed=seed, maxIter=20).fit(v)
+    assigned = model.transform(v).select(
+        "vid", "vec", F.col("prediction").alias("cluster_id")
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    witnesses = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(
+            F.col("b.vid").alias("vid"),
+            F.col("a.vid").alias("src"),
+            cosine(F.col("a.vec"), F.col("b.vec")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .groupBy("vid")
+        .agg(F.min("src").alias("dup_of"), F.max("cos_sim").alias("max_sim"))
+    )
+    return assigned.join(witnesses, "vid", "left").select(
+        F.col("vid").alias("vec_id"),
+        "cluster_id",
+        F.col("dup_of").isNull().alias("is_kept"),
+        "dup_of",
+        "max_sim",
+    )

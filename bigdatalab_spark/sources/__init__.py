@@ -5,6 +5,7 @@ from bigdatalab_spark.sources.readers import (
     read_dsv,
     read_fixed_width,
     read_json,
+    read_orc,
     read_parquet,
     read_text,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "read_dsv",
     "read_fixed_width",
     "read_json",
+    "read_orc",
     "read_parquet",
     "read_text",
 ]

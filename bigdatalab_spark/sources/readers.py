@@ -179,3 +179,9 @@ def read_fixed_width(
             c = c / F.lit(f.scale)
         cols.append(c.alias(f.name))
     return df.select(*cols)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — vectorized reader with filter/column pushdown, the
+    same scan contract as :func:`read_parquet` (see sinks.write_orc)."""
+    return spark.read.orc(path)

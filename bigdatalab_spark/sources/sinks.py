@@ -65,3 +65,12 @@ def create_database(spark: SparkSession, name: str) -> None:
 
 def use_database(spark: SparkSession, name: str) -> None:
     spark.sql(f"USE {name}")
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC file sink — the columnar alternative to parquet that ships
+    with Spark (native vectorized ORC reader/writer). Kept for lake
+    interoperability: Hive-era warehouses and some ingestion systems
+    standardize on ORC, and the scan/pushdown properties match parquet
+    (predicate pushdown, column pruning, stripe-level statistics)."""
+    df.write.mode(mode).orc(path)

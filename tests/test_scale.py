@@ -693,3 +693,82 @@ def test_segment_dedup_drops_repeats_and_reassembles(spark):
     # the 2-word tail segment differs from seg_a's 10-word segment
     assert out[4]["n_segments"] == 2 and out[4]["n_kept"] == 1
     assert out[4]["dedup_text"] == "tail words"
+
+
+def test_semantic_dedup_decision_contract(spark):
+    """Planted near-identical embeddings are pruned to one survivor;
+    every drop has a valid lower-id witness at >= threshold."""
+    import math
+    import random
+
+    from bigdatalab_spark.scale.similarity import semantic_dedup
+
+    rng = random.Random(11)
+    base = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(40)]
+    rows = [(i, v) for i, v in enumerate(base)]
+    # ids 100/101/102: near-copies of base[0] (tiny perturbation)
+    for j in range(3):
+        rows.append((100 + j, [x + rng.gauss(0, 1e-4) for x in base[0]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, threshold=0.99, n_clusters=4, seed=1).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    assert len(out) == len(rows)
+
+    # the planted copies collapse to one keeper: id 0 (the minimum)
+    group = [0, 100, 101, 102]
+    kept = [i for i in group if by_id[i]["is_kept"]]
+    assert kept == [0]
+    for i in (100, 101, 102):
+        assert by_id[i]["dup_of"] == 0
+        assert by_id[i]["max_sim"] >= 0.99
+
+    # every dropped row names a lower-id witness; kept rows have none
+    for r in out:
+        if r["is_kept"]:
+            assert r["dup_of"] is None and r["max_sim"] is None
+        else:
+            assert r["dup_of"] is not None and r["dup_of"] < r["vec_id"]
+
+    # unrelated random gaussians in 16-d are far below the threshold
+    def cos(u, v):
+        num = sum(a * b for a, b in zip(u, v))
+        return num / math.sqrt(sum(a * a for a in u) * sum(b * b for b in v))
+
+    assert all(cos(base[1], base[k]) < 0.9 for k in (2, 3, 4))
+    assert by_id[1]["is_kept"] and by_id[2]["is_kept"]
+
+
+def test_portable_bloom_no_false_negatives_and_prunes(spark):
+    from bigdatalab_spark.scale.dedup import (
+        BLOOM_M_BITS,
+        bloom_incremental_dedup,
+        bloom_might_contain,
+        build_portable_bloom,
+    )
+
+    corpus_vals = [(f"doc {i} body",) for i in range(200)]
+    cdf = spark.createDataFrame(corpus_vals, "v string")
+    bitmap = build_portable_bloom(cdf, "v")
+    assert len(bitmap) == BLOOM_M_BITS // 63 + 1
+
+    # no false negatives: every inserted value probes positive
+    hits = cdf.filter(bloom_might_contain("v", bitmap)).count()
+    assert hits == len(corpus_vals)
+
+    # novel values are mostly pruned (FP rate far below 1 at this fill)
+    novel = spark.createDataFrame([(f"other {i} text",) for i in range(500)], "v string")
+    fp = novel.filter(bloom_might_contain("v", bitmap)).count()
+    assert fp < 50, f"{fp}/500 false positives — bloom is not pruning"
+
+    # end-to-end classifier: duplicates confirmed, novels classified new
+    corpus = spark.createDataFrame(
+        [(i * 2, f"text number {i}") for i in range(100)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(1, "text number 7"), (3, "text number 42"), (5, "completely fresh")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bloom_incremental_dedup(batch, corpus).collect()}
+    assert out[1]["status"] == "exact_dup" and out[1]["bloom_positive"]
+    assert out[3]["status"] == "exact_dup" and out[3]["bloom_positive"]
+    assert out[5]["status"] in ("new", "new_bloom_fp")

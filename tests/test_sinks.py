@@ -143,3 +143,25 @@ def test_bucketed_band_table_lsh_join_avoids_shuffle(spark, sf_dir):
     finally:
         sigs.unpersist()
         spark.sql("DROP TABLE t_bands_b")
+
+
+def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
+    """ORC sink/source roundtrip preserves rows+schema, and the ORC scan
+    gets predicate pushdown like parquet (search-argument in the plan)."""
+    from bigdatalab_spark.sources import read_orc
+    from bigdatalab_spark.sources.sinks import write_orc
+
+    out = str(tmp_path / "orc")
+    df = load_table(spark, sf_dir, "customer")
+    write_orc(df, out)
+    back = read_orc(spark, out)
+    assert back.count() == df.count()
+    assert back.schema == df.schema
+    plan = (
+        back.filter(F.col("c_custkey") < 100)
+        .select("c_custkey")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "c_custkey" in plan
