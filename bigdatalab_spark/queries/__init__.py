@@ -21,7 +21,7 @@ from bigdatalab_spark.queries import (  # noqa: F401  (import = registration)
     weather,
     wordcount,
 )
-from bigdatalab_spark.queries import datapipe, pipeline  # noqa: F401  (register
+from bigdatalab_spark.queries import bpe, datapipe, pipeline  # noqa: F401  (register
 # AFTER the SURVEY-core top-50 on purpose: beyond-reference extensions must not
 # displace driver-window entries; _DEMOTED still sorts last)
 from bigdatalab_spark.queries.registry import REGISTRY, QuerySpec
@@ -55,6 +55,7 @@ _POST_WINDOW = (
     "small_quantity_revenue",
     "cube_order_stats",
     "semantic_dedup",
+    "user_running_stats",
 )
 
 

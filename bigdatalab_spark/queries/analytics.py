@@ -275,3 +275,48 @@ def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "user_running_stats",
+    ids=("O5", "SCALE-CURATION"),
+    oracle="""
+        SELECT event_id, user_id,
+               CAST(sum(CAST(value AS DECIMAL(28,6)))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    AS DOUBLE) AS running_value,
+               CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    AS BIGINT) AS seq_no,
+               CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    AS INT) AS time_quartile,
+               percent_rank() OVER (PARTITION BY user_id ORDER BY value, event_id)
+                   AS value_pct_rank
+        FROM events
+        ORDER BY user_id, seq_no
+    """,
+)
+def user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user analytic-window family: running sum, sequence number,
+    ntile quartile, percent_rank — the remaining ranking/running window
+    shapes beyond top-N (O5) and lag (event_gap_stats). One hash
+    exchange on user_id serves all four functions (same partition spec);
+    the running sum accumulates in DECIMAL because engines disagree on
+    windowed double addition order (DuckDB uses a segment tree, Spark a
+    sequential prefix — exact decimal makes the oracle order-proof)."""
+    ev = load_table(spark, sf_dir, "events")
+    wt = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wv = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .over(wt)
+            .cast("double")
+            .alias("running_value"),
+            F.row_number().over(wt).cast("bigint").alias("seq_no"),
+            F.ntile(4).over(wt).alias("time_quartile"),
+            F.percent_rank().over(wv).alias("value_pct_rank"),
+        )
+        .orderBy("user_id", "seq_no")
+    )

@@ -1,0 +1,82 @@
+"""BPE merge-training query with a full-loop DuckDB replay oracle.
+
+The oracle unrolls every merge round — pair count, deterministic top-1,
+windowed greedy left-to-right rewrite — as generated CTE blocks, so the
+strict gate fails if Spark's trainer diverges from the reference
+semantics in ANY round (pair choice, tie-break, or overlap handling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bigdatalab_spark.queries.registry import query
+from bigdatalab_spark.sources import load_table
+
+_N_MERGES = 4
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    ctes = [
+        """toks0 AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS toks
+            FROM documents)"""
+    ]
+    for r in range(1, n_merges + 1):
+        prev = f"toks{r - 1}"
+        ctes.append(f"""pairs{r} AS (
+            SELECT toks[i] AS l, toks[i+1] AS r, count(*) AS n_pairs
+            FROM {prev}, LATERAL (SELECT unnest(generate_series(1, len(toks)-1)) AS i) t
+            GROUP BY 1, 2)""")
+        ctes.append(f"""top{r} AS (
+            SELECT l, r, n_pairs FROM pairs{r} ORDER BY n_pairs DESC, l, r LIMIT 1)""")
+        ctes.append(f"""matches{r} AS (
+            SELECT doc_id, i AS p
+            FROM {prev}, top{r},
+                 LATERAL (SELECT unnest(generate_series(1, len(toks)-1)) AS i) t
+            WHERE toks[i] = top{r}.l AND toks[i+1] = top{r}.r)""")
+        ctes.append(f"""kept{r} AS (
+            SELECT doc_id, p,
+                   (row_number() OVER (PARTITION BY doc_id, run_grp ORDER BY p) - 1)
+                       % 2 = 0 AS keep
+            FROM (SELECT doc_id, p,
+                         p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS run_grp
+                  FROM matches{r}))""")
+        ctes.append(f"""keptl{r} AS (
+            SELECT doc_id, list(p ORDER BY p) FILTER (keep) AS ks
+            FROM kept{r} GROUP BY doc_id)""")
+        ctes.append(f"""toks{r} AS (
+            SELECT t.doc_id,
+                   CASE WHEN k.ks IS NULL THEN t.toks ELSE
+                     list_filter(
+                       list_transform(generate_series(1, len(t.toks)), i ->
+                         CASE WHEN list_contains(k.ks, i)
+                                THEN t.toks[i] || chr(31) || t.toks[i+1]
+                              WHEN list_contains(k.ks, i-1) THEN NULL
+                              ELSE t.toks[i] END),
+                       x -> x IS NOT NULL) END AS toks
+            FROM {prev} t LEFT JOIN keptl{r} k USING (doc_id))""")
+    unions = "\n            UNION ALL ".join(
+        f'SELECT {r} AS merge_round, l AS "left", r AS "right", n_pairs FROM top{r}'
+        for r in range(1, n_merges + 1)
+    )
+    return (
+        "WITH "
+        + ",\n        ".join(ctes)
+        + f"\n        SELECT * FROM ({unions}) ORDER BY merge_round"
+    )
+
+
+@query("bpe_train_merges", ids=("SCALE-TEXT",), oracle=_bpe_oracle(_N_MERGES))
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 4 BPE merges corpus-wide
+    (:func:`bigdatalab_spark.scale.bpe.bpe_train`): per round, one
+    map-side-combined pair count (the only shuffle; one argmax row to
+    the driver) + a narrow greedy rewrite, current tokens cached and the
+    previous round unpersisted — the checkpoint-per-round shape an
+    actual 100 TB tokenizer-training run uses."""
+    from bigdatalab_spark.scale.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train(docs, n_merges=_N_MERGES).orderBy("merge_round")

@@ -1,0 +1,143 @@
+"""Iterative BPE merge training over a document corpus (scale extension).
+
+The real tokenizer-training loop, not just pair statistics
+(queries/datapipe.py ``bpe_merge_stats`` is round 0 of this): each round
+counts adjacent token pairs corpus-wide, picks the most frequent pair
+(count DESC, then lexicographic — fully deterministic), and rewrites
+every document's token sequence with the pair merged greedily
+left-to-right non-overlapping, exactly the BPE definition (Sennrich et
+al. 2016). Merged units join with the 0x1f unit separator so merges
+stay invertible and re-mergeable.
+
+Scale design: one merge round = one map-side-combined pair count (the
+only shuffle; the argmax result crossing the driver is ONE row) plus a
+narrow per-document rewrite — all array higher-order functions, zero
+Python per row. The driver loop is inherent to BPE (round r+1's counts
+depend on round r's rewrite); at 100 TB each round is a scan-speed
+job and the current token table would be checkpointed per round (here:
+cached, previous round unpersisted). The greedy overlap rule matters
+only for A==B runs ("b b b b b" -> [bb, bb, b]) and is implemented as a
+single fold per document.
+
+The whole loop replays in DuckDB: the registered query's oracle unrolls
+N rounds of count -> top-1 -> windowed greedy rewrite CTEs generated
+from the same constants (queries/bpe_query.py), so a divergence in ANY
+round's pair choice or rewrite fails the strict gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatalab_spark.functions import tokenize
+
+#: unit separator joining merged tokens — never appears in whitespace
+#: tokenization output, so merged units cannot collide with corpus words
+BPE_SEP = "\x1f"
+
+
+def _adjacent_pairs(toks: Column) -> Column:
+    """array<struct<l,r>> of adjacent token pairs (empty under 2 tokens)."""
+    idx = F.when(
+        F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("l"),
+            F.element_at(toks, i + 1).alias("r"),
+        ),
+    )
+
+
+def pair_counts(tok_df: DataFrame) -> DataFrame:
+    """(l, r, n_pairs) corpus-wide adjacent-pair counts — one partial-
+    aggregated shuffle; overlapping occurrences count individually,
+    as in reference BPE implementations."""
+    return (
+        tok_df.select(F.explode(_adjacent_pairs(F.col("toks"))).alias("p"))
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def merge_pair(tok_df: DataFrame, left: str, right: str) -> DataFrame:
+    """Rewrite every token array with (left, right) merged greedily
+    left-to-right non-overlapping.
+
+    The fold keeps the last MERGED position: a match adjacent to it is
+    skipped (its left token was consumed), anything else merges. For
+    distinct left/right, matches are never adjacent and every match
+    merges; for left==right runs this yields the ceil(run/2) greedy
+    packing.
+    """
+    t = F.col("toks")
+    matched = F.when(F.size(t) >= 2, F.filter(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - 1, F.lit(1))),
+        lambda i: (F.element_at(t, i) == F.lit(left))
+        & (F.element_at(t, i + 1) == F.lit(right)),
+    )).otherwise(F.array().cast("array<int>"))
+    kept = F.aggregate(
+        matched,
+        F.struct(
+            F.array().cast("array<int>").alias("ks"),
+            F.lit(None).cast("int").alias("last"),
+        ),
+        lambda acc, p: F.when(p == acc["last"] + 1, acc).otherwise(
+            F.struct(F.concat(acc["ks"], F.array(p)).alias("ks"), p.alias("last"))
+        ),
+        lambda acc: acc["ks"],
+    )
+    merged_tok = F.lit(left + BPE_SEP + right)
+    with_kept = tok_df.select("doc_id", "toks", kept.alias("ks"))
+    k = F.col("ks")
+    rebuilt = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.size(t)),
+            lambda i: F.when(F.array_contains(k, i), merged_tok)
+            .when(F.array_contains(k, i - 1), F.lit(None))
+            .otherwise(F.element_at(t, i)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return with_kept.select("doc_id", rebuilt.alias("toks"))
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train ``n_merges`` BPE merges; returns the merge table
+    (merge_round, left, right, n_pairs) ordered by round.
+
+    Stops early if the corpus runs out of adjacent pairs. The returned
+    frame is driver-built (one row per round — the merge table IS the
+    trained artifact, vocabulary-sized, never data-sized).
+    """
+    spark = docs.sparkSession
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks")
+    ).cache()
+    merges: list[tuple[int, str, str, int]] = []
+    try:
+        for r in range(1, n_merges + 1):
+            top = (
+                pair_counts(toks)
+                .orderBy(F.desc("n_pairs"), F.asc("l"), F.asc("r"))
+                .first()
+            )
+            if top is None:
+                break
+            merges.append((r, top["l"], top["r"], top["n_pairs"]))
+            nxt = merge_pair(toks, top["l"], top["r"]).cache()
+            nxt.count()  # materialize before dropping the parent cache
+            toks.unpersist()
+            toks = nxt
+    finally:
+        toks.unpersist()
+    return spark.createDataFrame(
+        merges, "merge_round int, left string, right string, n_pairs bigint"
+    )

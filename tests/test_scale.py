@@ -772,3 +772,31 @@ def test_portable_bloom_no_false_negatives_and_prunes(spark):
     assert out[1]["status"] == "exact_dup" and out[1]["bloom_positive"]
     assert out[3]["status"] == "exact_dup" and out[3]["bloom_positive"]
     assert out[5]["status"] in ("new", "new_bloom_fp")
+
+
+def test_bpe_train_merges_and_greedy_overlap(spark):
+    from bigdatalab_spark.functions import tokenize
+    from bigdatalab_spark.scale.bpe import BPE_SEP, bpe_train, merge_pair
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b b b")], "doc_id long, text string"
+    )
+    out = bpe_train(docs, n_merges=3).orderBy("merge_round").collect()
+    ab = f"a{BPE_SEP}b"
+    assert [(r["merge_round"], r["left"], r["right"], r["n_pairs"]) for r in out] == [
+        (1, "a", "b", 3),       # most frequent pair
+        (2, ab, ab, 1),         # tie broken lexicographically (0x1f < 'b')
+        (3, ab, "b", 1),
+    ]
+
+    # greedy left-to-right non-overlap on an A==A run: 5 b's -> bb bb b
+    t = spark.createDataFrame(
+        [(1, "b b b b b")], "doc_id long, text string"
+    ).select("doc_id", tokenize("text").alias("toks"))
+    merged = merge_pair(t, "b", "b").collect()[0]["toks"]
+    bb = f"b{BPE_SEP}b"
+    assert merged == [bb, bb, "b"]
+
+    # early stop: single-token docs have no pairs
+    tiny = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
+    assert bpe_train(tiny, n_merges=3).count() == 0
