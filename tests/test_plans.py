@@ -118,3 +118,32 @@ def test_zip_with_index_is_distributed(spark, sf_dir):
     got = {(r.idx, r.event_id) for r in indexed.select("idx", "event_id").collect()}
     want = {(r.idx, r.event_id) for r in naive.collect()}
     assert got == want
+
+
+def test_exists_decorrelates_to_semi_join_with_pushdown(spark, sf_dir):
+    """The SQL EXISTS subquery must become a left-semi join (no row
+    multiplication) with the date filter pushed to the orders scan."""
+    plan = (
+        REGISTRY["exists_returned_orders"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftSemi" in plan
+    scan_lines = [l for l in plan.splitlines() if "Scan parquet" in l and "orders" in l]
+    assert any("o_orderdate" in l for l in scan_lines), "date filter not pushed"
+
+
+def test_cube_expands_once_single_aggregate(spark, sf_dir):
+    """CUBE = one Expand node feeding ONE partial/final aggregate pair —
+    four grouping sets must not mean four scans of the fact table."""
+    plan = (
+        REGISTRY["cube_order_stats"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Expand") == 1
+    assert len([l for l in plan.splitlines() if "Scan parquet" in l]) == 1
