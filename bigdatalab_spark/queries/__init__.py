@@ -56,6 +56,7 @@ _POST_WINDOW = (
     "cube_order_stats",
     "semantic_dedup",
     "user_running_stats",
+    "event_type_crosstab",
 )
 
 

@@ -320,3 +320,49 @@ def user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "seq_no")
     )
+
+
+@query(
+    "event_type_crosstab",
+    ids=("A9", "A7"),
+    oracle="""
+        WITH pairs AS (
+            SELECT e.event_type, c.c_mktsegment
+            FROM events e
+            JOIN customer c ON c.c_custkey = e.user_id % 1500
+        )
+        SELECT event_type AS event_type_c_mktsegment,
+               count(*) FILTER (c_mktsegment = 'AUTOMOBILE') AS "AUTOMOBILE",
+               count(*) FILTER (c_mktsegment = 'BUILDING')   AS "BUILDING",
+               count(*) FILTER (c_mktsegment = 'FURNITURE')  AS "FURNITURE",
+               count(*) FILTER (c_mktsegment = 'HOUSEHOLD')  AS "HOUSEHOLD",
+               count(*) FILTER (c_mktsegment = 'MACHINERY')  AS "MACHINERY"
+        FROM pairs
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def event_type_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency table via ``stat.crosstab`` — the DataFrameStat
+    surface the sketches module doesn't cover. Crosstab is exact (a
+    pivoted count(*) — one hash aggregate over both columns, then the
+    tiny distinct-value pivot), so unlike freqItems it oracles
+    strictly. The user_id%1500 join key maps events onto the customer
+    dim so the table is a genuine two-table contingency."""
+    segments = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    pairs = ev.join(
+        cust, cust["c_custkey"] == ev["user_id"] % 1500
+    ).select("event_type", "c_mktsegment")
+    ct = pairs.stat.crosstab("event_type", "c_mktsegment")
+    # crosstab emits columns only for OBSERVED values; pad to the fixed
+    # TPC-H segment domain so the schema is sf-invariant
+    out = ct.select(
+        "event_type_c_mktsegment",
+        *[
+            (F.col(s) if s in ct.columns else F.lit(0)).cast("bigint").alias(s)
+            for s in segments
+        ],
+    ).orderBy("event_type_c_mktsegment")
+    return out

@@ -800,3 +800,41 @@ def test_bpe_train_merges_and_greedy_overlap(spark):
     # early stop: single-token docs have no pairs
     tiny = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
     assert bpe_train(tiny, n_merges=3).count() == 0
+
+
+def test_freq_items_superset_contract(spark, sf_dir):
+    """stat.freqItems guarantees every item with frequency above the
+    support threshold appears (false positives allowed, never false
+    negatives) — assert against exact counts."""
+    from bigdatalab_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    support = 0.1
+    got = set(ev.stat.freqItems(["event_type"], support).collect()[0][0])
+    n = ev.count()
+    exact = {
+        r["event_type"]
+        for r in ev.groupBy("event_type").count().collect()
+        if r["count"] / n >= support
+    }
+    assert exact <= got
+
+
+def test_sample_by_fractions_and_seed_stability(spark, sf_dir):
+    """sampleBy: per-stratum fractions land near target and the seeded
+    sample is reproducible within a session."""
+    from bigdatalab_spark.scale.curation import stratified_sample
+    from bigdatalab_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    fr = {"click": 0.5, "view": 0.1}
+    s1 = stratified_sample(ev, "event_type", fr, seed=5)
+    s2 = stratified_sample(ev, "event_type", fr, seed=5)
+    c1 = {r["event_type"]: r["count"] for r in s1.groupBy("event_type").count().collect()}
+    assert set(c1) <= set(fr)  # unlisted strata default to 0
+    tot = {r["event_type"]: r["count"] for r in ev.groupBy("event_type").count().collect()}
+    for k, f in fr.items():
+        assert abs(c1.get(k, 0) / tot[k] - f) < 0.15
+    assert sorted(r["event_id"] for r in s1.collect()) == sorted(
+        r["event_id"] for r in s2.collect()
+    )
