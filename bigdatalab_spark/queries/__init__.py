@@ -57,6 +57,7 @@ _POST_WINDOW = (
     "semantic_dedup",
     "user_running_stats",
     "event_type_crosstab",
+    "ann_pq_topk",
 )
 
 

@@ -203,3 +203,22 @@ def semantic_dedup_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup(emb, threshold=0.95).orderBy("vec_id")
+
+
+@query(
+    "ann_pq_topk",
+    ids=("SCALE-SIM",),
+    oracle=None,  # learned PQ codebooks are not SQL-replayable; recall
+    # vs exact L2 and the compression contract are gated in tests
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with ADC scoring + exact rerank
+    (:mod:`bigdatalab_spark.scale.pq`): corpus stored as 8 one-byte
+    codes per 64-d vector (32x), scoring touches only code ints + a
+    broadcast query LUT, rerank reads just the 50-vector shortlist."""
+    from bigdatalab_spark.scale.pq import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_topk(emb.filter("vec_id < 10"), emb, k=5, m=8, rerank=50).orderBy(
+        "query_id", "rank"
+    )

@@ -838,3 +838,50 @@ def test_sample_by_fractions_and_seed_stability(spark, sf_dir):
     assert sorted(r["event_id"] for r in s1.collect()) == sorted(
         r["event_id"] for r in s2.collect()
     )
+
+
+def test_pq_compression_contract_and_rerank_recall(spark, sf_dir):
+    """PQ: m codes per vector from k-sized codebooks (the 32x storage
+    contract), raw ADC recovers self-neighbors, and exact rerank lifts
+    recall@5 above the raw-ADC floor."""
+    from pyspark.sql.window import Window
+
+    from bigdatalab_spark.scale.pq import (
+        _sq_dist,
+        encode_corpus,
+        pq_topk,
+        train_codebooks,
+    )
+    from bigdatalab_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    books = train_codebooks(emb, m=8, k=16, seed=42)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    codes = encode_corpus(emb, books)
+    assert codes.count() == n * 8  # m codes per vector, nothing dropped
+    assert codes.agg(F.max("code")).collect()[0][0] < 16
+
+    q = emb.filter("vec_id < 10")
+    got = {}
+    for r in pq_topk(q, emb, k=5, m=8, rerank=50, codebooks=books).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    qq = q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    cv = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("neighbor_id"))
+    exact = {}
+    for r in (
+        F.broadcast(qq)
+        .crossJoin(cv)
+        .select("query_id", "neighbor_id", _sq_dist(F.col("qv"), F.col("cv")).alias("d"))
+        .withColumn("r", F.row_number().over(w))
+        .filter("r <= 5")
+        .collect()
+    ):
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(exact[k_] & got[k_]) / 5 for k_ in exact]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.6, f"reranked recall@5 {mean_recall}"
+    # every query finds itself (distance 0 survives any quantization)
+    assert all(qid in got[qid] for qid in got)
