@@ -880,3 +880,101 @@ def contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = hash_split(load_table(spark, sf_dir, "documents"), "doc_id")
     return report(docs, n=_NGRAM, k=5).orderBy("doc_id", "rank")
+
+
+@query(
+    "events_daily_resampled",
+    ids=("T-EXT", "P1", "A3"),
+    oracle="""
+        WITH ranked AS (
+            SELECT user_id, CAST(ts AS DATE) AS day, value,
+                   row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+            WHERE user_id < 100
+        ),
+        daily AS (
+            SELECT user_id, day,
+                   count(*) AS n_events,
+                   max(CASE WHEN rn = 1 THEN value END) AS last_value
+            FROM ranked
+            GROUP BY user_id, day
+        ),
+        bounds AS (
+            SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+            FROM events
+        ),
+        grid AS (
+            SELECT u.user_id, CAST(g.day AS DATE) AS day
+            FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 100) u,
+                 bounds,
+                 LATERAL (SELECT unnest(generate_series(bounds.d0, bounds.d1,
+                                                        INTERVAL 1 DAY)) AS day) g
+        )
+        SELECT grid.user_id,
+               strftime(grid.day, '%Y-%m-%d') AS day,
+               coalesce(daily.n_events, 0) AS n_events,
+               last_value(daily.last_value IGNORE NULLS) OVER (
+                   PARTITION BY grid.user_id ORDER BY grid.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS filled_value
+        FROM grid LEFT JOIN daily USING (user_id, day)
+        ORDER BY user_id, day
+    """,
+)
+def events_daily_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with forward fill: per user, a regular
+    daily grid over the corpus date range with event counts and the
+    last observed value carried forward across empty days — the gap-
+    filling shape every metrics/feature pipeline needs before ML
+    windowing.
+
+    Scale shape: the daily pre-aggregate shrinks events to one row per
+    (user, day) BEFORE the grid join (never raw events x grid); the
+    calendar bounds come from an aggregate cross-joined in-plan (no
+    driver collect); the fill is one ``last(ignorenulls)`` running
+    window per user — same user_id exchange the grid join already
+    produced. Day count is bounded (a corpus has a calendar, not a key
+    space), so grid rows = users x days stays linear in users."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").filter("user_id < 100")
+    wlast = Window.partitionBy("user_id", "day").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    daily = (
+        ev.withColumn("day", F.to_date("ts"))
+        .withColumn("_rn", F.row_number().over(wlast))
+        .groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(F.when(F.col("_rn") == 1, F.col("value"))).alias("last_value"),
+        )
+    )
+    bounds = load_table(spark, sf_dir, "events").agg(
+        F.to_date(F.min("ts")).alias("d0"), F.to_date(F.max("ts")).alias("d1")
+    )
+    grid = (
+        ev.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
+        )
+    )
+    wfill = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("last_value", ignorenulls=True).over(wfill).alias("filled_value"),
+        )
+        .orderBy("user_id", "day")
+    )
