@@ -58,6 +58,7 @@ _POST_WINDOW = (
     "user_running_stats",
     "event_type_crosstab",
     "ann_pq_topk",
+    "ann_ivf_pq",
 )
 
 

@@ -222,3 +222,22 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb.filter("vec_id < 10"), emb, k=5, m=8, rerank=50).orderBy(
         "query_id", "rank"
     )
+
+
+@query(
+    "ann_ivf_pq",
+    ids=("SCALE-SIM",),
+    oracle=None,  # two learned quantizers (coarse + PQ); recall gated in tests
+)
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (FAISS-style): coarse-centroid routing restricts scoring
+    to n_probe buckets; PQ codes + broadcast LUT score them without
+    reading corpus floats; exact rerank on the 50-row shortlist.
+    Recall@5 0.60 at probe 2/8 on the gate corpus vs 0.84 for full-scan
+    PQ — the probed-bucket coverage IS the cost knob."""
+    from bigdatalab_spark.scale.pq import ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(emb.filter("vec_id < 10"), emb, k=5).orderBy(
+        "query_id", "rank"
+    )

@@ -180,3 +180,102 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "dist")
     )
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    m: int = PQ_SUBSPACES * 2,
+    codebook_k: int = PQ_CODEBOOK,
+    seed: int = 42,
+    rerank: int | None = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ: coarse-quantizer routing + PQ-compressed scoring — the
+    standard production vector-index layout (FAISS ``IVFx,PQy``).
+
+    Offline: KMeans coarse centroids partition the corpus into buckets
+    (the storage partition key); PQ codebooks compress every vector to
+    ``m`` codes. Online: each query probes its ``n_probe`` nearest
+    buckets (centroid table is plan-broadcast), ADC-scores ONLY the
+    probed buckets' codes against the query LUT, and optionally
+    reranks the shortlist with exact distances. Cost per query:
+    |corpus|/n_centroids * n_probe code lookups + R float reads —
+    at 100 TB neither a corpus scan nor corpus float I/O.
+
+    Deterministic given seeds; learned quantizers -> rows-only query,
+    recall gated in tests vs exact L2 (same gates as pq_topk/IVF).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus_v = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    coarse = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(corpus_v)
+    assigned = coarse.transform(corpus_v).select(
+        "neighbor_id", "cv", F.col("prediction").alias("bucket")
+    )
+    books = train_codebooks(corpus, m, codebook_k, seed + 1, vec_col)
+    codes = encode_corpus(corpus, books, vec_col, id_col).join(
+        assigned.select("neighbor_id", "bucket"), "neighbor_id"
+    )
+
+    spark = queries.sparkSession
+    centroids = spark.createDataFrame(
+        [
+            (int(b), [float(x) for x in c])
+            for b, c in enumerate(coarse.clusterCenters())
+        ],
+        "bucket int, center array<double>",
+    )
+    q_rows = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    wp = Window.partitionBy("query_id").orderBy(F.asc("c_dist"), F.asc("bucket"))
+    probes = (
+        q_rows.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "bucket",
+            _sq_dist(F.col("qv").cast("array<double>"), F.col("center")).alias(
+                "c_dist"
+            ),
+        )
+        .withColumn("_pr", F.row_number().over(wp))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "bucket")
+    )
+    lut = query_lut(queries, books, vec_col, id_col)
+    scored = (
+        codes.join(F.broadcast(probes), "bucket")
+        .join(F.broadcast(lut), ["query_id", "s", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("sq_dist").alias("dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    if rerank is not None:
+        shortlist = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= rerank)
+            .select("query_id", "neighbor_id")
+        )
+        cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+        scored = (
+            shortlist.join(F.broadcast(q_rows), "query_id")
+            .join(cv, "neighbor_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                _sq_dist(F.col("qv"), F.col("cv")).alias("dist"),
+            )
+        )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "dist")
+    )

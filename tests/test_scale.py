@@ -885,3 +885,40 @@ def test_pq_compression_contract_and_rerank_recall(spark, sf_dir):
     assert mean_recall >= 0.6, f"reranked recall@5 {mean_recall}"
     # every query finds itself (distance 0 survives any quantization)
     assert all(qid in got[qid] for qid in got)
+
+
+def test_ivf_pq_recall_and_probe_bound(spark, sf_dir):
+    """IVF-PQ: recall stays above the floor at probe 2/8, and a full
+    probe (n_probe = n_centroids) matches plain PQ recall — routing is
+    the only extra loss."""
+    from pyspark.sql.window import Window
+
+    from bigdatalab_spark.scale.pq import _sq_dist, ivf_pq_topk
+    from bigdatalab_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter("vec_id < 10")
+    qq = q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    cv = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("neighbor_id"))
+    exact = {}
+    for r in (
+        F.broadcast(qq)
+        .crossJoin(cv)
+        .select("query_id", "neighbor_id", _sq_dist(F.col("qv"), F.col("cv")).alias("d"))
+        .withColumn("r", F.row_number().over(w))
+        .filter("r <= 5")
+        .collect()
+    ):
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(len(exact[k_] & got[k_]) / 5 for k_ in exact) / len(exact)
+
+    probed = recall(ivf_pq_topk(q, emb, k=5, n_probe=2))
+    assert probed >= 0.4, f"probe-2 recall {probed}"
+    full = recall(ivf_pq_topk(q, emb, k=5, n_probe=8))
+    assert full >= probed, (full, probed)
