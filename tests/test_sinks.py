@@ -165,3 +165,56 @@ def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
         .toString()
     )
     assert "PushedFilters: [" in plan and "c_custkey" in plan
+
+
+def test_python_datasource_batch_partitions_and_determinism(spark):
+    """Custom Python DataSource: schema honored, one split per declared
+    partition, content deterministic from the seed."""
+    from bigdatalab_spark.sources.custom import register_synthetic_source
+
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("num_partitions", 3)
+        .option("rows_per_partition", 50)
+        .load()
+    )
+    assert df.count() == 150
+    assert df.rdd.getNumPartitions() == 3
+    assert [f.name for f in df.schema.fields] == [
+        "event_id", "user_id", "event_type", "value",
+    ]
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, (
+        spark.read.format("synthetic_events")
+        .option("num_partitions", 3)
+        .option("rows_per_partition", 50)
+        .load()
+    ).collect()))
+    assert a == b
+    assert df.filter(~F.col("event_type").isin("click", "view", "purchase")).count() == 0
+
+
+def test_python_datasource_stream_microbatches(spark, tmp_path):
+    """The streaming half: availableNow drains exactly max_batches
+    deterministic microbatches through a real writeStream."""
+    from bigdatalab_spark.sources.custom import register_synthetic_source
+
+    register_synthetic_source(spark)
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("rows_per_batch", 10)
+        .option("max_batches", 3)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_synth_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("t_synth_stream")
+    assert got.count() == 30
+    assert got.select("event_id").distinct().count() == 30
