@@ -978,3 +978,88 @@ def events_daily_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+@query(
+    "incremental_agg_merge",
+    ids=("A4", "A5", "T-EXT"),
+    oracle="""
+        WITH history AS (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+            FROM events
+            WHERE CAST(ts AS DATE) < DATE '2024-01-25'
+            GROUP BY 1, 2
+        ),
+        batch AS (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+            FROM events
+            WHERE CAST(ts AS DATE) >= DATE '2024-01-25'
+            GROUP BY 1, 2
+        )
+        SELECT coalesce(h.user_id, b.user_id) AS user_id,
+               strftime(coalesce(h.day, b.day), '%Y-%m-%d') AS day,
+               coalesce(h.n_events, 0) + coalesce(b.n_events, 0) AS n_events,
+               coalesce(h.sum_value, 0) + coalesce(b.sum_value, 0) AS sum_value
+        FROM history h
+        FULL OUTER JOIN batch b ON h.user_id = b.user_id AND h.day = b.day
+        ORDER BY user_id, day
+    """,
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: merge a new batch's partial
+    aggregate into a STORED per-(user, day) aggregate with a full outer
+    join + coalesced sums — the materialized-view upkeep pattern. At
+    100 TB the history side is the stored aggregate table (rows =
+    users x days, orders of magnitude smaller than raw events) and only
+    the new batch's raw rows are ever re-read: daily cost tracks the
+    batch, never the history. Count and DECIMAL-exact sum are the
+    mergeable buffers (the same decomposition Spark's partial
+    aggregation uses internally — avg is derived sum/count at read
+    time, never stored). The merged result equals the from-scratch
+    aggregate bit-for-bit, which is what the oracle (and the algebraic
+    property test) check."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-25").cast("date")
+
+    def daily(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("day", F.to_date("ts"))
+            .groupBy("user_id", "day")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(28,6)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+        )
+
+    history = daily(ev.filter(F.to_date("ts") < cutoff))
+    batch = daily(ev.filter(F.to_date("ts") >= cutoff))
+    h, b = history.alias("h"), batch.alias("b")
+    return (
+        h.join(
+            b,
+            (F.col("h.user_id") == F.col("b.user_id"))
+            & (F.col("h.day") == F.col("b.day")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("h.user_id"), F.col("b.user_id")).alias("user_id"),
+            F.date_format(
+                F.coalesce(F.col("h.day"), F.col("b.day")), "yyyy-MM-dd"
+            ).alias("day"),
+            (
+                F.coalesce(F.col("h.n_events"), F.lit(0))
+                + F.coalesce(F.col("b.n_events"), F.lit(0))
+            ).alias("n_events"),
+            (
+                F.coalesce(F.col("h.sum_value"), F.lit(0.0))
+                + F.coalesce(F.col("b.sum_value"), F.lit(0.0))
+            ).alias("sum_value"),
+        )
+        .orderBy("user_id", "day")
+    )

@@ -538,3 +538,32 @@ def test_contamination_report_ranks_and_guards(spark):
         for r in contamination_report(docs, n=5, k=2, max_train_df=1).collect()
     ]
     assert guarded == [(1, 2)]
+
+
+def test_incremental_agg_merge_equals_full_recompute(spark, sf_dir):
+    """The merged (history + batch) aggregate must equal aggregating all
+    events from scratch — the algebraic property incremental view
+    maintenance depends on."""
+    from bigdatalab_spark.queries import REGISTRY
+    from bigdatalab_spark.sources import load_table
+
+    merged = {
+        (r["user_id"], r["day"]): (r["n_events"], r["sum_value"])
+        for r in REGISTRY["incremental_agg_merge"].fn(spark, sf_dir).collect()
+    }
+    full = {
+        (r["user_id"], r["day"]): (r["n_events"], r["sum_value"])
+        for r in (
+            load_table(spark, sf_dir, "events")
+            .groupBy("user_id", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+            )
+            .collect()
+        )
+    }
+    assert set(merged) == set(full)
+    for k in merged:
+        assert merged[k][0] == full[k][0]
+        assert merged[k][1] == pytest.approx(full[k][1], rel=1e-12)

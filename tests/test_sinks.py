@@ -218,3 +218,40 @@ def test_python_datasource_stream_microbatches(spark, tmp_path):
     got = spark.table("t_synth_stream")
     assert got.count() == 30
     assert got.select("event_id").distinct().count() == 30
+
+
+def test_partitioned_parquet_read_prunes_partitions(spark, sf_dir, tmp_path):
+    """A filter on the partition column must become a PartitionFilter
+    (directory pruning) — not a post-scan row filter."""
+    out = str(tmp_path / "part_events")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    ev.write.mode("overwrite").partitionBy("day").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("day") == "2024-01-03")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "day" in plan.split("PartitionFilters")[1][:120]
+    n_day = back.count()
+    assert 0 < n_day < ev.count()
+
+
+def test_permissive_csv_captures_corrupt_records(spark, tmp_path):
+    """PERMISSIVE mode keeps malformed rows in _corrupt_record instead
+    of dropping (DROPMALFORMED) or failing — the triage path a lake
+    ingest uses before quarantining bad rows."""
+    p = tmp_path / "bad.csv"
+    p.write_text("1,alice,3.5\n2,bob\nnot,a,number\n4,dana,9.9\n")
+    schema = "id int, name string, score double, _corrupt_record string"
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(str(p))
+        .cache()
+    )
+    assert df.count() == 4
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).collect()
+    assert {r["_corrupt_record"] for r in bad} == {"2,bob", "not,a,number"}
+    good = df.filter(F.col("_corrupt_record").isNull())
+    assert good.count() == 2
+    df.unpersist()
