@@ -1063,3 +1063,44 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+@query(
+    "unpivoted_daily_metrics",
+    ids=("P1", "A7"),
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   count(*) AS n_events,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+            FROM events
+            GROUP BY 1
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day, metric,
+               CAST(value AS DOUBLE) AS value
+        FROM daily
+        UNPIVOT (value FOR metric IN (n_events, n_users, sum_value))
+        ORDER BY day, metric
+    """,
+)
+def unpivoted_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape via ``DataFrame.unpivot`` (melt): per-day
+    metrics pivoted into (day, metric, value) rows — the long format
+    metric stores and plotting layers expect. Unpivot is a zero-shuffle
+    Expand projection (each input row fans out to one row per value
+    column in place); the only exchange is the upstream daily
+    aggregate's."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_events"),
+            F.countDistinct("user_id").cast("double").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+        )
+    )
+    return (
+        daily.unpivot("day", ["n_events", "n_users", "sum_value"], "metric", "value")
+        .orderBy("day", "metric")
+    )

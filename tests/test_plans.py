@@ -147,3 +147,27 @@ def test_cube_expands_once_single_aggregate(spark, sf_dir):
     )
     assert plan.count("Expand") == 1
     assert len([l for l in plan.splitlines() if "Scan parquet" in l]) == 1
+
+
+def test_join_strategy_hints_are_respected(spark, sf_dir):
+    """merge/shuffle_hash hints override Catalyst's default pick — the
+    §2.10 manual-strategy escape (broadcast's siblings)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+
+    merged = li.join(part.hint("merge"), li["l_partkey"] == part["p_partkey"])
+    assert "SortMergeJoin" in merged._jdf.queryExecution().executedPlan().toString()
+
+    hashed = li.join(part.hint("shuffle_hash"), li["l_partkey"] == part["p_partkey"])
+    assert "ShuffledHashJoin" in hashed._jdf.queryExecution().executedPlan().toString()
+
+
+def test_unpivot_is_expand_without_shuffle(spark, sf_dir):
+    """DataFrame.unpivot must lower to an in-place Expand — row fan-out
+    with no exchange of its own."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    long = ev.withColumn("v2", F.col("value") * 2).unpivot(
+        "event_id", ["value", "v2"], "metric", "v"
+    )
+    plan = long._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan and "Exchange" not in plan
