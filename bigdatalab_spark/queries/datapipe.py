@@ -1104,3 +1104,47 @@ def unpivoted_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily.unpivot("day", ["n_events", "n_users", "sum_value"], "metric", "value")
         .orderBy("day", "metric")
     )
+
+
+@query(
+    "scd2_user_intervals",
+    ids=("T-EXT", "O5"),
+    oracle="""
+        SELECT user_id,
+               event_id,
+               value,
+               epoch_us(ts) AS valid_from_us,
+               epoch_us(lead(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)) AS valid_to_us,
+               lead(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+        FROM events
+        WHERE user_id < 50
+        ORDER BY user_id, valid_from_us, event_id
+    """,
+)
+def scd2_user_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build: each observed value becomes a validity
+    interval [valid_from, valid_to) closed by the NEXT observation via
+    ``lead`` (open-ended + is_current for the latest) — the
+    slowly-changing-dimension table a lakehouse keeps instead of
+    overwriting in place (the overwrite twin is cdc_latest_by_key).
+    Interval bounds are exact integer epoch-microseconds. One window
+    per user_id partition — the same single-exchange shape as the
+    lag/gap family."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").filter("user_id < 50")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "value",
+            F.unix_micros("ts").alias("valid_from_us"),
+            F.unix_micros(nxt).alias("valid_to_us"),
+            nxt.isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from_us", "event_id")
+    )
