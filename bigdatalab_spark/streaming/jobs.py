@@ -279,13 +279,21 @@ def stream_stream_interval_join(
     purchases: DataFrame,
     max_gap: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join with a time-interval condition — beyond
-    the reference's DStream surface entirely (T-extension): correlate a
+    """Stream-stream join with a time-interval condition — beyond the
+    reference's DStream surface entirely (T-extension): correlate a
     purchase with the same user's click that preceded it by at most
     ``max_gap``. Both sides carry watermarks so the join state for
     expired intervals is evicted; without them the state grows without
-    bound. Inputs need columns (user_id, ts [, ...])."""
+    bound. Inputs need columns (user_id, ts [, ...]).
+
+    ``how="left_outer"`` adds the abandoned-click rows: a click with no
+    purchase emits null-extended ONLY once the watermark passes
+    ``click_ts + max_gap`` (no purchase can still arrive) — so clicks
+    inside the final watermark horizon of a bounded run stay unemitted,
+    which is the correct streaming answer, not a bug. The test asserts
+    exactly that eviction frontier."""
     c = clicks.withWatermark("ts", watermark).alias("c")
     p = purchases.withWatermark("ts", watermark).alias("p")
     return c.join(
@@ -297,6 +305,7 @@ def stream_stream_interval_join(
             p.ts <= c.ts + INTERVAL {max_gap}
             """
         ),
+        how,
     ).select(
         F.col("c.user_id").alias("user_id"),
         F.col("c.event_id").alias("click_id"),

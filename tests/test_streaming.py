@@ -505,3 +505,56 @@ def test_rocksdb_state_store_is_the_session_default(spark):
         spark.conf.get("spark.sql.streaming.stateStore.providerClass")
         .endswith("RocksDBStateStoreProvider")
     )
+
+
+def test_stream_stream_left_outer_join_eviction_frontier(spark, sf_dir):
+    """Left-outer stream-stream join: matched rows equal the inner join;
+    null-extended rows are exactly the unmatched clicks old enough that
+    the watermark proved no purchase can still arrive; younger
+    unmatched clicks are (correctly) withheld."""
+    from bigdatalab_spark.streaming.jobs import stream_stream_interval_join
+
+    ev = stream_events(spark, sf_dir)
+    clicks = ev.filter("event_type = 'click'")
+    purchases = ev.filter("event_type = 'purchase'")
+    outer = stream_stream_interval_join(clicks, purchases, how="left_outer")
+    run_stream_to_memory(outer, "t_ssj_outer", output_mode="append")
+    got = spark.table("t_ssj_outer").collect()
+
+    matched = {(r["click_id"], r["purchase_id"]) for r in got if r["purchase_id"] is not None}
+    nulls = {r["click_id"] for r in got if r["purchase_id"] is None}
+
+    bev = load_table(spark, sf_dir, "events")
+    bc = bev.filter("event_type = 'click'").alias("c")
+    bp = bev.filter("event_type = 'purchase'").alias("p")
+    cond = F.expr(
+        "c.user_id = p.user_id AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR"
+    )
+    inner = {
+        (r["click_id"], r["purchase_id"])
+        for r in bc.join(bp, cond).select(
+            F.col("c.event_id").alias("click_id"),
+            F.col("p.event_id").alias("purchase_id"),
+        ).collect()
+    }
+    assert matched == inner  # outer's matched half IS the inner join
+
+    # eviction frontier: the global watermark is the MIN across both
+    # input streams of (max event time - 2h delay); a click can be
+    # null-emitted only once that watermark passes click_ts + 1h gap
+    import datetime as _dt
+
+    max_c = bev.filter("event_type = 'click'").agg(F.max("ts")).collect()[0][0]
+    max_p = bev.filter("event_type = 'purchase'").agg(F.max("ts")).collect()[0][0]
+    frontier = min(max_c, max_p) - _dt.timedelta(hours=2) - _dt.timedelta(hours=1)
+    anti = {
+        (r["event_id"], r["ts"])
+        for r in bc.join(bp, cond, "left_anti")
+        .select(F.col("c.event_id").alias("event_id"), F.col("c.ts").alias("ts"))
+        .collect()
+    }
+    expected_nulls = {eid for eid, ts in anti if ts < frontier}
+    withheld = {eid for eid, ts in anti if ts >= frontier}
+    assert expected_nulls <= nulls  # everything provably unmatched emitted
+    assert nulls.isdisjoint({cid for cid, _ in inner})  # no false nulls
+    assert nulls <= expected_nulls | withheld  # nothing else appears
