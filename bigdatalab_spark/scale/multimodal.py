@@ -261,3 +261,32 @@ def frame_sample(decoded: DataFrame, every_nth: int = 10) -> DataFrame:
             F.sequence(F.lit(0), n_frames - 1, F.lit(every_nth))
         ).alias("frame_idx"),
     )
+
+
+def fake_decode_image_arrow(blobs: DataFrame) -> DataFrame:
+    """``mapInArrow`` twin of :func:`fake_decode_image`: the same
+    deterministic kernel fed raw ``pyarrow.RecordBatch`` objects —
+    skipping the Arrow->pandas conversion entirely. For wide binary
+    payloads that conversion is a real copy per batch, so the Arrow-
+    native path is the one a production media pipeline would use; the
+    pandas path stays as the ergonomic default. Byte-identical output
+    is asserted in tests."""
+    import pyarrow as pa
+
+    def kernel(batches):
+        for batch in batches:
+            doc_ids = batch.column("doc_id").to_pylist()
+            payloads = [bytes(p) for p in batch.column("payload").to_pylist()]
+            metas = [_fake_meta(p) for p in payloads]
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "doc_id": pa.array(doc_ids, pa.int64()),
+                    "n_bytes": pa.array([len(p) for p in payloads], pa.int32()),
+                    "format": pa.array([m[0] for m in metas], pa.string()),
+                    "width": pa.array([m[1] for m in metas], pa.int32()),
+                    "height": pa.array([m[2] for m in metas], pa.int32()),
+                    "digest": pa.array([m[3] for m in metas], pa.string()),
+                }
+            )
+
+    return blobs.mapInArrow(kernel, schema=DECODED_SCHEMA)

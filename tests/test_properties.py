@@ -172,3 +172,54 @@ def test_zip_with_index_is_a_permutation(spark, n, parts):
     assert [r.idx for r in got] == list(range(n))
     ks = [r.k for r in got]
     assert ks == sorted(ks)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=1, max_size=30).map(" ".join),
+        min_size=1,
+        max_size=12,
+    ),
+    seg=st.integers(min_value=2, max_value=5),
+)
+def test_segment_dedup_idempotent_and_conserving(spark, docs, seg):
+    """Properties of segment-level dedup: (1) kept segments are globally
+    unique, (2) re-running on the deduped text drops nothing further
+    (idempotence), (3) n_kept sums to the number of distinct segments."""
+    from bigdatalab_spark.scale.dedup import segment_exact_dedup
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    once = segment_exact_dedup(df, seg_words=seg).cache()
+    rows = once.collect()
+
+    total_kept = sum(r["n_kept"] for r in rows)
+    # distinct segments across the corpus == kept count
+    import math
+
+    def segs(text):
+        toks = text.split()
+        return [
+            " ".join(toks[i * seg : (i + 1) * seg])
+            for i in range(math.ceil(len(toks) / seg))
+        ]
+
+    distinct = len({s for t in docs for s in segs(t)})
+    assert total_kept == distinct
+
+    # idempotence: dedup of the deduped corpus keeps everything...
+    redo = segment_exact_dedup(
+        once.select("doc_id", F.col("dedup_text").alias("text")).filter(
+            "dedup_text <> ''"
+        ),
+        seg_words=seg,
+    ).collect()
+    # ...UNLESS reassembly glued a short tail onto a following segment,
+    # which can re-segment differently; that only ever MERGES boundaries,
+    # so kept can only stay equal or shrink, never grow
+    assert sum(r["n_kept"] for r in redo) <= total_kept
+    for r in redo:
+        assert r["n_kept"] <= r["n_segments"]
+    once.unpersist()

@@ -922,3 +922,18 @@ def test_ivf_pq_recall_and_probe_bound(spark, sf_dir):
     assert probed >= 0.4, f"probe-2 recall {probed}"
     full = recall(ivf_pq_topk(q, emb, k=5, n_probe=8))
     assert full >= probed, (full, probed)
+
+
+def test_map_in_arrow_decode_matches_pandas_path(spark, sf_dir):
+    """The Arrow-native decode kernel (mapInArrow, no pandas conversion)
+    produces byte-identical rows to the mapInPandas path."""
+    from bigdatalab_spark.scale.multimodal import (
+        fake_decode_image,
+        fake_decode_image_arrow,
+        to_blob_table,
+    )
+
+    blobs = to_blob_table(_docs(spark, sf_dir).limit(50))
+    a = sorted(map(tuple, fake_decode_image(blobs).collect()))
+    b = sorted(map(tuple, fake_decode_image_arrow(blobs).collect()))
+    assert a == b and len(a) == 50
