@@ -59,6 +59,8 @@ _POST_WINDOW = (
     "event_type_crosstab",
     "ann_pq_topk",
     "ann_ivf_pq",
+    "sql_udf_revenue",
+    "zorder_clustering_key",
 )
 
 

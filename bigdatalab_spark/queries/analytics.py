@@ -366,3 +366,53 @@ def event_type_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     ).orderBy("event_type_c_mktsegment")
     return out
+
+
+_Z_BITS = 6
+
+
+def _z_sql() -> str:
+    terms = []
+    for j in range(_Z_BITS):
+        terms.append(f"(((x >> {j}) & 1) << {2 * j})")
+        terms.append(f"(((y >> {j}) & 1) << {2 * j + 1})")
+    return " + ".join(terms)
+
+
+@query(
+    "zorder_clustering_key",
+    ids=("P6", "O1"),
+    oracle=f"""
+        WITH dims AS (
+            SELECT event_id,
+                   CAST(user_id % 64 AS BIGINT) AS x,
+                   CAST(day(ts) % 64 AS BIGINT) AS y
+            FROM events
+        )
+        SELECT event_id, x, y,
+               CAST({_z_sql()} AS BIGINT) AS z_key
+        FROM dims
+        ORDER BY z_key, event_id
+    """,
+)
+def zorder_clustering_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key: interleave the bits of two
+    dimension columns so sorting by ONE key co-locates rows that are
+    close in BOTH — the multi-dimensional data-skipping layout (what
+    lakehouse OPTIMIZE ZORDER BY computes before a sorted write). Rows
+    near each other in (user bucket, day) land in the same file, so
+    min/max row-group stats prune scans filtered on EITHER dimension,
+    not just the leading sort column. Pure bit arithmetic, codegen'd,
+    bit-identical in the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    x = (F.col("user_id") % 64).cast("bigint")
+    y = (F.dayofmonth("ts") % 64).cast("bigint")
+    dims = ev.select("event_id", x.alias("x"), y.alias("y"))
+    z = F.lit(0).cast("bigint")
+    for j in range(_Z_BITS):
+        z = z + F.shiftleft(F.shiftright(F.col("x"), j).bitwiseAND(1), 2 * j)
+        z = z + F.shiftleft(F.shiftright(F.col("y"), j).bitwiseAND(1), 2 * j + 1)
+    return (
+        dims.select("event_id", "x", "y", z.cast("bigint").alias("z_key"))
+        .orderBy("z_key", "event_id")
+    )

@@ -477,3 +477,37 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").asc_nulls_first(),
         )
     )
+
+
+@query(
+    "sql_udf_revenue",
+    ids=("J4", "A4"),
+    oracle=f"""
+        SELECT l_returnflag,
+               {dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+)
+def sql_udf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL UDF (CREATE FUNCTION ... RETURN expr, Spark 4): a named,
+    catalog-registered scalar function whose BODY is SQL — it inlines
+    into the plan at analysis time, so unlike Python UDFs it costs
+    nothing (stays inside whole-stage codegen, pushdown still works).
+    The oracle states the inlined expression directly, proving the
+    function call is pure sugar."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    return spark.sql(
+        f"""
+        SELECT l_returnflag,
+               {dsum('disc_price(l_extendedprice, l_discount)')} AS revenue
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
