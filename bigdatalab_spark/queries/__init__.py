@@ -61,6 +61,7 @@ _POST_WINDOW = (
     "ann_ivf_pq",
     "sql_udf_revenue",
     "zorder_clustering_key",
+    "sessionized_dynamic_gap",
 )
 
 

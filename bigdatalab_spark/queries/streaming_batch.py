@@ -273,3 +273,71 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "sessionized_dynamic_gap",
+    ids=("T9",),
+    oracle="""
+        WITH ends AS (
+            SELECT user_id, ts, event_id,
+                   ts + CASE WHEN event_type = 'purchase'
+                             THEN INTERVAL 2 HOUR
+                             ELSE INTERVAL 30 MINUTE END AS w_end
+            FROM events
+        ),
+        marked AS (
+            SELECT user_id, ts, event_id, w_end,
+                   CASE WHEN prev_end IS NULL OR ts >= prev_end
+                        THEN 1 ELSE 0 END AS new_session
+            FROM (
+                SELECT *, max(w_end) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ) AS prev_end
+                FROM ends
+            )
+        ),
+        sessions AS (
+            SELECT user_id, ts, w_end,
+                   CAST(sum(new_session) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS session_id
+            FROM marked
+        )
+        SELECT user_id, session_id,
+               CAST(min(ts) AS VARCHAR) AS session_start,
+               count(*) AS n_events
+        FROM sessions
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_id
+    """,
+)
+def sessionized_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-gap session windows: the inactivity gap is a per-event
+    expression (purchases hold a session open 2 h, other events 30 min)
+    — ``session_window`` with a Column gap. The oracle generalizes the
+    gaps-and-islands rewrite to variable gaps: a session breaks when an
+    event starts at/after the RUNNING MAX of all previous window ends
+    (a plain lag is wrong once gaps differ — an earlier long-gap event
+    can outlast a later short-gap one)."""
+    events = load_table(spark, sf_dir, "events")
+    # dynamic gaps must be CalendarIntervalType: string values (not
+    # ANSI INTERVAL literals, which are DayTimeIntervalType)
+    gap = F.when(F.col("event_type") == "purchase", "2 hours").otherwise(
+        "30 minutes"
+    )
+    sess = events.groupBy(
+        F.session_window("ts", gap).alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("user_id").orderBy(F.col("w.start"))
+    return (
+        sess.select(
+            "user_id",
+            F.row_number().over(w).cast("bigint").alias("session_id"),
+            F.col("w.start").cast("string").alias("session_start"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_id")
+    )
