@@ -62,6 +62,7 @@ _POST_WINDOW = (
     "sql_udf_revenue",
     "zorder_clustering_key",
     "sessionized_dynamic_gap",
+    "important_part_types",
 )
 
 

@@ -511,3 +511,44 @@ def sql_udf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_returnflag
         """
     )
+
+
+@query(
+    "important_part_types",
+    ids=("A7", "A8", "J4"),
+    oracle=f"""
+        SELECT p_type,
+               {dsum('l_extendedprice * (1 - l_discount)')} AS type_revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        GROUP BY p_type
+        HAVING {dsum('l_extendedprice * (1 - l_discount)')} > (
+            SELECT 0.02 * {dsum('l_extendedprice * (1 - l_discount)')}
+            FROM lineitem
+        )
+        ORDER BY type_revenue DESC, p_type
+    """,
+)
+def important_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped HAVING with a global scalar subquery: part types
+    whose revenue exceeds 2% of TOTAL revenue. Catalyst evaluates the
+    uncorrelated subquery once (a separate tiny job whose single row
+    embeds into the filter), so the fact table is scanned twice — once
+    per aggregate — but never joined against itself row-wise; at 100 TB
+    you'd cache the joined+discounted frame across the two scans. The
+    threshold arithmetic is DECIMAL-exact on both engines, so boundary
+    types cannot flip."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        f"""
+        SELECT p_type,
+               {dsum('l_extendedprice * (1 - l_discount)')} AS type_revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        GROUP BY p_type
+        HAVING {dsum('l_extendedprice * (1 - l_discount)')} > (
+            SELECT 0.02 * {dsum('l_extendedprice * (1 - l_discount)')}
+            FROM lineitem
+        )
+        ORDER BY type_revenue DESC, p_type
+        """
+    )
