@@ -9,6 +9,7 @@ semantics in ANY round (pair choice, tie-break, or overlap handling).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from bigdatalab_spark.queries.registry import query
 from bigdatalab_spark.sources import load_table
@@ -80,3 +81,40 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe_train(docs, n_merges=_N_MERGES).orderBy("merge_round")
+
+
+def _bpe_encode_oracle(n_merges: int) -> str:
+    base = _bpe_oracle(n_merges)
+    # reuse the full round-replay CTE chain; swap the final SELECT for
+    # the encoded per-document token state
+    final = base.rindex("SELECT * FROM (")
+    return (
+        base[:final]
+        + f"""SELECT doc_id,
+               CAST(len(toks) AS INT) AS n_tokens,
+               array_to_string(toks, ' ') AS encoded
+        FROM toks{n_merges}
+        ORDER BY doc_id"""
+    )
+
+
+@query("bpe_encoded_docs", ids=("SCALE-TEXT",), oracle=_bpe_encode_oracle(_N_MERGES))
+def bpe_encoded_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE with the trained merges: train 4 BPE merges, then apply
+    them in order to every document — chained narrow rewrites, zero
+    encode-side shuffle (:func:`bigdatalab_spark.scale.bpe.bpe_encode`).
+    The oracle replays training AND encoding, so the per-document token
+    state after all merges must match exactly."""
+    from bigdatalab_spark.scale.bpe import bpe_encode, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train(docs, n_merges=_N_MERGES).orderBy("merge_round").collect()
+    ]
+    enc = bpe_encode(docs, merges)
+    return enc.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.array_join("toks", " ").alias("encoded"),
+    ).orderBy("doc_id")

@@ -141,3 +141,19 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "merge_round int, left string, right string, n_pairs bigint"
     )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply trained merges in order — the ENCODE half of the tokenizer
+    (train once with :func:`bpe_train`, encode any corpus with the merge
+    table). Each merge is one narrow greedy rewrite; len(merges) chained
+    projections, no shuffle at all. Returns (doc_id, toks)."""
+    toks = docs.select(F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks"))
+    for left, right in merges:
+        toks = merge_pair(toks, left, right)
+    return toks
