@@ -63,6 +63,7 @@ _POST_WINDOW = (
     "zorder_clustering_key",
     "sessionized_dynamic_gap",
     "important_part_types",
+    "streaming_quality_gate",
 )
 
 

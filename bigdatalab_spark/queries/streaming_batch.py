@@ -341,3 +341,65 @@ def sessionized_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+@query(
+    "streaming_quality_gate",
+    ids=("T2", "SCALE-TEXT", "SCALE-CURATION"),
+    oracle="""
+        WITH toks AS (
+            SELECT source,
+                   list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ws,
+                   length(text) AS n_chars,
+                   len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct
+            FROM documents
+        ),
+        scored AS (
+            SELECT source,
+                   len(ws) >= 32
+                   AND (CASE WHEN n_chars > 0
+                             THEN CAST(n_punct AS DOUBLE) / n_chars
+                             ELSE 0.0 END) < 0.2 AS accepted
+            FROM toks
+        )
+        SELECT source,
+               count(CASE WHEN accepted THEN 1 END) AS n_accepted,
+               count(CASE WHEN NOT accepted THEN 1 END) AS n_rejected
+        FROM scored
+        GROUP BY source
+        ORDER BY source
+    """,
+)
+def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE curation: a document stream filtered through deterministic
+    quality rules (min 32 tokens, punctuation ratio < 0.2), with
+    accept/reject counts per source as the running streaming aggregate.
+    This is the ingest-time quality gate of a training pipeline — score
+    documents as they ARRIVE and keep only the accepted stream, instead
+    of landing everything and re-scanning. The rules are pure column
+    expressions, so the streaming result equals the batch twin exactly
+    and the gate is strict despite running a REAL readStream."""
+    from bigdatalab_spark.streaming import run_stream_to_memory, unique_sink_name
+
+    batch_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    ws = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    n_chars = F.length("text")
+    n_punct = F.size(F.expr(r"regexp_extract_all(text, '[^\\w\\s]', 0)"))
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(0.0)
+    accepted = (F.size(ws) >= 32) & (punct_ratio < 0.2)
+    counted = (
+        stream.select("source", accepted.alias("accepted"))
+        .groupBy("source")
+        .agg(
+            F.count(F.when(F.col("accepted"), 1)).alias("n_accepted"),
+            F.count(F.when(~F.col("accepted"), 1)).alias("n_rejected"),
+        )
+    )
+    name = unique_sink_name("quality_gate")
+    run_stream_to_memory(counted, name, output_mode="complete")
+    return spark.table(name).orderBy("source")
