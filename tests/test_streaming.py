@@ -558,3 +558,46 @@ def test_stream_stream_left_outer_join_eviction_frontier(spark, sf_dir):
     assert expected_nulls <= nulls  # everything provably unmatched emitted
     assert nulls.isdisjoint({cid for cid, _ in inner})  # no false nulls
     assert nulls <= expected_nulls | withheld  # nothing else appears
+
+
+def test_foreachbatch_crash_restart_exactly_once(spark, sf_dir, tmp_path):
+    """Fault injection: the first run crashes inside foreachBatch AFTER
+    writing its output; the checkpoint restart must retry the batch and
+    the idempotent (overwrite-by-batchId) sink must yield every input
+    row exactly once — the standard exactly-once recipe for arbitrary
+    sinks."""
+    import os
+
+    ckpt = str(tmp_path / "ckpt")
+    out_root = tmp_path / "out"
+    crash_flag = tmp_path / "crash_once"
+    crash_flag.write_text("1")
+
+    def sink(batch_df, batch_id):
+        # idempotent: re-delivery of the same batch overwrites its own
+        # directory instead of appending duplicates
+        batch_df.write.mode("overwrite").parquet(str(out_root / f"batch={batch_id}"))
+        if crash_flag.exists():
+            os.remove(str(crash_flag))
+            raise RuntimeError("injected failure after write, before commit")
+
+    def start():
+        return (
+            stream_events(spark, sf_dir)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q1 = start()
+    with pytest.raises(Exception, match="injected failure"):
+        q1.awaitTermination()
+
+    q2 = start()  # recover from the same checkpoint
+    q2.awaitTermination()
+
+    got = spark.read.parquet(str(out_root))
+    want = load_table(spark, sf_dir, "events")
+    assert got.count() == want.count()
+    assert got.select("event_id").distinct().count() == want.count()
