@@ -71,7 +71,10 @@ def wholestage_codegen_count(df: DataFrame) -> int:
     test scale) and reads the re-optimized plan."""
     plan = _executed_plan(df)
     if "isFinalPlan=false" in plan:
-        df.collect()  # count() would spawn a new queryExecution
+        # execute THIS df's plan (count()/limit() would spawn a new
+        # queryExecution) without materializing rows on the driver —
+        # foreachPartition runs the job and discards rows executor-side
+        df.foreachPartition(lambda it: None)
         plan = _executed_plan(df)
     # codegen spans print as "*(n) Operator" in plan strings (and as
     # WholeStageCodegen nodes in formatted explain)
