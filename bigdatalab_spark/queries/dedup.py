@@ -303,10 +303,14 @@ def dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bloom_oracle() -> str:
     from bigdatalab_spark.scale.dedup import BLOOM_K, BLOOM_M_BITS
-    from bigdatalab_spark.scale.hashing import MINHASH_COEFFS, MINHASH_P
+    from bigdatalab_spark.scale.hashing import (
+        MINHASH_COEFFS,
+        MINHASH_P,
+        portable_hash_sql,
+    )
 
     seeds = ", ".join(f"({a}, {b})" for a, b in MINHASH_COEFFS[:BLOOM_K])
-    h = "CAST('0x' || substr(md5(ch), 1, 7) AS BIGINT)"
+    h = portable_hash_sql("ch")
     return f"""
         WITH seeds(a, b) AS (VALUES {seeds}),
         corpus_h AS (

@@ -157,10 +157,10 @@ _RHP_SIG_ROWS_SQL = "\n            UNION ALL\n".join(
 )
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via multi-table random-hyperplane LSH
-    ({RHP_TABLES} tables × {RHP_BITS} bits, seeded): the r2 single-table
-    leading-dim blocking recovered 12/59 brute-force pairs at this
-    threshold; the table union recovers the rest without an all-pairs
-    join (recall gate: tests/test_scale.py)."""
+    (8 tables x 4 bits — RHP_TABLES/RHP_BITS — seeded): the r2
+    single-table leading-dim blocking recovered 12/59 brute-force pairs
+    at this threshold; the table union recovers the rest without an
+    all-pairs join (recall gate: tests/test_scale.py)."""
     from bigdatalab_spark.scale.similarity import rhp_near_dups
 
     emb = load_table(spark, sf_dir, "embeddings")

@@ -92,15 +92,21 @@ def merge_pair(tok_df: DataFrame, left: str, right: str) -> DataFrame:
     merged_tok = F.lit(left + BPE_SEP + right)
     with_kept = tok_df.select("doc_id", "toks", kept.alias("ks"))
     k = F.col("ks")
-    rebuilt = F.filter(
-        F.transform(
-            F.sequence(F.lit(1), F.size(t)),
-            lambda i: F.when(F.array_contains(k, i), merged_tok)
-            .when(F.array_contains(k, i - 1), F.lit(None))
-            .otherwise(F.element_at(t, i)),
+    # empty-array guard: sequence(1, 0) would yield the DESCENDING [1, 0]
+    # and element_at would throw on the empty array (empty docs are
+    # routine in real corpora)
+    rebuilt = F.when(
+        F.size(t) > 0,
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t)),
+                lambda i: F.when(F.array_contains(k, i), merged_tok)
+                .when(F.array_contains(k, i - 1), F.lit(None))
+                .otherwise(F.element_at(t, i)),
+            ),
+            lambda x: x.isNotNull(),
         ),
-        lambda x: x.isNotNull(),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     return with_kept.select("doc_id", rebuilt.alias("toks"))
 
 

@@ -142,15 +142,32 @@ def lsh_candidate_pairs(
         # lsh_bucket_stats(); the hot path stays lazy so the guard adds
         # no extra job.
         bands = cap_buckets(bands, max_bucket_size)
-    a, b = bands.alias("a"), bands.alias("b")
+    return blocked_self_pairs(
+        bands, key_cols=("band", "sig"), id_col="doc_id", out_cols=("doc1", "doc2")
+    )
+
+
+def blocked_self_pairs(
+    rows: DataFrame,
+    key_cols: tuple[str, ...],
+    id_col: str,
+    out_cols: tuple[str, str] = ("id1", "id2"),
+) -> DataFrame:
+    """Distinct ordered pairs (id1 < id2) sharing EVERY key column — the
+    one bucket self-join body behind every blocking scheme (MinHash
+    bands, bucketed band tables, random-hyperplane tables). The `<`
+    tie-break and the final distinct ARE the pair contract; keeping one
+    copy means a change to it cannot drift between schemes."""
+    a, b = rows.alias("a"), rows.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for k in key_cols:
+        cond = (F.col(f"a.{k}") == F.col(f"b.{k}")) & cond
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias(out_cols[0]),
+            F.col(f"b.{id_col}").alias(out_cols[1]),
         )
-        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
         .distinct()
     )
 
@@ -568,17 +585,11 @@ def bucketed_candidate_pairs(spark, table: str) -> DataFrame:
     layout, so the plan contains no Exchange — asserted in
     tests/test_sinks.py. At 100 TB this turns every repeated dedup run's
     dominant shuffle into a co-located table scan."""
-    a = spark.table(table).alias("a")
-    b = spark.table(table).alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
-        .distinct()
+    return blocked_self_pairs(
+        spark.table(table),
+        key_cols=("band", "sig"),
+        id_col="doc_id",
+        out_cols=("doc1", "doc2"),
     )
 
 

@@ -266,6 +266,8 @@ def rhp_candidate_pairs(
     than the recompute it saves (cache ``vectors`` upstream if the
     signature folds are worth saving).
     """
+    from bigdatalab_spark.scale.dedup import blocked_self_pairs
+
     if max_bucket_size is not None:
         wb = Window.partitionBy("tbl", "sig")
         rows = (
@@ -273,17 +275,7 @@ def rhp_candidate_pairs(
             .filter(F.col("_n_bucket") <= max_bucket_size)
             .drop("_n_bucket")
         )
-    a, b = rows.alias("a"), rows.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.vid") < F.col("b.vid")),
-        )
-        .select(F.col("a.vid").alias("id1"), F.col("b.vid").alias("id2"))
-        .distinct()
-    )
+    return blocked_self_pairs(rows, key_cols=("tbl", "sig"), id_col="vid")
 
 
 def rhp_near_dups(

@@ -74,13 +74,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cached is not None:
         return cached
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = read_parquet(spark, path)
-    for field in df.schema.fields:
-        if field.name == "ts" and field.dataType.simpleString() == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif field.name == "ts" and field.dataType.simpleString() == "timestamp_ntz":
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    df = normalize_ts_layout(read_parquet(spark, path))
     _TABLE_MEMO[memo_key] = df
+    return df
+
+
+def normalize_ts_layout(df: DataFrame) -> DataFrame:
+    """Normalize a ``ts`` column to session-zone TIMESTAMP whatever the
+    physical layout (see load_table) — the ONE place both the batch
+    reader and the file-stream source (streaming/jobs.py) convert, so
+    the two paths cannot drift."""
+    for field in df.schema.fields:
+        if field.name != "ts":
+            continue
+        if field.dataType.simpleString() == "bigint":  # nanos-as-long
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif field.dataType.simpleString() == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -52,6 +52,8 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``Trigger.AvailableNow``. ``ts`` is normalized to a session-zone
     TIMESTAMP exactly like the batch path (sources.readers.load_table),
     so stream and batch twins see identical instants."""
+    from bigdatalab_spark.sources.readers import normalize_ts_layout
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = _events_stream_schema(spark, sf_dir)
     raw = (
@@ -60,12 +62,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    ts_type = schema["ts"].dataType.simpleString()
-    if ts_type == "bigint":  # nanos-as-long layout
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    if ts_type == "timestamp_ntz":
-        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
-    return raw
+    return normalize_ts_layout(raw)
 
 
 def socket_stream(spark: SparkSession, host: str = "localhost", port: int = 9999) -> DataFrame:

@@ -937,3 +937,20 @@ def test_map_in_arrow_decode_matches_pandas_path(spark, sf_dir):
     a = sorted(map(tuple, fake_decode_image(blobs).collect()))
     b = sorted(map(tuple, fake_decode_image_arrow(blobs).collect()))
     assert a == b and len(a) == 50
+
+
+def test_bpe_merge_pair_handles_empty_docs(spark):
+    """Empty / whitespace-only documents must not crash the rewrite
+    (sequence(1, 0) is DESCENDING in Spark; guarded)."""
+    from bigdatalab_spark.scale.bpe import bpe_train, merge_pair
+    from bigdatalab_spark.functions import tokenize
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "a b a b")], "doc_id long, text string"
+    )
+    t = docs.select("doc_id", tokenize("text").alias("toks"))
+    out = {r["doc_id"]: r["toks"] for r in merge_pair(t, "a", "b").collect()}
+    assert out[1] == [] and out[2] == []
+    assert out[3] == ["a\x1fb", "a\x1fb"]
+    merges = bpe_train(docs, n_merges=2).collect()
+    assert merges[0]["left"] == "a" and merges[0]["right"] == "b"
