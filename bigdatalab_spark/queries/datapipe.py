@@ -1148,3 +1148,70 @@ def scd2_user_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "valid_from_us", "event_id")
     )
+
+
+@query(
+    "decontaminated_split",
+    ids=("SCALE-DECONTAM", "SCALE-CURATION"),
+    oracle=f"""
+        WITH words AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ws
+            FROM documents
+        ),
+        {_SPLIT_CTE},
+        ngrams AS (
+            SELECT DISTINCT w.doc_id,
+                   {portable_hash_sql(f"array_to_string(ws[i:i+{_NGRAM - 1}], ' ')")}
+                       AS ngram_h
+            FROM words w,
+                 LATERAL (SELECT unnest(generate_series(1, len(ws) - {_NGRAM - 1})) AS i) t
+            WHERE len(ws) >= {_NGRAM}
+        ),
+        holdout_set AS (
+            SELECT DISTINCT ngram_h
+            FROM ngrams n JOIN assigned a USING (doc_id)
+            WHERE a.split IN ('val', 'test')
+        ),
+        contaminated AS (
+            SELECT DISTINCT n.doc_id
+            FROM ngrams n
+            JOIN assigned a USING (doc_id)
+            JOIN holdout_set h USING (ngram_h)
+            WHERE a.split = 'train'
+        )
+        SELECT a.doc_id, a.split,
+               CASE WHEN a.split = 'train' AND c.doc_id IS NOT NULL
+                    THEN 'quarantine' ELSE a.split END AS final_split
+        FROM assigned a LEFT JOIN contaminated c USING (doc_id)
+        ORDER BY a.doc_id
+    """,
+)
+def decontaminated_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split REPAIR: the detect step (decontam_ngram_overlap) feeds the
+    fix — train documents sharing any 5-gram with a held-out document
+    are reassigned to 'quarantine' so the training set ships clean
+    without touching val/test membership (moving docs INTO holdout
+    would bias it toward duplicated content). One anti-join-shaped
+    left join against the contaminated id set; the set stays linear
+    per the decontam shape notes."""
+    from bigdatalab_spark.scale.curation import hash_split
+    from bigdatalab_spark.scale.decontam import ngram_contamination
+
+    docs = hash_split(load_table(spark, sf_dir, "documents"), "doc_id")
+    contaminated = ngram_contamination(docs, n=_NGRAM).select("doc_id")
+    return (
+        docs.select("doc_id", "split")
+        .join(contaminated.withColumn("_c", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id",
+            "split",
+            F.when(
+                (F.col("split") == "train") & F.col("_c").isNotNull(),
+                F.lit("quarantine"),
+            )
+            .otherwise(F.col("split"))
+            .alias("final_split"),
+        )
+        .orderBy("doc_id")
+    )
