@@ -64,6 +64,7 @@ _POST_WINDOW = (
     "sessionized_dynamic_gap",
     "important_part_types",
     "streaming_quality_gate",
+    "orders_price_bands",
 )
 
 

@@ -552,3 +552,54 @@ def important_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY type_revenue DESC, p_type
         """
     )
+
+
+@query(
+    "orders_price_bands",
+    ids=("J1", "A7"),
+    oracle=f"""
+        WITH bands(band, lo, hi) AS (VALUES
+            ('budget',   0.0,      150000.0),
+            ('mid',      150000.0, 300000.0),
+            ('premium',  300000.0, 450000.0),
+            ('luxury',   450000.0, 1e18)
+        )
+        SELECT band, count(*) AS n_orders,
+               {dsum('o_totalprice')} AS band_revenue
+        FROM orders JOIN bands
+          ON o_totalprice >= lo AND o_totalprice < hi
+        GROUP BY band
+        ORDER BY band
+    """,
+)
+def orders_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join against a band dimension — the non-equi join
+    family the reference never exercises. The band table is rows-few by
+    construction, so Catalyst plans a broadcast nested-loop join: each
+    fact row tests 4 intervals in place, no shuffle, no row explosion
+    beyond the single matching band (bands are disjoint). At 100 TB a
+    non-broadcastable range join would instead bucket the fact side by
+    a quantized band key first — the zorder/bucketing story."""
+    orders = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [
+            ("budget", 0.0, 150000.0),
+            ("mid", 150000.0, 300000.0),
+            ("premium", 300000.0, 450000.0),
+            ("luxury", 450000.0, 1e18),
+        ],
+        "band string, lo double, hi double",
+    )
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo"))
+            & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum("o_totalprice").alias("band_revenue"),
+        )
+        .orderBy("band")
+    )

@@ -21,7 +21,7 @@ single fold per document.
 
 The whole loop replays in DuckDB: the registered query's oracle unrolls
 N rounds of count -> top-1 -> windowed greedy rewrite CTEs generated
-from the same constants (queries/bpe_query.py), so a divergence in ANY
+from the same constants (queries/bpe.py), so a divergence in ANY
 round's pair choice or rewrite fails the strict gate.
 """
 
