@@ -65,6 +65,7 @@ _POST_WINDOW = (
     "important_part_types",
     "streaming_quality_gate",
     "orders_price_bands",
+    "grouping_sets_revenue",
 )
 
 

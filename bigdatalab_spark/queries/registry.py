@@ -4,6 +4,15 @@ The driver contract (``__spark_entry__.py``) needs, per query: a callable
 ``(spark, sf_dir) -> DataFrame`` and, when ANSI-SQL-expressible, an oracle
 SQL string DuckDB runs over the same parquet tables. Column names must
 match exactly between the two — alias everything on both sides.
+
+Concurrency contract: query callables are SEQUENTIAL per session (the
+driver's execution model). SQL-entry queries bind session-global temp
+views (``orders``, ``lineitem``, ...) and analyze immediately, so
+back-to-back calls at different sf_dirs are safe (each ``spark.sql``
+resolves against the views registered an instant earlier, and the
+returned plan keeps its binding) — but two THREADS interleaving
+view registration and analysis in one session could cross-bind. Run
+queries concurrently only from separate SparkSessions.
 """
 
 from __future__ import annotations

@@ -603,3 +603,34 @@ def orders_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+@query(
+    "grouping_sets_revenue",
+    ids=("A7",),
+    oracle=f"""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               {dsum('o_totalprice')} AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — arbitrary grouping combinations beyond
+    cube/rollup's fixed lattices (here: per-status and per-priority
+    totals in ONE pass, no ALL-pairs cell). Same Expand-then-single-
+    aggregate plan as cube_order_stats: grouping sets never mean
+    re-scanning the fact table per set."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               {dsum('o_totalprice')} AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """
+    )
