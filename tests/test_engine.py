@@ -104,3 +104,18 @@ def test_driver_window_contract_holds():
     }
     assert not (ext & window), f"extensions displaced core entries: {ext & window}"
     assert names[46] == "word_count" and names[49] == "inverted_index"
+
+    # the scoreboard must stay BYTE-IDENTICAL to the round-2 recording:
+    # any new registration that lands inside the first 50 names belongs
+    # in _POST_WINDOW instead
+    import json
+    from pathlib import Path
+
+    r2 = list(
+        json.loads(
+            (Path(__file__).resolve().parent.parent / "CORRECTNESS_r02.json").read_text()
+        )
+    )
+    assert names[:50] == r2, [
+        (i, a, b) for i, (a, b) in enumerate(zip(r2, names[:50])) if a != b
+    ]
