@@ -28,8 +28,12 @@ _SPLIT_CTE = f"""
                     WHEN h < 9000 THEN 'val'
                     ELSE 'test' END AS split
         FROM (
+            -- coalesce(key, chr(0)) mirrors hash_split's NULL-key
+            -- convention so a NULL doc_id cannot diverge between engines
             SELECT doc_id,
-                   {portable_hash_sql("'split-v1' || CAST(doc_id AS VARCHAR)")}
+                   {portable_hash_sql(
+                       "'split-v1' || coalesce(CAST(doc_id AS VARCHAR), chr(0))"
+                   )}
                        % 10000 AS h
             FROM documents
         )

@@ -605,18 +605,19 @@ def orders_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "grouping_sets_revenue",
-    ids=("A7",),
-    oracle=f"""
+# ONE statement for both engines: the SQL is dialect-common, so oracle
+# and Spark interpolate the same constant — an edit cannot drift them
+_GROUPING_SETS_SQL = f"""
         SELECT o_orderstatus, o_orderpriority,
                count(*) AS n_orders,
                {dsum('o_totalprice')} AS revenue
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
-    """,
-)
+"""
+
+
+@query("grouping_sets_revenue", ids=("A7",), oracle=_GROUPING_SETS_SQL)
 def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS — arbitrary grouping combinations beyond
     cube/rollup's fixed lattices (here: per-status and per-priority
@@ -624,13 +625,4 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate plan as cube_order_stats: grouping sets never mean
     re-scanning the fact table per set."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(
-        f"""
-        SELECT o_orderstatus, o_orderpriority,
-               count(*) AS n_orders,
-               {dsum('o_totalprice')} AS revenue
-        FROM orders
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
-        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
-        """
-    )
+    return spark.sql(_GROUPING_SETS_SQL)

@@ -111,11 +111,16 @@ def test_driver_window_contract_holds():
     import json
     from pathlib import Path
 
+    from itertools import zip_longest
+
     r2 = list(
         json.loads(
             (Path(__file__).resolve().parent.parent / "CORRECTNESS_r02.json").read_text()
         )
     )
+    assert len(r2) == 50, f"r2 recording has {len(r2)} entries"
     assert names[:50] == r2, [
-        (i, a, b) for i, (a, b) in enumerate(zip(r2, names[:50])) if a != b
+        (i, a, b)
+        for i, (a, b) in enumerate(zip_longest(r2, names[:50]))
+        if a != b
     ]
