@@ -506,7 +506,16 @@ def connected_components(
         edges.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
         .union(edges.select(F.col("doc2").alias("src"), F.col("doc1").alias("dst")))
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    labels = nodes.select(F.col("doc_id"), F.col("doc_id").alias("cluster_id")).cache()
+    # localCheckpoint (not cache) each round: caching keeps the logical
+    # plan, so iteration r's plan NESTS all r-1 predecessors — plan
+    # trees grow without bound and large edge sets OOM the driver on
+    # plan construction alone. Checkpointing truncates lineage to the
+    # materialized result, keeping every round's plan constant-size —
+    # the standard shape for iterative algorithms on Spark.
+    labels = (
+        nodes.select(F.col("doc_id"), F.col("doc_id").alias("cluster_id"))
+        .localCheckpoint(eager=True)
+    )
     converged = False
     for _ in range(max_iter):
         # candidate label per node: min over own label and neighbors' labels
@@ -519,7 +528,7 @@ def connected_components(
             .union(neighbor_labels)
             .groupBy("doc_id")
             .agg(F.min("cluster_id").alias("cluster_id"))
-            .cache()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -528,7 +537,6 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             converged = True
