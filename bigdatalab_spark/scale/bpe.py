@@ -124,26 +124,26 @@ def bpe_train(
     trained artifact, vocabulary-sized, never data-sized).
     """
     spark = docs.sparkSession
+    # localCheckpoint, not cache: caching keeps the logical plan, so
+    # round r's rewrite plan would nest all r-1 predecessors (each
+    # merge_pair adds several HOF layers) — at tokenizer-scale merge
+    # counts that is an unbounded plan-tree blowup, the same failure
+    # mode fixed in connected_components. Checkpointing keeps every
+    # round's plan constant-size.
     toks = docs.select(
         F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks")
-    ).cache()
+    ).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
-    try:
-        for r in range(1, n_merges + 1):
-            top = (
-                pair_counts(toks)
-                .orderBy(F.desc("n_pairs"), F.asc("l"), F.asc("r"))
-                .first()
-            )
-            if top is None:
-                break
-            merges.append((r, top["l"], top["r"], top["n_pairs"]))
-            nxt = merge_pair(toks, top["l"], top["r"]).cache()
-            nxt.count()  # materialize before dropping the parent cache
-            toks.unpersist()
-            toks = nxt
-    finally:
-        toks.unpersist()
+    for r in range(1, n_merges + 1):
+        top = (
+            pair_counts(toks)
+            .orderBy(F.desc("n_pairs"), F.asc("l"), F.asc("r"))
+            .first()
+        )
+        if top is None:
+            break
+        merges.append((r, top["l"], top["r"], top["n_pairs"]))
+        toks = merge_pair(toks, top["l"], top["r"]).localCheckpoint(eager=True)
     return spark.createDataFrame(
         merges, "merge_round int, left string, right string, n_pairs bigint"
     )
@@ -158,8 +158,13 @@ def bpe_encode(
     """Apply trained merges in order — the ENCODE half of the tokenizer
     (train once with :func:`bpe_train`, encode any corpus with the merge
     table). Each merge is one narrow greedy rewrite; len(merges) chained
-    projections, no shuffle at all. Returns (doc_id, toks)."""
+    projections, no shuffle at all. A lazy checkpoint every 8 merges
+    bounds the composed plan depth for long merge tables (same
+    plan-nesting failure mode as the training loop) without forcing
+    extra jobs on short ones. Returns (doc_id, toks)."""
     toks = docs.select(F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks"))
-    for left, right in merges:
+    for i, (left, right) in enumerate(merges, 1):
         toks = merge_pair(toks, left, right)
+        if i % 8 == 0 and i < len(merges):
+            toks = toks.localCheckpoint(eager=False)
     return toks
