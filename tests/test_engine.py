@@ -124,3 +124,26 @@ def test_driver_window_contract_holds():
         for i, (a, b) in enumerate(zip_longest(r2, names[:50]))
         if a != b
     ]
+
+
+def test_session_isolation_temp_views_vs_catalog_tables(spark, sf_dir):
+    """Catalog semantics: temp views are SESSION-scoped (invisible to a
+    sibling session), managed tables are catalog-global (shared) — the
+    isolation model a multi-tenant engine deployment relies on."""
+    from bigdatalab_spark.sources import load_table
+    from bigdatalab_spark.sources.sinks import save_table
+
+    load_table(spark, sf_dir, "region").createOrReplaceTempView("iso_view")
+    save_table(load_table(spark, sf_dir, "region"), "iso_table")
+
+    sibling = spark.newSession()
+    try:
+        assert spark.catalog.tableExists("iso_view")
+        assert not sibling.catalog.tableExists("iso_view"), (
+            "temp view leaked across sessions"
+        )
+        assert sibling.catalog.tableExists("iso_table")
+        assert sibling.table("iso_table").count() == spark.table("iso_table").count()
+    finally:
+        spark.catalog.dropTempView("iso_view")
+        spark.sql("DROP TABLE IF EXISTS iso_table")
