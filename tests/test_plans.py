@@ -171,3 +171,38 @@ def test_unpivot_is_expand_without_shuffle(spark, sf_dir):
     )
     plan = long._jdf.queryExecution().executedPlan().toString()
     assert "Expand" in plan and "Exchange" not in plan
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """Runtime row-level filtering (Spark 3.3+): for a selective
+    dim-filtered shuffle join, the optimizer builds a bloom filter on
+    the creation side and injects might_contain on the fact scan —
+    pruning fact rows BEFORE the shuffle. Gated at 100 TB-appropriate
+    thresholds by default (application side >= 10 GB), so the test
+    lowers them to observe the mechanism at gate scale."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+        li = load_table(spark, sf_dir, "lineitem")
+        part = load_table(spark, sf_dir, "part")
+        j = li.join(
+            part.filter("p_brand = 'Brand#23'"),
+            li["l_partkey"] == part["p_partkey"],
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, "runtime bloom filter not injected"
+        # the filter prunes the FACT side (l_partkey), pre-shuffle
+        assert "might_contain" in plan and "l_partkey" in plan.split("might_contain")[1][:120]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
