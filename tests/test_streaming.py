@@ -601,3 +601,64 @@ def test_foreachbatch_crash_restart_exactly_once(spark, sf_dir, tmp_path):
     want = load_table(spark, sf_dir, "events")
     assert got.count() == want.count()
     assert got.select("event_id").distinct().count() == want.count()
+
+
+def test_streaming_observe_metrics_in_progress(spark, sf_dir):
+    """df.observe on a STREAM: per-batch data-quality metrics arrive in
+    StreamingQueryProgress.observedMetrics — the zero-extra-scan
+    observability channel for running pipelines (batch twin:
+    operators.observe)."""
+    stream = stream_events(spark, sf_dir).observe(
+        "gate_metrics",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("user_id").isNull(), 1)).alias("n_null_user"),
+    )
+    q = (
+        stream.groupBy("event_type")
+        .count()
+        .writeStream.format("memory")
+        .queryName("t_observe_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = None
+    for p in q.recentProgress:
+        if "gate_metrics" in p["observedMetrics"]:
+            m = p["observedMetrics"]["gate_metrics"]
+            got = (m["n_rows"], m["n_null_user"])
+    want = load_table(spark, sf_dir, "events").count()
+    assert got == (want, 0), got
+
+
+def test_rate_stream_source(spark):
+    """Built-in rate source: a self-generating stream for load tests —
+    monotonically increasing (timestamp, value) rows at rowsPerSecond."""
+    import time
+
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 50)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_rate")
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 20
+        n = 0
+        while time.time() < deadline:
+            n = spark.table("t_rate").count()
+            if n >= 50:
+                break
+            time.sleep(0.5)
+        assert n >= 50, f"rate source produced only {n} rows"
+        vals = [r["value"] for r in spark.table("t_rate").collect()]
+        assert sorted(vals) == list(range(min(vals), min(vals) + len(vals)))
+    finally:
+        q.stop()
