@@ -215,13 +215,18 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with ADC scoring + exact rerank
     (:mod:`bigdatalab_spark.scale.pq`): corpus stored as 8 one-byte
     codes per 64-d vector (32x), scoring touches only code ints + a
-    broadcast query LUT, rerank reads just the 50-vector shortlist."""
-    from bigdatalab_spark.scale.pq import pq_topk
+    broadcast query LUT, rerank reads just the 50-vector shortlist.
+    Codebooks come from the session memo — trained once per
+    (session, corpus), amortized over every query batch."""
+    from bigdatalab_spark.scale.pq import pq_topk, train_codebooks_cached
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return pq_topk(emb.filter("vec_id < 10"), emb, k=5, m=8, rerank=50).orderBy(
-        "query_id", "rank"
+    books = train_codebooks_cached(
+        emb, (spark.sparkContext.applicationId, sf_dir), m=8, k=16, seed=42
     )
+    return pq_topk(
+        emb.filter("vec_id < 10"), emb, k=5, m=8, rerank=50, codebooks=books
+    ).orderBy("query_id", "rank")
 
 
 @query(
@@ -234,10 +239,14 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     to n_probe buckets; PQ codes + broadcast LUT score them without
     reading corpus floats; exact rerank on the 50-row shortlist.
     Recall@5 0.60 at probe 2/8 on the gate corpus vs 0.84 for full-scan
-    PQ — the probed-bucket coverage IS the cost knob."""
-    from bigdatalab_spark.scale.pq import ivf_pq_topk
+    PQ — the probed-bucket coverage IS the cost knob. PQ codebooks come
+    from the session memo (seed 43 = this query's historical seed+1)."""
+    from bigdatalab_spark.scale.pq import ivf_pq_topk, train_codebooks_cached
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_pq_topk(emb.filter("vec_id < 10"), emb, k=5).orderBy(
-        "query_id", "rank"
+    books = train_codebooks_cached(
+        emb, (spark.sparkContext.applicationId, sf_dir), m=8, k=16, seed=43
     )
+    return ivf_pq_topk(
+        emb.filter("vec_id < 10"), emb, k=5, codebooks=books
+    ).orderBy("query_id", "rank")

@@ -194,6 +194,7 @@ def ivf_pq_topk(
     rerank: int | None = 50,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    codebooks: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """IVF-PQ: coarse-quantizer routing + PQ-compressed scoring — the
     standard production vector-index layout (FAISS ``IVFx,PQy``).
@@ -222,7 +223,7 @@ def ivf_pq_topk(
     assigned = coarse.transform(corpus_v).select(
         "neighbor_id", "cv", F.col("prediction").alias("bucket")
     )
-    books = train_codebooks(corpus, m, codebook_k, seed + 1, vec_col)
+    books = codebooks or train_codebooks(corpus, m, codebook_k, seed + 1, vec_col)
     codes = encode_corpus(corpus, books, vec_col, id_col).join(
         assigned.select("neighbor_id", "bucket"), "neighbor_id"
     )
@@ -279,3 +280,29 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "dist")
     )
+
+
+#: session-scoped trained-codebook store, keyed on (corpus key, m, k,
+#: seed) — the "train once on a sample, serve every query batch"
+#: amortization the module docstring promises, made concrete. At 100 TB
+#: the codebooks live in a model store next to the encoded table; here
+#: the memo plays that role for the session lifetime.
+_CODEBOOK_MEMO: dict[tuple, list[list[list[float]]]] = {}
+
+
+def train_codebooks_cached(
+    corpus: DataFrame,
+    corpus_key: tuple,
+    m: int = PQ_SUBSPACES,
+    k: int = PQ_CODEBOOK,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Memoized :func:`train_codebooks`. ``corpus_key`` must identify
+    the corpus contents (e.g. ``(spark.sparkContext.applicationId,
+    sf_dir)``) — the caller owns that contract, exactly like the
+    table-reader memo in sources/readers.py."""
+    memo_key = (corpus_key, m, k, seed, vec_col)
+    if memo_key not in _CODEBOOK_MEMO:
+        _CODEBOOK_MEMO[memo_key] = train_codebooks(corpus, m, k, seed, vec_col)
+    return _CODEBOOK_MEMO[memo_key]

@@ -954,3 +954,28 @@ def test_bpe_merge_pair_handles_empty_docs(spark):
     assert out[3] == ["a\x1fb", "a\x1fb"]
     merges = bpe_train(docs, n_merges=2).collect()
     assert merges[0]["left"] == "a" and merges[0]["right"] == "b"
+
+
+def test_pq_codebook_memo_amortizes_training(spark, sf_dir):
+    """The session codebook store trains once per (corpus, params) and
+    hands the SAME trained object to every subsequent query batch."""
+    import time
+
+    from bigdatalab_spark.scale.pq import _CODEBOOK_MEMO, train_codebooks_cached
+    from bigdatalab_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = (spark.sparkContext.applicationId, sf_dir, "memo-test")
+    _CODEBOOK_MEMO.clear()
+    t0 = time.time()
+    first = train_codebooks_cached(emb, key, m=4, k=8, seed=99)
+    train_secs = time.time() - t0
+    t1 = time.time()
+    second = train_codebooks_cached(emb, key, m=4, k=8, seed=99)
+    memo_secs = time.time() - t1
+    assert second is first  # no retraining — identical object
+    assert memo_secs < train_secs / 10
+    # different params are a different model
+    other = train_codebooks_cached(emb, key, m=4, k=8, seed=100)
+    assert other is not first
+    _CODEBOOK_MEMO.clear()
