@@ -809,11 +809,14 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdatalab_spark.scale.curation import hash_split
     from bigdatalab_spark.scale.quality_ml import (
         score_documents,
-        train_quality_classifier,
+        train_quality_classifier_cached,
     )
 
     docs = hash_split(load_table(spark, sf_dir, "documents"), "doc_id")
-    model = train_quality_classifier(docs.filter(F.col("split") == "train"))
+    model = train_quality_classifier_cached(
+        docs.filter(F.col("split") == "train"),
+        (spark.sparkContext.applicationId, sf_dir),
+    )
     holdout = docs.filter(F.col("split") != "train")
     return score_documents(model, holdout).orderBy("doc_id")
 

@@ -138,3 +138,27 @@ def score_documents(
         vector_to_array("probability")[1].alias("p_good"),
         F.col("prediction").alias("prediction"),
     )
+
+
+#: session-scoped fitted-model store (same contract as the PQ codebook
+#: memo, scale/pq.py): train once per (session, corpus), serve every
+#: subsequent scoring batch from the registry
+_MODEL_MEMO: dict[tuple, PipelineModel] = {}
+
+
+def train_quality_classifier_cached(
+    train_docs: DataFrame,
+    corpus_key: tuple,
+    text_col: str = "text",
+    label_threshold: float = DEFAULT_LABEL_THRESHOLD,
+    num_features: int = DEFAULT_NUM_FEATURES,
+    seed: int = 7,
+) -> PipelineModel:
+    """Memoized :func:`train_quality_classifier`; ``corpus_key`` must
+    identify the training corpus (e.g. (applicationId, sf_dir))."""
+    memo_key = (corpus_key, text_col, label_threshold, num_features, seed)
+    if memo_key not in _MODEL_MEMO:
+        _MODEL_MEMO[memo_key] = train_quality_classifier(
+            train_docs, text_col, label_threshold, num_features, seed
+        )
+    return _MODEL_MEMO[memo_key]
