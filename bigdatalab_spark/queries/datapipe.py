@@ -1222,3 +1222,38 @@ def decontaminated_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "event_props_variant",
+    ids=("S6", "P6"),
+    oracle="""
+        SELECT event_type,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+                   AS sum_k,
+               count(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+                          THEN 1 END) AS n_with_k
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def event_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction through the VARIANT type (Spark 4):
+    ``parse_json`` ingests the JSON column ONCE into Variant's binary
+    encoding, and every ``variant_get`` afterwards is a typed binary
+    traversal — no re-parse per extraction, the open-format answer to
+    repeated ``get_json_object`` calls each re-parsing the string. At
+    100 TB you'd store the Variant column in the table and shred
+    extractions at scan time."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count(F.when(F.col("k").isNotNull(), 1)).alias("n_with_k"),
+        )
+        .orderBy("event_type")
+    )
