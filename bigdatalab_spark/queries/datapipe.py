@@ -1257,3 +1257,53 @@ def event_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_QUOTA_K = 10
+
+
+@query(
+    "stratified_quota_sample",
+    ids=("P11", "SCALE-CURATION"),
+    oracle=f"""
+        SELECT source, doc_id
+        FROM (
+            SELECT source, doc_id,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY {portable_hash_sql(
+                           "'quota-v1' || coalesce(CAST(doc_id AS VARCHAR), chr(0))"
+                       )}, doc_id
+                   ) AS rn
+            FROM documents
+        )
+        WHERE rn <= {_QUOTA_K}
+        ORDER BY source, doc_id
+    """,
+)
+def stratified_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-quota stratified sampling: exactly k documents per stratum
+    (not Bernoulli's k-in-expectation — sampleBy can over/undershoot
+    small strata), chosen by ranking a salted portable hash so the
+    quota set is deterministic, engine-independent, and stable under
+    corpus growth ONLY when new docs hash behind the frontier — the
+    reproducible eval-set carve-out pattern. One window per stratum
+    partition; rows beyond k never leave their partition."""
+    from pyspark.sql.window import Window
+
+    from bigdatalab_spark.scale.hashing import portable_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = portable_hash(
+        F.concat(
+            F.lit("quota-v1"),
+            F.coalesce(F.col("doc_id").cast("string"), F.lit("\x00")),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(h, "doc_id")
+    return (
+        docs.select("source", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _QUOTA_K)
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id")
+    )
