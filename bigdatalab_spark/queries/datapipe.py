@@ -17,7 +17,7 @@ from bigdatalab_spark.operators import money_sum
 from bigdatalab_spark.queries.registry import query
 from bigdatalab_spark.queries.tpch import dsum
 from bigdatalab_spark.scale.hashing import portable_hash_sql
-from bigdatalab_spark.sources import load_table
+from bigdatalab_spark.sources import corpus_fingerprint, load_table
 
 _NGRAM = 5
 
@@ -815,7 +815,7 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = hash_split(load_table(spark, sf_dir, "documents"), "doc_id")
     model = train_quality_classifier_cached(
         docs.filter(F.col("split") == "train"),
-        (spark.sparkContext.applicationId, sf_dir),
+        (spark.sparkContext.applicationId, corpus_fingerprint(sf_dir, "documents")),
     )
     holdout = docs.filter(F.col("split") != "train")
     return score_documents(model, holdout).orderBy("doc_id")

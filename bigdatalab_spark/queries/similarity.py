@@ -21,7 +21,7 @@ from bigdatalab_spark.scale.similarity import (
     bucketed_topk,
     random_hyperplanes,
 )
-from bigdatalab_spark.sources import load_table
+from bigdatalab_spark.sources import corpus_fingerprint, load_table
 
 
 def _cos_sql(a: str, b: str) -> str:
@@ -222,7 +222,11 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     books = train_codebooks_cached(
-        emb, (spark.sparkContext.applicationId, sf_dir), m=8, k=16, seed=42
+        emb,
+        (spark.sparkContext.applicationId, corpus_fingerprint(sf_dir, "embeddings")),
+        m=8,
+        k=16,
+        seed=42,
     )
     return pq_topk(
         emb.filter("vec_id < 10"), emb, k=5, m=8, rerank=50, codebooks=books
@@ -245,7 +249,11 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     books = train_codebooks_cached(
-        emb, (spark.sparkContext.applicationId, sf_dir), m=8, k=16, seed=43
+        emb,
+        (spark.sparkContext.applicationId, corpus_fingerprint(sf_dir, "embeddings")),
+        m=8,
+        k=16,
+        seed=43,
     )
     return ivf_pq_topk(
         emb.filter("vec_id < 10"), emb, k=5, codebooks=books

@@ -129,7 +129,11 @@ def bpe_train(
     # merge_pair adds several HOF layers) — at tokenizer-scale merge
     # counts that is an unbounded plan-tree blowup, the same failure
     # mode fixed in connected_components. Checkpointing keeps every
-    # round's plan constant-size.
+    # round's plan constant-size; the previous round's blocks are
+    # released as soon as the new round materializes so the loop never
+    # accumulates dead token copies waiting on GC-driven cleanup.
+    from bigdatalab_spark.operators.checkpoints import release_local_checkpoint
+
     toks = docs.select(
         F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks")
     ).localCheckpoint(eager=True)
@@ -143,7 +147,9 @@ def bpe_train(
         if top is None:
             break
         merges.append((r, top["l"], top["r"], top["n_pairs"]))
+        prev = toks
         toks = merge_pair(toks, top["l"], top["r"]).localCheckpoint(eager=True)
+        release_local_checkpoint(prev)
     return spark.createDataFrame(
         merges, "merge_round int, left string, right string, n_pairs bigint"
     )

@@ -511,7 +511,13 @@ def connected_components(
     # trees grow without bound and large edge sets OOM the driver on
     # plan construction alone. Checkpointing truncates lineage to the
     # materialized result, keeping every round's plan constant-size —
-    # the standard shape for iterative algorithms on Spark.
+    # the standard shape for iterative algorithms on Spark. The
+    # PREVIOUS round's checkpoint blocks are released explicitly once
+    # the new round is materialized (release_local_checkpoint), so the
+    # loop holds exactly one round of label blocks instead of leaving
+    # r-1 dead block sets for the ContextCleaner's GC lag.
+    from bigdatalab_spark.operators.checkpoints import release_local_checkpoint
+
     labels = (
         nodes.select(F.col("doc_id"), F.col("doc_id").alias("cluster_id"))
         .localCheckpoint(eager=True)
@@ -537,6 +543,10 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # new_labels is materialized (eager checkpoint + the count just
+        # read it), so the previous round's blocks are dead — free them
+        # now instead of waiting for GC-driven cleanup
+        release_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             converged = True

@@ -289,6 +289,11 @@ def ivf_pq_topk(
 #: the memo plays that role for the session lifetime.
 _CODEBOOK_MEMO: dict[tuple, list[list[list[float]]]] = {}
 
+#: memo bound — FIFO-evicted past this; a codebook is m*k*(dim/m)
+#: floats (~kilobytes), so the bound guards entry-count growth from
+#: pathological key churn, not memory per entry
+_MEMO_MAX_ENTRIES = 16
+
 
 def train_codebooks_cached(
     corpus: DataFrame,
@@ -299,10 +304,14 @@ def train_codebooks_cached(
     vec_col: str = "embedding",
 ) -> list[list[list[float]]]:
     """Memoized :func:`train_codebooks`. ``corpus_key`` must identify
-    the corpus contents (e.g. ``(spark.sparkContext.applicationId,
-    sf_dir)``) — the caller owns that contract, exactly like the
-    table-reader memo in sources/readers.py."""
+    the corpus CONTENTS — callers use ``(applicationId,
+    corpus_fingerprint(sf_dir, table))`` (sources/readers.py), which
+    folds file sizes/mtimes into the key so in-session data changes
+    invalidate stale codebooks instead of silently serving them.
+    Bounded FIFO (``_MEMO_MAX_ENTRIES``)."""
     memo_key = (corpus_key, m, k, seed, vec_col)
     if memo_key not in _CODEBOOK_MEMO:
+        while len(_CODEBOOK_MEMO) >= _MEMO_MAX_ENTRIES:
+            _CODEBOOK_MEMO.pop(next(iter(_CODEBOOK_MEMO)))
         _CODEBOOK_MEMO[memo_key] = train_codebooks(corpus, m, k, seed, vec_col)
     return _CODEBOOK_MEMO[memo_key]

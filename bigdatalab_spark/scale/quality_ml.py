@@ -97,6 +97,7 @@ def train_quality_classifier(
     label_threshold: float = DEFAULT_LABEL_THRESHOLD,
     num_features: int = DEFAULT_NUM_FEATURES,
     seed: int = 7,
+    model_dir: str | None = None,
 ) -> PipelineModel:
     """Fit the quality pipeline on labeled training documents.
 
@@ -108,19 +109,36 @@ def train_quality_classifier(
     fails with ``NotSerializableException: ObservationManager`` via the
     model -> summary -> session chain. Save/load drops the summary —
     and is the shape a real pipeline uses anyway (train once, persist,
-    serve the loaded model)."""
+    serve the loaded model).
+
+    ``model_dir`` is where the round-trip happens. ML writer/reader
+    paths are resolved by the CLUSTER (Hadoop FS API), so on a real
+    deployment it must be shared storage (HDFS/S3/...), configured
+    either per call or session-wide via the
+    ``spark.bigdatalab.modelDir`` conf. When neither is set we fall
+    back to a driver-local tempdir, which is correct only in local
+    mode (driver == executors == one filesystem) — exactly the test
+    environment — and the tempdir is removed after loading.
+    """
     import shutil
     import tempfile
 
     labeled = label_documents(train_docs, text_col, label_threshold)
     model = build_quality_pipeline(text_col, num_features, seed).fit(labeled)
-    tmp = tempfile.mkdtemp(prefix="quality-lr-")
+    if model_dir is None:
+        model_dir = train_docs.sparkSession.conf.get(
+            "spark.bigdatalab.modelDir", None
+        )
+    cleanup = None
+    if model_dir is None:
+        model_dir = cleanup = tempfile.mkdtemp(prefix="quality-lr-")
     try:
-        path = f"{tmp}/model"
+        path = f"{model_dir}/quality-lr-model"
         model.write().overwrite().save(path)
         return PipelineModel.load(path)
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        if cleanup is not None:
+            shutil.rmtree(cleanup, ignore_errors=True)
 
 
 def score_documents(
@@ -142,8 +160,9 @@ def score_documents(
 
 #: session-scoped fitted-model store (same contract as the PQ codebook
 #: memo, scale/pq.py): train once per (session, corpus), serve every
-#: subsequent scoring batch from the registry
+#: subsequent scoring batch from the registry. Bounded FIFO.
 _MODEL_MEMO: dict[tuple, PipelineModel] = {}
+_MEMO_MAX_ENTRIES = 8
 
 
 def train_quality_classifier_cached(
@@ -155,9 +174,14 @@ def train_quality_classifier_cached(
     seed: int = 7,
 ) -> PipelineModel:
     """Memoized :func:`train_quality_classifier`; ``corpus_key`` must
-    identify the training corpus (e.g. (applicationId, sf_dir))."""
+    identify the training corpus CONTENTS — callers use
+    ``(applicationId, corpus_fingerprint(sf_dir, "documents"))``
+    (sources/readers.py) so mid-session data changes retrain instead
+    of serving a stale model."""
     memo_key = (corpus_key, text_col, label_threshold, num_features, seed)
     if memo_key not in _MODEL_MEMO:
+        while len(_MODEL_MEMO) >= _MEMO_MAX_ENTRIES:
+            _MODEL_MEMO.pop(next(iter(_MODEL_MEMO)))
         _MODEL_MEMO[memo_key] = train_quality_classifier(
             train_docs, text_col, label_threshold, num_features, seed
         )

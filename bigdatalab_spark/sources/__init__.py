@@ -1,5 +1,6 @@
 from bigdatalab_spark.sources.readers import (
     TABLES,
+    corpus_fingerprint,
     load_table,
     read_csv,
     read_dsv,
@@ -12,6 +13,7 @@ from bigdatalab_spark.sources.readers import (
 
 __all__ = [
     "TABLES",
+    "corpus_fingerprint",
     "load_table",
     "read_csv",
     "read_dsv",

@@ -45,6 +45,39 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def corpus_fingerprint(sf_dir: str, *names: str) -> tuple:
+    """Content fingerprint of warehouse table files: (name, size,
+    mtime_ns) per file, recursing into parquet directories.
+
+    Used as the corpus component of trained-artifact memo keys
+    (PQ codebooks, quality classifier): if the data at ``sf_dir``
+    changes mid-session the fingerprint changes, so a stale model can't
+    be served for fresh data — the invalidation a bare path key lacks.
+    One ``os.stat`` per file; no data is read.
+    """
+    import os
+
+    out: list[tuple[str, int, int]] = []
+    for name in names or TABLES:
+        path = f"{sf_dir}/{name}.parquet"
+        if os.path.isdir(path):
+            files = sorted(
+                os.path.join(d, f)
+                for d, _, fs in os.walk(path)
+                for f in fs
+                if not f.startswith(("_", "."))
+            )
+        elif os.path.exists(path):
+            files = [path]
+        else:  # non-local FS (hdfs://, s3://): fall back to the path
+            out.append((path, -1, -1))
+            continue
+        for f in files:
+            st = os.stat(f)
+            out.append((f, st.st_size, st.st_mtime_ns))
+    return tuple(out)
+
+
 #: memo of table DataFrames per (application, path): a DataFrame is an
 #: immutable logical plan, so reuse skips re-reading parquet footers and
 #: re-running schema inference on every query in a session. Keyed on the

@@ -124,8 +124,14 @@ def main() -> int:
     from bigdatalab_spark.queries import REGISTRY
     from bigdatalab_spark.session import get_session
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    names = sys.argv[2:] or list(REGISTRY)
+    argv = list(sys.argv[1:])
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    names = argv[1:] or list(REGISTRY)
     unknown = [n for n in names if n not in REGISTRY]
     if unknown:
         print(f"unknown queries: {unknown}; available: {sorted(REGISTRY)}")
@@ -133,6 +139,7 @@ def main() -> int:
     spark = get_session(app_name="oracle-check")
     con = duckdb_connection(sf_dir)
     failed = 0
+    results: dict[str, dict] = {}
     for name in names:
         try:
             problems = check_query(spark, con, name, sf_dir)
@@ -143,12 +150,32 @@ def main() -> int:
         print(f"[{status}] {name}{oracle_tag}")
         for p in problems:
             print(f"       {p}")
+        results[name] = {
+            "ok": not problems,
+            "mode": "strict" if REGISTRY[name].oracle else "rows-only",
+            "problems": problems,
+        }
         failed += bool(problems)
         # several operators persist shared intermediates that back their
         # lazy results (LSH shingles, zip_with_index stamps); drop them
         # between queries so an 80-query sweep doesn't accumulate cache
         spark.catalog.clearCache()
     print(f"{len(names) - failed}/{len(names)} queries pass")
+    if json_path:
+        import json
+
+        with open(json_path, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_queries": len(names),
+                    "n_pass": len(names) - failed,
+                    "results": results,
+                },
+                fh,
+                indent=1,
+            )
+        print(f"wrote {json_path}")
     return 1 if failed else 0
 
 
