@@ -362,3 +362,65 @@ def bloom_incremental_dedup_status(spark: SparkSession, sf_dir: str) -> DataFram
     corpus = docs.filter("doc_id % 2 = 0")
     batch = docs.filter("doc_id % 2 = 1")
     return bloom_incremental_dedup(batch, corpus).orderBy("doc_id")
+
+
+_SPAN_TOKENS = 16
+_SPAN_MIN_TOKENS = 5
+
+_SPAN_DEDUP_ORACLE = f"""
+    WITH words AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ws
+        FROM documents
+    ),
+    spans AS (
+        SELECT doc_id,
+               CAST((i - 1) / {_SPAN_TOKENS} AS BIGINT) AS pos,
+               array_to_string(ws[i:i+{_SPAN_TOKENS - 1}], ' ') AS span_text,
+               least({_SPAN_TOKENS}, len(ws) - i + 1) AS n_tokens
+        FROM words, LATERAL (SELECT unnest(generate_series(1, len(ws), {_SPAN_TOKENS})) AS i) t
+        WHERE len(ws) > 0
+    ),
+    -- span_text determines token count (space-joined non-empty tokens),
+    -- so each PARTITION BY span_text is homogeneous in n_tokens and the
+    -- rn=1 rule only ever applies within all-long partitions, matching
+    -- the engine's long-spans-only first-occurrence set
+    flagged AS (
+        SELECT doc_id, pos, span_text, n_tokens,
+               (n_tokens < {_SPAN_MIN_TOKENS} OR
+                row_number() OVER (PARTITION BY span_text ORDER BY doc_id, pos) = 1) AS kept
+        FROM spans
+    ),
+    rebuilt AS (
+        SELECT doc_id,
+               string_agg(span_text, ' ' ORDER BY pos) FILTER (WHERE kept) AS dedup_text,
+               count(*) AS n_spans,
+               CAST(coalesce(sum(CASE WHEN NOT kept THEN 1 END), 0) AS BIGINT) AS n_dropped
+        FROM flagged GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(r.dedup_text, '') AS dedup_text,
+           CAST(coalesce(r.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(r.n_dropped, 0) AS BIGINT) AS n_dropped
+    FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+    ORDER BY d.doc_id
+"""
+
+
+@query(
+    "span_dedup",
+    ids=("SCALE-DEDUP",),
+    oracle=_SPAN_DEDUP_ORACLE,
+)
+def span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Dolma-style cross-corpus span dedup: every 16-token span that
+    already occurred earlier in the corpus (by doc_id, position) is
+    removed and the documents are reassembled from surviving spans;
+    sub-5-token tails are always kept. The oracle replays span
+    splitting, first-occurrence ranking, and ordered reassembly, so the
+    rebuilt text must match character for character."""
+    from bigdatalab_spark.scale.dedup import span_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return span_dedup(
+        docs, span_tokens=_SPAN_TOKENS, min_tokens=_SPAN_MIN_TOKENS
+    ).orderBy("doc_id")

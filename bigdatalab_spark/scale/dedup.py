@@ -817,3 +817,103 @@ def bloom_incremental_dedup(
             .alias("status"),
         )
     )
+
+
+def span_dedup(
+    docs: DataFrame,
+    span_tokens: int = 16,
+    min_tokens: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style cross-corpus span dedup: split every document into
+    non-overlapping ``span_tokens``-token spans, drop every span whose
+    exact text already occurred EARLIER in the corpus (first occurrence
+    by (doc_id, span position) survives), and reassemble the documents
+    from the surviving spans in order.
+
+    This is the intra-/inter-document boilerplate remover between
+    exact-document dedup (misses partial overlap) and MinHash (keeps
+    near-dup docs whole): C4 dropped repeated three-sentence spans,
+    Dolma/RefinedWeb dedup paragraphs — here the unit is a fixed token
+    window because the corpus has no sentence/line structure. Spans
+    shorter than ``min_tokens`` (document tails) are always kept:
+    short fragments collide by chance, and C4-style pipelines only
+    dedup spans long enough to be meaningful boilerplate.
+
+    Scale shape (the reason this is NOT a window over span text):
+    first-occurrence-per-span is ``groupBy(span_hash).agg(min(struct(
+    doc_id, pos)))`` — a partially-aggregated shuffle whose map-side
+    combine collapses hot boilerplate spans (the exact rows a
+    ``row_number() OVER (PARTITION BY span)`` window would sort in ONE
+    task) before anything crosses the wire. The survivors join is
+    hash⋈hash with AQE skew handling; reassembly is one groupBy(doc_id)
+    with an order-restoring ``array_sort`` on (pos, text) structs.
+    Span identity is xxhash64(span text) — the same
+    collision-probability stance as every hash-keyed dedup here.
+    Two shuffles + one join total, independent of duplication rate.
+
+    Returns (doc_id, dedup_text, n_spans, n_dropped) for EVERY input
+    document — a fully-deduped doc comes back with dedup_text = '' and
+    n_dropped = n_spans; an empty doc has n_spans = 0.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks")
+    )
+    starts = F.when(
+        F.size("toks") > 0,
+        F.sequence(F.lit(0), F.size("toks") - 1, F.lit(span_tokens)),
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    spans = toks.select(
+        "doc_id", F.explode(starts).alias("start"), "toks"
+    ).select(
+        "doc_id",
+        (F.col("start") / span_tokens).cast("long").alias("pos"),
+        F.concat_ws(
+            " ", F.slice(F.col("toks"), F.col("start") + 1, span_tokens)
+        ).alias("span_text"),
+        F.least(F.lit(span_tokens), F.size("toks") - F.col("start")).alias(
+            "n_tokens"
+        ),
+    )
+    hashed = spans.withColumn("h", F.xxhash64("span_text"))
+    firsts = (
+        hashed.filter(F.col("n_tokens") >= min_tokens)
+        .groupBy("h")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("first"))
+    )
+    flagged = hashed.join(firsts, "h", "left").withColumn(
+        "kept",
+        (F.col("n_tokens") < min_tokens)
+        | (
+            (F.col("doc_id") == F.col("first.doc_id"))
+            & (F.col("pos") == F.col("first.pos"))
+        ),
+    )
+    rebuilt = flagged.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("kept"), F.struct("pos", "span_text"))
+                    )
+                ),
+                lambda s: s.span_text,
+            ),
+            " ",
+        ).alias("dedup_text"),
+        F.count("*").alias("n_spans"),
+        F.sum((~F.col("kept")).cast("bigint")).alias("n_dropped"),
+    )
+    # every input doc comes back, including empty ones that produced no
+    # spans at all
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+        )
+    )

@@ -1069,3 +1069,48 @@ def test_connected_components_holds_one_round_of_blocks(spark):
     assert len(sc._jsc.sc().getRDDStorageInfo()) == base + 1
     release_local_checkpoint(labels)
     assert len(sc._jsc.sc().getRDDStorageInfo()) == base
+
+
+def test_span_dedup_c4_semantics(spark):
+    """First occurrence survives, later exact spans are removed, short
+    tails are always kept, and docs reassemble in span order."""
+    from bigdatalab_spark.scale.dedup import span_dedup
+
+    s16 = " ".join(f"w{i}" for i in range(16))  # a full 16-token span
+    other = " ".join(f"x{i}" for i in range(16))
+    docs = spark.createDataFrame(
+        [
+            (1, s16 + " tail one"),        # first occurrence + short tail
+            (2, s16),                      # exact duplicate span -> ''
+            (3, other + " " + s16 + " zz"),  # dup span dropped mid-doc
+            (4, "tiny doc"),               # short span, always kept
+            (5, ""),                       # empty doc
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in span_dedup(docs, span_tokens=16, min_tokens=5).collect()
+    }
+    assert got[1]["dedup_text"] == s16 + " tail one"
+    assert (got[1]["n_spans"], got[1]["n_dropped"]) == (2, 0)
+    assert got[2]["dedup_text"] == "" and got[2]["n_dropped"] == 1
+    # doc 3 keeps its own novel span and tail; the duplicated middle span goes
+    assert got[3]["dedup_text"] == other + " zz"
+    assert (got[3]["n_spans"], got[3]["n_dropped"]) == (3, 1)
+    assert got[4]["dedup_text"] == "tiny doc" and got[4]["n_dropped"] == 0
+    assert got[5]["dedup_text"] == "" and got[5]["n_spans"] == 0
+
+
+def test_span_dedup_first_occurrence_is_corpus_ordered(spark):
+    """Ties break on (doc_id, pos): the earliest position in the
+    earliest document is the survivor, even within one document."""
+    from bigdatalab_spark.scale.dedup import span_dedup
+
+    s = " ".join(f"r{i}" for i in range(16))
+    docs = spark.createDataFrame(
+        [(7, s + " " + s + " " + s)], "doc_id int, text string"
+    )
+    row = span_dedup(docs, span_tokens=16, min_tokens=5).collect()[0]
+    assert row["dedup_text"] == s  # one copy kept (pos 0), two dropped
+    assert (row["n_spans"], row["n_dropped"]) == (3, 2)
