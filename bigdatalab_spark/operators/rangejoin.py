@@ -1,0 +1,81 @@
+"""Binned range join: point-in-interval joins as equi-joins.
+
+The reference has no range/interval join (SURVEY §2.3 "not present"),
+but a training-data pipeline meets the shape constantly: event-to-
+maintenance-window attribution, record-to-validity-interval lookups,
+point-in-band classification. Spark plans a bare
+``points JOIN intervals ON p BETWEEN lo AND hi`` as a
+BroadcastNestedLoopJoin (small side) or CartesianProduct (neither side
+broadcastable) — O(|points| x |intervals|) compares, a non-starter at
+100 TB.
+
+The standard fix (Databricks' range-join bin hint, Flink interval
+joins) is binning: pick a ``bin_width`` on the join domain, stamp each
+point with its one containing bin, explode each interval to the bins
+it overlaps, and equi-join on the bin with the range predicate as a
+residual filter. Cost becomes one shuffle per side plus
+``|intervals| * (avg_span / bin_width + 1)`` exploded rows — linear,
+tunable, skew-handled by AQE like any other equi-join. A point lies in
+exactly one bin, so each (point, interval) pair meets at most once and
+no post-join dedup is needed.
+
+Pick ``bin_width`` near the TYPICAL interval length: much smaller
+multiplies the interval explosion; much larger packs unrelated rows
+into shared bins and pushes work into the residual filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bin_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: int | float,
+    how: str = "inner",
+    inclusive_hi: bool = False,
+) -> DataFrame:
+    """Join each point row to every interval row containing it.
+
+    Containment is ``lo <= point < hi`` (``<= hi`` with
+    ``inclusive_hi=True`` — the SQL BETWEEN convention). ``how`` is
+    ``'inner'`` or ``'left'`` (``'left'`` keeps points in no interval,
+    with NULL interval columns — at most one such row per point, since
+    a point occupies exactly one bin). Join-domain columns must be
+    numeric (cast timestamps to epoch micros first) and the two frames
+    must not share column names.
+
+    The exploded bin range is ``floor(lo/w) .. floor(hi/w)`` inclusive;
+    when ``hi`` sits exactly on a bin boundary under ``[lo, hi)``
+    semantics that last bin matches no point (the residual predicate
+    rejects it) — one vacuous row beats per-type boundary arithmetic.
+    """
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    overlap = set(points.columns) & set(intervals.columns)
+    if overlap:
+        raise ValueError(f"column names must be disjoint; shared: {sorted(overlap)}")
+    w = F.lit(bin_width)
+    p = points.withColumn("_p_bin", F.floor(F.col(point_col) / w))
+    i = intervals.withColumn(
+        "_i_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / w), F.floor(F.col(hi_col) / w)
+            )
+        ),
+    )
+    in_range = (F.col(point_col) >= F.col(lo_col)) & (
+        F.col(point_col) <= F.col(hi_col)
+        if inclusive_hi
+        else F.col(point_col) < F.col(hi_col)
+    )
+    cond = (p["_p_bin"] == i["_i_bin"]) & in_range
+    return p.join(i, cond, how).drop("_p_bin", "_i_bin")

@@ -416,3 +416,68 @@ def zorder_clustering_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         dims.select("event_id", "x", "y", z.cast("bigint").alias("z_key"))
         .orderBy("z_key", "event_id")
     )
+
+
+@query(
+    "purchases_in_busy_windows",
+    ids=("SCALE-RANGEJOIN",),
+    oracle="""
+        WITH bounds AS (SELECT min(ts) AS tmin, max(ts) AS tmax FROM events),
+        grid AS (
+            SELECT make_timestamp(s * 1000000) AS w_start
+            FROM bounds,
+                 UNNEST(generate_series(
+                     CAST(floor(epoch(tmin) / 7200) * 7200 - 14400 AS BIGINT),
+                     CAST(epoch(tmax) AS BIGINT),
+                     7200)) AS t(s)
+        ),
+        busy AS (
+            SELECT w_start, count(*) AS n_events
+            FROM grid
+            JOIN events e ON e.ts >= w_start
+                         AND e.ts < w_start + INTERVAL 6 HOUR
+            GROUP BY w_start
+            HAVING count(*) >= 95
+        )
+        SELECT e.event_id,
+               CAST(b.w_start AS VARCHAR) AS window_start,
+               b.n_events
+        FROM events e
+        JOIN busy b ON e.ts >= b.w_start
+                   AND e.ts < b.w_start + INTERVAL 6 HOUR
+        WHERE e.event_type = 'purchase'
+        ORDER BY e.event_id, window_start
+    """,
+)
+def purchases_in_busy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval attribution via the binned range join
+    (:mod:`bigdatalab_spark.operators.rangejoin`): sliding 6h/2h
+    windows with >= 95 events form the interval table; each purchase
+    event joins every busy window containing it as an EQUI-join on 2h
+    bins — no BroadcastNestedLoopJoin/CartesianProduct (plan-asserted
+    in tests), so the join survives interval tables too big to
+    broadcast. The oracle builds the same epoch-aligned window grid
+    and replays the containment join naively."""
+    from bigdatalab_spark.operators.rangejoin import bin_range_join
+
+    events = load_table(spark, sf_dir, "events")
+    busy = (
+        events.groupBy(F.window("ts", "6 hours", "2 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("n_events") >= 95)
+        .select(
+            F.unix_micros("w.start").alias("w_lo"),
+            F.unix_micros("w.end").alias("w_hi"),
+            F.col("w.start").cast("string").alias("window_start"),
+            "n_events",
+        )
+    )
+    purchases = events.filter("event_type = 'purchase'").select(
+        "event_id", F.unix_micros("ts").alias("p_us")
+    )
+    joined = bin_range_join(
+        purchases, busy, "p_us", "w_lo", "w_hi", bin_width=2 * 3600 * 1_000_000
+    )
+    return joined.select("event_id", "window_start", "n_events").orderBy(
+        "event_id", "window_start"
+    )

@@ -1114,3 +1114,87 @@ def test_span_dedup_first_occurrence_is_corpus_ordered(spark):
     row = span_dedup(docs, span_tokens=16, min_tokens=5).collect()[0]
     assert row["dedup_text"] == s  # one copy kept (pos 0), two dropped
     assert (row["n_spans"], row["n_dropped"]) == (3, 2)
+
+
+def test_bin_range_join_matches_naive(spark):
+    """The binned equi-join returns exactly the naive O(n*m) range
+    join's rows, across boundary cases: point on lo (in), point on hi
+    (out unless inclusive_hi), intervals spanning many bins, negative
+    coordinates, overlapping intervals, unmatched points via how='left'."""
+    import pytest
+
+    from bigdatalab_spark.operators.rangejoin import bin_range_join
+
+    points = spark.createDataFrame(
+        [(1, -25.0), (2, 0.0), (3, 10.0), (4, 99.0), (5, 100.0), (6, 1000.0)],
+        "pid int, p double",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (10, -30.0, -20.0),  # negative range
+            (11, 0.0, 100.0),    # spans 10 bins of width 10
+            (12, 5.0, 15.0),     # overlaps 11
+            (13, 95.0, 100.0),   # hi on a bin boundary
+            (14, 400.0, 401.0),  # matches nothing
+        ],
+        "iid int, lo double, hi double",
+    )
+    naive = {
+        (r.pid, r.iid)
+        for r in points.crossJoin(intervals)
+        .filter("p >= lo AND p < hi")
+        .collect()
+    }
+    for width in (10, 3, 1000):  # narrower/wider bins, same answer
+        got = {
+            (r.pid, r.iid)
+            for r in bin_range_join(
+                points, intervals, "p", "lo", "hi", bin_width=width
+            ).collect()
+        }
+        assert got == naive, f"width={width}"
+    # inclusive hi pulls in the p == hi matches (BETWEEN convention)
+    incl = {
+        (r.pid, r.iid)
+        for r in bin_range_join(
+            points, intervals, "p", "lo", "hi", 10, inclusive_hi=True
+        ).collect()
+    }
+    assert incl == naive | {(5, 11), (5, 13), (1, 10)}
+    # left join keeps unmatched points exactly once with NULL intervals
+    left = bin_range_join(points, intervals, "p", "lo", "hi", 10, how="left")
+    unmatched = left.filter("iid IS NULL").collect()
+    assert {r.pid for r in unmatched} == {5, 6}
+    assert left.count() == len(naive) + 2
+    with pytest.raises(ValueError):
+        bin_range_join(points, intervals, "p", "lo", "hi", 0)
+    with pytest.raises(ValueError):
+        bin_range_join(points, intervals, "p", "lo", "hi", 10, how="full")
+    with pytest.raises(ValueError):  # shared column name "pid"
+        bin_range_join(points, points.selectExpr("pid", "p AS lo", "p AS hi"),
+                       "p", "lo", "hi", 10)
+
+
+def test_bin_range_join_plans_as_equi_join(spark):
+    """THE point of the operator: the physical plan is a hash/merge
+    equi-join on the bin, never a nested-loop/cartesian scan — the
+    naive BETWEEN join over the same frames IS nested-loop, which is
+    what makes it unusable at scale."""
+    from bigdatalab_spark.operators.rangejoin import bin_range_join
+    from bigdatalab_spark.plans.inspect import explain_str
+
+    points = spark.range(1000).selectExpr("id AS pid", "CAST(id AS DOUBLE) AS p")
+    intervals = spark.range(100).selectExpr(
+        "id AS iid", "CAST(id * 10 AS DOUBLE) AS lo", "CAST(id * 10 + 25 AS DOUBLE) AS hi"
+    )
+    naive_plan = explain_str(points.join(intervals, (F.col("p") >= F.col("lo")) & (F.col("p") < F.col("hi"))))
+    assert "NestedLoop" in naive_plan or "Cartesian" in naive_plan
+    binned_plan = explain_str(
+        bin_range_join(points, intervals, "p", "lo", "hi", bin_width=25)
+    )
+    assert "NestedLoop" not in binned_plan and "Cartesian" not in binned_plan
+    for kind in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+        if kind in binned_plan:
+            break
+    else:
+        raise AssertionError(f"no equi-join operator in plan:\n{binned_plan}")
