@@ -1307,3 +1307,61 @@ def stratified_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id")
         .orderBy("source", "doc_id")
     )
+
+
+@query(
+    "length_bucketed_batch_stats",
+    ids=("SCALE-CURATION",),
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) AS n_tokens
+            FROM documents
+        ),
+        assigned AS (
+            SELECT doc_id, n_tokens,
+                   CAST(ceil(log2(greatest(n_tokens, 1))) AS BIGINT) AS bucket,
+                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 16 AS shard
+            FROM toks
+        ),
+        numbered AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY bucket, shard ORDER BY n_tokens, doc_id
+                   ) AS rn
+            FROM assigned
+        )
+        SELECT bucket, shard,
+               CAST((rn - 1) // 8 AS BIGINT) AS batch_idx,
+               count(*) AS n_docs,
+               max(n_tokens) AS max_tokens,
+               CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+               CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT) AS pad_waste
+        FROM numbered
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3
+    """,
+)
+def length_bucketed_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-minimizing batch assembly
+    (:func:`bigdatalab_spark.scale.curation.length_bucketed_batches`):
+    power-of-two length buckets sharded 16 ways, batches of 8 by
+    ascending length, reported as per-batch padding economics —
+    ``pad_waste`` is the tokens of padding a max-length-padded batch
+    would burn. The oracle replays bucket/shard/rank assignment
+    exactly (portable hash, same window order)."""
+    from bigdatalab_spark.scale.curation import length_bucketed_batches
+
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = length_bucketed_batches(docs, batch_size=8, n_shards=16)
+    return (
+        assigned.groupBy("bucket", "shard", "batch_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            (
+                F.count(F.lit(1)) * F.max("n_tokens") - F.sum("n_tokens")
+            ).alias("pad_waste"),
+        )
+        .orderBy("bucket", "shard", "batch_idx")
+    )

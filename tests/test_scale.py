@@ -1198,3 +1198,36 @@ def test_bin_range_join_plans_as_equi_join(spark):
             break
     else:
         raise AssertionError(f"no equi-join operator in plan:\n{binned_plan}")
+
+
+def test_length_bucketed_batches_bounds_padding(spark):
+    """Every batch groups docs from one power-of-two length bucket, so
+    within-batch max <= 2x min tokens (padding waste < 50%); assignment
+    is deterministic and covers every doc exactly once."""
+    import pytest
+
+    from bigdatalab_spark.scale.curation import length_bucketed_batches
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate(
+            [0, 1, 2, 3, 5, 8, 9, 13, 17, 30, 31, 33, 64, 100, 120, 127, 129, 200]
+        )],
+        "doc_id int, text string",
+    )
+    a = length_bucketed_batches(docs, batch_size=4, n_shards=2)
+    rows = a.collect()
+    assert len(rows) == docs.count()  # total coverage, one row per doc
+    by_batch: dict = {}
+    for r in rows:
+        by_batch.setdefault((r.bucket, r.shard, r.batch_idx), []).append(r.n_tokens)
+    for key, lens in by_batch.items():
+        assert len(lens) <= 4
+        nonzero = [l for l in lens if l > 0]
+        if nonzero:
+            assert max(nonzero) <= 2 * min(nonzero), (key, lens)
+    # deterministic: re-running yields the identical assignment
+    again = {(r.doc_id, r.bucket, r.shard, r.batch_idx) for r in a.collect()}
+    first = {(r.doc_id, r.bucket, r.shard, r.batch_idx) for r in rows}
+    assert again == first
+    with pytest.raises(ValueError):
+        length_bucketed_batches(docs, batch_size=0)
