@@ -1,0 +1,153 @@
+"""Python DataSource connector (Spark 4 extension point).
+
+The engine's custom-connector surface: `pyspark.sql.datasource
+.DataSource` lets a pure-Python reader plug into ``spark.read.format``
+with planner-visible schema and partition-granular parallelism — the
+public way to add a source format Spark lacks, without JVM code.
+
+Showcase implementation: ``fixedwidth``, the reference's ISD weather
+layout (WeatherData.scala:2-12) as a registered format::
+
+    register_python_sources(spark)
+    df = (spark.read.format("fixedwidth")
+          .option("spec", spec_option(ISD_WEATHER_SPEC))
+          .load(path))
+
+Scale/role note: each input FILE is one ``InputPartition``, so a
+directory of block-sized files parallelizes across executors like any
+file source, and rows stream through Arrow batches back to the JVM.
+But the parsing itself is Python-per-line — this is the
+EXTENSIBILITY surface, not the hot path. For formats expressible as
+column expressions, :func:`bigdatalab_spark.sources.readers
+.read_fixed_width` (substring + try_cast over ``spark.read.text``)
+stays entirely inside whole-stage codegen and is the performance
+path; both parse the same spec and agree row-for-row (tested).
+Reach for a Python DataSource when the format genuinely needs
+imperative decoding (proprietary binary layouts, exotic APIs).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from bigdatalab_spark.sources.readers import FixedWidthField
+
+_DTYPES = ("string", "int", "bigint", "double")
+
+
+def spec_option(spec: Sequence[FixedWidthField]) -> str:
+    """Serialize a fixed-width spec for the ``spec`` reader option:
+    ``name:start:end:dtype[:scale]`` fields joined by commas."""
+    parts = []
+    for f in spec:
+        s = f"{f.name}:{f.start}:{f.end}:{f.dtype}"
+        if f.scale is not None:
+            s += f":{f.scale}"
+        parts.append(s)
+    return ",".join(parts)
+
+
+def parse_spec_option(option: str) -> list[FixedWidthField]:
+    """Inverse of :func:`spec_option`, with validation (the executor
+    re-parses the option string, so errors must be early and clear)."""
+    fields: list[FixedWidthField] = []
+    for part in option.split(","):
+        bits = part.split(":")
+        if len(bits) not in (4, 5):
+            raise ValueError(f"bad spec field {part!r}: want name:start:end:dtype[:scale]")
+        name, start, end, dtype = bits[:4]
+        if dtype not in _DTYPES:
+            raise ValueError(f"bad dtype {dtype!r} in {part!r}; one of {_DTYPES}")
+        scale = float(bits[4]) if len(bits) == 5 else None
+        fields.append(FixedWidthField(name, int(start), int(end), dtype, scale))
+    if not fields:
+        raise ValueError("empty fixed-width spec")
+    return fields
+
+
+def _parse_line(line: str, spec: list[FixedWidthField]) -> tuple:
+    """One record per spec; malformed fields -> None (the try_cast
+    policy of readers.read_fixed_width — bad data never aborts a job)."""
+    out = []
+    for f in spec:
+        raw = line[f.start : f.end]
+        if f.dtype == "string":
+            # short lines slice to '' — matches substring()'s empty
+            # string (not NULL) in readers.read_fixed_width
+            out.append(raw)
+            continue
+        try:
+            v: float | int = (
+                float(raw.strip()) if f.dtype == "double" else int(raw.strip())
+            )
+        except ValueError:
+            out.append(None)
+            continue
+        if f.scale is not None:
+            v = v / f.scale
+        out.append(v)
+    return tuple(out)
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+
+class FixedWidthReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("fixedwidth source requires a path (use .load(path))")
+        spec = options.get("spec")
+        if not spec:
+            raise ValueError("fixedwidth source requires the 'spec' option")
+        self.path = path
+        self.spec = parse_spec_option(spec)
+
+    def partitions(self) -> list[InputPartition]:
+        # one partition per file: a directory of block-sized files reads
+        # with file-level parallelism, like the built-in text source
+        import os
+
+        if os.path.isdir(self.path):
+            files = sorted(
+                os.path.join(self.path, f)
+                for f in os.listdir(self.path)
+                if not f.startswith(("_", "."))
+            )
+        else:
+            files = [self.path]
+        if not files:
+            raise ValueError(f"no input files under {self.path}")
+        return [_FilePartition(f) for f in files]
+
+    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+        with open(partition.path, encoding="utf-8") as fh:
+            for line in fh:
+                yield _parse_line(line.rstrip("\n"), self.spec)
+
+
+class FixedWidthDataSource(DataSource):
+    """``spark.read.format("fixedwidth")`` — see module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "fixedwidth"
+
+    def schema(self) -> str:
+        return ", ".join(
+            f"{f.name} {f.dtype}" if f.scale is None else f"{f.name} double"
+            for f in parse_spec_option(self.options.get("spec", ""))
+        )
+
+    def reader(self, schema) -> FixedWidthReader:
+        return FixedWidthReader(dict(self.options))
+
+
+def register_python_sources(spark) -> None:
+    """Register every Python DataSource this engine ships (idempotent —
+    re-registration replaces the entry)."""
+    spark.dataSource.register(FixedWidthDataSource)

@@ -266,3 +266,53 @@ def test_population_explicit_schema_all_strings(spark, tmp_path):
     assert [f.dataType.simpleString() for f in pop.schema.fields] == ["string"] * 5
     rows = pop.collect()
     assert rows[0].zipcode == "00601" and rows[0].avg_age == "41.5"
+
+
+def test_python_datasource_fixedwidth_matches_codegen_adapter(spark, tmp_path):
+    """The Spark-4 Python DataSource ('fixedwidth') and the codegen
+    substring adapter parse the SAME spec to identical rows, including
+    the malformed-field -> NULL policy and short-line empty strings;
+    a directory input reads with one partition per file."""
+    from bigdatalab_spark.sources.pyds import (
+        parse_spec_option,
+        register_python_sources,
+        spec_option,
+    )
+    from bigdatalab_spark.sources.readers import read_fixed_width
+    from bigdatalab_spark.sources.schemas import ISD_WEATHER_SPEC
+
+    # round-trip of the spec serialization
+    assert parse_spec_option(spec_option(ISD_WEATHER_SPEC)) == ISD_WEATHER_SPEC
+
+    d = tmp_path / "isd"
+    d.mkdir()
+    lines_a = [
+        _isd_line("010010", "99999", "2020", "01", "01", 26),
+        _isd_line("020020", "99999", "2020", "02", "02", 9999),
+    ]
+    # a malformed short line and a garbage-temp line
+    lines_b = [
+        _isd_line("030030", "11111", "2021", "03", "01", 200),
+        "too short",
+        _isd_line("040040", "22222", "2021", "04", "01", 0).replace("+0000", "abcde"),
+    ]
+    (d / "part-a.txt").write_text("\n".join(lines_a) + "\n")
+    (d / "part-b.txt").write_text("\n".join(lines_b) + "\n")
+
+    register_python_sources(spark)
+    pyds = (
+        spark.read.format("fixedwidth")
+        .option("spec", spec_option(ISD_WEATHER_SPEC))
+        .load(str(d))
+    )
+    jvm = read_fixed_width(spark, str(d), ISD_WEATHER_SPEC)
+    assert pyds.schema == jvm.schema
+    key = lambda r: tuple("" if v is None else str(v) for v in r)
+    assert sorted(map(key, pyds.collect())) == sorted(map(key, jvm.collect()))
+    # file-granular parallelism: two files -> two input partitions
+    assert pyds.rdd.getNumPartitions() == 2
+
+    import pytest
+
+    with pytest.raises(Exception):
+        spark.read.format("fixedwidth").option("spec", "bogus").load(str(d)).collect()
