@@ -223,3 +223,91 @@ def test_segment_dedup_idempotent_and_conserving(spark, docs, seg):
     for r in redo:
         assert r["n_kept"] <= r["n_segments"]
     once.unpersist()
+
+
+intervals_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=-50, max_value=200),
+        st.integers(min_value=0, max_value=60),
+    ),
+    min_size=0,
+    max_size=12,
+)
+points_strategy = st.lists(
+    st.integers(min_value=-60, max_value=260), min_size=0, max_size=25
+)
+
+
+@given(points=points_strategy, ivs=intervals_strategy,
+       width=st.sampled_from([1, 7, 32, 500]))
+@settings(**SETTINGS)
+def test_bin_range_join_equals_naive_for_any_input(spark, points, ivs, width):
+    """For ANY point set, interval set, and bin width, the binned
+    equi-join returns exactly the naive cross-join containment rows."""
+    from bigdatalab_spark.operators.rangejoin import bin_range_join
+
+    pdf = spark.createDataFrame(
+        [(i, float(p)) for i, p in enumerate(points)] or [(None, None)],
+        "pid int, p double",
+    ).filter("pid IS NOT NULL")
+    idf = spark.createDataFrame(
+        [(i, float(lo), float(lo + span)) for i, (lo, span) in enumerate(ivs)]
+        or [(None, None, None)],
+        "iid int, lo double, hi double",
+    ).filter("iid IS NOT NULL")
+    naive = {
+        (r.pid, r.iid)
+        for r in pdf.crossJoin(idf).filter("p >= lo AND p < hi").collect()
+    }
+    got = {
+        (r.pid, r.iid)
+        for r in bin_range_join(pdf, idf, "p", "lo", "hi", bin_width=width).collect()
+    }
+    assert got == naive
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=0, max_size=40).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**SETTINGS)
+def test_span_dedup_invariants_for_any_corpus(spark, docs):
+    """For ANY corpus: (1) every long span in the OUTPUT corpus is
+    globally unique; (2) token multiset of each output doc is a subset
+    of its input; (3) n_spans/n_dropped account exactly."""
+    from bigdatalab_spark.scale.dedup import span_dedup
+
+    span_tokens, min_tokens = 4, 2
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id int, text string"
+    )
+    out = {r.doc_id: r for r in span_dedup(df, span_tokens, min_tokens).collect()}
+    assert set(out) == set(range(len(docs)))
+    seen_long: set = set()
+    for i, text in enumerate(docs):
+        r = out[i]
+        in_toks = [t for t in text.split() if t]
+        out_toks = [t for t in r.dedup_text.split() if t]
+        assert len(out_toks) <= len(in_toks)
+        assert r.n_spans == (len(in_toks) + span_tokens - 1) // span_tokens
+        assert 0 <= r.n_dropped <= r.n_spans
+        # re-split the OUTPUT doc: long spans must never repeat corpus-wide.
+        # (output spans re-align only when whole prefixes survive; checking
+        # surviving input spans directly is exact)
+    # exact re-derivation: recompute which input spans survived and check
+    # global uniqueness of long survivors
+    for i, text in enumerate(docs):
+        in_toks = [t for t in text.split() if t]
+        survivors = []
+        for s in range(0, len(in_toks), span_tokens):
+            chunk = " ".join(in_toks[s : s + span_tokens])
+            n = len(in_toks[s : s + span_tokens])
+            if n < min_tokens:
+                survivors.append(chunk)  # short tails always kept
+            elif chunk not in seen_long:
+                seen_long.add(chunk)
+                survivors.append(chunk)
+        assert out[i].dedup_text == " ".join(survivors)
