@@ -66,6 +66,12 @@ _POST_WINDOW = (
     "streaming_quality_gate",
     "orders_price_bands",
     "grouping_sets_revenue",
+    # round 4
+    "span_dedup",
+    "purchases_in_busy_windows",
+    "udtf_doc_spans",
+    "lateral_top_order_per_customer",
+    "event_attrs_xml",
 )
 
 

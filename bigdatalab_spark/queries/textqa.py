@@ -188,3 +188,43 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return fake_decode_image(to_blob_table(docs)).orderBy("doc_id")
+
+
+@query(
+    "udtf_doc_spans",
+    ids=("SCALE-TEXTQA",),
+    oracle="""
+        WITH words AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ws
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST((i - 1) / 16 AS BIGINT) AS pos,
+               array_to_string(ws[i:i+15], ' ') AS span_text,
+               CAST(least(16, len(ws) - i + 1) AS INT) AS n_tokens
+        FROM words, LATERAL (SELECT unnest(generate_series(1, len(ws), 16)) AS i) t
+        WHERE len(ws) > 0 AND doc_id < 100
+        ORDER BY doc_id, pos
+    """,
+)
+def udtf_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF in a correlated LATERAL join
+    (:mod:`bigdatalab_spark.functions.udtfs`): ``doc_spans(text, 16)``
+    fans each document out to its token spans from SQL. This is the
+    table-function EXTENSIBILITY surface (Python per row, per §2.9
+    policy); the strict oracle replays the split with set arithmetic,
+    proving the UDTF stays in lockstep with the column-expression twin
+    that hot paths (span_dedup, chunk_documents) use."""
+    from bigdatalab_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.span_text, s.n_tokens
+        FROM documents d, LATERAL doc_spans(d.text, 16) s
+        WHERE d.doc_id < 100
+        ORDER BY d.doc_id, s.pos
+        """
+    )

@@ -626,3 +626,35 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-scanning the fact table per set."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_GROUPING_SETS_SQL)
+
+
+_LATERAL_TOP_ORDER_SQL = """
+    SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice
+             FROM orders
+             WHERE o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey
+             LIMIT 1) o
+    ORDER BY c.c_custkey
+"""
+
+
+@query(
+    "lateral_top_order_per_customer",
+    ids=("J4", "O5"),
+    oracle=_LATERAL_TOP_ORDER_SQL,
+)
+def lateral_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (SQL:2016 lateral derived table,
+    Spark 4): each customer's single most expensive order, written as
+    the per-row subquery users port from OLTP SQL. Catalyst
+    DECORRELATES it into the same ranked-window/aggregate shape as the
+    explicit top-N-per-group query (top_parts_per_year) — no
+    per-customer re-execution — so the declarative form costs what the
+    hand-rewritten one does. The oracle runs the IDENTICAL SQL in
+    DuckDB; customers with no orders drop out (inner lateral join),
+    and ties break on o_orderkey for determinism."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_LATERAL_TOP_ORDER_SQL)

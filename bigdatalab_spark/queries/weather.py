@@ -98,3 +98,38 @@ def event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "event_attrs_xml",
+    ids=("S6",),
+    oracle="""
+        SELECT event_id, event_type, value, user_id
+        FROM events
+        WHERE event_id < 200
+        ORDER BY event_id
+    """,
+)
+def event_attrs_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML column round-trip (Spark 4 native ``to_xml``/``from_xml`` —
+    the spark-xml package folded into core): typed event attributes
+    serialize to an XML fragment and parse back to the same types.
+    The oracle selects the base columns directly, so any fidelity loss
+    in either direction (double formatting, NULL element omission)
+    breaks the value hash. File-level XML scan is
+    :func:`bigdatalab_spark.sources.readers.read_xml` (pytest)."""
+    events = load_table(spark, sf_dir, "events").filter("event_id < 200")
+    xml = events.select(
+        "event_id",
+        F.to_xml(F.struct("event_type", "value", "user_id")).alias("x"),
+    )
+    return (
+        xml.select(
+            "event_id",
+            F.from_xml(
+                "x", "event_type STRING, value DOUBLE, user_id BIGINT"
+            ).alias("s"),
+        )
+        .select("event_id", "s.event_type", "s.value", "s.user_id")
+        .orderBy("event_id")
+    )

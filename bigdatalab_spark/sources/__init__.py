@@ -9,6 +9,7 @@ from bigdatalab_spark.sources.readers import (
     read_orc,
     read_parquet,
     read_text,
+    read_xml,
 )
 
 __all__ = [
@@ -22,4 +23,5 @@ __all__ = [
     "read_orc",
     "read_parquet",
     "read_text",
+    "read_xml",
 ]

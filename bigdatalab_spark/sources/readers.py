@@ -228,3 +228,20 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC scan — vectorized reader with filter/column pushdown, the
     same scan contract as :func:`read_parquet` (see sinks.write_orc)."""
     return spark.read.orc(path)
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "row",
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """XML file scan (Spark 4 built-in ``xml`` format — the
+    spark-xml package folded into core): one row per ``row_tag``
+    element, schema inferred unless given. Completes the
+    semi-structured trio next to JSON (read_json / S6) and VARIANT;
+    the column-level twins are ``from_xml``/``to_xml``."""
+    r = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.load(path)

@@ -255,3 +255,26 @@ def test_permissive_csv_captures_corrupt_records(spark, tmp_path):
     good = df.filter(F.col("_corrupt_record").isNull())
     assert good.count() == 2
     df.unpersist()
+
+
+def test_xml_file_scan_with_row_tag(spark, tmp_path):
+    """Spark 4 native XML source: rowTag extraction, schema inference,
+    explicit schema, and nested elements."""
+    from bigdatalab_spark.sources import read_xml
+
+    p = tmp_path / "people.xml"
+    p.write_text(
+        "<people>"
+        "<person><name>ada</name><age>36</age><addr><city>london</city></addr></person>"
+        "<person><name>alan</name><age>41</age><addr><city>wilmslow</city></addr></person>"
+        "</people>"
+    )
+    inferred = read_xml(spark, str(p), row_tag="person")
+    rows = {r.name: r for r in inferred.collect()}
+    assert rows["ada"].age == 36 and rows["ada"].addr.city == "london"
+    assert rows["alan"].addr.city == "wilmslow"
+    typed = read_xml(
+        spark, str(p), row_tag="person", schema="name STRING, age DOUBLE"
+    )
+    got = {r.name: r.age for r in typed.collect()}
+    assert got == {"ada": 36.0, "alan": 41.0}
