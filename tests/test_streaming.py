@@ -662,3 +662,44 @@ def test_rate_stream_source(spark):
         assert sorted(vals) == list(range(min(vals), min(vals) + len(vals)))
     finally:
         q.stop()
+
+
+def test_transform_with_state_v2_plan_builds(spark, sf_dir):
+    """Spark 4 state-v2 plan construction: the transformWithStateInPandas
+    operator resolves against the events stream with the declared
+    output schema. (Execution needs protobuf — absent in this sandbox;
+    see stateful_v2 module note — so the drain test below self-gates.)"""
+    from bigdatalab_spark.streaming.stateful_v2 import user_stats_v2
+
+    stream = user_stats_v2(stream_events(spark, sf_dir).filter("user_id < 8"))
+    assert stream.isStreaming
+    assert [f.name for f in stream.schema.fields] == [
+        "user_id", "n_events", "total_value", "n_types", "top_type",
+    ]
+
+
+def test_transform_with_state_v2_user_stats(spark, sf_dir):
+    """Spark 4 state-v2 (transformWithStateInPandas over RocksDB):
+    ValueState + MapState column families drain to exactly the batch
+    reference — count, sum, distinct types, and deterministic top
+    type per user. Runs wherever protobuf is available (the v2 state
+    protocol needs it; this sandbox lacks it)."""
+    pytest.importorskip("google.protobuf")
+    from bigdatalab_spark.streaming.stateful_v2 import (
+        user_stats_batch,
+        user_stats_v2,
+    )
+
+    stream = user_stats_v2(stream_events(spark, sf_dir).filter("user_id < 8"))
+    run_stream_to_memory(stream, "t_twsv2", output_mode="update")
+    got = {r.user_id: r for r in spark.table("t_twsv2").collect()}
+    want = user_stats_batch(
+        load_table(spark, sf_dir, "events").filter("user_id < 8")
+    )
+    assert set(got) == set(want.user_id)
+    for _, w in want.iterrows():
+        g = got[w.user_id]
+        assert g.n_events == w.n_events
+        assert g.n_types == w.n_types
+        assert g.top_type == w.top_type
+        assert g.total_value == pytest.approx(w.total_value, rel=1e-12)
