@@ -64,7 +64,10 @@ def bin_range_join(
         raise ValueError(f"column names must be disjoint; shared: {sorted(overlap)}")
     w = F.lit(bin_width)
     p = points.withColumn("_p_bin", F.floor(F.col(point_col) / w))
-    i = intervals.withColumn(
+    # drop degenerate intervals (hi < lo) BEFORE the explode: they can
+    # match nothing, and Spark's sequence() would otherwise generate a
+    # DESCENDING bin list for them — wasted rows at best
+    i = intervals.filter(F.col(lo_col) <= F.col(hi_col)).withColumn(
         "_i_bin",
         F.explode(
             F.sequence(

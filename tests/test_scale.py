@@ -1231,3 +1231,35 @@ def test_length_bucketed_batches_bounds_padding(spark):
     assert again == first
     with pytest.raises(ValueError):
         length_bucketed_batches(docs, batch_size=0)
+
+
+def test_bin_range_join_ignores_degenerate_intervals(spark):
+    """Intervals with hi < lo match nothing and are pruned before the
+    bin explode (no descending-sequence blowup)."""
+    from bigdatalab_spark.operators.rangejoin import bin_range_join
+
+    points = spark.createDataFrame([(1, 50.0)], "pid int, p double")
+    intervals = spark.createDataFrame(
+        [(10, 40.0, 60.0), (11, 10_000.0, -10_000.0)], "iid int, lo double, hi double"
+    )
+    got = bin_range_join(points, intervals, "p", "lo", "hi", 10).collect()
+    assert [(r.pid, r.iid) for r in got] == [(1, 10)]
+
+
+def test_quality_classifier_model_dir_conf(spark, sf_dir, tmp_path):
+    """Round-3 advice: the ML persistence round-trip honors the
+    spark.bigdatalab.modelDir conf (cluster-shared storage slot) and
+    leaves the saved model in place instead of a vanishing tempdir."""
+    import os
+
+    from bigdatalab_spark.scale.quality_ml import train_quality_classifier
+    from bigdatalab_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    spark.conf.set("spark.bigdatalab.modelDir", str(tmp_path))
+    try:
+        model = train_quality_classifier(docs)
+    finally:
+        spark.conf.unset("spark.bigdatalab.modelDir")
+    assert os.path.isdir(tmp_path / "quality-lr-model")
+    assert model.transform(docs).count() == 60
