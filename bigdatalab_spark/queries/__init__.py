@@ -72,6 +72,7 @@ _POST_WINDOW = (
     "udtf_doc_spans",
     "lateral_top_order_per_customer",
     "event_attrs_xml",
+    "warehouse_quality_checks",
 )
 
 

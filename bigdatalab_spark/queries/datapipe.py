@@ -1365,3 +1365,104 @@ def length_bucketed_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket", "shard", "batch_idx")
     )
+
+
+@query(
+    "warehouse_quality_checks",
+    ids=("SCALE-VALIDATION",),
+    oracle="""
+        WITH o AS (SELECT count(*) AS n FROM orders),
+        l AS (SELECT count(*) AS n FROM lineitem),
+        report(check_name, n_rows, n_violations) AS (
+            SELECT 'orders_orderkey_unique', o.n,
+                   (SELECT count(o_orderkey) - count(DISTINCT o_orderkey) FROM orders)
+            FROM o
+            UNION ALL
+            SELECT 'orders_orderkey_not_null', o.n,
+                   (SELECT count(*) FILTER (WHERE o_orderkey IS NULL) FROM orders)
+            FROM o
+            UNION ALL
+            SELECT 'orders_totalprice_positive', o.n,
+                   (SELECT count(*) FILTER (WHERE NOT coalesce(o_totalprice > 0, false)) FROM orders)
+            FROM o
+            UNION ALL
+            SELECT 'orders_orderdate_in_range', o.n,
+                   (SELECT count(*) FILTER (WHERE NOT coalesce(
+                        o_orderdate >= TIMESTAMP '1992-01-01'
+                        AND o_orderdate < TIMESTAMP '2002-01-01', false)) FROM orders)
+            FROM o
+            UNION ALL
+            SELECT 'orders_custkey_fk_customer', o.n,
+                   (SELECT count(*) FROM orders
+                    WHERE o_custkey IS NOT NULL
+                      AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+            FROM o
+            UNION ALL
+            SELECT 'lineitem_quantity_range', l.n,
+                   (SELECT count(*) FILTER (WHERE NOT coalesce(
+                        l_quantity BETWEEN 1 AND 50, false)) FROM lineitem)
+            FROM l
+            UNION ALL
+            SELECT 'lineitem_discount_range', l.n,
+                   (SELECT count(*) FILTER (WHERE NOT coalesce(
+                        l_discount BETWEEN 0 AND 1, false)) FROM lineitem)
+            FROM l
+            UNION ALL
+            SELECT 'lineitem_orderkey_fk_orders', l.n,
+                   (SELECT count(*) FROM lineitem
+                    WHERE l_orderkey IS NOT NULL
+                      AND l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+            FROM l
+        )
+        SELECT check_name, CAST(n_rows AS BIGINT) AS n_rows,
+               CAST(n_violations AS BIGINT) AS n_violations,
+               n_violations = 0 AS passed
+        FROM report
+        ORDER BY check_name
+    """,
+)
+def warehouse_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectation suite
+    (:mod:`bigdatalab_spark.operators.validation`): uniqueness,
+    not-null, range, and referential checks over orders/lineitem,
+    folded into ONE aggregate scan per table plus one anti-join per
+    foreign key — the Deequ/dbt-test pattern at engine cost. The
+    oracle recomputes every check independently."""
+    from bigdatalab_spark.operators.validation import (
+        Expect,
+        ForeignKey,
+        NotNull,
+        Unique,
+        run_checks,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    o_report = run_checks(
+        orders,
+        [
+            Unique("orders_orderkey_unique", "o_orderkey"),
+            NotNull("orders_orderkey_not_null", "o_orderkey"),
+            Expect("orders_totalprice_positive", F.col("o_totalprice") > 0),
+            Expect(
+                "orders_orderdate_in_range",
+                (F.col("o_orderdate") >= F.lit("1992-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("2002-01-01").cast("timestamp")),
+            ),
+            ForeignKey("orders_custkey_fk_customer", "o_custkey", customer, "c_custkey"),
+        ],
+    )
+    l_report = run_checks(
+        lineitem,
+        [
+            Expect(
+                "lineitem_quantity_range", F.col("l_quantity").between(1, 50)
+            ),
+            Expect(
+                "lineitem_discount_range", F.col("l_discount").between(0, 1)
+            ),
+            ForeignKey("lineitem_orderkey_fk_orders", "l_orderkey", orders, "o_orderkey"),
+        ],
+    )
+    return o_report.unionByName(l_report).orderBy("check_name")

@@ -1263,3 +1263,73 @@ def test_quality_classifier_model_dir_conf(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.bigdatalab.modelDir")
     assert os.path.isdir(tmp_path / "quality-lr-model")
     assert model.transform(docs).count() == 60
+
+
+def test_run_checks_detects_violations_and_null_semantics(spark):
+    """Dirty data: each check kind counts exactly its violations; NULL
+    predicate results count as violations for Expect; Unique ignores
+    NULLs (SQL UNIQUE); FK ignores NULL keys."""
+    import pytest
+
+    from bigdatalab_spark.operators.validation import (
+        Expect,
+        ForeignKey,
+        NotNull,
+        Unique,
+        run_checks,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0),
+            (2, -5.0),     # range violation
+            (2, None),     # dup id + NULL value (NULL -> Expect violation)
+            (None, 3.0),   # NULL id
+        ],
+        "id int, v double",
+    )
+    ref = spark.createDataFrame([(1,), (2,)], "id int")
+    got = {
+        r.check_name: r
+        for r in run_checks(
+            df,
+            [
+                Unique("id_unique", "id"),
+                NotNull("id_not_null", "id"),
+                Expect("v_positive", F.col("v") > 0),
+                ForeignKey("id_fk", "id", ref, "id"),
+            ],
+        ).collect()
+    }
+    assert {n: (r.n_rows, r.n_violations, r.passed) for n, r in got.items()} == {
+        "id_unique": (4, 1, False),     # ids 1,2,2 -> one dup; NULL ignored
+        "id_not_null": (4, 1, False),
+        "v_positive": (4, 2, False),    # -5.0 and NULL
+        "id_fk": (4, 0, True),          # 1,2,2 all present; NULL ignored
+    }
+    with pytest.raises(ValueError):
+        run_checks(df, [NotNull("x", "id"), NotNull("x", "v")])
+    with pytest.raises(TypeError):
+        run_checks(df, ["not-a-check"])
+
+
+def test_run_checks_single_scan_for_non_fk_suite(spark, sf_dir):
+    """THE cost claim: any number of Expect/NotNull/Unique checks fold
+    into one aggregate over ONE scan of the table."""
+    from bigdatalab_spark.operators.validation import Expect, NotNull, Unique, run_checks
+    from bigdatalab_spark.plans.inspect import _executed_plan
+    from bigdatalab_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    report = run_checks(
+        orders,
+        [
+            Unique("u", "o_orderkey"),
+            NotNull("nn", "o_orderkey"),
+            Expect("e1", F.col("o_totalprice") > 0),
+            Expect("e2", F.col("o_orderstatus").isin("O", "F", "P")),
+        ],
+    )
+    plan = _executed_plan(report)
+    assert plan.count("Scan parquet") == 1, plan
+    assert report.count() == 4
