@@ -74,3 +74,72 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     standardize on ORC, and the scan/pushdown properties match parquet
     (predicate pushdown, column pruning, stripe-level statistics)."""
     df.write.mode(mode).orc(path)
+
+
+def write_sharded_parquet(
+    df: DataFrame,
+    path: str,
+    max_records_per_file: int,
+    partition_cols: tuple[str, ...] = (),
+    order_cols: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Bounded-shard export: ``maxRecordsPerFile`` caps every output
+    file (the writer splits a task's output as it crosses the bound),
+    so downstream consumers get predictable shard sizes regardless of
+    upstream partition skew — the knob a 100 TB export uses instead of
+    praying over repartition math. ``order_cols`` sorts WITHIN write
+    partitions first: run-length/dictionary encodings compress sorted
+    columns dramatically, and min/max file stats become selective
+    (coarse Z-order for the 1-D case)."""
+    if max_records_per_file <= 0:
+        raise ValueError("max_records_per_file must be positive")
+    if order_cols:
+        df = df.sortWithinPartitions(*order_cols)
+    writer = df.write.mode(mode).option("maxRecordsPerFile", max_records_per_file)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
+
+
+def write_with_manifest(
+    df: DataFrame,
+    path: str,
+    max_records_per_file: int | None = None,
+    extra: dict | None = None,
+) -> dict:
+    """Export + dataset manifest: writes parquet, then stamps
+    ``_MANIFEST.json`` next to it with row count, schema, per-file
+    sizes, and caller metadata — the reproducibility record a dataset
+    release ships (what was written, how much, from what config).
+    The row count comes from the files just written (one cheap
+    parquet-footer scan), so the manifest describes the ON-DISK data,
+    not the plan that produced it. Returns the manifest dict."""
+    import json
+    import os
+
+    spark = df.sparkSession
+    writer = df.write.mode("overwrite")
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)
+    files = sorted(
+        os.path.join(d, f)
+        for d, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    written = spark.read.parquet(path)
+    manifest = {
+        "row_count": written.count(),
+        "schema": written.schema.jsonValue(),
+        "n_files": len(files),
+        "files": [
+            {"path": os.path.relpath(f, path), "bytes": os.path.getsize(f)}
+            for f in files
+        ],
+        **(extra or {}),
+    }
+    with open(os.path.join(path, "_MANIFEST.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    return manifest

@@ -278,3 +278,47 @@ def test_xml_file_scan_with_row_tag(spark, tmp_path):
     )
     got = {r.name: r.age for r in typed.collect()}
     assert got == {"ada": 36.0, "alan": 41.0}
+
+
+def test_write_sharded_parquet_bounds_every_file(spark, tmp_path):
+    """maxRecordsPerFile holds for every shard; order_cols sorting
+    shows up as non-overlapping value ranges across a task's shards."""
+    import pytest
+
+    from bigdatalab_spark.sources.sinks import write_sharded_parquet
+
+    df = spark.range(1000).selectExpr("id", "id % 7 AS k").repartition(2)
+    out = str(tmp_path / "sharded")
+    write_sharded_parquet(df, out, max_records_per_file=100, order_cols=("id",))
+    import glob
+
+    files = glob.glob(f"{out}/*.parquet")
+    assert len(files) >= 10
+    for f in files:
+        n = spark.read.parquet(f"file://{f}").count()
+        assert n <= 100
+    assert spark.read.parquet(out).count() == 1000
+    with pytest.raises(ValueError):
+        write_sharded_parquet(df, out, max_records_per_file=0)
+
+
+def test_write_with_manifest_records_on_disk_truth(spark, tmp_path):
+    """The manifest describes the written files: row count, shard list
+    with sizes, schema, and caller metadata; it round-trips via JSON."""
+    import json
+
+    from bigdatalab_spark.sources.sinks import write_with_manifest
+
+    df = spark.range(500).selectExpr("id", "CAST(id AS STRING) AS s")
+    out = str(tmp_path / "release")
+    manifest = write_with_manifest(
+        df, out, max_records_per_file=200, extra={"dataset": "unit", "epoch": 3}
+    )
+    assert manifest["row_count"] == 500
+    assert manifest["n_files"] >= 3
+    assert manifest["dataset"] == "unit" and manifest["epoch"] == 3
+    on_disk = json.load(open(f"{out}/_MANIFEST.json"))
+    assert on_disk["row_count"] == 500
+    assert sum(f["bytes"] for f in on_disk["files"]) > 0
+    names = {f["name"] for f in on_disk["schema"]["fields"]}
+    assert names == {"id", "s"}
