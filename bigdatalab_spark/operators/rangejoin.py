@@ -62,6 +62,12 @@ def bin_range_join(
     overlap = set(points.columns) & set(intervals.columns)
     if overlap:
         raise ValueError(f"column names must be disjoint; shared: {sorted(overlap)}")
+    reserved = {"_p_bin", "_i_bin"} & (set(points.columns) | set(intervals.columns))
+    if reserved:
+        raise ValueError(
+            f"columns {sorted(reserved)} collide with the operator's "
+            "internal bin columns; rename them first"
+        )
     w = F.lit(bin_width)
     p = points.withColumn("_p_bin", F.floor(F.col(point_col) / w))
     # drop degenerate intervals (hi < lo) BEFORE the explode: they can

@@ -60,7 +60,9 @@ def run_checks(df: DataFrame, checks: list) -> DataFrame:
     """Evaluate a check suite against ``df`` — see module docstring.
 
     All Expect/NotNull/Unique checks share ONE aggregate over one scan;
-    each ForeignKey adds one anti-join aggregate. Results union into
+    each ForeignKey adds one anti-join aggregate, and all FK checks
+    share a single extra row-count scan (constant, not per-FK). An
+    empty suite returns an empty report frame. Results union into
     (check_name, n_rows, n_violations, passed).
     """
     aggs = [F.count(F.lit(1)).alias("_n_rows")]
@@ -104,6 +106,7 @@ def run_checks(df: DataFrame, checks: list) -> DataFrame:
                 ).alias("c")
             ).select("c.*")
         )
+    fk_parts: list[DataFrame] = []
     for c in checks:
         if not isinstance(c, ForeignKey):
             continue
@@ -113,12 +116,24 @@ def run_checks(df: DataFrame, checks: list) -> DataFrame:
             .filter(F.col(c.col).isNotNull())
             .join(refs, c.col, "left_anti")
         )
-        parts.append(
-            orphans.agg(
-                F.count(F.lit(1)).alias("n_violations")
-            ).crossJoin(df.agg(F.count(F.lit(1)).alias("n_rows"))).select(
-                F.lit(c.name).alias("check_name"), "n_rows", "n_violations"
+        fk_parts.append(
+            orphans.agg(F.count(F.lit(1)).alias("n_violations")).select(
+                F.lit(c.name).alias("check_name"), "n_violations"
             )
+        )
+    if fk_parts:
+        # ONE shared row-count scan for every FK check, not one per FK
+        fk_all = fk_parts[0]
+        for p in fk_parts[1:]:
+            fk_all = fk_all.unionByName(p)
+        parts.append(
+            fk_all.crossJoin(df.agg(F.count(F.lit(1)).alias("n_rows"))).select(
+                "check_name", "n_rows", "n_violations"
+            )
+        )
+    if not parts:  # empty suite -> empty report, not an IndexError
+        return df.sparkSession.createDataFrame(
+            [], "check_name string, n_rows bigint, n_violations bigint, passed boolean"
         )
     out = parts[0]
     for p in parts[1:]:

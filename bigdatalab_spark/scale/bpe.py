@@ -150,6 +150,9 @@ def bpe_train(
         prev = toks
         toks = merge_pair(toks, top["l"], top["r"]).localCheckpoint(eager=True)
         release_local_checkpoint(prev)
+    # the FINAL round's corpus-sized checkpoint is dead too — the
+    # returned merge table is driver-built
+    release_local_checkpoint(toks)
     return spark.createDataFrame(
         merges, "merge_round int, left string, right string, n_pairs bigint"
     )

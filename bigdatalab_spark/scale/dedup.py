@@ -857,24 +857,17 @@ def span_dedup(
     document — a fully-deduped doc comes back with dedup_text = '' and
     n_dropped = n_spans; an empty doc has n_spans = 0.
     """
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks")
-    )
-    starts = F.when(
-        F.size("toks") > 0,
-        F.sequence(F.lit(0), F.size("toks") - 1, F.lit(span_tokens)),
-    ).otherwise(F.expr("array()").cast("array<int>"))
-    spans = toks.select(
-        "doc_id", F.explode(starts).alias("start"), "toks"
+    # span splitting IS document chunking with zero overlap — one
+    # implementation (udtfs.DocSpans is its SQL-table-function twin)
+    from bigdatalab_spark.scale.textqa import chunk_documents
+
+    spans = chunk_documents(
+        docs, chunk_tokens=span_tokens, overlap=0, text_col=text_col, id_col=id_col
     ).select(
         "doc_id",
-        (F.col("start") / span_tokens).cast("long").alias("pos"),
-        F.concat_ws(
-            " ", F.slice(F.col("toks"), F.col("start") + 1, span_tokens)
-        ).alias("span_text"),
-        F.least(F.lit(span_tokens), F.size("toks") - F.col("start")).alias(
-            "n_tokens"
-        ),
+        F.col("chunk_id").alias("pos"),
+        F.col("chunk_text").alias("span_text"),
+        "n_tokens",
     )
     hashed = spans.withColumn("h", F.xxhash64("span_text"))
     firsts = (

@@ -133,7 +133,12 @@ def train_quality_classifier(
     if model_dir is None:
         model_dir = cleanup = tempfile.mkdtemp(prefix="quality-lr-")
     try:
-        path = f"{model_dir}/quality-lr-model"
+        # unique leaf per call: concurrent trainings sharing the
+        # session-wide modelDir must not clobber (and then load) each
+        # other's round-trip
+        import uuid
+
+        path = f"{model_dir}/quality-lr-model-{uuid.uuid4().hex}"
         model.write().overwrite().save(path)
         return PipelineModel.load(path)
     finally:

@@ -138,9 +138,12 @@ class FixedWidthDataSource(DataSource):
         return "fixedwidth"
 
     def schema(self) -> str:
+        spec = self.options.get("spec")
+        if not spec:  # schema() runs before reader(); fail clearly here
+            raise ValueError("fixedwidth source requires the 'spec' option")
         return ", ".join(
             f"{f.name} {f.dtype}" if f.scale is None else f"{f.name} double"
-            for f in parse_spec_option(self.options.get("spec", ""))
+            for f in parse_spec_option(spec)
         )
 
     def reader(self, schema) -> FixedWidthReader:

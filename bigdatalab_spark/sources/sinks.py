@@ -95,7 +95,11 @@ def write_sharded_parquet(
     if max_records_per_file <= 0:
         raise ValueError("max_records_per_file must be positive")
     if order_cols:
-        df = df.sortWithinPartitions(*order_cols)
+        # lead with the partition columns: the dynamic-partition writer
+        # requires a local sort on them and would otherwise insert its
+        # OWN (stability-unspecified) sort on top, scrambling the
+        # order_cols clustering inside each partition's files
+        df = df.sortWithinPartitions(*partition_cols, *order_cols)
     writer = df.write.mode(mode).option("maxRecordsPerFile", max_records_per_file)
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
@@ -118,6 +122,9 @@ def write_with_manifest(
     import json
     import os
 
+    reserved = {"row_count", "schema", "n_files", "files"} & set(extra or ())
+    if reserved:  # extra must not clobber the measured on-disk truth
+        raise ValueError(f"extra keys collide with measured fields: {sorted(reserved)}")
     spark = df.sparkSession
     writer = df.write.mode("overwrite")
     if max_records_per_file is not None:

@@ -1261,7 +1261,8 @@ def test_quality_classifier_model_dir_conf(spark, sf_dir, tmp_path):
         model = train_quality_classifier(docs)
     finally:
         spark.conf.unset("spark.bigdatalab.modelDir")
-    assert os.path.isdir(tmp_path / "quality-lr-model")
+    saved = [d for d in os.listdir(tmp_path) if d.startswith("quality-lr-model-")]
+    assert len(saved) == 1  # unique leaf per training under the shared dir
     assert model.transform(docs).count() == 60
 
 
@@ -1333,3 +1334,11 @@ def test_run_checks_single_scan_for_non_fk_suite(spark, sf_dir):
     plan = _executed_plan(report)
     assert plan.count("Scan parquet") == 1, plan
     assert report.count() == 4
+
+
+def test_run_checks_empty_suite_returns_empty_report(spark):
+    from bigdatalab_spark.operators.validation import run_checks
+
+    out = run_checks(spark.range(3), [])
+    assert out.columns == ["check_name", "n_rows", "n_violations", "passed"]
+    assert out.count() == 0

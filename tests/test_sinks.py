@@ -322,3 +322,31 @@ def test_write_with_manifest_records_on_disk_truth(spark, tmp_path):
     assert sum(f["bytes"] for f in on_disk["files"]) > 0
     names = {f["name"] for f in on_disk["schema"]["fields"]}
     assert names == {"id", "s"}
+
+
+def test_write_with_manifest_rejects_reserved_extra_keys(spark, tmp_path):
+    import pytest
+
+    from bigdatalab_spark.sources.sinks import write_with_manifest
+
+    with pytest.raises(ValueError):
+        write_with_manifest(
+            spark.range(3), str(tmp_path / "x"), extra={"row_count": 99}
+        )
+
+
+def test_write_sharded_parquet_preserves_order_under_partitioning(spark, tmp_path):
+    """order_cols clustering survives partitionBy: within every
+    partition's files, rows stay sorted on the order column."""
+    import glob
+
+    from bigdatalab_spark.sources.sinks import write_sharded_parquet
+
+    df = spark.range(400).selectExpr("id", "id % 2 AS p").repartition(2)
+    out = str(tmp_path / "po")
+    write_sharded_parquet(
+        df, out, max_records_per_file=50, partition_cols=("p",), order_cols=("id",)
+    )
+    for f in glob.glob(f"{out}/p=*/*.parquet"):
+        vals = [r.id for r in spark.read.parquet(f"file://{f}").collect()]
+        assert vals == sorted(vals), f
