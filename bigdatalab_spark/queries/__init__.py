@@ -21,7 +21,7 @@ from bigdatalab_spark.queries import (  # noqa: F401  (import = registration)
     weather,
     wordcount,
 )
-from bigdatalab_spark.queries import bpe, datapipe, pipeline  # noqa: F401  (register
+from bigdatalab_spark.queries import bpe, datapipe, pipeline, tpch_suite  # noqa: F401  (register
 # AFTER the SURVEY-core top-50 on purpose: beyond-reference extensions must not
 # displace driver-window entries; _DEMOTED still sorts last)
 from bigdatalab_spark.queries.registry import REGISTRY, QuerySpec
@@ -73,6 +73,19 @@ _POST_WINDOW = (
     "lateral_top_order_per_customer",
     "event_attrs_xml",
     "warehouse_quality_checks",
+    # round 4: TPC-H completion suite (Q2/Q5/Q7/Q8/Q9/Q10/Q15/Q16/Q19/Q20/Q21/Q22)
+    "min_unit_price_supplier",
+    "local_supplier_volume",
+    "volume_shipping_pairs",
+    "nation_market_share",
+    "product_type_profit",
+    "returned_item_reporting",
+    "top_revenue_supplier",
+    "part_supplier_variety",
+    "disjunctive_brand_revenue",
+    "excess_share_suppliers",
+    "sole_return_suppliers",
+    "idle_rich_customers",
 )
 
 
