@@ -1466,3 +1466,50 @@ def warehouse_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return o_report.unionByName(l_report).orderBy("check_name")
+
+
+@query(
+    "temperature_mix_counts",
+    ids=("SCALE-CURATION", "P11", "A4"),
+    oracle=f"""
+        WITH counts AS (
+            SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+        ), mn AS (
+            SELECT min(n_docs) AS n_min FROM counts
+        ), rates AS (
+            SELECT lang, n_docs,
+                   CAST(FLOOR(10000 * sqrt(CAST(n_min AS DOUBLE)
+                                           / CAST(n_docs AS DOUBLE)))
+                        AS BIGINT) AS mix_threshold
+            FROM counts, mn
+        )
+        SELECT r.lang, r.n_docs, r.mix_threshold, count(*) AS n_kept
+        FROM documents d JOIN rates r ON d.lang = r.lang
+        WHERE {portable_hash_sql(
+            "'tmix-v1' || d.lang || '|' || CAST(d.doc_id AS VARCHAR)")} % 10000
+              < r.mix_threshold
+        GROUP BY r.lang, r.n_docs, r.mix_threshold
+        ORDER BY r.lang
+    """,
+)
+def temperature_mix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha=0.5) mixture rebalancing
+    (:func:`bigdatalab_spark.scale.curation.temperature_mix`): keep
+    rates derived IN-PLAN from the language histogram — rare languages
+    keep everything, the dominant one is downsampled toward the
+    flattened ``p_i ∝ sqrt(share_i)`` distribution. The salted-hash
+    keep decision and the IEEE-sqrt thresholds replay exactly in the
+    SQL oracle."""
+    from bigdatalab_spark.scale.curation import temperature_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        temperature_mix(docs, "lang")
+        .groupBy("lang")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            F.max("mix_threshold").alias("mix_threshold"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        .orderBy("lang")
+    )

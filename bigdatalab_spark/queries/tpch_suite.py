@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from bigdatalab_spark.operators import money_sum
 from bigdatalab_spark.queries.registry import query
@@ -78,10 +79,10 @@ def min_unit_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     No ``partsupp`` table exists, so ``min(l_extendedprice/l_quantity)``
     per (part, supplier) plays ``ps_supplycost``. The correlated
-    ``= (SELECT min ...)`` is expressed as aggregate + equi-join —
-    the rewrite Catalyst would produce anyway — so the 100 TB lineitem
-    is scanned once, reduced to a (part × supplier)-sized frame, and
-    only that reduced frame joins the per-part minimum.
+    ``= (SELECT min ...)`` becomes a per-part window MIN over the
+    already-reduced (part × supplier) frame — the 100 TB lineitem is
+    scanned ONCE (plan-asserted), and the window partitions by partkey
+    over supplier-sized groups, never a global sort.
     """
     eu_nations = _nation_region(spark, sf_dir, "EUROPE")
     supplier = load_table(spark, sf_dir, "supplier")
@@ -104,15 +105,13 @@ def min_unit_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min(unit).alias("supp_min"))
     )
-    part_min = per_ps.groupBy("l_partkey").agg(
-        F.min("supp_min").alias("min_unit_price")
+    part_min = F.min("supp_min").over(Window.partitionBy("l_partkey"))
+    winners = per_ps.withColumn("min_unit_price", part_min).filter(
+        F.col("supp_min") == F.col("min_unit_price")
     )
     return (
-        per_ps.join(part_min.withColumnRenamed("l_partkey", "pk"),
-                    (per_ps.l_partkey == F.col("pk"))
-                    & (per_ps.supp_min == F.col("min_unit_price")))
-        .join(F.broadcast(eu), per_ps.l_suppkey == eu.s_suppkey)
-        .join(F.broadcast(parts), per_ps.l_partkey == parts.p_partkey)
+        winners.join(F.broadcast(eu), winners.l_suppkey == eu.s_suppkey)
+        .join(F.broadcast(parts), winners.l_partkey == parts.p_partkey)
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
                 "min_unit_price")
         .orderBy(F.desc("s_acctbal"), "s_name", "p_partkey")
@@ -499,18 +498,24 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The view + scalar-MAX-subquery form becomes aggregate → global max
     → equi-filter. The revenue frame is supplier-sized (tiny next to
-    lineitem), so the max is a one-row broadcast cross-join, and the
-    exact-decimal sums make the double equality safe across engines
-    and partitionings — ties are all reported, as Q15 specifies.
+    lineitem), so it is persisted once and feeds BOTH the one-row max
+    broadcast and the equality filter — lineitem is scanned once, not
+    once per branch. Exact-decimal sums make the double equality safe
+    across engines and partitionings — ties are all reported, as Q15
+    specifies.
     """
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
-    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-            "total_revenue"
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "total_revenue"
+            )
         )
+        .persist()
     )
     mx = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")

@@ -115,6 +115,71 @@ def domain_mix(
     return df.filter(bucket < threshold)
 
 
+def temperature_mix(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float = 0.5,
+    key_col: str = "doc_id",
+    salt: str = "tmix-v1",
+) -> DataFrame:
+    """Temperature-based mixture rebalancing (the mT5/XLM-R alpha
+    sampling rule): sample stratum *i* so the output distribution
+    follows ``p_i ∝ (n_i/N)^alpha`` — with ``alpha < 1`` rare domains
+    are upweighted relative to dominant ones.
+
+    Unlike :func:`domain_mix` (caller supplies rates), the rates are
+    DERIVED IN-PLAN from the observed stratum counts: the keep rate
+    reduces to ``r_i = (n_min/n_i)^(1-alpha)`` normalized so the rarest
+    stratum keeps everything — two tiny aggregates (stratum counts,
+    global min), broadcast back onto the rows; nothing collects to the
+    driver, so the same plan holds when the stratum histogram is
+    computed over 100 TB.
+
+    The keep decision is the same salted portable-hash threshold as
+    :func:`domain_mix` (reproducible across runs/engines/partitionings).
+    Thresholds use ``floor`` (binary-exact both engines), and with the
+    default ``alpha=0.5`` the rate is an IEEE ``sqrt`` — bit-identical
+    in any engine, so the sample is exactly SQL-replayable. Other
+    alphas go through ``pow``, which is not guaranteed correctly
+    rounded everywhere; borderline hash buckets could then differ
+    across engines (documented, not oracle'd).
+
+    Adds ``n_docs`` (stratum size) and ``mix_threshold`` (buckets out
+    of :data:`SPLIT_BUCKETS` kept) to surviving rows.
+    """
+    skey = F.coalesce(F.col(strata_col).cast("string"), F.lit("\x00"))
+    counts = (
+        df.groupBy(skey.alias("__t_stratum"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    n_min = counts.agg(F.min("n_docs").alias("__t_min"))
+    ratio = F.col("__t_min").cast("double") / F.col("n_docs").cast("double")
+    rate = (
+        F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, F.lit(1.0 - alpha))
+    )
+    rates = counts.join(F.broadcast(n_min)).select(
+        "__t_stratum",
+        "n_docs",
+        F.floor(rate * SPLIT_BUCKETS).cast("bigint").alias("mix_threshold"),
+    )
+    bucket = (
+        portable_hash(
+            F.concat(
+                F.lit(salt),
+                skey,
+                F.lit("|"),
+                F.coalesce(F.col(key_col).cast("string"), F.lit("\x00")),
+            )
+        )
+        % SPLIT_BUCKETS
+    )
+    return (
+        df.join(F.broadcast(rates), skey == F.col("__t_stratum"))
+        .drop("__t_stratum")
+        .filter(bucket < F.col("mix_threshold"))
+    )
+
+
 def deterministic_shuffle(
     df: DataFrame,
     key_col: str = "doc_id",

@@ -150,3 +150,33 @@ def write_with_manifest(
     with open(os.path.join(path, "_MANIFEST.json"), "w") as fh:
         json.dump(manifest, fh, indent=1, sort_keys=True)
     return manifest
+
+
+def write_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    max_records_per_file: int,
+    compression: str | None = "gzip",
+    partition_cols: tuple[str, ...] = (),
+    order_cols: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Bounded-shard JSONL export — the interchange format LLM training
+    stacks ingest (one JSON object per line, gzip-sharded).
+
+    Spark's json writer already emits JSONL; this adds the same
+    shard-size bound and in-partition ordering as
+    :func:`write_sharded_parquet` so a 100 TB corpus lands as
+    predictable ``part-*.json.gz`` shards (no shard inherits an
+    upstream partition's skew) ready for a streaming dataloader.
+    """
+    if max_records_per_file <= 0:
+        raise ValueError("max_records_per_file must be positive")
+    if order_cols:
+        df = df.sortWithinPartitions(*partition_cols, *order_cols)
+    writer = df.write.mode(mode).option("maxRecordsPerFile", max_records_per_file)
+    if compression:
+        writer = writer.option("compression", compression)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.json(path)

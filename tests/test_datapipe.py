@@ -567,3 +567,34 @@ def test_incremental_agg_merge_equals_full_recompute(spark, sf_dir):
     for k in merged:
         assert merged[k][0] == full[k][0]
         assert merged[k][1] == pytest.approx(full[k][1], rel=1e-12)
+
+
+def test_temperature_mix_flattens_toward_rare_strata(spark):
+    """alpha=0.5 rebalancing: the rarest stratum keeps everything
+    (threshold = full bucket range), the dominant stratum is
+    downsampled, and kept shares are strictly flatter than input
+    shares. Deterministic across runs."""
+    from bigdatalab_spark.scale.curation import SPLIT_BUCKETS, temperature_mix
+
+    rows = (
+        [(f"a{i}", "common") for i in range(900)]
+        + [(f"b{i}", "mid") for i in range(100)]
+        + [(f"c{i}", "rare") for i in range(25)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    kept = temperature_mix(df, "lang")
+    by = {r["lang"]: r for r in kept.groupBy("lang").agg(
+        F.max("mix_threshold").alias("thr"), F.count(F.lit(1)).alias("n")
+    ).collect()}
+    # rarest stratum: rate 1.0 -> keeps all 25 rows
+    assert by["rare"]["thr"] == SPLIT_BUCKETS
+    assert by["rare"]["n"] == 25
+    # thresholds follow sqrt(n_min/n_i): common < mid < rare
+    assert by["common"]["thr"] < by["mid"]["thr"] < by["rare"]["thr"]
+    # expected keep rates sqrt(25/900)=1/6, sqrt(25/100)=1/2 — the kept
+    # ratio common:rare shrinks from 36:1 toward sqrt-flattened ~6:1
+    assert by["common"]["n"] / by["rare"]["n"] < 12
+    # deterministic: second run identical
+    again = {r["lang"]: r["n"] for r in temperature_mix(df, "lang")
+             .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert again == {k: v["n"] for k, v in by.items()}

@@ -247,3 +247,41 @@ def test_busy_window_range_join_pushes_point_filter(spark, sf_dir):
 
     df = purchases_in_busy_windows(spark, sf_dir)
     assert any("event_type" in f for f in pushed_filters(df)), pushed_filters(df)
+
+
+def test_tpch_suite_plan_scale_claims(spark, sf_dir):
+    """Round-4 TPC-H completion suite: each docstring's 100 TB claim is
+    structurally present in the physical plan."""
+    from bigdatalab_spark.plans.inspect import _executed_plan
+
+    # Q19: one broadcast equi-join + one global agg — lineitem never
+    # hash-shuffled, no nested-loop fallback for the OR-of-ANDs
+    df = REGISTRY["disjunctive_brand_revenue"].fn(spark, sf_dir)
+    p = _executed_plan(df)
+    assert has_broadcast_join(df)
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+    assert exchange_count(df) <= 1, p  # only the global-agg exchange
+
+    # Q2: lineitem scanned ONCE (the window-min rewrite), dims broadcast
+    df = REGISTRY["min_unit_price_supplier"].fn(spark, sf_dir)
+    p = _executed_plan(df)
+    assert p.count("lineitem.parquet") == 1, p
+    assert has_broadcast_join(df)
+
+    # Q15: the persisted revenue frame feeds both branches — every
+    # lineitem read goes through the cache, one materialization
+    df = REGISTRY["top_revenue_supplier"].fn(spark, sf_dir)
+    p = _executed_plan(df)
+    assert p.count("InMemoryTableScan") == 2, p
+    spark.catalog.clearCache()  # drop the query's persisted revenue frame
+
+    # Q10: top-20 via TakeOrderedAndProject, never a global sort
+    df = REGISTRY["returned_item_reporting"].fn(spark, sf_dir)
+    p = _executed_plan(df)
+    assert "TakeOrderedAndProject" in p, p
+
+    # Q21: the double lineitem self-join is gone — lineitem appears once
+    df = REGISTRY["sole_return_suppliers"].fn(spark, sf_dir)
+    p = _executed_plan(df)
+    assert p.count("lineitem.parquet") == 1, p
+    assert "CartesianProduct" not in p and "NestedLoop" not in p

@@ -350,3 +350,30 @@ def test_write_sharded_parquet_preserves_order_under_partitioning(spark, tmp_pat
     for f in glob.glob(f"{out}/p=*/*.parquet"):
         vals = [r.id for r in spark.read.parquet(f"file://{f}").collect()]
         assert vals == sorted(vals), f
+
+
+def test_write_jsonl_shards_bounded_gzip_roundtrip(spark, tmp_path):
+    """JSONL export: every shard gzip'd and under the record bound;
+    the written corpus reads back row-identical."""
+    import glob
+
+    import pytest
+
+    from bigdatalab_spark.sources.sinks import write_jsonl_shards
+
+    df = spark.range(600).selectExpr(
+        "CAST(id AS STRING) AS doc_id", "repeat('x', 10) AS text", "id % 3 AS grp"
+    ).repartition(2)
+    out = str(tmp_path / "jsonl")
+    write_jsonl_shards(df, out, max_records_per_file=100, order_cols=("doc_id",))
+    files = glob.glob(f"{out}/*.json.gz")
+    assert len(files) >= 6
+    for f in files:
+        assert spark.read.json(f"file://{f}").count() <= 100
+    back = spark.read.json(out)
+    assert back.count() == 600
+    assert {r["doc_id"] for r in back.select("doc_id").collect()} == {
+        str(i) for i in range(600)
+    }
+    with pytest.raises(ValueError):
+        write_jsonl_shards(df, out, max_records_per_file=-1)
