@@ -21,7 +21,13 @@ from bigdatalab_spark.queries import (  # noqa: F401  (import = registration)
     weather,
     wordcount,
 )
-from bigdatalab_spark.queries import bpe, datapipe, pipeline, tpch_suite  # noqa: F401  (register
+from bigdatalab_spark.queries import (  # noqa: F401  (register
+    bpe,
+    datapipe,
+    pipeline,
+    spark4_sql,
+    tpch_suite,
+)
 # AFTER the SURVEY-core top-50 on purpose: beyond-reference extensions must not
 # displace driver-window entries; _DEMOTED still sorts last)
 from bigdatalab_spark.queries.registry import REGISTRY, QuerySpec
@@ -86,6 +92,10 @@ _POST_WINDOW = (
     "excess_share_suppliers",
     "sole_return_suppliers",
     "idle_rich_customers",
+    # round 4: Spark 4 SQL language surfaces
+    "recursive_calendar_orders",
+    "pipe_syntax_returnflag_revenue",
+    "collated_segment_match",
 )
 
 
