@@ -96,6 +96,7 @@ _POST_WINDOW = (
     "recursive_calendar_orders",
     "pipe_syntax_returnflag_revenue",
     "collated_segment_match",
+    "weighted_median_price",
 )
 
 

@@ -1513,3 +1513,49 @@ def temperature_mix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "weighted_median_price",
+    ids=("A4", "A8", "P3", "O1"),
+    oracle="""
+        WITH base AS (
+            SELECT l_returnflag, l_extendedprice AS v,
+                   CAST(l_quantity AS BIGINT) AS wt
+            FROM lineitem
+        ), tot AS (
+            SELECT l_returnflag, sum(wt) AS total
+            FROM base GROUP BY l_returnflag
+        ), cum AS (
+            SELECT l_returnflag, v,
+                   sum(wt) OVER (PARTITION BY l_returnflag ORDER BY v) AS cw
+            FROM base
+        )
+        SELECT c.l_returnflag, min(v) AS weighted_median_price
+        FROM cum c JOIN tot t ON c.l_returnflag = t.l_returnflag
+        WHERE 2 * c.cw >= t.total
+        GROUP BY c.l_returnflag
+        ORDER BY c.l_returnflag
+    """,
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag via the
+    GROUPED_AGG pandas UDF surface
+    (:mod:`bigdatalab_spark.functions.pandas_aggs`) — the Arrow-batched
+    custom-aggregate extensibility path, made engine-exact (integer
+    crossing test, result is an existing value) so the SQL oracle
+    replays it with a cumulative-weight window. The oracle doubles as
+    the built-in twin: same answer from pure SQL, proving the UDF's
+    semantics rather than trusting them."""
+    from bigdatalab_spark.functions.pandas_aggs import weighted_median_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            weighted_median_agg("l_extendedprice", "l_quantity").alias(
+                "weighted_median_price"
+            )
+        )
+        .orderBy("l_returnflag")
+    )

@@ -598,3 +598,26 @@ def test_temperature_mix_flattens_toward_rare_strata(spark):
     again = {r["lang"]: r["n"] for r in temperature_mix(df, "lang")
              .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert again == {k: v["n"] for k, v in by.items()}
+
+
+def test_weighted_median_exact_ties_and_partition_invariance(spark):
+    """The GROUPED_AGG weighted median returns the lower weighted
+    median as an existing value, is tie-stable, and does not depend on
+    partitioning (integer crossing arithmetic)."""
+    from bigdatalab_spark.functions.pandas_aggs import weighted_median_agg
+
+    rows = [
+        # group a: weights 1,1,1,5 -> total 8, crossing at cum>=4 -> v=30
+        ("a", 10.0, 1.0), ("a", 20.0, 1.0), ("a", 30.0, 5.0), ("a", 40.0, 1.0),
+        # group b: tied values straddle the crossing -> the tied value
+        ("b", 1.0, 2.0), ("b", 2.0, 1.0), ("b", 2.0, 1.0), ("b", 3.0, 2.0),
+    ]
+    for parts in (1, 7):
+        df = spark.createDataFrame(rows, ["g", "v", "w"]).repartition(parts)
+        got = {
+            r["g"]: r["m"]
+            for r in df.groupBy("g")
+            .agg(weighted_median_agg("v", "w").alias("m"))
+            .collect()
+        }
+        assert got == {"a": 30.0, "b": 2.0}, got
