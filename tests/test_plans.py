@@ -285,3 +285,43 @@ def test_tpch_suite_plan_scale_claims(spark, sf_dir):
     p = _executed_plan(df)
     assert p.count("lineitem.parquet") == 1, p
     assert "CartesianProduct" not in p and "NestedLoop" not in p
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The session's AQE skew-join handling (session.py: skewJoin
+    enabled) actually splits a hot partition: a 95%-one-key join,
+    thresholds lowered so the local replica crosses them, must execute
+    as SortMergeJoin(skew=true) with a skewed AQEShuffleRead. At 100 TB
+    the production thresholds (256 MB / factor 5) do the same thing to
+    real hot keys — this locks the mechanism, not the constants."""
+    lowered = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16k",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in lowered}
+    try:
+        for k, v in lowered.items():
+            spark.conf.set(k, v)
+        left = spark.range(300_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), F.lit("dim").alias("tag")
+        )
+        j = left.join(right, "k").agg(F.sum(F.length("payload")).alias("n"))
+        [row] = j.collect()
+        assert row["n"] == 300_000 * 64  # sha2-256 hex = 64 chars
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin(skew=true)" in plan, plan
+        assert "skewed" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
