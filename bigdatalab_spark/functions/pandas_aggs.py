@@ -29,10 +29,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 
-@pandas_udf("double")
-def weighted_median(values: pd.Series, weights: pd.Series) -> float:
+def lower_weighted_median(values: pd.Series, weights: pd.Series) -> float:
     """Smallest value whose cumulative integer weight reaches half the
-    group's total weight — the deterministic lower weighted median."""
+    group's total weight — the deterministic lower weighted median.
+    Pure kernel (property-tested directly in tests/test_properties.py)."""
     frame = pd.DataFrame(
         {"v": values.to_numpy(), "w": weights.to_numpy().astype("int64")}
     ).sort_values("v", kind="mergesort")
@@ -44,5 +44,12 @@ def weighted_median(values: pd.Series, weights: pd.Series) -> float:
 
 def weighted_median_agg(value_col: str, weight_col: str):
     """Column expression: ``weighted_median(value, weight)`` for
-    ``groupBy(...).agg(...)`` use."""
-    return weighted_median(F.col(value_col), F.col(weight_col))
+    ``groupBy(...).agg(...)`` use.
+
+    The GROUPED_AGG UDF is created HERE, not at module level: executors
+    re-import this module to unpickle the kernel, and a module-level
+    ``pandas_udf`` would parse its DDL return type on import — which
+    needs a SparkContext that Python workers don't have. Deferred
+    creation runs on the driver where the session is live."""
+    wm = pandas_udf(lower_weighted_median, "double")
+    return wm(F.col(value_col), F.col(weight_col))

@@ -311,3 +311,34 @@ def test_span_dedup_invariants_for_any_corpus(spark, docs):
                 seen_long.add(chunk)
                 survivors.append(chunk)
         assert out[i].dedup_text == " ".join(survivors)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+            st.integers(min_value=1, max_value=50),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_lower_weighted_median_matches_brute_model(pairs):
+    """Kernel property: the result is the smallest value v such that
+    the total weight of items <= v reaches half the overall weight —
+    checked against an O(n^2) brute-force model, any input order."""
+    import pandas as pd
+
+    from bigdatalab_spark.functions.pandas_aggs import lower_weighted_median
+
+    values = pd.Series([p[0] for p in pairs])
+    weights = pd.Series([float(p[1]) for p in pairs])
+    got = lower_weighted_median(values, weights)
+    total = sum(p[1] for p in pairs)
+    candidates = sorted({p[0] for p in pairs})
+    want = next(
+        v for v in candidates
+        if 2 * sum(w for x, w in pairs if x <= v) >= total
+    )
+    assert got == want
