@@ -97,6 +97,8 @@ _POST_WINDOW = (
     "pipe_syntax_returnflag_revenue",
     "collated_segment_match",
     "weighted_median_price",
+    "token_importance_counts",
+    "robust_value_outliers",
 )
 
 

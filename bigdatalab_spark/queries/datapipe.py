@@ -1559,3 +1559,96 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "token_importance_counts",
+    ids=("SCALE-CURATION", "P11", "A4"),
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   len(list_filter(string_split_regex(text, '\\s+'),
+                                   w -> w <> '')) AS w
+            FROM documents
+        ), mx AS (
+            SELECT max(w) AS mw FROM toks
+        )
+        SELECT lang, count(*) AS n_kept,
+               CAST(sum(w) AS BIGINT) AS kept_tokens
+        FROM toks, mx
+        WHERE {portable_hash_sql("'imp-v1' || CAST(doc_id AS VARCHAR)")}
+                  % 10000
+              < CAST(FLOOR(10000 * CAST(w AS DOUBLE) / CAST(mw AS DOUBLE))
+                     AS BIGINT)
+        GROUP BY lang
+        ORDER BY lang
+    """,
+)
+def token_importance_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass importance sampling
+    (:func:`bigdatalab_spark.scale.curation.importance_sample`): keep
+    probability proportional to whitespace token count, so every token
+    has ~equal inclusion probability — the length-unbiased subcorpus.
+    Per-row thresholds (floor of a deterministic double ratio) and the
+    salted hash replay exactly in SQL."""
+    from bigdatalab_spark.scale.curation import importance_sample
+    from bigdatalab_spark.scale.textqa import whitespace_token_count
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "w", whitespace_token_count("text").cast("bigint")
+    )
+    return (
+        importance_sample(docs, "w")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("w").alias("kept_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "robust_value_outliers",
+    ids=("SCALE-CURATION", "A4", "A8", "O1"),
+    oracle="""
+        WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY event_type
+        ), mad AS (
+            SELECT e.event_type,
+                   quantile_cont(abs(e.value - m.med), 0.5) AS mad
+            FROM events e JOIN med m ON e.event_type = m.event_type
+            GROUP BY e.event_type
+        )
+        SELECT e.event_type, m.med, d.mad,
+               CAST(sum(CASE WHEN d.mad <> 0
+                              AND abs(0.6745 * (e.value - m.med) / d.mad) > 3.5
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               count(*) AS n_events
+        FROM events e
+        JOIN med m ON e.event_type = m.event_type
+        JOIN mad d ON e.event_type = d.event_type
+        GROUP BY e.event_type, m.med, d.mad
+        ORDER BY e.event_type
+    """,
+)
+def robust_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust z-score outliers
+    (:func:`bigdatalab_spark.scale.curation.robust_outliers`) per event
+    type — the outlier count a few extreme values cannot corrupt. The
+    percentile interpolation matches quantile_cont, and the z-score is
+    a pure per-row expression, so counts replay strictly."""
+    from bigdatalab_spark.scale.curation import robust_outliers
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        robust_outliers(ev, "value", "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.sum(F.col("is_outlier").cast("bigint")).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("event_type", "med", "mad", "n_outliers", "n_events")
+        .orderBy("event_type")
+    )

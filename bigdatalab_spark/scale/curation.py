@@ -180,6 +180,103 @@ def temperature_mix(
     )
 
 
+def importance_sample(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str = "doc_id",
+    salt: str = "imp-v1",
+) -> DataFrame:
+    """Importance sampling: keep each row with probability proportional
+    to a nonnegative per-row weight, normalized by the corpus maximum.
+
+    With ``weight = token count`` this is token-mass sampling — every
+    TOKEN has (approximately) equal inclusion probability, so a length-
+    unbiased subcorpus falls out without first exploding to token rows.
+    The max is one tiny aggregate broadcast back (nothing collects);
+    the keep decision is the salted portable hash against a per-ROW
+    threshold (``floor`` of a deterministic double ratio — exactly
+    SQL-replayable), unlike the per-STRATUM thresholds of
+    :func:`domain_mix` / :func:`temperature_mix`.
+
+    Adds ``imp_threshold`` (buckets kept of :data:`SPLIT_BUCKETS`);
+    rows with weight 0 are always dropped, the max-weight row always
+    kept.
+    """
+    mx = df.agg(F.max(weight_col).alias("__imp_max"))
+    threshold = F.floor(
+        SPLIT_BUCKETS
+        * F.col(weight_col).cast("double")
+        / F.col("__imp_max").cast("double")
+    ).cast("bigint")
+    bucket = (
+        portable_hash(
+            F.concat(
+                F.lit(salt),
+                F.coalesce(F.col(key_col).cast("string"), F.lit("\x00")),
+            )
+        )
+        % SPLIT_BUCKETS
+    )
+    return (
+        df.join(F.broadcast(mx))
+        .withColumn("imp_threshold", threshold)
+        .drop("__imp_max")
+        .filter(bucket < F.col("imp_threshold"))
+    )
+
+
+def robust_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    z_cut: float = 3.5,
+) -> DataFrame:
+    """Median/MAD robust z-scores per group — outlier detection that a
+    handful of extreme values cannot corrupt (unlike mean/stddev, where
+    the outliers drag their own threshold).
+
+    Two sequential keyed aggregates (median, then median absolute
+    deviation around it), each a partially-aggregated shuffle on
+    ``group_col`` with the tiny cuts broadcast back; the per-row score
+    ``0.6745 * (x - med) / mad`` is a pure expression. Groups with
+    ``mad = 0`` (constant values) score 0 rather than dividing by zero.
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` share the
+    same interpolation, so ``med``/``mad`` replay exactly.
+
+    Adds ``med``, ``mad``, ``robust_z`` and ``is_outlier``.
+    """
+    med = (
+        df.groupBy(group_col)
+        .agg(F.percentile(value_col, F.lit(0.5)).alias("med"))
+        .withColumnRenamed(group_col, "__r_group")
+    )
+    with_med = df.join(
+        F.broadcast(med), F.col(group_col).eqNullSafe(F.col("__r_group"))
+    ).drop("__r_group")
+    mad = (
+        with_med.groupBy(group_col)
+        .agg(
+            F.percentile(
+                F.abs(F.col(value_col) - F.col("med")), F.lit(0.5)
+            ).alias("mad")
+        )
+        .withColumnRenamed(group_col, "__r_group")
+    )
+    scored = (
+        with_med.join(
+            F.broadcast(mad), F.col(group_col).eqNullSafe(F.col("__r_group"))
+        )
+        .drop("__r_group")
+        .withColumn(
+            "robust_z",
+            F.when(F.col("mad") == 0.0, F.lit(0.0)).otherwise(
+                0.6745 * (F.col(value_col) - F.col("med")) / F.col("mad")
+            ),
+        )
+    )
+    return scored.withColumn("is_outlier", F.abs(F.col("robust_z")) > z_cut)
+
+
 def deterministic_shuffle(
     df: DataFrame,
     key_col: str = "doc_id",

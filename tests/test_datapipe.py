@@ -621,3 +621,54 @@ def test_weighted_median_exact_ties_and_partition_invariance(spark):
             .collect()
         }
         assert got == {"a": 30.0, "b": 2.0}, got
+
+
+def test_importance_sample_weights_inclusion_probability(spark):
+    """Keep rate tracks the weight: the max-weight row is always kept,
+    zero-weight rows never, and heavier strata keep a larger share.
+    Deterministic across runs."""
+    from bigdatalab_spark.scale.curation import importance_sample
+
+    rows = (
+        [(f"h{i}", 100) for i in range(200)]   # weight == max -> all kept
+        + [(f"m{i}", 25) for i in range(200)]  # ~25% kept
+        + [(f"z{i}", 0) for i in range(50)]    # never kept
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    kept = importance_sample(df, "w").collect()
+    by_prefix = {}
+    for r in kept:
+        by_prefix.setdefault(r["doc_id"][0], 0)
+        by_prefix[r["doc_id"][0]] += 1
+    assert by_prefix.get("h") == 200          # threshold 10000 keeps all
+    assert by_prefix.get("z") is None         # weight 0 -> dropped
+    assert 20 <= by_prefix.get("m", 0) <= 80  # ~50 expected at rate 1/4
+    again = importance_sample(df, "w").count()
+    assert again == len(kept)
+
+
+def test_robust_outliers_finds_planted_extremes_and_survives_corruption(spark):
+    """MAD-based z-scores flag planted extremes, and — the robustness
+    claim — the threshold is NOT dragged by the outliers themselves:
+    classic mean/std z-scores with 10% gross corruption miss the
+    moderate outlier that the robust score still catches."""
+    from bigdatalab_spark.scale.curation import robust_outliers
+
+    base = [("a", float(v)) for v in range(1, 101)]          # 1..100
+    planted = [("a", 10_000.0)] * 10 + [("a", 500.0)]        # gross + moderate
+    df = spark.createDataFrame(base + planted, ["g", "v"])
+    out = robust_outliers(df, "v", "g")
+    flagged = {r["v"] for r in out.filter("is_outlier").collect()}
+    assert 10_000.0 in flagged and 500.0 in flagged
+    assert not any(v <= 100 for v in flagged)
+    # mean/std comparison: std inflated by the 10k cluster hides 500
+    from pyspark.sql import functions as F2
+
+    stats = df.groupBy("g").agg(
+        F2.avg("v").alias("mu"), F2.stddev_pop("v").alias("sd")
+    ).collect()[0]
+    assert abs((500.0 - stats["mu"]) / stats["sd"]) < 3.5  # classic misses it
+    # constant group: mad=0 path scores 0, never divides by zero
+    const = spark.createDataFrame([("c", 5.0)] * 20, ["g", "v"])
+    got = robust_outliers(const, "v", "g").select("robust_z").distinct().collect()
+    assert [r["robust_z"] for r in got] == [0.0]
