@@ -99,6 +99,7 @@ _POST_WINDOW = (
     "weighted_median_price",
     "token_importance_counts",
     "robust_value_outliers",
+    "pagerank_supplier_centrality",
 )
 
 

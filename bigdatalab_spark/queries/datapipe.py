@@ -1652,3 +1652,86 @@ def robust_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "med", "mad", "n_outliers", "n_events")
         .orderBy("event_type")
     )
+
+
+def _pagerank_oracle(iterations: int = 5, damping: float = 0.85) -> str:
+    """Unrolled-CTE replay of scale.graph.pagerank (BPE-oracle style).
+
+    Float literals go through string casts: ``1.0 - 0.85`` is
+    0.15000000000000002 in IEEE arithmetic, and a bare DuckDB decimal
+    literal of that many digits would parse as DECIMAL, not DOUBLE —
+    the string cast pins the exact double Spark's F.lit carries.
+    """
+    tele = repr(1.0 - damping)
+    damp = repr(damping)
+    parts = [
+        """
+        WITH pairs AS (
+            SELECT DISTINCT 'l:' || CAST(o_custkey AS VARCHAR) AS l_node,
+                            'r:' || CAST(l_suppkey AS VARCHAR) AS r_node
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ), edges AS (
+            SELECT l_node AS src, r_node AS dst FROM pairs
+            UNION ALL
+            SELECT r_node AS src, l_node AS dst FROM pairs
+        ), deg AS (
+            SELECT src, count(*) AS d FROM edges GROUP BY src
+        ), nodes AS (
+            SELECT DISTINCT src AS node FROM edges
+        ), nn AS (
+            SELECT count(*) AS n FROM nodes
+        ), r0 AS (
+            SELECT node, CAST(1 AS DOUBLE) / nn.n AS rank FROM nodes, nn
+        )"""
+    ]
+    for k in range(iterations):
+        parts.append(
+            f""", r{k + 1} AS (
+            SELECT e.dst AS node,
+                   CAST('{tele}' AS DOUBLE) / nn.n
+                   + CAST('{damp}' AS DOUBLE)
+                     * CAST(sum(CAST(r.rank / deg.d AS DECIMAL(28,12)))
+                            AS DOUBLE) AS rank
+            FROM edges e
+            JOIN r{k} r ON e.src = r.node
+            JOIN deg ON e.src = deg.src
+            CROSS JOIN nn
+            GROUP BY e.dst, nn.n
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT node, rank FROM r{iterations}
+        WHERE node LIKE 'r:%'
+        ORDER BY rank DESC, node
+        LIMIT 25
+    """
+    )
+    return "".join(parts)
+
+
+@query(
+    "pagerank_supplier_centrality",
+    ids=("SCALE-GRAPH", "J1", "A4", "O2", "O4"),
+    oracle=_pagerank_oracle(),
+)
+def pagerank_supplier_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-iteration PageRank over the customer↔supplier co-occurrence
+    graph (:func:`bigdatalab_spark.scale.graph.pagerank`): which
+    suppliers sit at the center of the purchasing network. Per-edge
+    contributions quantize to DECIMAL(28,12) before each round's sum,
+    so the whole iterative run — not just row counts — replays bit for
+    bit in the unrolled SQL oracle."""
+    from bigdatalab_spark.scale.graph import bipartite_edges, pagerank
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        "o_custkey", "l_suppkey"
+    )
+    ranks = pagerank(bipartite_edges(pairs, "o_custkey", "l_suppkey"))
+    return (
+        ranks.filter(F.col("node").startswith("r:"))
+        .orderBy(F.desc("rank"), "node")
+        .limit(25)
+    )

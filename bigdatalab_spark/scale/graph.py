@@ -1,0 +1,107 @@
+"""Graph analytics over warehouse-derived edge lists.
+
+Beyond the label-propagation connected components in scale/dedup.py,
+this module holds fixed-iteration graph algorithms whose per-round
+arithmetic is made ENGINE-EXACT so a SQL oracle can replay the whole
+run: float summation order is the only nondeterminism in a vanilla
+PageRank, and casting each edge contribution to DECIMAL(28,12) before
+the aggregate removes it — the same exact-accumulation trick as
+operators/aggregates.py money_sum, applied per iteration.
+
+Scale design (100 TB edge lists): the rank frame is node-sized and the
+edge list is the data-sized side; each iteration is ONE keyed shuffle
+of edges joined against the current ranks, with ranks localCheckpointed
+per round (constant-size plans, previous round's blocks released
+eagerly — the same loop discipline as BPE training and label
+propagation). A fixed iteration count (the common production choice)
+keeps the oracle replayable; convergence-based stopping would need a
+driver-side delta check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bigdatalab_spark.operators.checkpoints import release_local_checkpoint
+
+#: exact accumulation type for per-edge rank contributions
+CONTRIB_DECIMAL = "decimal(28,12)"
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list ``(src, dst)``.
+
+    Every node appearing as a source must have out-degree >= 1 by
+    construction (true for the bidirectional bipartite graphs built
+    from co-occurrence); dangling-node mass redistribution is therefore
+    not modeled. Returns ``(node, rank)`` for every node that receives
+    at least one in-edge — for bidirectional edge lists that is every
+    node.
+
+    Engine-exact: ``rank/degree`` is a deterministic double division,
+    its DECIMAL(28,12) quantization is identical across engines, the
+    decimal SUM is order-independent, and the damping combination is
+    fixed-order double arithmetic — so a DuckDB oracle unrolling the
+    same ``iterations`` rounds reproduces the ranks bit for bit.
+    """
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).persist()
+    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
+    n_row = nodes.agg(F.count(F.lit(1)).alias("n"))
+
+    ranks = nodes.crossJoin(F.broadcast(n_row)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    ranks = ranks.localCheckpoint(eager=True)
+    for _ in range(iterations):
+        contribs = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("d")).cast(CONTRIB_DECIMAL).alias(
+                    "contrib"
+                ),
+            )
+        )
+        new_ranks = (
+            contribs.groupBy("node")
+            .agg(F.sum("contrib").alias("csum"))
+            .crossJoin(F.broadcast(n_row))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) / F.col("n")
+                    + F.lit(damping) * F.col("csum").cast("double")
+                ).alias("rank"),
+            )
+        )
+        new_ranks = new_ranks.localCheckpoint(eager=True)
+        release_local_checkpoint(ranks)
+        ranks = new_ranks
+    deg.unpersist()
+    nodes.unpersist()
+    return ranks
+
+
+def bipartite_edges(
+    pairs: DataFrame, left_col: str, right_col: str
+) -> DataFrame:
+    """Bidirectional edge list from distinct co-occurrence pairs, with
+    prefixed node ids so the two partitions can't collide."""
+    left = F.concat(F.lit("l:"), F.col(left_col).cast("string"))
+    right = F.concat(F.lit("r:"), F.col(right_col).cast("string"))
+    distinct = pairs.select(
+        left.alias("l_node"), right.alias("r_node")
+    ).distinct()
+    fwd = distinct.select(
+        F.col("l_node").alias("src"), F.col("r_node").alias("dst")
+    )
+    rev = distinct.select(
+        F.col("r_node").alias("src"), F.col("l_node").alias("dst")
+    )
+    return fwd.unionAll(rev)

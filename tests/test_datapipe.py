@@ -672,3 +672,26 @@ def test_robust_outliers_finds_planted_extremes_and_survives_corruption(spark):
     const = spark.createDataFrame([("c", 5.0)] * 20, ["g", "v"])
     got = robust_outliers(const, "v", "g").select("robust_z").distinct().collect()
     assert [r["robust_z"] for r in got] == [0.0]
+
+
+def test_pagerank_hub_ranks_highest_and_mass_conserves(spark):
+    """A star graph's hub must out-rank every leaf; total rank mass
+    stays ~1 (bidirectional edges, no dangling loss); repeat runs are
+    identical (decimal-exact accumulation)."""
+    from bigdatalab_spark.scale.graph import bipartite_edges, pagerank
+
+    # one supplier serving 10 customers + an isolated 1-1 pair
+    pairs = [(c, 1) for c in range(10)] + [(99, 7)]
+    df = spark.createDataFrame(pairs, ["cust", "supp"])
+    ranks = {
+        r["node"]: r["rank"]
+        for r in pagerank(bipartite_edges(df, "cust", "supp")).collect()
+    }
+    hub = ranks["r:1"]
+    assert all(hub > v for k, v in ranks.items() if k != "r:1")
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    again = {
+        r["node"]: r["rank"]
+        for r in pagerank(bipartite_edges(df, "cust", "supp")).collect()
+    }
+    assert again == ranks
