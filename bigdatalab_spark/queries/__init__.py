@@ -100,6 +100,7 @@ _POST_WINDOW = (
     "token_importance_counts",
     "robust_value_outliers",
     "pagerank_supplier_centrality",
+    "supplier_copurchase_triangles",
 )
 
 

@@ -105,3 +105,68 @@ def bipartite_edges(
         F.col("r_node").alias("src"), F.col("l_node").alias("dst")
     )
     return fwd.unionAll(rev)
+
+
+def triangle_count(pairs: DataFrame, a_col: str = "a", b_col: str = "b") -> DataFrame:
+    """Exact triangle count over an undirected graph given as distinct
+    unordered pairs — the compact-forward algorithm expressed as joins.
+
+    Every canonical edge is ORIENTED from its (degree, id)-smaller
+    endpoint to the larger; wedges are then built only at each
+    triangle's minimum vertex in that order and closed with one more
+    oriented-edge join, so each triangle is counted exactly once and —
+    the scale property — the wedge fan-out at hub nodes is bounded by
+    their ORIENTED out-degree, which the degree ordering caps at
+    ~sqrt(E) instead of the raw degree. Total work O(E^1.5) worst case,
+    three equi-joins, no cartesian anywhere.
+
+    The (degree, id) comparison happens inline on carried degree
+    columns — no global rank materialization, so nothing node-sized
+    funnels through one task. Returns one row:
+    ``(n_nodes, n_edges, n_wedges, n_triangles)`` — all exact integers,
+    strictly SQL-replayable.
+    """
+    a, b = F.col(a_col), F.col(b_col)
+    und = (
+        pairs.filter(a != b)
+        .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    withdeg = und.join(du, "u").join(dv, "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = withdeg.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
+    )
+    w1 = oriented.select(
+        F.col("src"), F.col("dst").alias("x"), F.col("ddst").alias("dx")
+    )
+    w2 = oriented.select(
+        F.col("src"), F.col("dst").alias("y"), F.col("ddst").alias("dy")
+    )
+    wedges = w1.join(w2, "src").filter(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    closer = oriented.select(
+        F.col("src").alias("x"), F.col("dst").alias("y")
+    )
+    tri = wedges.join(closer, ["x", "y"])
+    return (
+        und.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(deg.agg(F.count(F.lit(1)).alias("n_nodes")))
+        .crossJoin(wedges.agg(F.count(F.lit(1)).alias("n_wedges")))
+        .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
+        .select("n_nodes", "n_edges", "n_wedges", "n_triangles")
+    )

@@ -695,3 +695,22 @@ def test_pagerank_hub_ranks_highest_and_mass_conserves(spark):
         for r in pagerank(bipartite_edges(df, "cust", "supp")).collect()
     }
     assert again == ranks
+
+
+def test_triangle_count_known_graphs(spark):
+    """K4 has 4 triangles; removing one edge leaves 2; a star has 0.
+    Duplicate/reversed input pairs must not change the census."""
+    from bigdatalab_spark.scale.graph import triangle_count
+
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    noisy = k4 + [(j, i) for i, j in k4] + k4  # reversed + repeated
+    row = triangle_count(spark.createDataFrame(noisy, ["a", "b"])).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (4, 6, 4)
+
+    broken = [e for e in k4 if e != (0, 1)]
+    row = triangle_count(spark.createDataFrame(broken, ["a", "b"])).collect()[0]
+    assert row["n_triangles"] == 2
+
+    star = [(0, i) for i in range(1, 8)]
+    row = triangle_count(spark.createDataFrame(star, ["a", "b"])).collect()[0]
+    assert row["n_triangles"] == 0 and row["n_wedges"] == 0
