@@ -180,3 +180,31 @@ def write_jsonl_shards(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.json(path)
+
+
+def overwrite_partitions(
+    df: DataFrame, path: str, partition_cols: tuple[str, ...]
+) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions present
+    in ``df``, leaving sibling partitions untouched — the idempotent
+    daily-reprocess primitive (re-run one day's slice of a 100 TB
+    partitioned dataset without rewriting or dropping the rest).
+
+    Spark's default ("static") overwrite mode deletes EVERY partition
+    under ``path`` first; the dynamic mode is a session conf, set here
+    for the duration of the write and restored after, so surrounding
+    code keeps whatever mode it configured.
+    """
+    if not partition_cols:
+        raise ValueError("overwrite_partitions requires partition columns")
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    saved = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)

@@ -377,3 +377,34 @@ def test_write_jsonl_shards_bounded_gzip_roundtrip(spark, tmp_path):
     }
     with pytest.raises(ValueError):
         write_jsonl_shards(df, out, max_records_per_file=-1)
+
+
+def test_overwrite_partitions_replaces_only_written_slices(spark, tmp_path):
+    """Dynamic partition overwrite rewrites just the partitions in the
+    incoming frame; static mode (the default) would wipe the siblings —
+    both behaviors asserted so the contrast is locked."""
+    from bigdatalab_spark.sources.sinks import overwrite_partitions
+
+    out = str(tmp_path / "days")
+    base = spark.createDataFrame(
+        [("2024-01-01", 1), ("2024-01-02", 2), ("2024-01-03", 3)], ["day", "v"]
+    )
+    base.write.mode("overwrite").partitionBy("day").parquet(out)
+
+    fix = spark.createDataFrame([("2024-01-02", 99)], ["day", "v"])
+    overwrite_partitions(fix, out, ("day",))
+    # partition values read back type-inferred (date) — compare as strings
+    got = {(str(r["day"]), r["v"]) for r in spark.read.parquet(out).collect()}
+    assert got == {("2024-01-01", 1), ("2024-01-02", 99), ("2024-01-03", 3)}
+    # conf restored
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "STATIC"
+
+    # static overwrite: siblings are gone — the failure mode the helper exists to avoid
+    fix.write.mode("overwrite").partitionBy("day").parquet(out)
+    got = {(str(r["day"]), r["v"]) for r in spark.read.parquet(out).collect()}
+    assert got == {("2024-01-02", 99)}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        overwrite_partitions(fix, out, ())
