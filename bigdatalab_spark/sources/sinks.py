@@ -16,6 +16,7 @@ the reference's ``coalesce(1)`` before save (ExampleWeather2.scala:33)
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_text(df: DataFrame, path: str, single_file: bool = False) -> None:
@@ -208,3 +209,55 @@ def overwrite_partitions(
             spark.conf.unset(key)
         else:
             spark.conf.set(key, saved)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_cols: tuple[str, ...],
+    max_records_per_file: int,
+) -> dict:
+    """Small-file compaction for a partitioned parquet dataset — the
+    standing maintenance job of any long-lived 100 TB table (streaming
+    and incremental writers leave thousands of KB-sized files per
+    partition; scan cost and namenode pressure grow with file COUNT,
+    not bytes).
+
+    Reads the dataset, clusters rows back onto their partition keys
+    (one shuffle — without it every small input file keeps its own
+    write task and the layout survives "compaction" untouched), and
+    rewrites via dynamic partition overwrite. ``maxRecordsPerFile``
+    re-splits any oversized partition inside its task, which also
+    bounds the one-task-per-partition-value skew this clustering
+    implies. Returns ``{"files_before": n, "files_after": m}`` counted
+    on disk. Row content is preserved exactly; layout-only.
+
+    In-place rewrite works because the clustering shuffle materializes
+    the input before the commit protocol swaps files; on object stores
+    without atomic rename, prefer compacting into a fresh prefix and
+    flipping a pointer.
+    """
+    import glob
+
+    def _count() -> int:
+        return len(glob.glob(f"{path}/**/*.parquet", recursive=True))
+
+    before = _count()
+    df = spark.read.parquet(path)
+    key = "spark.sql.sources.partitionOverwriteMode"
+    saved = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        (
+            df.repartition(*[F.col(c) for c in partition_cols])
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", max_records_per_file)
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
+    return {"files_before": before, "files_after": _count()}

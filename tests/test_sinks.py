@@ -408,3 +408,56 @@ def test_overwrite_partitions_replaces_only_written_slices(spark, tmp_path):
 
     with pytest.raises(ValueError):
         overwrite_partitions(fix, out, ())
+
+
+def test_compact_partitions_collapses_small_files(spark, tmp_path):
+    """40-way-written small files compact to ~one file per partition;
+    rows and partition structure are untouched."""
+    from bigdatalab_spark.sources.sinks import compact_partitions
+
+    out = str(tmp_path / "compact")
+    df = spark.range(1000).selectExpr("id % 3 AS day", "id AS v").repartition(40)
+    df.write.partitionBy("day").parquet(out)
+    res = compact_partitions(spark, out, ("day",), max_records_per_file=1000)
+    assert res["files_before"] >= 40
+    assert res["files_after"] == 3
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    assert {r["day"] for r in back.select("day").distinct().collect()} == {0, 1, 2}
+    # the record bound still splits an oversized partition
+    res2 = compact_partitions(spark, out, ("day",), max_records_per_file=100)
+    assert res2["files_after"] >= 12  # ceil(334/100) files per partition
+
+
+def test_parquet_schema_evolution_merge_and_corrupt_tolerance(spark, tmp_path):
+    """Two platform-operations surfaces: (1) mergeSchema unions parquet
+    footers written under an evolved schema — new columns are NULL for
+    old files; (2) ignoreCorruptFiles lets a scan survive a truncated
+    file, returning the readable rows."""
+    out = str(tmp_path / "evolve")
+    spark.range(5).selectExpr("id", "id * 2 AS a").write.parquet(out)
+    spark.range(5, 8).selectExpr("id", "id * 2 AS a", "'x' AS b").write.mode(
+        "append"
+    ).parquet(out)
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(merged.columns) == {"id", "a", "b"}
+    rows = {r["id"]: r["b"] for r in merged.collect()}
+    assert rows[0] is None and rows[7] == "x"
+
+    bad = str(tmp_path / "bad")
+    spark.range(10).write.parquet(bad)
+    import glob
+
+    victim = glob.glob(f"{bad}/*.parquet")[0]
+    with open(victim, "wb") as fh:
+        fh.write(b"not parquet")
+    saved = spark.conf.get("spark.sql.files.ignoreCorruptFiles", None)
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        n = spark.read.parquet(bad).count()
+        assert 0 < n < 10
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.files.ignoreCorruptFiles")
+        else:
+            spark.conf.set("spark.sql.files.ignoreCorruptFiles", saved)
