@@ -88,3 +88,63 @@ def bin_range_join(
     )
     cond = (p["_p_bin"] == i["_i_bin"]) & in_range
     return p.join(i, cond, how).drop("_p_bin", "_i_bin")
+
+
+def bin_interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_lo: str,
+    l_hi: str,
+    r_lo: str,
+    r_hi: str,
+    bin_width: int | float,
+) -> DataFrame:
+    """Interval × interval OVERLAP join as a binned equi-join — the
+    two-sided sibling of :func:`bin_range_join` (session-overlap
+    attribution, validity-window reconciliation, meeting collisions).
+
+    Overlap is half-open: ``l_lo < r_hi AND r_lo < l_hi``. Both sides
+    explode to the bins they cover and meet on the shared bin; an
+    overlapping pair shares EVERY bin its intersection touches, so
+    matches are restricted to the canonical first shared bin
+    (``greatest`` of the two start bins) — exactly one output row per
+    overlapping pair, no post-join DISTINCT over a data-sized frame.
+    Cost: one shuffle per side plus the bin explosions; the naive plan
+    Spark would pick for a bare overlap predicate is a nested-loop or
+    cartesian join.
+    """
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+    overlap_cols = set(left.columns) & set(right.columns)
+    if overlap_cols:
+        raise ValueError(
+            f"column names must be disjoint; shared: {sorted(overlap_cols)}"
+        )
+    reserved = {"_l_bin", "_r_bin"} & (set(left.columns) | set(right.columns))
+    if reserved:
+        raise ValueError(
+            f"columns {sorted(reserved)} collide with the operator's "
+            "internal bin columns; rename them first"
+        )
+    w = F.lit(bin_width)
+    l = left.filter(F.col(l_lo) < F.col(l_hi)).withColumn(
+        "_l_bin",
+        F.explode(
+            F.sequence(F.floor(F.col(l_lo) / w), F.floor(F.col(l_hi) / w))
+        ),
+    )
+    r = right.filter(F.col(r_lo) < F.col(r_hi)).withColumn(
+        "_r_bin",
+        F.explode(
+            F.sequence(F.floor(F.col(r_lo) / w), F.floor(F.col(r_hi) / w))
+        ),
+    )
+    first_shared = F.greatest(
+        F.floor(F.col(l_lo) / w), F.floor(F.col(r_lo) / w)
+    )
+    return (
+        l.join(r, l["_l_bin"] == r["_r_bin"])
+        .filter((F.col(l_lo) < F.col(r_hi)) & (F.col(r_lo) < F.col(l_hi)))
+        .filter(F.col("_l_bin") == first_shared)
+        .drop("_l_bin", "_r_bin")
+    )

@@ -101,6 +101,7 @@ _POST_WINDOW = (
     "robust_value_outliers",
     "pagerank_supplier_centrality",
     "supplier_copurchase_triangles",
+    "user_spans_in_busy_windows",
 )
 
 

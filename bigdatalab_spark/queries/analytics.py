@@ -481,3 +481,81 @@ def purchases_in_busy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("event_id", "window_start", "n_events").orderBy(
         "event_id", "window_start"
     )
+
+
+@query(
+    "user_spans_in_busy_windows",
+    ids=("SCALE-RANGEJOIN", "A3", "J1", "O1"),
+    oracle="""
+        WITH bounds AS (SELECT min(ts) AS tmin, max(ts) AS tmax FROM events),
+        grid AS (
+            SELECT make_timestamp(s * 1000000) AS w_start
+            FROM bounds,
+                 UNNEST(generate_series(
+                     CAST(floor(epoch(tmin) / 7200) * 7200 - 14400 AS BIGINT),
+                     CAST(epoch(tmax) AS BIGINT),
+                     7200)) AS t(s)
+        ),
+        busy AS (
+            SELECT w_start, count(*) AS n_events
+            FROM grid
+            JOIN events e ON e.ts >= w_start
+                         AND e.ts < w_start + INTERVAL 6 HOUR
+            GROUP BY w_start
+            HAVING count(*) >= 95
+        ),
+        spans AS (
+            SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                   min(ts) AS span_lo,
+                   max(ts) + INTERVAL 1 MICROSECOND AS span_hi
+            FROM events
+            GROUP BY user_id, CAST(CAST(ts AS DATE) AS VARCHAR)
+        )
+        SELECT s.user_id, s.day,
+               CAST(b.w_start AS VARCHAR) AS window_start, b.n_events
+        FROM spans s
+        JOIN busy b ON s.span_lo < b.w_start + INTERVAL 6 HOUR
+                   AND b.w_start < s.span_hi
+        ORDER BY s.user_id, s.day, window_start
+    """,
+)
+def user_spans_in_busy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval overlap attribution via the two-sided binned
+    range join (:func:`bigdatalab_spark.operators.rangejoin.
+    bin_interval_overlap_join`): each user's daily activity span
+    [first event, last event] against the 6h/2h busy windows — which
+    users were active WHILE the store was busy. Both interval tables
+    explode to 2h bins and meet as an equi-join with the overlap
+    predicate residual; the canonical-first-bin filter yields exactly
+    one row per overlapping pair. The oracle replays the naive overlap
+    join."""
+    from bigdatalab_spark.operators.rangejoin import bin_interval_overlap_join
+
+    events = load_table(spark, sf_dir, "events")
+    busy = (
+        events.groupBy(F.window("ts", "6 hours", "2 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("n_events") >= 95)
+        .select(
+            F.unix_micros("w.start").alias("w_lo"),
+            F.unix_micros("w.end").alias("w_hi"),
+            F.col("w.start").cast("string").alias("window_start"),
+            "n_events",
+        )
+    )
+    spans = (
+        events.groupBy(
+            "user_id", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.min(F.unix_micros("ts")).alias("span_lo"),
+            (F.max(F.unix_micros("ts")) + 1).alias("span_hi"),
+        )
+    )
+    joined = bin_interval_overlap_join(
+        spans, busy, "span_lo", "span_hi", "w_lo", "w_hi",
+        bin_width=2 * 3600 * 1_000_000,
+    )
+    return joined.select("user_id", "day", "window_start", "n_events").orderBy(
+        "user_id", "day", "window_start"
+    )

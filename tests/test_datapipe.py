@@ -714,3 +714,31 @@ def test_triangle_count_known_graphs(spark):
     star = [(0, i) for i in range(1, 8)]
     row = triangle_count(spark.createDataFrame(star, ["a", "b"])).collect()[0]
     assert row["n_triangles"] == 0 and row["n_wedges"] == 0
+
+
+def test_interval_overlap_join_exact_pairs_no_cartesian(spark):
+    """Every overlapping pair appears exactly once (even when the pair
+    shares many bins), non-overlaps never, touching endpoints follow
+    half-open semantics — and the plan contains no cartesian/nested
+    loop."""
+    from bigdatalab_spark.operators.rangejoin import bin_interval_overlap_join
+
+    left = spark.createDataFrame(
+        [("L1", 0, 100), ("L2", 50, 60), ("L3", 200, 210), ("L4", 300, 300)],
+        ["lid", "llo", "lhi"],
+    )
+    right = spark.createDataFrame(
+        [("R1", 90, 205), ("R2", 100, 150), ("R3", 0, 1000)],
+        ["rid", "rlo", "rhi"],
+    )
+    out = bin_interval_overlap_join(left, right, "llo", "lhi", "rlo", "rhi", 10)
+    pairs = {(r["lid"], r["rid"]) for r in out.collect()}
+    # L1 x R1 overlap; L1 x R2 touch at 100 -> half-open, NO overlap;
+    # L3 x R1 overlap (many shared bins -> still one row); L4 is empty;
+    # R3 spans everything -> overlaps L1, L2, L3
+    assert pairs == {
+        ("L1", "R1"), ("L3", "R1"), ("L1", "R3"), ("L2", "R3"), ("L3", "R3"),
+    }
+    assert out.count() == len(pairs)  # exactly one row per pair
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
