@@ -102,6 +102,8 @@ _POST_WINDOW = (
     "pagerank_supplier_centrality",
     "supplier_copurchase_triangles",
     "user_spans_in_busy_windows",
+    "order_value_histogram",
+    "safe_ratio_metrics",
 )
 
 

@@ -559,3 +559,76 @@ def user_spans_in_busy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("user_id", "day", "window_start", "n_events").orderBy(
         "user_id", "day", "window_start"
     )
+
+
+@query(
+    "order_value_histogram",
+    ids=("A9", "P6", "O1"),
+    oracle="""
+        SELECT CASE WHEN o_totalprice < 0 THEN 0
+                    WHEN o_totalprice >= 600000 THEN 13
+                    ELSE CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) + 1
+               END AS bucket,
+               count(*) AS n_orders,
+               min(o_totalprice) AS lo,
+               max(o_totalprice) AS hi
+        FROM orders
+        GROUP BY bucket
+        ORDER BY bucket
+    """,
+)
+def order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via the SQL-standard ``width_bucket``:
+    one pass, one tiny shuffle — how a 100 TB distribution gets
+    profiled without sorting anything. DuckDB has no width_bucket, so
+    the oracle states the equivalent floor arithmetic (the 600000/12
+    width is the exact double 50000.0, so the two formulations agree
+    bit for bit, including the 0 / n+1 out-of-range buckets)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.width_bucket("o_totalprice", F.lit(0), F.lit(600000), F.lit(12)).alias(
+                "bucket"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "safe_ratio_metrics",
+    ids=("P6", "A4", "O1"),
+    oracle="""
+        SELECT l_returnflag,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+                 / nullif(CAST(sum(CAST(l_quantity AS DECIMAL(28,6)))
+                               AS DOUBLE), 0.0) AS price_per_unit,
+               count(*) AS n_lines
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+)
+def safe_ratio_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode-safe arithmetic surface: ``try_divide`` returns NULL on
+    a zero denominator instead of failing the job — the guard every
+    derived-metric pipeline needs once ANSI mode (Spark 4 default)
+    turns division errors fatal. Oracle states the NULLIF equivalent;
+    numerator/denominator are exact-decimal so the ratio replays."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.try_divide(
+                F.sum(F.col("l_extendedprice").cast("decimal(28,6)")).cast("double"),
+                F.sum(F.col("l_quantity").cast("decimal(28,6)")).cast("double"),
+            ).alias("price_per_unit"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("l_returnflag")
+    )
