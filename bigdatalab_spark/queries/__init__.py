@@ -104,6 +104,7 @@ _POST_WINDOW = (
     "user_spans_in_busy_windows",
     "order_value_histogram",
     "safe_ratio_metrics",
+    "als_supplier_recommendations",
 )
 
 

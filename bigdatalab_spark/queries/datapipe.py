@@ -1810,3 +1810,17 @@ def supplier_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(F.col("s").alias("a"), F.col("s2").alias("b"))
     )
     return triangle_count(co)
+
+
+@query("als_supplier_recommendations", ids=("SCALE-ML", "J1", "A9", "O4"))
+def als_supplier_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Implicit-feedback ALS collaborative filtering
+    (:mod:`bigdatalab_spark.scale.recsys`): top-3 supplier
+    recommendations per customer from the factorized purchase matrix —
+    the MovieLens-lab workload taken to its natural next step on
+    Spark's block-partitioned ALS. Rows-only by design (learned float
+    factors); pytest gates block-preference recovery on a planted
+    structure instead of value hashes."""
+    from bigdatalab_spark.scale.recsys import recommend_suppliers
+
+    return recommend_suppliers(spark, sf_dir)

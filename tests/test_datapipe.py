@@ -742,3 +742,39 @@ def test_interval_overlap_join_exact_pairs_no_cartesian(spark):
     assert out.count() == len(pairs)  # exactly one row per pair
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_als_recovers_planted_block_preferences(spark):
+    """Two disjoint customer blocks buy exclusively from disjoint
+    supplier blocks; ALS factor recommendations must keep >=90% of
+    top-1 picks inside the customer's own block. Seeded — re-train on
+    the same data gives the same recommendations."""
+    from bigdatalab_spark.scale.recsys import train_als
+
+    rows = []
+    for c in range(20):            # block A: customers 0-19, suppliers 0-4
+        for s in range(5):
+            rows.append((c, s, 5))
+    for c in range(20, 40):        # block B: customers 20-39, suppliers 10-14
+        for s in range(10, 15):
+            rows.append((c, s, 5))
+    inter = spark.createDataFrame(rows, ["o_custkey", "l_suppkey", "cnt"])
+    model = train_als(inter, rank=4, max_iter=10)
+    top1 = {
+        r["o_custkey"]: r["recommendations"][0]["l_suppkey"]
+        for r in model.recommendForAllUsers(1).collect()
+    }
+    in_block = sum(
+        1
+        for c, s in top1.items()
+        if (c < 20 and s < 5) or (c >= 20 and s >= 10)
+    )
+    assert in_block >= 0.9 * len(top1), (in_block, len(top1))
+
+    again = {
+        r["o_custkey"]: r["recommendations"][0]["l_suppkey"]
+        for r in train_als(inter, rank=4, max_iter=10)
+        .recommendForAllUsers(1)
+        .collect()
+    }
+    assert again == top1
