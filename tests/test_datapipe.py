@@ -778,3 +778,73 @@ def test_als_recovers_planted_block_preferences(spark):
         .collect()
     }
     assert again == top1
+
+
+def test_hand_built_lsh_agrees_with_spark_ml_minhashlsh(spark):
+    """Cross-validation against the in-box implementation: on a corpus
+    of planted near-dup pairs plus unrelated docs, the hand-built
+    MinHash+LSH candidate generator and pyspark.ml's MinHashLSH
+    approxSimilarityJoin must BOTH recover >=90% of planted pairs, and
+    neither may pair unrelated docs."""
+    import random
+
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    from bigdatalab_spark.functions import tokenize, word_shingles
+    from bigdatalab_spark.scale.dedup import (
+        doc_shingles,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(500)]
+    rows, planted = [], set()
+    for i in range(30):
+        words = [rng.choice(vocab) for _ in range(40)]
+        rows.append((f"base{i}", " ".join(words)))
+        variant = list(words)
+        variant[20] = rng.choice(vocab)  # one-word edit -> Jaccard ~0.9
+        rows.append((f"var{i}", " ".join(variant)))
+        planted.add((f"base{i}", f"var{i}"))
+    for i in range(40):
+        rows.append(
+            (f"rand{i}", " ".join(rng.choice(vocab) for _ in range(40)))
+        )
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    ours = {
+        tuple(sorted((r["doc1"], r["doc2"])))
+        for r in lsh_candidate_pairs(
+            minhash_signatures(doc_shingles(docs))
+        ).collect()
+    }
+    our_recall = len(ours & planted) / len(planted)
+    assert our_recall >= 0.9, our_recall
+    assert not any("rand" in a and "rand" in b for a, b in ours), (
+        "unrelated docs paired"
+    )
+
+    shingled = docs.select(
+        "doc_id",
+        F.array_distinct(word_shingles(tokenize("text"), 3)).alias("sh"),
+    )
+    feats = HashingTF(
+        inputCol="sh", outputCol="features", binary=True, numFeatures=1 << 18
+    ).transform(shingled)
+    lsh_model = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=8, seed=7
+    ).fit(feats)
+    joined = lsh_model.approxSimilarityJoin(feats, feats, 0.5, distCol="jacc")
+    theirs = {
+        tuple(
+            sorted(
+                (r["datasetA"]["doc_id"], r["datasetB"]["doc_id"])
+            )
+        )
+        for r in joined.filter("datasetA.doc_id < datasetB.doc_id").collect()
+    }
+    their_recall = len(theirs & planted) / len(planted)
+    assert their_recall >= 0.9, their_recall
+    # the sets agree on what matters: planted pairs found by both
+    assert len(ours & theirs & planted) >= 0.85 * len(planted)
