@@ -103,7 +103,13 @@ def bin_interval_overlap_join(
     two-sided sibling of :func:`bin_range_join` (session-overlap
     attribution, validity-window reconciliation, meeting collisions).
 
-    Overlap is half-open: ``l_lo < r_hi AND r_lo < l_hi``. Both sides
+    Overlap is half-open: ``l_lo < r_hi AND r_lo < l_hi`` — for
+    NON-EMPTY intervals. Zero-length intervals (``lo == hi``) denote
+    the empty set under [lo, hi) semantics and overlap nothing, so both
+    inputs are filtered to ``lo < hi`` first; note the bare SQL
+    predicate above would instead match an empty interval sitting
+    strictly inside the other side — the two definitions agree only
+    after that filter (property-tested). Both sides
     explode to the bins they cover and meet on the shared bin; an
     overlapping pair shares EVERY bin its intersection touches, so
     matches are restricted to the canonical first shared bin

@@ -41,3 +41,22 @@ def test_contract_shapes():
     qs, osql = e.queries(), e.oracle_sql()
     assert qs, "no queries registered"
     assert set(osql) <= set(qs)
+
+
+def test_compare_frames_catches_injected_defects():
+    """Self-test of the correctness gate: the comparator must reject a
+    dropped row, a changed value, a renamed column, and an int->float
+    dtype drift — the defect classes the oracle hash exists to catch."""
+    import pandas as pd
+
+    from tools.oracle_check import compare_frames
+
+    good = pd.DataFrame({"k": ["a", "b", "c"], "n": [1, 2, 3]})
+    assert compare_frames(good.copy(), good.copy()) == []
+    assert compare_frames(good.iloc[:2].copy(), good.copy())      # dropped row
+    mutated = good.copy(); mutated.loc[1, "n"] = 99
+    assert compare_frames(mutated, good.copy())                   # wrong value
+    renamed = good.rename(columns={"n": "count"})
+    assert compare_frames(renamed, good.copy())                   # renamed col
+    drifted = good.copy(); drifted["n"] = drifted["n"].astype(float)
+    assert compare_frames(drifted, good.copy())                   # dtype drift

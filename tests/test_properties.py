@@ -342,3 +342,41 @@ def test_lower_weighted_median_matches_brute_model(pairs):
         if 2 * sum(w for x, w in pairs if x <= v) >= total
     )
     assert got == want
+
+
+@given(
+    lhs=intervals_strategy,
+    rhs=intervals_strategy,
+    width=st.sampled_from([1, 7, 32, 500]),
+)
+@settings(**SETTINGS)
+def test_interval_overlap_join_equals_naive_for_any_input(spark, lhs, rhs, width):
+    """For ANY two interval sets and bin width, the binned overlap join
+    returns exactly the naive half-open overlap pairs, exactly once."""
+    from bigdatalab_spark.operators.rangejoin import bin_interval_overlap_join
+
+    ldf = spark.createDataFrame(
+        [(i, float(lo), float(lo + span)) for i, (lo, span) in enumerate(lhs)]
+        or [(None, None, None)],
+        "lid int, llo double, lhi double",
+    ).filter("lid IS NOT NULL")
+    rdf = spark.createDataFrame(
+        [(i, float(lo), float(lo + span)) for i, (lo, span) in enumerate(rhs)]
+        or [(None, None, None)],
+        "rid int, rlo double, rhi double",
+    ).filter("rid IS NOT NULL")
+    # empty intervals ([x, x)) overlap nothing — the operator's
+    # documented contract; the bare SQL predicate alone would match
+    # them when strictly inside the other side
+    naive = {
+        (r.lid, r.rid)
+        for r in ldf.crossJoin(rdf)
+        .filter("llo < lhi AND rlo < rhi AND llo < rhi AND rlo < lhi")
+        .collect()
+    }
+    rows = bin_interval_overlap_join(
+        ldf, rdf, "llo", "lhi", "rlo", "rhi", width
+    ).collect()
+    got = [(r.lid, r.rid) for r in rows]
+    assert set(got) == naive
+    assert len(got) == len(naive)  # exactly-once per pair
