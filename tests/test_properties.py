@@ -380,3 +380,46 @@ def test_interval_overlap_join_equals_naive_for_any_input(spark, lhs, rhs, width
     got = [(r.lid, r.rid) for r in rows]
     assert set(got) == naive
     assert len(got) == len(naive)  # exactly-once per pair
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=200), min_size=1, max_size=5)
+)
+@settings(**SETTINGS)
+def test_temperature_mix_invariants_for_any_histogram(spark, sizes):
+    """For ANY stratum histogram: the rarest stratum keeps everything,
+    thresholds are monotone non-increasing in stratum size, kept counts
+    never exceed stratum size, and every kept row's threshold matches
+    the closed-form floor(sqrt(n_min/n_i) * buckets)."""
+    import math
+
+    from bigdatalab_spark.scale.curation import SPLIT_BUCKETS, temperature_mix
+
+    rows = [
+        (f"s{si}-d{di}", f"stratum{si}")
+        for si, n in enumerate(sizes)
+        for di in range(n)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = temperature_mix(df, "lang")
+    by = {
+        r["lang"]: r
+        for r in out.groupBy("lang")
+        .agg(
+            F.max("mix_threshold").alias("thr"),
+            F.max("n_docs").alias("n"),
+            F.count(F.lit(1)).alias("kept"),
+        )
+        .collect()
+    }
+    n_min = min(sizes)
+    for si, n in enumerate(sizes):
+        name = f"stratum{si}"
+        want_thr = math.floor(math.sqrt(n_min / n) * SPLIT_BUCKETS)
+        if name in by:
+            assert by[name]["thr"] == want_thr
+            assert by[name]["kept"] <= n
+        else:  # stratum fully sampled away — only possible via the hash
+            assert want_thr < SPLIT_BUCKETS
+    rare = f"stratum{sizes.index(n_min)}"
+    assert by[rare]["kept"] == n_min  # threshold SPLIT_BUCKETS keeps all
