@@ -32,9 +32,23 @@ from pyspark.sql.functions import pandas_udf
 def lower_weighted_median(values: pd.Series, weights: pd.Series) -> float:
     """Smallest value whose cumulative integer weight reaches half the
     group's total weight — the deterministic lower weighted median.
-    Pure kernel (property-tested directly in tests/test_properties.py)."""
+    Pure kernel (property-tested directly in tests/test_properties.py).
+
+    Weights must be integral: the crossing test is exact int64
+    arithmetic so the SQL oracle (CAST ... AS BIGINT) replays it
+    bit-for-bit, and a silent truncating cast of fractional weights
+    would diverge from both the oracle and user intent — so
+    non-integral weights fail loudly instead."""
+    import numpy as np
+
+    w = weights.to_numpy()
+    if not np.all(np.equal(np.mod(w, 1), 0)):
+        raise ValueError(
+            "lower_weighted_median requires integral weights (exact "
+            "int64 crossing test); got fractional weight(s)"
+        )
     frame = pd.DataFrame(
-        {"v": values.to_numpy(), "w": weights.to_numpy().astype("int64")}
+        {"v": values.to_numpy(), "w": w.astype("int64")}
     ).sort_values("v", kind="mergesort")
     cum = frame["w"].cumsum()
     total = int(cum.iloc[-1])

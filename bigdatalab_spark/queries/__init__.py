@@ -105,6 +105,8 @@ _POST_WINDOW = (
     "order_value_histogram",
     "safe_ratio_metrics",
     "als_supplier_recommendations",
+    # round 5
+    "customer_order_distribution",
 )
 
 

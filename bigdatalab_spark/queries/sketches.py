@@ -3,10 +3,19 @@
 Oracles are the EXACT equivalents: the sketch parameters are sized so
 the approximate answers are provably exact at gate scale (HLL++ stays
 in sparse/exact mode below its precision threshold; CMS with eps=0.01
-has ~272x5 counters vs 5 distinct keys — zero collisions; Bloom fpp of
-1e-6 over tens of probes makes a false positive a ~1e-5 event). The
-knobs themselves are the lab's (rsd {0.05,0.1,0.01}; eps/conf/seed
-0.01/0.99/10; README:192-243).
+has 272x5 counters vs 5 distinct keys — a cross-row collision on every
+sketch row is a ~1e-7 event; Bloom at ~16 Kbit over tens of member
+keys makes a false positive a ~1e-10 event). The knobs themselves are
+the lab's (rsd {0.05,0.1,0.01}; eps/conf/seed 0.01/0.99/10;
+README:192-243).
+
+Probes run IN-PLAN: membership and frequency are column expressions
+over the portable sketches (scale/dedup.py, scale/cms.py), so the
+probe set can be data-sized — no driver-side collect-and-loop. The
+JVM ``stat.bloomFilter``/``stat.countMinSketch`` bridge the lab
+exercises from Scala stays available (operators/sketches.py, with
+serialization round-trips) and is pytest-covered; the portable twins
+compute the same answers as replayable data.
 """
 
 from __future__ import annotations
@@ -14,8 +23,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bigdatalab_spark.operators.sketches import bloom_filter, count_min_sketch
 from bigdatalab_spark.queries.registry import query
+from bigdatalab_spark.scale.cms import build_portable_cms, cms_estimate
+from bigdatalab_spark.scale.dedup import bloom_might_contain, build_portable_bloom
 from bigdatalab_spark.sources import load_table
 
 
@@ -71,15 +81,25 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build a Bloom filter on sources of even-numbered docs, probe every
-    distinct source (the `#vaccino` membership probe,
-    README:213-219). fpp=1e-6 so no false positive at probe scale."""
+    distinct source (the `#vaccino` membership probe, README:213-219).
+
+    The probe is a column expression over the portable bitmap
+    (scale/dedup.py ``bloom_might_contain``): the ~2 KB bitmap embeds in
+    the plan as a literal and every probe row is tested executor-side,
+    so the probe set scales with the data instead of the driver. At
+    ~16 Kbit / k=4 over tens of member sources a false positive is a
+    ~1e-10 event — the strict oracle would catch one."""
     docs = load_table(spark, sf_dir, "documents")
-    members = docs.filter(F.col("doc_id") % 2 == 0).select("source")
-    n = members.distinct().count()
-    bf = bloom_filter(members, "source", expected_items=max(n, 1), fpp=1e-6)
-    probes = [r["source"] for r in docs.select("source").distinct().collect()]
-    rows = [(p, bf.might_contain(p)) for p in sorted(probes)]
-    return spark.createDataFrame(rows, "source string, might_contain boolean")
+    members = (
+        docs.filter(F.col("doc_id") % 2 == 0).select("source").distinct()
+    )
+    bitmap = build_portable_bloom(members, "source")
+    return (
+        docs.select("source")
+        .distinct()
+        .withColumn("might_contain", bloom_might_contain("source", bitmap))
+        .orderBy("source")
+    )
 
 
 @query(
@@ -94,10 +114,21 @@ def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cms_event_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch frequency estimates, eps=0.01 conf=0.99 seed=10
-    (the exact lab knobs, README:236-243); ~272x5 counters vs a handful
-    of keys means estimates equal exact counts."""
+    (the exact lab knobs, README:236-243); 272x5 counters vs a handful
+    of keys means estimates equal exact counts.
+
+    Estimates run in-plan (scale/cms.py ``cms_estimate``): the counter
+    table embeds as a literal array and each probe row takes the min of
+    its five counters executor-side — data-sized probe sets cost one
+    narrow scan, not a driver loop."""
     events = load_table(spark, sf_dir, "events")
-    cms = count_min_sketch(events, "event_type", eps=0.01, confidence=0.99, seed=10)
-    keys = [r["event_type"] for r in events.select("event_type").distinct().collect()]
-    rows = [(k, cms.estimate_count(k)) for k in sorted(keys)]
-    return spark.createDataFrame(rows, "event_type string, est_count long")
+    knobs = dict(eps=0.01, confidence=0.99, seed=10)
+    counters = build_portable_cms(events, "event_type", **knobs)
+    return (
+        events.select("event_type")
+        .distinct()
+        .withColumn(
+            "est_count", cms_estimate("event_type", counters, **knobs)
+        )
+        .orderBy("event_type")
+    )

@@ -498,11 +498,16 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The view + scalar-MAX-subquery form becomes aggregate → global max
     → equi-filter. The revenue frame is supplier-sized (tiny next to
-    lineitem), so it is persisted once and feeds BOTH the one-row max
-    broadcast and the equality filter — lineitem is scanned once, not
-    once per branch. Exact-decimal sums make the double equality safe
-    across engines and partitionings — ties are all reported, as Q15
-    specifies.
+    lineitem) and feeds BOTH the one-row max broadcast and the equality
+    filter, so it is materialized once via ``localCheckpoint`` —
+    lineitem is scanned once, not once per branch. Unlike ``persist``
+    (whose cache entry lives in the CacheManager until someone calls
+    clearCache — a leak across a long session running many queries),
+    checkpoint blocks are freed by the ContextCleaner as soon as the
+    returned frame is garbage collected, so bench/oracle loops hold at
+    most one query's blocks. Exact-decimal sums make the double
+    equality safe across engines and partitionings — ties are all
+    reported, as Q15 specifies.
     """
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -515,7 +520,7 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "total_revenue"
             )
         )
-        .persist()
+        .localCheckpoint(eager=True)
     )
     mx = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
@@ -832,4 +837,54 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum("c_acctbal").alias("totacctbal"),
         )
         .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "customer_order_distribution",
+    ids=("J7", "A1", "A2", "A9", "O1"),
+    oracle="""
+        SELECT c_count, count(*) AS custdist
+        FROM (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer LEFT OUTER JOIN orders
+              ON c_custkey = o_custkey
+             AND o_orderpriority NOT LIKE '%URGENT%'
+            GROUP BY c_custkey
+        ) c_orders
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 custdist: the orders-per-customer distribution — how
+    many customers placed exactly N qualifying orders, including the
+    zero-order customers the left outer join preserves.
+
+    The warehouse has no ``o_comment``, so ``o_orderpriority NOT LIKE
+    '%URGENT%'`` plays the comment-pattern exclusion; like Q13's, the
+    predicate lives on the join (orders side filtered BEFORE the outer
+    join — equivalent to the ON-clause placement), not in a WHERE that
+    would silently drop zero-order customers.
+
+    Scale shape: orders collapse to per-custkey counts FIRST (partial
+    aggregation combines map-side, so the shuffle carries one row per
+    customer, never raw orders), the customer left join runs on the
+    same custkey partitioning, and the second-level count-of-counts
+    aggregate reduces to ~dozens of rows — kilobytes — before the
+    final sort.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        ~F.col("o_orderpriority").like("%URGENT%")
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count("o_orderkey").alias("n_orders")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce(F.col("n_orders"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
     )

@@ -226,38 +226,44 @@ def compact_partitions(
     Reads the dataset, clusters rows back onto their partition keys
     (one shuffle — without it every small input file keeps its own
     write task and the layout survives "compaction" untouched), and
-    rewrites via dynamic partition overwrite. ``maxRecordsPerFile``
-    re-splits any oversized partition inside its task, which also
-    bounds the one-task-per-partition-value skew this clustering
-    implies. Returns ``{"files_before": n, "files_after": m}`` counted
-    on disk. Row content is preserved exactly; layout-only.
-
-    In-place rewrite works because the clustering shuffle materializes
-    the input before the commit protocol swaps files; on object stores
-    without atomic rename, prefer compacting into a fresh prefix and
-    flipping a pointer.
+    writes the compacted layout to a FRESH sibling prefix, then flips
+    the dataset pointer (rename old aside → rename fresh into place →
+    drop old). An in-place dynamic overwrite of the path being read has
+    a loss window on ANY filesystem — a failure after a partition
+    directory is deleted but before its staged replacement lands loses
+    that partition with no backup — so compact-to-fresh-prefix is the
+    default, not an object-store-only caveat. A crash anywhere before
+    the first rename leaves the original untouched; the two renames are
+    metadata-only, and the old copy survives until the new one is fully
+    in place. ``maxRecordsPerFile`` re-splits any oversized partition
+    inside its task, which also bounds the one-task-per-partition-value
+    skew this clustering implies. Returns
+    ``{"files_before": n, "files_after": m}`` counted on disk. Row
+    content is preserved exactly; layout-only.
     """
     import glob
+    import os
+    import shutil
 
     def _count() -> int:
         return len(glob.glob(f"{path}/**/*.parquet", recursive=True))
 
+    fresh = f"{path}__compact_fresh"
+    old = f"{path}__compact_old"
+    for leftover in (fresh, old):  # debris from a previously crashed run
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
+
     before = _count()
-    df = spark.read.parquet(path)
-    key = "spark.sql.sources.partitionOverwriteMode"
-    saved = spark.conf.get(key, None)
-    spark.conf.set(key, "dynamic")
-    try:
-        (
-            df.repartition(*[F.col(c) for c in partition_cols])
-            .write.mode("overwrite")
-            .option("maxRecordsPerFile", max_records_per_file)
-            .partitionBy(*partition_cols)
-            .parquet(path)
-        )
-    finally:
-        if saved is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, saved)
+    (
+        spark.read.parquet(path)
+        .repartition(*[F.col(c) for c in partition_cols])
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*partition_cols)
+        .parquet(fresh)
+    )
+    os.rename(path, old)  # pointer flip: old aside ...
+    os.rename(fresh, path)  # ... fresh into place
+    shutil.rmtree(old)
     return {"files_before": before, "files_after": _count()}

@@ -268,12 +268,14 @@ def test_tpch_suite_plan_scale_claims(spark, sf_dir):
     assert p.count("lineitem.parquet") == 1, p
     assert has_broadcast_join(df)
 
-    # Q15: the persisted revenue frame feeds both branches — every
-    # lineitem read goes through the cache, one materialization
+    # Q15: the checkpointed revenue frame feeds both branches — the
+    # executed plan reads the materialized RDD twice and never touches
+    # lineitem again (and, unlike persist, leaves nothing in the
+    # CacheManager for a long-lived session to leak)
     df = REGISTRY["top_revenue_supplier"].fn(spark, sf_dir)
     p = _executed_plan(df)
-    assert p.count("InMemoryTableScan") == 2, p
-    spark.catalog.clearCache()  # drop the query's persisted revenue frame
+    assert p.count("Scan ExistingRDD") == 2, p
+    assert "lineitem.parquet" not in p, p
 
     # Q10: top-20 via TakeOrderedAndProject, never a global sort
     df = REGISTRY["returned_item_reporting"].fn(spark, sf_dir)

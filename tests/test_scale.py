@@ -1342,3 +1342,60 @@ def test_run_checks_empty_suite_returns_empty_report(spark):
     out = run_checks(spark.range(3), [])
     assert out.columns == ["check_name", "n_rows", "n_violations", "passed"]
     assert out.count() == 0
+
+
+def test_portable_cms_never_underestimates_and_probes_in_plan(spark):
+    """CMS contract over the portable counters-as-data sketch: every
+    estimate >= the true count (occurrences only ever inflate a probed
+    counter), estimates are exact when the key set is tiny vs the 272x5
+    table, and the probe is a column expression — no collect loop, the
+    whole probe frame evaluates in one plan."""
+    from bigdatalab_spark.scale.cms import build_portable_cms, cms_dims, cms_estimate
+
+    depth, width = cms_dims(eps=0.01, confidence=0.99)
+    assert (depth, width) == (5, 272)
+
+    truth = {f"key-{i}": (i + 1) * 3 for i in range(8)}
+    rows = [(k,) for k, n in truth.items() for _ in range(n)]
+    df = spark.createDataFrame(rows, "k string").repartition(8)
+    counters = build_portable_cms(df, "k", eps=0.01, confidence=0.99, seed=10)
+    assert len(counters) == depth * width
+    assert sum(counters) == depth * len(rows)  # each row bumps one counter/row
+
+    probed = (
+        df.distinct()
+        .withColumn(
+            "est", cms_estimate("k", counters, eps=0.01, confidence=0.99, seed=10)
+        )
+        .collect()
+    )
+    assert {r["k"]: r["est"] for r in probed} == truth  # exact at this fill
+
+    # never-underestimate also holds for a heavier, collision-prone fill
+    import random
+
+    rng = random.Random(7)
+    keys = [f"w{i}" for i in range(400)]
+    heavy_truth: dict[str, int] = {}
+    heavy_rows = []
+    for k in keys:
+        n = rng.randint(1, 5)
+        heavy_truth[k] = n
+        heavy_rows += [(k,)] * n
+    hdf = spark.createDataFrame(heavy_rows, "k string")
+    hcounters = build_portable_cms(hdf, "k", eps=0.01, confidence=0.99, seed=3)
+    est = {
+        r["k"]: r["est"]
+        for r in hdf.distinct()
+        .withColumn(
+            "est", cms_estimate("k", hcounters, eps=0.01, confidence=0.99, seed=3)
+        )
+        .collect()
+    }
+    assert all(est[k] >= heavy_truth[k] for k in keys)
+
+    # geometry mismatch fails loudly instead of probing garbage
+    import pytest
+
+    with pytest.raises(ValueError):
+        cms_estimate("k", hcounters[:-1], eps=0.01, confidence=0.99)

@@ -29,11 +29,31 @@ import urllib.request
 def _stage_totals(ui: str, app: str) -> dict[str, int]:
     url = f"{ui}/api/v1/applications/{app}/stages?status=complete"
     stages = json.load(urllib.request.urlopen(url))
-    tot = {"shuffle_write": 0, "shuffle_read": 0}
+    tot = {"stages": len(stages), "shuffle_write": 0, "shuffle_read": 0}
     for s in stages:
         tot["shuffle_write"] += s.get("shuffleWriteBytes", 0)
         tot["shuffle_read"] += s.get("shuffleReadBytes", 0)
     return tot
+
+
+def _settled_totals(ui: str, app: str, min_stages: int = 0) -> dict[str, int]:
+    """Stage totals once the status listener has drained.
+
+    The listener posts completed-stage metrics asynchronously; a fixed
+    sleep is a race on a loaded machine (late metrics get attributed to
+    the NEXT query). Poll until the completed-stage count has reached
+    ``min_stages`` (so a read taken before the listener posts anything
+    can't masquerade as settled) AND two consecutive reads agree on
+    both the stage count and the byte totals; bounded at ~10 s.
+    """
+    prev = None
+    for _ in range(50):
+        cur = _stage_totals(ui, app)
+        if cur == prev and cur["stages"] >= min_stages:
+            return cur
+        prev = cur
+        time.sleep(0.2)
+    return prev
 
 
 def _kb(n: int) -> str:
@@ -78,14 +98,12 @@ def main() -> int:
     print(f"{'query':34} {'shufW KB':>10} {'shufR KB':>10}")
     for name in names:
         spark.catalog.clearCache()
-        before = _stage_totals(ui, app)
+        before = _settled_totals(ui, app)
         REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
-        # the status listener posts stage metrics asynchronously; let the
-        # queue drain before attributing the delta to this query
-        time.sleep(1.0)
-        after = _stage_totals(ui, app)
+        # every query runs >= 1 stage, so require the count to move
+        after = _settled_totals(ui, app, min_stages=before["stages"] + 1)
         print(
             f"{name:34} "
             f"{_kb(after['shuffle_write'] - before['shuffle_write'])} "
