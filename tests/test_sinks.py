@@ -461,3 +461,62 @@ def test_parquet_schema_evolution_merge_and_corrupt_tolerance(spark, tmp_path):
             spark.conf.unset("spark.sql.files.ignoreCorruptFiles")
         else:
             spark.conf.set("spark.sql.files.ignoreCorruptFiles", saved)
+
+
+def test_overwrite_partitions_failed_job_then_retry_is_idempotent(spark, tmp_path):
+    """Failure injection for the daily-reprocess primitive: a reprocess
+    job that CRASHES mid-write (a task throws after sibling tasks have
+    staged their files) must leave the live dataset byte-identical —
+    staged output never reaches the partition directories because the
+    job-level commit never runs — and the retry must land the fix
+    EXACTLY once: the target partition replaced, siblings untouched, no
+    duplicate rows from the failed attempt's staging."""
+    import pytest
+
+    from bigdatalab_spark.sources.sinks import overwrite_partitions
+
+    out = str(tmp_path / "days")
+    base = spark.createDataFrame(
+        [("2024-01-01", 1), ("2024-01-02", 2), ("2024-01-03", 3)], ["day", "v"]
+    )
+    base.write.mode("overwrite").partitionBy("day").parquet(out)
+    before = {(str(r["day"]), r["v"]) for r in spark.read.parquet(out).collect()}
+
+    # attempt 1: multi-task reprocess of day 2 where one task raises
+    # after the others have written their staged files
+    poisoned = (
+        spark.range(4)
+        .repartition(4)
+        .selectExpr(
+            "'2024-01-02' AS day",
+            "CASE WHEN id = 3 THEN raise_error('injected task crash') "
+            "ELSE CAST(100 + id AS INT) END AS v",
+        )
+    )
+    with pytest.raises(Exception, match="injected task crash"):
+        overwrite_partitions(poisoned, out, ("day",))
+
+    # the crash happened between write and commit: live data untouched
+    after_crash = {(str(r["day"]), r["v"]) for r in spark.read.parquet(out).collect()}
+    assert after_crash == before
+
+    # attempt 2 (the retry) lands the fix exactly once
+    fix = (
+        spark.range(4)
+        .repartition(4)
+        .selectExpr("'2024-01-02' AS day", "CAST(100 + id AS INT) AS v")
+    )
+    overwrite_partitions(fix, out, ("day",))
+    got = {(str(r["day"]), r["v"]) for r in spark.read.parquet(out).collect()}
+    assert got == {
+        ("2024-01-01", 1),
+        ("2024-01-03", 3),
+        ("2024-01-02", 100),
+        ("2024-01-02", 101),
+        ("2024-01-02", 102),
+        ("2024-01-02", 103),
+    }
+    # and a second identical retry (double-fired scheduler) changes nothing
+    overwrite_partitions(fix, out, ("day",))
+    again = {(str(r["day"]), r["v"]) for r in spark.read.parquet(out).collect()}
+    assert again == got
