@@ -3,6 +3,9 @@
 Usage: python bench.py
 Env:   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
        SPARK_GRAFT_CPUS   (default 32)
+       SPARK_GRAFT_BENCH_QUERIES (comma-separated registry names; default
+           the headline set — the scale experiments use this to time the
+           TPC-H completion suite with the same warm/min-of-3 method)
 Output: {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query is timed as a full pipeline execution into a noop sink: the
@@ -56,6 +59,9 @@ def main() -> int:
         "ann_cosine_topk",
         "quality_scores",
     ]
+    override = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if override:
+        headline = [q.strip() for q in override.split(",") if q.strip()]
     headline = [q for q in headline if q in REGISTRY]
 
     spark = get_session(app_name="bigdatalab-bench")
