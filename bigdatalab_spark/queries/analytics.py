@@ -205,7 +205,7 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
                CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
                count(*) AS n,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+               CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS STRING) AS DOUBLE) AS revenue
         FROM orders
         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         ORDER BY status, priority
@@ -282,9 +282,9 @@ def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids=("O5", "SCALE-CURATION"),
     oracle="""
         SELECT event_id, user_id,
-               CAST(sum(CAST(value AS DECIMAL(28,6)))
+               CAST(CAST(sum(CAST(value AS DECIMAL(28,6)))
                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                    AS DOUBLE) AS running_value,
+                    AS STRING) AS DOUBLE) AS running_value,
                CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
                     AS BIGINT) AS seq_no,
                CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -605,9 +605,9 @@ def order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids=("P6", "A4", "O1"),
     oracle="""
         SELECT l_returnflag,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
-                 / nullif(CAST(sum(CAST(l_quantity AS DECIMAL(28,6)))
-                               AS DOUBLE), 0.0) AS price_per_unit,
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS STRING) AS DOUBLE)
+                 / nullif(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(28,6)))
+                               AS STRING) AS DOUBLE), 0.0) AS price_per_unit,
                count(*) AS n_lines
         FROM lineitem
         GROUP BY l_returnflag

@@ -994,7 +994,7 @@ def events_daily_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH history AS (
             SELECT user_id, CAST(ts AS DATE) AS day,
                    count(*) AS n_events,
-                   CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+                   CAST(CAST(sum(CAST(value AS DECIMAL(28,6))) AS STRING) AS DOUBLE) AS sum_value
             FROM events
             WHERE CAST(ts AS DATE) < DATE '2024-01-25'
             GROUP BY 1, 2
@@ -1002,7 +1002,7 @@ def events_daily_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch AS (
             SELECT user_id, CAST(ts AS DATE) AS day,
                    count(*) AS n_events,
-                   CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+                   CAST(CAST(sum(CAST(value AS DECIMAL(28,6))) AS STRING) AS DOUBLE) AS sum_value
             FROM events
             WHERE CAST(ts AS DATE) >= DATE '2024-01-25'
             GROUP BY 1, 2
@@ -1080,7 +1080,7 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT CAST(ts AS DATE) AS day,
                    count(*) AS n_events,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-                   CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+                   CAST(CAST(sum(CAST(value AS DECIMAL(28,6))) AS STRING) AS DOUBLE) AS sum_value
             FROM events
             GROUP BY 1
         )

@@ -21,7 +21,17 @@ from bigdatalab_spark.sources import load_table
 # then double arithmetic — bit-identical to Spark's money_sum/stable_avg.
 # No rounding: round(double) itself diverges between engines (Spark uses
 # the shortest-decimal-string value, DuckDB the binary value).
-DSUM = "CAST(sum(CAST({x} AS DECIMAL(28,6))) AS DOUBLE)"
+#
+# The final decimal->double render goes THROUGH A STRING: DuckDB's direct
+# decimal->double cast converts the 128-bit unscaled integer to double and
+# then divides by 10^scale — two roundings, 1 ULP off correct once the
+# unscaled sum exceeds 2^53 (measured at the x100 decade: sum_charge
+# 2.8e11 at scale 6 -> unscaled 2.8e17; SCALE_NOTES round-5). The
+# string parse is correctly rounded at every magnitude, matching Spark's
+# Decimal.toDouble (which string-parses beyond its own 2^52 fast path),
+# so the oracle stays bit-identical at ANY data scale. Below 2^53 both
+# paths are exact, so gate-scale results are unchanged.
+DSUM = "CAST(CAST(sum(CAST({x} AS DECIMAL(28,6))) AS STRING) AS DOUBLE)"
 
 
 def dsum(x: str, scale: int | None = None) -> str:
@@ -401,7 +411,8 @@ def exists_returned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # accumulate the same DECIMAL sum, so the 0.2*avg threshold is
 # bit-identical and borderline rows cannot flip between them
 _PART_AVG = (
-    "0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / count(*))"
+    "0.2 * (CAST(CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS STRING)"
+    " AS DOUBLE) / count(*))"
 )
 
 
