@@ -267,3 +267,59 @@ def compact_partitions(
     os.rename(fresh, path)  # ... fresh into place
     shutil.rmtree(old)
     return {"files_before": before, "files_after": _count()}
+
+
+def merge_into_partitions(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    key_cols: tuple[str, ...],
+    partition_cols: tuple[str, ...],
+) -> dict:
+    """MERGE (upsert) into a partitioned parquet dataset — the
+    table-format staple (MERGE INTO) rebuilt on plain files: rows whose
+    keys match an update are REPLACED by the update, unmatched update
+    rows INSERT, everything else is kept — and only the partitions
+    PRESENT IN THE UPDATES are rewritten.
+
+    How it scales: the affected partition values (one tuple per touched
+    partition — metadata-sized for any daily/hourly reprocess) are
+    collected and pushed as a partition-pruning filter, so the target
+    scan reads ONLY the affected directories of a 100 TB dataset; the
+    anti-join that drops superseded rows runs on those partitions alone;
+    and the rewrite goes through :func:`overwrite_partitions`, so a
+    retry after a crash is idempotent (tested by the failure-injection
+    test) and untouched partitions are never rewritten.
+
+    Contracts: ``updates`` must be key-unique (a MERGE with duplicate
+    source keys is ambiguous in any engine), and keys are assumed
+    partition-stable — a key whose partition value CHANGES between the
+    stored row and the update leaves the stale copy in the old
+    partition unless that partition is also in the batch (the same
+    caveat every partitioned-upsert design carries; route moved keys
+    through both partitions or compact with a global dedup).
+
+    Returns ``{"partitions_rewritten": n}``.
+    """
+    if not key_cols or not partition_cols:
+        raise ValueError("merge_into_partitions requires key and partition columns")
+    affected = [
+        tuple(r[c] for c in partition_cols)
+        for r in updates.select(*partition_cols).distinct().collect()
+    ]
+    if not affected:
+        return {"partitions_rewritten": 0}
+
+    target = spark.read.parquet(target_path)
+    prune = F.lit(False)
+    for values in affected:
+        match = F.lit(True)
+        for c, v in zip(partition_cols, values):
+            match = match & (F.col(c) == F.lit(v))
+        prune = prune | match
+    kept = target.filter(prune).join(
+        updates.select(*key_cols), list(key_cols), "left_anti"
+    )
+    merged = updates.select(*target.columns).unionByName(kept)
+    overwrite_partitions(merged, target_path, partition_cols)
+    return {"partitions_rewritten": len(affected)}

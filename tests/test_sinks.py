@@ -520,3 +520,74 @@ def test_overwrite_partitions_failed_job_then_retry_is_idempotent(spark, tmp_pat
     overwrite_partitions(fix, out, ("day",))
     again = {(str(r["day"]), r["v"]) for r in spark.read.parquet(out).collect()}
     assert again == got
+
+
+def test_merge_into_partitions_upserts_and_prunes(spark, tmp_path):
+    """MERGE semantics on plain partitioned parquet: matched keys are
+    replaced, unmatched update rows insert (including a brand-new
+    partition), untouched partitions keep their exact files on disk
+    (never rewritten), the target scan partition-prunes to the affected
+    directories, and re-running the same merge is a no-op."""
+    import glob
+
+    from bigdatalab_spark.sources.sinks import merge_into_partitions
+
+    out = str(tmp_path / "merged")
+    base = spark.createDataFrame(
+        [
+            ("2024-01-01", 1, 10.0),
+            ("2024-01-01", 2, 20.0),
+            ("2024-01-02", 3, 30.0),
+            ("2024-01-02", 4, 40.0),
+        ],
+        ["day", "k", "v"],
+    )
+    base.write.partitionBy("day").parquet(out)
+    day1_files_before = sorted(glob.glob(f"{out}/day=2024-01-01/*.parquet"))
+
+    updates = spark.createDataFrame(
+        [
+            ("2024-01-02", 3, 99.0),   # matched -> replaced
+            ("2024-01-02", 5, 50.0),   # new key in existing partition
+            ("2024-01-03", 6, 60.0),   # brand-new partition
+        ],
+        ["day", "k", "v"],
+    )
+    res = merge_into_partitions(spark, out, updates, ("k",), ("day",))
+    assert res == {"partitions_rewritten": 2}
+
+    got = {(str(r["day"]), r["k"], r["v"]) for r in spark.read.parquet(out).collect()}
+    assert got == {
+        ("2024-01-01", 1, 10.0),
+        ("2024-01-01", 2, 20.0),
+        ("2024-01-02", 3, 99.0),
+        ("2024-01-02", 4, 40.0),
+        ("2024-01-02", 5, 50.0),
+        ("2024-01-03", 6, 60.0),
+    }
+    # the untouched sibling partition was never rewritten: same files
+    assert sorted(glob.glob(f"{out}/day=2024-01-01/*.parquet")) == day1_files_before
+
+    # retry (double-fired scheduler) is a no-op on content
+    merge_into_partitions(spark, out, updates, ("k",), ("day",))
+    again = {(str(r["day"]), r["k"], r["v"]) for r in spark.read.parquet(out).collect()}
+    assert again == got
+
+    # the target-side scan prunes to affected partitions: build the same
+    # pruned frame the merge uses and check the scan's PartitionFilters
+    from pyspark.sql import functions as F
+
+    pruned = spark.read.parquet(out).filter(
+        (F.col("day") == "2024-01-02") | (F.col("day") == "2024-01-03")
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        merge_into_partitions(spark, out, updates, (), ("day",))
+    # empty update batch touches nothing
+    assert merge_into_partitions(
+        spark, out, updates.limit(0), ("k",), ("day",)
+    ) == {"partitions_rewritten": 0}
