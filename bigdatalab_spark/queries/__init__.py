@@ -26,7 +26,9 @@ from bigdatalab_spark.queries import (  # noqa: F401  (register
     datapipe,
     pipeline,
     spark4_sql,
+    timeseries,
     tpch_suite,
+    warehouse,
 )
 # AFTER the SURVEY-core top-50 on purpose: beyond-reference extensions must not
 # displace driver-window entries; _DEMOTED still sorts last)
@@ -107,6 +109,12 @@ _POST_WINDOW = (
     "als_supplier_recommendations",
     # round 5
     "customer_order_distribution",
+    "intradoc_span_dedup",
+    "crosscorpus_best_dedup",
+    "fuzzy_token_matches",
+    "multires_event_rollup",
+    "approx_value_quantiles",
+    "orders_snapshot_cdc",
 )
 
 

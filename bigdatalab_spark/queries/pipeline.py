@@ -478,3 +478,173 @@ def click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.ts").cast("string").alias("click_ts"),
         F.col("p.ts").cast("string").alias("purchase_ts"),
     ).orderBy("click_id", "purchase_id")
+
+
+@query(
+    "intradoc_span_dedup",
+    ids=("SCALE-DEDUP", "SCALE-TEXT"),
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+            FROM documents
+        ),
+        spans AS (
+            SELECT doc_id, toks,
+                   unnest(generate_series(0, CAST(ceil(len(toks) / 8.0) AS INT) - 1)) AS i
+            FROM toks
+            WHERE len(toks) > 0
+        ),
+        seg AS (
+            SELECT doc_id, i,
+                   array_to_string(toks[i * 8 + 1 : i * 8 + 8], ' ') AS span
+            FROM spans
+        ),
+        ranked AS (
+            SELECT doc_id, i, span,
+                   row_number() OVER (PARTITION BY doc_id, span ORDER BY i) AS rn
+            FROM seg
+        ),
+        kept AS (
+            SELECT doc_id, count(*) AS n_kept,
+                   md5(string_agg(span, ' ' ORDER BY i)) AS clean_md5
+            FROM ranked WHERE rn = 1
+            GROUP BY doc_id
+        ),
+        tot AS (SELECT doc_id, count(*) AS n_spans FROM seg GROUP BY doc_id)
+        SELECT t.doc_id,
+               CAST(coalesce(tot.n_spans, 0) AS BIGINT) AS n_spans,
+               CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept,
+               coalesce(kept.clean_md5, md5('')) AS clean_md5
+        FROM toks t
+        LEFT JOIN tot USING (doc_id)
+        LEFT JOIN kept USING (doc_id)
+        ORDER BY doc_id
+    """,
+)
+def intradoc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-span removal (8-token spans, keep first
+    occurrence, reassemble) — zero-shuffle narrow pipeline
+    (:func:`bigdatalab_spark.scale.dedup.intradoc_span_dedup`; the
+    no-Exchange claim is pinned in tests/test_plans.py). The oracle
+    replays first-occurrence keeping as a per-(doc, span) row_number."""
+    from bigdatalab_spark.scale.dedup import intradoc_span_dedup as _op
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        _op(docs, span_tokens=8)
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_kept",
+            F.md5("clean_text").alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "crosscorpus_best_dedup",
+    ids=("SCALE-DEDUP", "SCALE-CURATION"),
+    oracle="""
+        WITH cand AS (
+            SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+                   CAST(regexp_extract(source, '(\\d+)', 1) AS INT) AS src_idx,
+                   doc_id, source
+            FROM documents
+        ),
+        ranked AS (
+            SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY fp ORDER BY src_idx, doc_id) AS rn,
+                   count(*) OVER (PARTITION BY fp) AS n_copies
+            FROM cand
+        )
+        SELECT doc_id, source, CAST(n_copies AS BIGINT) AS n_copies
+        FROM ranked WHERE rn = 1
+        ORDER BY doc_id
+    """,
+)
+def crosscorpus_best_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus merge dedup: per exact-content group keep the copy
+    from the most-trusted source (lowest source index, ties by doc_id)
+    via the algebraic min(struct) keeper
+    (:func:`bigdatalab_spark.scale.dedup.priority_dedup`) — map-side
+    combined, no per-group window shuffle of every copy."""
+    from bigdatalab_spark.scale.dedup import priority_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    priority = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    return (
+        priority_dedup(docs, priority, carry_cols=("source",))
+        .select(F.col("keep_id").alias("doc_id"), "source", "n_copies")
+        .orderBy("doc_id")
+    )
+
+
+_LEXICON = (
+    "batsh",
+    "colum",
+    "filtr",
+    "joon",
+    "quary",
+    "spakr",
+    "tabel",
+    "vlue",
+    "winow",
+)
+
+
+@query(
+    "fuzzy_token_matches",
+    ids=("SCALE-FUZZY", "J5"),
+    oracle=f"""
+        WITH lex AS (
+            SELECT unnest([{", ".join(repr(w) for w in _LEXICON)}]) AS word
+        ),
+        tok AS (
+            SELECT token, count(*) AS n_occurrences
+            FROM (
+                SELECT unnest(string_split_regex(text, '\\s+')) AS token
+                FROM documents
+            )
+            WHERE token <> ''
+            GROUP BY token
+        )
+        SELECT l.word, t.token,
+               CAST(levenshtein(l.word, t.token) AS INT) AS dist,
+               t.n_occurrences
+        FROM lex l
+        JOIN tok t
+          ON substr(t.token, 1, 1) = substr(l.word, 1, 1)
+         AND abs(length(t.token) - length(l.word)) <= 1
+         AND levenshtein(l.word, t.token) <= 2
+         AND t.token <> l.word
+        ORDER BY word, token
+    """,
+)
+def fuzzy_token_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant lexicon match against the corpus vocabulary: the
+    blocked similarity join
+    (:func:`bigdatalab_spark.operators.joins.blocked_fuzzy_join`) —
+    first-character equi-block (hash/broadcast join, no cross product)
+    + length band + Levenshtein <= 2. The vocabulary aggregates BEFORE
+    the join, so the fuzzy predicate runs once per distinct token, not
+    once per corpus occurrence."""
+    from bigdatalab_spark.operators.joins import blocked_fuzzy_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    from bigdatalab_spark.functions import tokenize
+
+    tok = (
+        docs.select(F.explode(tokenize("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    lex = F.broadcast(
+        spark.createDataFrame([(w,) for w in _LEXICON], "word string")
+    )
+    return (
+        blocked_fuzzy_join(tok, lex, "token", "word", max_dist=2, max_len_diff=1)
+        .select("word", "token", F.levenshtein("word", "token").alias("dist"), "n_occurrences")
+        .orderBy("word", "token")
+    )

@@ -910,3 +910,95 @@ def span_dedup(
             F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
         )
     )
+
+
+def intradoc_span_dedup(
+    docs: DataFrame,
+    span_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Within-document repeated-span removal: segment each document into
+    consecutive ``span_tokens``-token spans, keep only the FIRST
+    occurrence of each distinct span, and reassemble the text in
+    original order — the intra-doc twin of the corpus-wide
+    :func:`segment_dedup` (C4-style boilerplate removal, but local).
+
+    Scale design: the whole operator is pure column expressions over
+    per-row arrays (tokenize -> span -> first-occurrence filter ->
+    rejoin) — NARROW, zero shuffle, runs at scan speed and preserves
+    input partitioning at any corpus size. The first-occurrence filter
+    is ``array_position(spans, s) = i + 1`` (quadratic in spans-per-doc,
+    which is bounded by document length, not corpus size).
+
+    Returns (doc_id, n_spans, n_kept, clean_text); empty documents come
+    back with 0/0 and an empty string.
+    """
+    toks = docs.select(F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks"))
+    n_spans = (F.ceil(F.size("toks") / F.lit(float(span_tokens)))).cast("int")
+    spans = F.when(
+        F.size("toks") > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_spans - 1),
+            lambda i: F.array_join(
+                F.slice("toks", i * span_tokens + 1, span_tokens), " "
+            ),
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    seg = toks.select("doc_id", spans.alias("spans"))
+    kept = seg.select(
+        "doc_id",
+        F.size("spans").cast("long").alias("n_spans"),
+        # keep span i iff its first occurrence index IS i (1-based)
+        F.expr("filter(spans, (s, i) -> array_position(spans, s) = i + 1)").alias(
+            "kept"
+        ),
+    )
+    return kept.select(
+        "doc_id",
+        "n_spans",
+        F.size("kept").cast("long").alias("n_kept"),
+        F.array_join("kept", " ").alias("clean_text"),
+    )
+
+
+def priority_dedup(
+    docs: DataFrame,
+    priority: Column,
+    carry_cols: tuple[str, ...] = ("source",),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-corpus exact dedup that keeps the BEST copy, not the first:
+    group by normalized-content hash and keep the row minimizing
+    ``(priority, id)`` — the merge step when the same document arrives
+    from several sources of different cleanliness.
+
+    Scale design: the keeper is ``min(struct(priority, id, carry...))``,
+    an algebraic aggregate that partial-aggregates map-side — the
+    shuffle carries one candidate row per (input partition, hash),
+    unlike the window-ranked equivalent which shuffles every copy of
+    every hot document to one reducer before ranking. The struct's
+    leading ``(priority, id)`` prefix is unique per row, so the winner
+    is deterministic regardless of the carried payload columns.
+
+    Returns one row per distinct content: (keep_id, <carry_cols>,
+    n_copies).
+    """
+    cand = docs.select(
+        F.md5(normalize_text(text_col)).alias("content_hash"),
+        F.struct(
+            priority.alias("_priority"),
+            F.col(id_col).alias("keep_id"),
+            *[F.col(c) for c in carry_cols],
+        ).alias("cand"),
+    )
+    return (
+        cand.groupBy("content_hash")
+        .agg(F.min("cand").alias("best"), F.count(F.lit(1)).alias("n_copies"))
+        .select(
+            F.col("best.keep_id").alias("keep_id"),
+            *[F.col(f"best.{c}").alias(c) for c in carry_cols],
+            "n_copies",
+        )
+    )

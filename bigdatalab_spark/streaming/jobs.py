@@ -310,3 +310,61 @@ def stream_stream_interval_join(
         F.col("c.ts").alias("click_ts"),
         F.col("p.ts").alias("purchase_ts"),
     )
+
+
+def apply_cdc_stream(
+    stream: DataFrame,
+    target_path: str,
+    key_cols: tuple[str, ...],
+    partition_cols: tuple[str, ...],
+    checkpoint_dir: str,
+    order_col: str | None = None,
+):
+    """Streaming CDC apply: every micro-batch MERGEs into a partitioned
+    parquet dataset via
+    :func:`bigdatalab_spark.sources.sinks.merge_into_partitions` — the
+    foreachBatch upsert sink that turns an update stream into a
+    continuously-maintained table (the Delta/Iceberg `MERGE INTO`
+    streaming staple, rebuilt on plain files).
+
+    Exactly-once story: the checkpoint makes batch delivery
+    at-least-once, and the merge is IDEMPOTENT (replaying a batch
+    replaces the same keys with the same values, and the partition
+    rewrite itself is the crash-safe idempotent overwrite) — so the
+    composition is effectively exactly-once, the same argument as the
+    foreachBatch exactly-once test. When ``order_col`` is given,
+    multiple updates for one key WITHIN a batch collapse to the
+    max-``order_col`` row first (algebraic ``max(struct(order, ...))``
+    keeper — map-side combined, deterministic because the leading
+    ``(order, keys)`` prefix orders totally), satisfying the merge's
+    key-unique contract under bursty sources.
+
+    Returns the started StreamingQuery (availableNow trigger — drains
+    what exists, then stops; restart with the same checkpoint resumes
+    incrementally).
+    """
+    from bigdatalab_spark.sources.sinks import merge_into_partitions
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        updates = batch_df
+        if order_col is not None:
+            keys = list(key_cols)
+            rest = [c for c in batch_df.columns if c not in keys]
+            packed = batch_df.groupBy(*keys).agg(
+                F.max(F.struct(order_col, *[c for c in rest if c != order_col])).alias("_w")
+            )
+            updates = packed.select(
+                *keys, *[F.col(f"_w.{c}").alias(c) for c in rest]
+            ).select(*batch_df.columns)
+        if updates.isEmpty():
+            return
+        merge_into_partitions(
+            batch_df.sparkSession, target_path, updates, key_cols, partition_cols
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

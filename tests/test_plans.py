@@ -372,3 +372,53 @@ def test_analyze_table_stats_feed_cbo_estimates(spark, sf_dir, tmp_path):
                 spark.conf.set("spark.sql.cbo.enabled", saved)
     finally:
         spark.sql("DROP TABLE IF EXISTS cbo_stats_customer")
+
+
+def test_multires_rollup_reuses_exchanges(spark, sf_dir):
+    """Hypertable cascade: day re-aggregates the HOURLY partials and
+    month the DAILY ones, so after AQE finalizes, the day branch reuses
+    the hourly exchange and the month branch the daily one — events is
+    scanned once, not three times."""
+    df = REGISTRY["multires_event_rollup"].fn(spark, sf_dir)
+    df.collect()  # AQE stage reuse exists only in the executed final plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert plan.count("ReusedExchange") >= 2, plan
+
+
+def test_intradoc_span_dedup_is_narrow(spark, sf_dir):
+    """Within-doc span dedup is pure per-row array work: zero Exchange —
+    it runs at scan speed and preserves input partitioning."""
+    from bigdatalab_spark.scale.dedup import intradoc_span_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert exchange_count(intradoc_span_dedup(docs)) == 0
+
+
+def test_fuzzy_join_is_blocked_hash_join(spark, sf_dir):
+    """The prefix equi-block must plan as a (broadcast) hash join —
+    a bare levenshtein predicate would force BroadcastNestedLoop over
+    the |vocab| x |lexicon| cross product."""
+    df = REGISTRY["fuzzy_token_matches"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan
+
+
+def test_snapshot_cdc_prunes_and_shuffles_once_per_side(spark, sf_dir):
+    """The CDC diff projects each snapshot to key+compared columns
+    before the full-outer join: the scans read only those columns and
+    each side exchanges exactly once (2 total; the final orderBy range
+    exchange rides AQE's reuse of the join output)."""
+    df = REGISTRY["orders_snapshot_cdc"].fn(spark, sf_dir)
+    cols = read_schema_columns(df)
+    assert set(cols) <= {"o_orderkey", "o_totalprice", "o_orderstatus"}, cols
+
+
+def test_quantile_sketch_partially_aggregates(spark, sf_dir):
+    """percentile_approx is a mergeable sketch: the plan must show a
+    partial ObjectHashAggregate below the exchange (one sketch per
+    (partition, group) shuffles, never the raw values)."""
+    df = REGISTRY["approx_value_quantiles"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ObjectHashAggregate") >= 2, plan

@@ -423,3 +423,77 @@ def test_temperature_mix_invariants_for_any_histogram(spark, sizes):
             assert want_thr < SPLIT_BUCKETS
     rare = f"stratum{sizes.index(n_min)}"
     assert by[rare]["kept"] == n_min  # threshold SPLIT_BUCKETS keeps all
+
+
+@given(docs=texts, span=st.integers(min_value=1, max_value=4))
+@settings(**SETTINGS)
+def test_intradoc_span_dedup_matches_python_reference(spark, docs, span):
+    """The zero-shuffle column-expression pipeline must agree with a
+    straightforward Python replay (tokenize -> span -> keep first
+    occurrence -> rejoin) for ANY text, including empties and
+    whitespace runs."""
+    import re
+
+    from bigdatalab_spark.scale.dedup import intradoc_span_dedup
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_kept"], r["clean_text"])
+        for r in intradoc_span_dedup(df, span_tokens=span).collect()
+    }
+    for i, t in enumerate(docs):
+        toks = [w for w in re.split(r"\s+", t) if w]
+        spans = [
+            " ".join(toks[j : j + span]) for j in range(0, len(toks), span)
+        ]
+        kept, seen = [], set()
+        for s in spans:
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+        assert got[i] == (len(spans), len(kept), " ".join(kept))
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),  # id
+            st.sampled_from(["x", "y y", "z"]),      # text (collides often)
+            st.integers(min_value=0, max_value=3),   # priority
+        ),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda r: r[0],
+    )
+)
+@settings(**SETTINGS)
+def test_priority_dedup_picks_global_minimum_per_content(spark, rows):
+    """The algebraic min(struct) keeper must select exactly the
+    (priority, id)-minimal copy per content group no matter how rows
+    are partitioned."""
+    from bigdatalab_spark.scale.dedup import priority_dedup
+
+    df = spark.createDataFrame(
+        [(i, t, f"src{p}") for i, t, p in rows],
+        "doc_id long, text string, source string",
+    ).repartition(4)
+    pri = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    got = {
+        r["keep_id"]: (r["source"], r["n_copies"])
+        for r in priority_dedup(df, pri).collect()
+    }
+    expect = {}
+    for i, t, p in rows:
+        key = " ".join(t.split()).strip().lower()
+        cur = expect.get(key)
+        if cur is None:
+            expect[key] = [(p, i), 0]
+        elif (p, i) < cur[0]:
+            cur[0] = (p, i)
+    for i, t, p in rows:
+        key = " ".join(t.split()).strip().lower()
+        expect[key][1] += 1
+    want = {pid: (f"src{pp}", n) for (pp, pid), n in expect.values()}
+    assert got == want

@@ -1399,3 +1399,124 @@ def test_portable_cms_never_underestimates_and_probes_in_plan(spark):
 
     with pytest.raises(ValueError):
         cms_estimate("k", hcounters[:-1], eps=0.01, confidence=0.99)
+
+
+class TestIntradocSpanDedup:
+    def test_removes_repeated_span_keeps_order(self, spark):
+        from bigdatalab_spark.scale.dedup import intradoc_span_dedup
+
+        rep = " ".join(["a b c d e f g h"] * 2) + " x"  # 2 identical spans + tail
+        docs = spark.createDataFrame(
+            [(1, rep), (2, "p q r"), (3, "")], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in intradoc_span_dedup(docs).collect()}
+        assert out[1]["n_spans"] == 3 and out[1]["n_kept"] == 2
+        assert out[1]["clean_text"] == "a b c d e f g h x"
+        assert out[2]["n_spans"] == 1 and out[2]["clean_text"] == "p q r"
+        assert out[3]["n_spans"] == 0 and out[3]["clean_text"] == ""
+
+    def test_distinct_spans_untouched(self, spark):
+        from bigdatalab_spark.scale.dedup import intradoc_span_dedup
+
+        text = " ".join(f"w{i}" for i in range(20))  # 3 spans, all distinct
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        row = intradoc_span_dedup(docs).collect()[0]
+        assert row["n_spans"] == row["n_kept"] == 3
+        assert row["clean_text"] == text
+
+
+class TestPriorityDedup:
+    def test_keeps_lowest_priority_copy(self, spark):
+        from pyspark.sql import functions as F
+
+        from bigdatalab_spark.scale.dedup import priority_dedup
+
+        docs = spark.createDataFrame(
+            [
+                (10, "same text", "src2"),
+                (11, "same text", "src0"),
+                (12, "other", "src5"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        pri = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+        rows = {r["keep_id"]: r for r in priority_dedup(docs, pri).collect()}
+        assert set(rows) == {11, 12}
+        assert rows[11]["source"] == "src0" and rows[11]["n_copies"] == 2
+        assert rows[12]["n_copies"] == 1
+
+    def test_tie_breaks_on_id(self, spark):
+        from pyspark.sql import functions as F
+
+        from bigdatalab_spark.scale.dedup import priority_dedup
+
+        docs = spark.createDataFrame(
+            [(7, "dup", "src1"), (3, "dup", "src1")],
+            "doc_id long, text string, source string",
+        )
+        pri = F.lit(1)
+        (row,) = priority_dedup(docs, pri).collect()
+        assert row["keep_id"] == 3
+
+
+class TestBlockedFuzzyJoin:
+    def test_finds_variants_within_block(self, spark):
+        from bigdatalab_spark.operators.joins import blocked_fuzzy_join
+
+        vocab = spark.createDataFrame(
+            [("table",), ("query",), ("apple",)], "token string"
+        )
+        lex = spark.createDataFrame([("tabel",), ("quary",)], "word string")
+        pairs = {
+            (r["word"], r["token"])
+            for r in blocked_fuzzy_join(vocab, lex, "token", "word").collect()
+        }
+        assert pairs == {("tabel", "table"), ("quary", "query")}
+
+    def test_block_excludes_cross_prefix_and_exact(self, spark):
+        from bigdatalab_spark.operators.joins import blocked_fuzzy_join
+
+        vocab = spark.createDataFrame([("xapple",), ("apple",)], "token string")
+        lex = spark.createDataFrame([("apple",)], "word string")
+        # 'xapple' is dist 1 but fails the first-char block; 'apple' is exact
+        assert blocked_fuzzy_join(vocab, lex, "token", "word").count() == 0
+
+
+class TestSnapshotDiff:
+    def test_classifies_insert_update_delete_drops_unchanged(self, spark):
+        from bigdatalab_spark.operators.cdc import snapshot_diff
+
+        old = spark.createDataFrame(
+            [(1, 10.0, "A"), (2, 20.0, "B"), (3, 30.0, "C"), (4, None, "D")],
+            "k long, price double, status string",
+        )
+        new = spark.createDataFrame(
+            # 1 unchanged, 2 price-updated, 3 deleted, 4 NULL->NULL
+            # unchanged, 5 inserted
+            [(1, 10.0, "A"), (2, 21.0, "B"), (4, None, "D"), (5, 50.0, "E")],
+            "k long, price double, status string",
+        )
+        rows = {
+            r["k"]: r
+            for r in snapshot_diff(old, new, ["k"], ["price", "status"]).collect()
+        }
+        assert {k: r["op"] for k, r in rows.items()} == {
+            2: "update",
+            3: "delete",
+            5: "insert",
+        }
+        assert rows[2]["old_price"] == 20.0 and rows[2]["new_price"] == 21.0
+        assert rows[3]["new_price"] is None and rows[3]["old_status"] == "C"
+        assert rows[5]["old_price"] is None and rows[5]["new_status"] == "E"
+
+    def test_null_transitions_are_updates(self, spark):
+        from bigdatalab_spark.operators.cdc import snapshot_diff
+
+        old = spark.createDataFrame([(1, None), (2, 9.0)], "k long, v double")
+        new = spark.createDataFrame([(1, 7.0), (2, None)], "k long, v double")
+        ops = {
+            r["k"]: r["op"]
+            for r in snapshot_diff(old, new, ["k"], ["v"]).collect()
+        }
+        # NULL -> value and value -> NULL are real changes (<=> semantics)
+        assert ops == {1: "update", 2: "update"}

@@ -703,3 +703,57 @@ def test_transform_with_state_v2_user_stats(spark, sf_dir):
         assert g.n_types == w.n_types
         assert g.top_type == w.top_type
         assert g.total_value == pytest.approx(w.total_value, rel=1e-12)
+
+
+def test_apply_cdc_stream_merges_batches_idempotently(spark, tmp_path):
+    """Streaming CDC apply: an update stream continuously MERGEs into a
+    partitioned parquet table via foreachBatch — replace-by-key,
+    insert-new, in-batch last-writer collapse, and a checkpoint restart
+    with nothing new leaves the table byte-stable (idempotent merge =
+    effectively exactly-once)."""
+    from bigdatalab_spark.streaming.jobs import apply_cdc_stream
+
+    target = str(tmp_path / "state")
+    updates_dir = tmp_path / "updates"
+    updates_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k LONG, day STRING, v DOUBLE, seq LONG"
+
+    spark.createDataFrame(
+        [(1, "d1", 10.0, 0), (2, "d1", 20.0, 0), (3, "d2", 30.0, 0)], schema
+    ).write.partitionBy("day").parquet(target)
+
+    def drain(rows):
+        if rows:
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).json(str(updates_dir))
+        stream = spark.readStream.schema(schema).json(str(updates_dir))
+        q = apply_cdc_stream(
+            stream, target, ("k",), ("day",), ckpt, order_col="seq"
+        )
+        q.awaitTermination(60)
+
+    def state():
+        return {
+            r["k"]: (r["day"], r["v"])
+            for r in spark.read.parquet(target).collect()
+        }
+
+    # batch 1: update k=1, insert k=4; k=2 appears twice -> seq=2 wins
+    drain([(1, "d1", 11.0, 1), (4, "d2", 40.0, 1), (2, "d1", 21.0, 1), (2, "d1", 22.0, 2)])
+    assert state() == {
+        1: ("d1", 11.0),
+        2: ("d1", 22.0),
+        3: ("d2", 30.0),
+        4: ("d2", 40.0),
+    }
+
+    # batch 2 (checkpoint resume skips batch 1's file): update k=3
+    drain([(3, "d2", 33.0, 3)])
+    assert state()[3] == ("d2", 33.0) and state()[1] == ("d1", 11.0)
+
+    # restart with no new data: nothing rewritten
+    before = state()
+    drain([])
+    assert state() == before
