@@ -103,6 +103,15 @@ def get_session(
         builder = builder.config(
             "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
         )
+        # Delta-sized outputs (e.g. the CDC changeset) are still 1000x
+        # bigger at the x1000 replica scale; the parity harness collects
+        # them, and the 1g maxResultSize default is the ceiling it hits
+        # (found by the fourth-decade run). Raise for verification runs;
+        # production queries never collect data-sized results.
+        builder = builder.config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_GRAFT_MAX_RESULT", "1g"),
+        )
         # With a multi-GB single-JVM heap, broadcasting mid-size dims
         # (tens of MB) beats shuffling both join sides — measured ~20%
         # on the 3-way revenue join. Cluster deployments keep the
