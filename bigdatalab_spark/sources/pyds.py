@@ -12,6 +12,7 @@ layout (WeatherData.scala:2-12) as a registered format::
     df = (spark.read.format("fixedwidth")
           .option("spec", spec_option(ISD_WEATHER_SPEC))
           .load(path))
+    df.write.format("fixedwidth").option("spec", ...).save(out)  # sink too
 
 Scale/role note: each input FILE is one ``InputPartition``, so a
 directory of block-sized files parallelizes across executors like any
@@ -30,7 +31,13 @@ from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 from bigdatalab_spark.sources.readers import FixedWidthField
 
@@ -149,8 +156,110 @@ class FixedWidthDataSource(DataSource):
     def reader(self, schema) -> FixedWidthReader:
         return FixedWidthReader(dict(self.options))
 
+    def writer(self, schema, overwrite: bool) -> "FixedWidthWriter":
+        return FixedWidthWriter(dict(self.options), overwrite)
+
 
 def register_python_sources(spark) -> None:
     """Register every Python DataSource this engine ships (idempotent —
     re-registration replaces the entry)."""
     spark.dataSource.register(FixedWidthDataSource)
+
+
+def _render_line(row, spec: list[FixedWidthField]) -> str:
+    """Inverse of :func:`_parse_line`: place each field into its
+    [start, end) slot. Values that don't FIT their slot raise — silent
+    truncation of numbers would corrupt data; strings are the lab
+    layout's free-text tails and clip like the source format does."""
+    width = max(f.end for f in spec)
+    buf = [" "] * width
+    for f, v in zip(spec, row):
+        slot = f.end - f.start
+        if v is None:
+            continue  # spaces parse back to NULL (numeric) / '' (string)
+        if f.dtype == "string":
+            s = str(v)[:slot].ljust(slot)
+        else:
+            n = round(float(v) * f.scale) if f.scale is not None else v
+            s = str(int(n)) if f.dtype != "double" or f.scale is not None else str(v)
+            if len(s) > slot:
+                raise ValueError(
+                    f"value {v!r} does not fit field {f.name} (width {slot})"
+                )
+            s = s.rjust(slot)
+        buf[f.start : f.end] = s
+    return "".join(buf)
+
+
+class _TaskFile(WriterCommitMessage):
+    def __init__(self, tmp_path: str, rows: int) -> None:
+        self.tmp_path = tmp_path
+        self.rows = rows
+
+
+class FixedWidthWriter(DataSourceWriter):
+    """Transactional fixed-width sink: each task streams its rows to a
+    hidden temp file and returns it as the commit message; the DRIVER's
+    ``commit`` renames temps to ``part-NNNNN.txt`` and drops
+    ``_SUCCESS``, and ``abort`` deletes them — so a failed job leaves
+    no partial output visible (the same task-temp -> job-commit
+    protocol every Spark file sink uses, here through the Python
+    DataSource extension point)."""
+
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("fixedwidth sink requires a path (use .save(path))")
+        spec = options.get("spec")
+        if not spec:
+            raise ValueError("fixedwidth sink requires the 'spec' option")
+        self.path = path
+        self.spec = parse_spec_option(spec)
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _TaskFile:
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"_tmp-{uuid.uuid4().hex}")
+        rows = 0
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(_render_line(row, self.spec) + "\n")
+                rows += 1
+        return _TaskFile(tmp, rows)
+
+    def commit(self, messages) -> None:
+        import os
+        import uuid
+
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.startswith("part-"):
+                    os.remove(os.path.join(self.path, f))
+        job = uuid.uuid4().hex[:8]  # append jobs must not collide on names
+        for i, m in enumerate(m for m in messages if m is not None):
+            os.replace(
+                m.tmp_path, os.path.join(self.path, f"part-{i:05d}-{job}.txt")
+            )
+        with open(os.path.join(self.path, "_SUCCESS"), "w", encoding="utf-8"):
+            pass
+
+    def abort(self, messages) -> None:
+        import os
+
+        # messages carry None for failed tasks, and the FAILING task's
+        # own temp never reaches the driver — sweep every _tmp- orphan
+        # under the target instead (single committing writer per path,
+        # the same assumption behind Hadoop's _temporary cleanup)
+        try:
+            leftovers = os.listdir(self.path)
+        except FileNotFoundError:
+            return
+        for f in leftovers:
+            if f.startswith("_tmp-"):
+                try:
+                    os.remove(os.path.join(self.path, f))
+                except FileNotFoundError:
+                    pass

@@ -316,3 +316,59 @@ def test_python_datasource_fixedwidth_matches_codegen_adapter(spark, tmp_path):
 
     with pytest.raises(Exception):
         spark.read.format("fixedwidth").option("spec", "bogus").load(str(d)).collect()
+
+
+def test_python_datasource_fixedwidth_writer_roundtrip_and_abort(spark, tmp_path):
+    """The write half of the custom connector: task-temp -> job-commit
+    protocol (part files + _SUCCESS appear only on commit), append jobs
+    don't collide, overwrite clears, and a mid-job failure aborts with
+    NO partial output left visible."""
+    import pyspark.errors
+
+    import pytest as _pytest
+
+    from bigdatalab_spark.sources.pyds import register_python_sources, spec_option
+    from bigdatalab_spark.sources.readers import FixedWidthField
+
+    register_python_sources(spark)
+    spec = [
+        FixedWidthField("station", 0, 6, "string", None),
+        FixedWidthField("temp", 6, 12, "double", 10.0),
+        FixedWidthField("n", 12, 18, "bigint", None),
+    ]
+    opt = spec_option(spec)
+    out = str(tmp_path / "fw")
+
+    df = spark.createDataFrame(
+        [("ABC", 21.3, 7), ("DEFGHI", -4.5, 123456), ("X", None, None)],
+        "station string, temp double, n bigint",
+    ).repartition(2)
+    df.write.format("fixedwidth").option("spec", opt).mode("overwrite").save(out)
+    files = sorted(p.name for p in (tmp_path / "fw").iterdir())
+    assert "_SUCCESS" in files and sum(f.startswith("part-") for f in files) == 2
+
+    back = spark.read.format("fixedwidth").option("spec", opt).load(out)
+    got = sorted(
+        (r["station"].rstrip(), r["temp"], r["n"]) for r in back.collect()
+    )
+    assert got == [("ABC", 21.3, 7), ("DEFGHI", -4.5, 123456), ("X", None, None)]
+
+    # append must not clobber the first job's part files
+    spark.createDataFrame([("NEW", 1.0, 1)], "station string, temp double, n bigint") \
+        .coalesce(1).write.format("fixedwidth").option("spec", opt).mode("append").save(out)
+    assert spark.read.format("fixedwidth").option("spec", opt).load(out).count() == 4
+
+    # overwrite clears every earlier part file
+    df.write.format("fixedwidth").option("spec", opt).mode("overwrite").save(out)
+    assert spark.read.format("fixedwidth").option("spec", opt).load(out).count() == 3
+
+    # failed job: the big int can't fit its 6-char slot -> task raises
+    # -> abort cleans the temp; the committed output stays as it was
+    bad = spark.createDataFrame(
+        [("OK", 0.0, 1), ("BAD", 0.0, 10**12)], "station string, temp double, n bigint"
+    )
+    with _pytest.raises(pyspark.errors.PySparkException):
+        bad.write.format("fixedwidth").option("spec", opt).mode("append").save(out)
+    files = sorted(p.name for p in (tmp_path / "fw").iterdir())
+    assert not any(f.startswith("_tmp-") for f in files), files
+    assert spark.read.format("fixedwidth").option("spec", opt).load(out).count() == 3
