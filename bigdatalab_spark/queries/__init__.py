@@ -115,6 +115,7 @@ _POST_WINDOW = (
     "multires_event_rollup",
     "approx_value_quantiles",
     "orders_snapshot_cdc",
+    "streaming_cdc_applied",
 )
 
 

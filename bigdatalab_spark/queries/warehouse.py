@@ -81,3 +81,66 @@ def orders_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(
         old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
     ).orderBy("o_orderkey")
+
+
+@query(
+    "streaming_cdc_applied",
+    ids=("SCALE-CDC", "T2", "K4"),
+    oracle="""
+        WITH ranked AS (
+            SELECT user_id,
+                   CAST(date_trunc('day', ts) AS DATE) AS day,
+                   value,
+                   row_number() OVER (
+                       PARTITION BY user_id, date_trunc('day', ts)
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        )
+        SELECT user_id, CAST(day AS VARCHAR) AS day, value AS last_value
+        FROM ranked WHERE rn = 1
+        ORDER BY user_id, day
+    """,
+)
+def streaming_cdc_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full streaming upsert loop under the oracle gate: a REAL
+    readStream over events drives
+    :func:`bigdatalab_spark.streaming.jobs.apply_cdc_stream` — each
+    micro-batch collapses to the last (ts, event_id) state per
+    (user, day) and MERGEs into a day-partitioned parquet table; the
+    query returns the maintained table read back from disk. The oracle
+    replays the final state as a plain window rank, proving the
+    stream + in-batch keeper + partitioned merge + read-back pipeline
+    lands EXACTLY the batch answer (order_col is a zero-padded
+    (epoch_us, event_id) string, so last-writer is total even on ts
+    ties)."""
+    import tempfile
+
+    from bigdatalab_spark.streaming.jobs import apply_cdc_stream, stream_events
+
+    scratch = tempfile.mkdtemp(prefix="cdc_applied_")
+    target = f"{scratch}/state"
+    updates = stream_events(spark, sf_dir).select(
+        "user_id",
+        F.to_date(F.date_trunc("day", "ts")).cast("string").alias("day"),
+        F.col("value").alias("last_value"),
+        F.concat(
+            F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        ).alias("seq"),
+    )
+    q = apply_cdc_stream(
+        updates,
+        target,
+        ("user_id", "day"),
+        ("day",),
+        f"{scratch}/ckpt",
+        order_col="seq",
+    )
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(target)
+        # partition-column type inference may read `day` back as DATE;
+        # pin the declared string type independent of that conf
+        .select("user_id", F.col("day").cast("string").alias("day"), "last_value")
+        .orderBy("user_id", "day")
+    )

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 
 
 def write_text(df: DataFrame, path: str, single_file: bool = False) -> None:
@@ -310,7 +311,13 @@ def merge_into_partitions(
     if not affected:
         return {"partitions_rewritten": 0}
 
-    target = spark.read.parquet(target_path)
+    try:
+        target = spark.read.parquet(target_path)
+    except AnalysisException:
+        # no dataset yet: the first MERGE bootstraps it — every update
+        # is an insert (the streaming CDC apply starts from empty)
+        overwrite_partitions(updates, target_path, partition_cols)
+        return {"partitions_rewritten": len(affected)}
     prune = F.lit(False)
     for values in affected:
         match = F.lit(True)

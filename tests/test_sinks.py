@@ -591,3 +591,18 @@ def test_merge_into_partitions_upserts_and_prunes(spark, tmp_path):
     assert merge_into_partitions(
         spark, out, updates.limit(0), ("k",), ("day",)
     ) == {"partitions_rewritten": 0}
+
+
+def test_merge_into_partitions_bootstraps_missing_target(spark, tmp_path):
+    """The first MERGE against a path with no dataset creates it (every
+    update is an insert) — the streaming CDC apply starts from empty."""
+    from bigdatalab_spark.sources.sinks import merge_into_partitions
+
+    out = str(tmp_path / "fresh")
+    updates = spark.createDataFrame(
+        [(1, "d1", 1.0), (2, "d2", 2.0)], "k long, day string, v double"
+    )
+    res = merge_into_partitions(spark, out, updates, ("k",), ("day",))
+    assert res == {"partitions_rewritten": 2}
+    got = {r["k"]: r["v"] for r in spark.read.parquet(out).collect()}
+    assert got == {1: 1.0, 2: 2.0}
