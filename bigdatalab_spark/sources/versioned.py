@@ -1,0 +1,138 @@
+"""Versioned datasets on plain parquet: time travel, rollback, vacuum.
+
+The table-format trio (Delta/Iceberg/Hudi) builds on one primitive:
+writers create IMMUTABLE snapshots and readers follow a pointer — so
+reads are repeatable (train/eval reproducibility), a bad load is
+undone by moving the pointer, and storage is reclaimed explicitly.
+This module rebuilds that primitive on a directory layout:
+
+    path/v=1/...parquet + _COMMITTED      (immutable snapshot)
+    path/v=2/...parquet + _COMMITTED
+    path/_latest                          (pointer file: "2")
+
+Commit protocol: a snapshot directory is INVISIBLE until its
+``_COMMITTED`` marker lands, and the pointer file is replaced
+atomically (write-temp + rename) — a crash mid-write leaves a
+marker-less directory that every reader and the next writer ignore,
+and a crash before the pointer flip leaves ``_latest`` on the old
+snapshot. Same failure story as the engine's crash-safe compaction.
+
+Scale note: snapshots share nothing (full copies), which is the right
+tradeoff for curated training-set releases (tens of versions of
+terabyte datasets, each immutable); incremental storage sharing is
+what the real table formats add on top via file-level manifests —
+out of scope here, the SEMANTICS are what the engine contracts.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+_POINTER = "_latest"
+_MARKER = "_COMMITTED"
+
+
+def _version_dir(path: str, version: int) -> str:
+    return os.path.join(path, f"v={version}")
+
+
+def list_versions(path: str) -> list[int]:
+    """Committed snapshot versions, ascending (marker-less directories
+    are in-flight or crashed writes and are not versions)."""
+    try:
+        entries = os.listdir(path)
+    except FileNotFoundError:
+        return []
+    out = []
+    for e in entries:
+        if e.startswith("v=") and os.path.exists(
+            os.path.join(path, e, _MARKER)
+        ):
+            out.append(int(e[2:]))
+    return sorted(out)
+
+
+def latest_version(path: str) -> int | None:
+    """The pointer's target, or None for an empty dataset."""
+    try:
+        with open(os.path.join(path, _POINTER), encoding="utf-8") as fh:
+            return int(fh.read().strip())
+    except FileNotFoundError:
+        return None
+
+
+def write_version(
+    df: DataFrame, path: str, partition_cols: tuple[str, ...] = ()
+) -> int:
+    """Write ``df`` as the next immutable snapshot and flip the pointer.
+    Returns the new version number. Crash-safe: the snapshot is
+    invisible until its marker lands, and the pointer replace is atomic
+    (one committing writer per dataset, like every pointer design)."""
+    os.makedirs(path, exist_ok=True)
+    existing = [
+        int(e[2:]) for e in os.listdir(path) if e.startswith("v=")
+    ]  # incl. crashed marker-less dirs: never reuse their numbers
+    version = max(existing, default=0) + 1
+    vdir = _version_dir(path, version)
+    writer = df.write.mode("errorifexists")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(vdir)
+    with open(os.path.join(vdir, _MARKER), "w", encoding="utf-8"):
+        pass
+    tmp = os.path.join(path, f"{_POINTER}.tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(str(version))
+    os.replace(tmp, os.path.join(path, _POINTER))
+    return version
+
+
+def read_version(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Time travel: read a specific committed snapshot, or the pointer's
+    target by default."""
+    if version is None:
+        version = latest_version(path)
+        if version is None:
+            raise FileNotFoundError(f"no committed versions under {path}")
+    if version not in list_versions(path):
+        raise FileNotFoundError(f"version {version} not committed under {path}")
+    return spark.read.parquet(_version_dir(path, version))
+
+
+def rollback(path: str, version: int) -> None:
+    """Undo to an earlier snapshot by moving ONLY the pointer — the
+    rolled-back-over versions stay readable (and vacuumable)."""
+    if version not in list_versions(path):
+        raise FileNotFoundError(f"version {version} not committed under {path}")
+    tmp = os.path.join(path, f"{_POINTER}.tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(str(version))
+    os.replace(tmp, os.path.join(path, _POINTER))
+
+
+def vacuum(path: str, keep_last: int = 2) -> list[int]:
+    """Reclaim storage: delete committed snapshots beyond the newest
+    ``keep_last``, never the pointer's target, plus any crashed
+    marker-less directories. Returns the versions removed."""
+    import shutil
+
+    keep = set(list_versions(path)[-keep_last:]) if keep_last > 0 else set()
+    current = latest_version(path)
+    if current is not None:
+        keep.add(current)
+    removed = []
+    for e in list(os.listdir(path)):
+        if not e.startswith("v="):
+            continue
+        v = int(e[2:])
+        committed = os.path.exists(os.path.join(path, e, _MARKER))
+        if committed and v in keep:
+            continue
+        shutil.rmtree(os.path.join(path, e))
+        if committed:
+            removed.append(v)
+    return sorted(removed)

@@ -606,3 +606,73 @@ def test_merge_into_partitions_bootstraps_missing_target(spark, tmp_path):
     assert res == {"partitions_rewritten": 2}
     got = {r["k"]: r["v"] for r in spark.read.parquet(out).collect()}
     assert got == {1: 1.0, 2: 2.0}
+
+
+class TestVersionedDataset:
+    def test_time_travel_rollback_and_vacuum(self, spark, tmp_path):
+        from bigdatalab_spark.sources.versioned import (
+            latest_version,
+            list_versions,
+            read_version,
+            rollback,
+            vacuum,
+            write_version,
+        )
+
+        path = str(tmp_path / "ds")
+        v1 = write_version(
+            spark.createDataFrame([(1, "a")], "k long, s string"), path
+        )
+        v2 = write_version(
+            spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string"), path
+        )
+        assert (v1, v2) == (1, 2) and list_versions(path) == [1, 2]
+        assert latest_version(path) == 2
+        # snapshots are immutable and independently readable
+        assert read_version(spark, path).count() == 2
+        assert read_version(spark, path, 1).count() == 1
+
+        rollback(path, 1)
+        assert latest_version(path) == 1
+        assert read_version(spark, path).count() == 1
+        # the rolled-back-over snapshot is still there
+        assert read_version(spark, path, 2).count() == 2
+
+        # next write never reuses a version number
+        v3 = write_version(
+            spark.createDataFrame([(9, "z")], "k long, s string"), path
+        )
+        assert v3 == 3 and latest_version(path) == 3
+
+        # vacuum keeps the newest keep_last and always the pointer target
+        rollback(path, 1)
+        removed = vacuum(path, keep_last=1)
+        assert removed == [2]  # v3 kept (newest), v1 kept (pointer), v2 gone
+        assert list_versions(path) == [1, 3]
+        assert read_version(spark, path).count() == 1
+
+    def test_crashed_write_is_invisible_and_number_not_reused(self, spark, tmp_path):
+        import os
+
+        import pytest
+
+        from bigdatalab_spark.sources.versioned import (
+            list_versions,
+            read_version,
+            vacuum,
+            write_version,
+        )
+
+        path = str(tmp_path / "ds")
+        write_version(spark.createDataFrame([(1,)], "k long"), path)
+        # simulate a crash mid-write: a version dir without the marker
+        os.makedirs(os.path.join(path, "v=2"))
+        assert list_versions(path) == [1]
+        with pytest.raises(FileNotFoundError):
+            read_version(spark, path, 2)
+        # readers stay on v1; the next writer skips the crashed number
+        assert read_version(spark, path).count() == 1
+        assert write_version(spark.createDataFrame([(2,)], "k long"), path) == 3
+        # vacuum sweeps the debris
+        vacuum(path, keep_last=10)
+        assert not os.path.exists(os.path.join(path, "v=2"))
