@@ -116,6 +116,9 @@ _POST_WINDOW = (
     "approx_value_quantiles",
     "orders_snapshot_cdc",
     "streaming_cdc_applied",
+    "heavy_hitter_words",
+    "dedup_jaccard_prefix",
+    "streaming_attribution",
 )
 
 

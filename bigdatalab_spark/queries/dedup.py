@@ -17,6 +17,7 @@ from bigdatalab_spark.scale.dedup import (
     exact_dedup_groups,
     minhash_near_dups,
     ngram_jaccard_pairs,
+    prefix_filter_jaccard_pairs,
     simhash_signatures,
 )
 from bigdatalab_spark.scale.hashing import (
@@ -152,6 +153,38 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH) — the recall baseline for dedup_minhash_lsh."""
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, threshold=0.5).orderBy("doc1", "doc2")
+
+
+@query(
+    "dedup_jaccard_prefix",
+    ids=("SCALE-DEDUP",),
+    oracle=f"""
+        WITH {SHINGLES_CTE},
+        cands AS (
+            SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+            FROM shingles a
+            JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        ),
+        {_VERIFY_SQL}
+        SELECT doc1, doc2, n1, n2, n_common, jaccard
+        FROM verified
+        WHERE jaccard >= 0.5
+        ORDER BY doc1, doc2
+    """,
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered EXACT Jaccard threshold join
+    (scale.dedup.prefix_filter_jaccard_pairs): same answer as
+    dedup_ngram_jaccard — the oracle is literally that query's SQL —
+    but candidates come only from each doc's rarest-shingle prefix, so
+    the candidate join scales with the frequency tail instead of every
+    shared shingle. Exact + no false negatives (prefix-filter lemma),
+    unlike the probabilistic LSH row; the pytest asserts the candidate
+    count is a strict subset of the inverted-index baseline's."""
+    docs = load_table(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_pairs(docs, threshold=0.5).orderBy(
+        "doc1", "doc2"
+    )
 
 
 @query(

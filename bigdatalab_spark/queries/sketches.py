@@ -132,3 +132,40 @@ def cms_event_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "heavy_hitter_words",
+    ids=("A14", "SCALE-TEXT"),
+    oracle="""
+        WITH nz AS (
+            SELECT word
+            FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS word
+                  FROM documents)
+            WHERE word <> ''
+        ),
+        t AS (SELECT count(*) AS total FROM nz)
+        SELECT word, count(*) AS n, t.total AS total
+        FROM nz, t
+        GROUP BY word, t.total
+        HAVING count(*) * 31 > t.total
+        ORDER BY n DESC, word
+    """,
+)
+def heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters (count > total/31, k=30) over document
+    tokens: per-partition Misra-Gries candidate summaries, then a
+    broadcast recount of candidates only — two scans, no data-sized
+    shuffle or collect (scale/heavyhitters.py). The exact complement
+    of cms_event_frequency's one-pass estimates: candidates vary with
+    partitioning, the output provably doesn't, so this row is strict
+    hash-gated. Gate data has a 31-word vocabulary; at corpus scale k
+    rises into the thousands and the candidate set stays k*tasks."""
+    from bigdatalab_spark.functions import tokenize
+    from bigdatalab_spark.scale.heavyhitters import exact_heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(tokenize("text")).alias("word"))
+    return exact_heavy_hitters(words, "word", k=30).orderBy(
+        F.desc("n"), F.asc("word")
+    )

@@ -403,3 +403,56 @@ def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = unique_sink_name("quality_gate")
     run_stream_to_memory(counted, name, output_mode="complete")
     return spark.table(name).orderBy("source")
+
+
+@query(
+    "streaming_attribution",
+    ids=("T-EXT", "T8", "J1"),
+    oracle="""
+        SELECT c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               c.user_id,
+               CAST(c.ts AS VARCHAR) AS click_ts,
+               CAST(p.ts AS VARCHAR) AS purchase_ts
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts > c.ts
+         AND p.ts <= c.ts + INTERVAL 1 HOUR
+        ORDER BY click_id, purchase_id
+    """,
+)
+def streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE stream-stream time-interval join under the strict gate: two
+    readStream legs over the same event stream (clicks, purchases),
+    joined on user within a one-hour window with watermarks on BOTH
+    sides (streaming.jobs.stream_stream_interval_join), drained via
+    AvailableNow into a memory sink. The oracle is the batch twin's SQL
+    (click_purchase_attribution) verbatim — stream-stream join state
+    evicts only behind both watermarks, and the bounded drain is one
+    micro-batch (one file = one batch), so the streaming answer equals
+    the batch join bit-for-bit. This promotes the stream-stream join
+    surface from pytest-equivalence to oracle-gated."""
+    from bigdatalab_spark.streaming import (
+        run_stream_to_memory,
+        stream_events,
+        unique_sink_name,
+    )
+    from bigdatalab_spark.streaming.jobs import stream_stream_interval_join
+
+    ev = stream_events(spark, sf_dir)
+    clicks = ev.filter("event_type = 'click'").select("event_id", "user_id", "ts")
+    purchases = ev.filter("event_type = 'purchase'").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = stream_stream_interval_join(clicks, purchases)
+    out = joined.select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        F.col("click_ts").cast("string").alias("click_ts"),
+        F.col("purchase_ts").cast("string").alias("purchase_ts"),
+    )
+    name = unique_sink_name("stream_attr")
+    run_stream_to_memory(out, name, output_mode="append")
+    return spark.table(name).orderBy("click_id", "purchase_id")

@@ -497,3 +497,28 @@ def test_priority_dedup_picks_global_minimum_per_content(spark, rows):
         expect[key][1] += 1
     want = {pid: (f"src{pp}", n) for (pp, pid), n in expect.values()}
     assert got == want
+
+
+@given(
+    data=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=250),
+    parts=st.integers(min_value=1, max_value=7),
+    k=st.integers(min_value=1, max_value=8),
+)
+@settings(**SETTINGS)
+def test_exact_heavy_hitters_matches_reference(spark, data, parts, k):
+    """Two-pass Misra-Gries + recount must equal the exact definition
+    {x : count(x)*(k+1) > N} for ANY input and ANY partitioning — the
+    determinism claim that lets heavy_hitter_words be strict-gated even
+    though the candidate pass is partitioning-dependent."""
+    from collections import Counter
+
+    from bigdatalab_spark.scale.heavyhitters import exact_heavy_hitters
+
+    df = spark.createDataFrame(
+        [(str(x),) for x in data], "word string"
+    ).repartition(parts)
+    got = {(r.word, r.n) for r in exact_heavy_hitters(df, "word", k).collect()}
+    counts = Counter(str(x) for x in data)
+    n = len(data)
+    want = {(w, c) for w, c in counts.items() if c * (k + 1) > n}
+    assert got == want
