@@ -62,6 +62,13 @@ def main() -> int:
     override = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     if override:
         headline = [q.strip() for q in override.split(",") if q.strip()]
+        unknown = [q for q in headline if q not in REGISTRY]
+        if unknown:
+            # a typo must not silently shorten the benchmark and report
+            # success with some requested queries never run
+            raise SystemExit(
+                f"SPARK_GRAFT_BENCH_QUERIES names not in REGISTRY: {unknown}"
+            )
     headline = [q for q in headline if q in REGISTRY]
 
     spark = get_session(app_name="bigdatalab-bench")

@@ -204,7 +204,18 @@ class FixedWidthWriter(DataSourceWriter):
     ``_SUCCESS``, and ``abort`` deletes them — so a failed job leaves
     no partial output visible (the same task-temp -> job-commit
     protocol every Spark file sink uses, here through the Python
-    DataSource extension point)."""
+    DataSource extension point).
+
+    SINGLE-MACHINE ASSUMPTION: commit/abort run on the DRIVER with
+    local ``os.replace``/``os.listdir`` over temp files the executor
+    tasks wrote — correct only when driver and executors share a
+    filesystem (local mode, or a shared mount). On a real cluster the
+    driver would find no temp files; ``commit`` guards this by failing
+    loudly if tasks reported rows but no temp file is visible, instead
+    of silently writing an empty dataset with ``_SUCCESS``. A
+    cluster-grade writer would rename task-side (HDFS/S3 committer
+    style); the reference exercise this twins is itself single-node
+    (101-mapreduce fixed-width ISD writer)."""
 
     def __init__(self, options: dict, overwrite: bool) -> None:
         path = options.get("path")
@@ -253,6 +264,15 @@ class FixedWidthWriter(DataSourceWriter):
                     os.remove(os.path.join(self.path, f))
         job = uuid.uuid4().hex[:8]  # append jobs must not collide on names
         for i, m in enumerate(m for m in messages if m is not None):
+            if m.rows and not os.path.exists(m.tmp_path):
+                # driver can't see the executor's temp file: driver and
+                # executors do NOT share a filesystem — fail loudly
+                # instead of committing an empty dataset with _SUCCESS
+                raise RuntimeError(
+                    "fixedwidth sink: task temp file missing at commit "
+                    f"({m.tmp_path}); this sink requires driver and "
+                    "executors to share a filesystem (local mode)"
+                )
             os.replace(
                 m.tmp_path, os.path.join(self.path, f"part-{i:05d}-{job}.txt")
             )

@@ -251,9 +251,18 @@ def compact_partitions(
 
     fresh = f"{path}__compact_fresh"
     old = f"{path}__compact_old"
-    for leftover in (fresh, old):  # debris from a previously crashed run
-        if os.path.exists(leftover):
-            shutil.rmtree(leftover)
+    # Debris recovery from a previously crashed run. `fresh` is always
+    # safe to drop (never the only copy). `old` is NOT: a crash between
+    # the two renames leaves old as the ONLY copy (path missing) — that
+    # run's flip must be RESUMED by renaming old back, never deleted,
+    # or a recoverable crash becomes permanent data loss.
+    if os.path.exists(fresh):
+        shutil.rmtree(fresh)
+    if os.path.exists(old):
+        if not os.path.exists(path):
+            os.rename(old, path)  # resume the interrupted pointer flip
+        else:
+            shutil.rmtree(old)  # path is complete; old is the backup copy
 
     before = _count()
     (
@@ -276,6 +285,7 @@ def merge_into_partitions(
     updates: DataFrame,
     key_cols: tuple[str, ...],
     partition_cols: tuple[str, ...],
+    order_col: str | None = None,
 ) -> dict:
     """MERGE (upsert) into a partitioned parquet dataset — the
     table-format staple (MERGE INTO) rebuilt on plain files: rows whose
@@ -300,6 +310,17 @@ def merge_into_partitions(
     caveat every partitioned-upsert design carries; route moved keys
     through both partitions or compact with a global dedup).
 
+    When ``order_col`` is given the merge is ORDER-AWARE: a matched key
+    keeps whichever row has the GREATER ``order_col`` — stored or
+    update (update wins ties). This makes the merge safe under
+    out-of-order batches (a late backfill carrying an older record can
+    no longer regress state to a stale value); without it, matched keys
+    are unconditionally replaced and callers must deliver batches in
+    ``order_col`` order. The order-aware path is one grouped
+    ``max(struct(order, src, ...))`` aggregate over the pruned
+    partitions' union — same shuffle shape as the anti-join it
+    replaces, map-side combined.
+
     Returns ``{"partitions_rewritten": n}``.
     """
     if not key_cols or not partition_cols:
@@ -322,11 +343,41 @@ def merge_into_partitions(
     for values in affected:
         match = F.lit(True)
         for c, v in zip(partition_cols, values):
-            match = match & (F.col(c) == F.lit(v))
+            # eqNullSafe: `col == lit(None)` is NULL, which would drop
+            # every stored row of the __HIVE_DEFAULT_PARTITION__ (null)
+            # directory from `kept` while dynamic overwrite still
+            # rewrites that partition from the updates alone — silently
+            # losing the unmatched stored rows.
+            match = match & F.col(c).eqNullSafe(F.lit(v))
         prune = prune | match
-    kept = target.filter(prune).join(
-        updates.select(*key_cols), list(key_cols), "left_anti"
-    )
-    merged = updates.select(*target.columns).unionByName(kept)
+    if order_col is None:
+        kept = target.filter(prune).join(
+            updates.select(*key_cols), list(key_cols), "left_anti"
+        )
+        merged = updates.select(*target.columns).unionByName(kept)
+    else:
+        keys = list(key_cols)
+        rest = [c for c in target.columns if c not in keys]
+        both = (
+            target.filter(prune)
+            .select(*target.columns)
+            .withColumn("_src", F.lit(0))
+            .unionByName(
+                updates.select(*target.columns).withColumn("_src", F.lit(1))
+            )
+        )
+        # argmax by (order, _src): newer order wins; on an order tie the
+        # UPDATE wins (_src=1 > 0). Both sides are key-unique, so at
+        # most two rows per key reach the aggregate — deterministic.
+        packed = both.groupBy(*keys).agg(
+            F.max(
+                F.struct(
+                    order_col, "_src", *[c for c in rest if c != order_col]
+                )
+            ).alias("_w")
+        )
+        merged = packed.select(
+            *keys, *[F.col(f"_w.{c}").alias(c) for c in rest]
+        ).select(*target.columns)
     overwrite_partitions(merged, target_path, partition_cols)
     return {"partitions_rewritten": len(affected)}

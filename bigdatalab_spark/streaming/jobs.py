@@ -358,8 +358,18 @@ def apply_cdc_stream(
             ).select(*batch_df.columns)
         if updates.isEmpty():
             return
+        # order_col also flows into the merge itself: a matched key
+        # keeps max(order) between stored row and update, so a later
+        # micro-batch carrying an OLDER record (backfill / late file)
+        # cannot regress state to the stale value — batches need not
+        # arrive in order_col order.
         merge_into_partitions(
-            batch_df.sparkSession, target_path, updates, key_cols, partition_cols
+            batch_df.sparkSession,
+            target_path,
+            updates,
+            key_cols,
+            partition_cols,
+            order_col=order_col,
         )
 
     return (

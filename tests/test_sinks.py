@@ -676,3 +676,99 @@ class TestVersionedDataset:
         # vacuum sweeps the debris
         vacuum(path, keep_last=10)
         assert not os.path.exists(os.path.join(path, "v=2"))
+
+
+def test_compact_partitions_resumes_interrupted_pointer_flip(spark, tmp_path):
+    """Crash-recovery for the compaction pointer flip: if a prior run
+    died BETWEEN the two renames (``__compact_old`` exists, the live
+    path is missing), ``old`` is the ONLY copy of the dataset — the
+    next run must resume the flip (rename it back), never delete it.
+    ``__compact_fresh`` debris, by contrast, is always safe to drop."""
+    import os
+    import shutil
+
+    from bigdatalab_spark.sources.sinks import compact_partitions
+
+    out = str(tmp_path / "ds")
+    spark.range(300).selectExpr("id % 3 AS day", "id AS v").repartition(
+        10
+    ).write.partitionBy("day").parquet(out)
+    rows = {tuple(r) for r in spark.read.parquet(out).collect()}
+
+    # simulate the crash window: old aside, fresh half-written, path gone
+    os.rename(out, f"{out}__compact_old")
+    os.makedirs(f"{out}__compact_fresh/day=0")
+    with open(f"{out}__compact_fresh/day=0/garbage.parquet", "wb") as fh:
+        fh.write(b"partial")
+
+    res = compact_partitions(spark, out, ("day",), max_records_per_file=1000)
+    assert res["files_after"] == 3
+    assert {tuple(r) for r in spark.read.parquet(out).collect()} == rows
+    assert not os.path.exists(f"{out}__compact_old")
+    assert not os.path.exists(f"{out}__compact_fresh")
+
+    # debris with the live path PRESENT: old is a stale backup -> swept
+    shutil.copytree(out, f"{out}__compact_old")
+    res2 = compact_partitions(spark, out, ("day",), max_records_per_file=1000)
+    assert res2["files_after"] == 3
+    assert {tuple(r) for r in spark.read.parquet(out).collect()} == rows
+    assert not os.path.exists(f"{out}__compact_old")
+
+
+def test_merge_into_partitions_preserves_null_partition_rows(spark, tmp_path):
+    """A NULL partition value (__HIVE_DEFAULT_PARTITION__) must behave
+    like any other partition under MERGE: the prune predicate uses
+    eqNullSafe, so existing unmatched rows in the null partition are
+    kept — a plain ``==`` comparison evaluates to NULL and silently
+    drops them while dynamic overwrite rewrites the directory."""
+    from bigdatalab_spark.sources.sinks import merge_into_partitions
+
+    out = str(tmp_path / "nullpart")
+    spark.createDataFrame(
+        [(None, 1, 10.0), (None, 2, 20.0), ("d1", 3, 30.0)],
+        "day STRING, k LONG, v DOUBLE",
+    ).write.partitionBy("day").parquet(out)
+
+    updates = spark.createDataFrame(
+        [(None, 1, 11.0)], "day STRING, k LONG, v DOUBLE"
+    )
+    res = merge_into_partitions(spark, out, updates, ("k",), ("day",))
+    assert res == {"partitions_rewritten": 1}
+    got = {r["k"]: (r["day"], r["v"]) for r in spark.read.parquet(out).collect()}
+    # k=2 lives in the null partition and was NOT in the update batch:
+    # it must survive the partition rewrite
+    assert got == {1: (None, 11.0), 2: (None, 20.0), 3: ("d1", 30.0)}
+
+
+def test_merge_into_partitions_order_aware_keeps_newer_stored_row(spark, tmp_path):
+    """With ``order_col`` the merge compares the update against the
+    STORED row: an update carrying an older sequence number (late
+    backfill) must not regress state; a newer one replaces; an equal
+    one (replayed batch) lets the update win — idempotent."""
+    from bigdatalab_spark.sources.sinks import merge_into_partitions
+
+    out = str(tmp_path / "ordered")
+    spark.createDataFrame(
+        [(1, "d1", 10.0, 5), (2, "d1", 20.0, 5)],
+        "k LONG, day STRING, v DOUBLE, seq LONG",
+    ).write.partitionBy("day").parquet(out)
+
+    def state():
+        return {r["k"]: (r["v"], r["seq"]) for r in spark.read.parquet(out).collect()}
+
+    stale = spark.createDataFrame(
+        [(1, "d1", 99.0, 3)], "k LONG, day STRING, v DOUBLE, seq LONG"
+    )
+    merge_into_partitions(spark, out, stale, ("k",), ("day",), order_col="seq")
+    assert state()[1] == (10.0, 5)  # stale update did NOT regress
+
+    newer = spark.createDataFrame(
+        [(1, "d1", 11.0, 7), (3, "d2", 30.0, 1)],
+        "k LONG, day STRING, v DOUBLE, seq LONG",
+    )
+    merge_into_partitions(spark, out, newer, ("k",), ("day",), order_col="seq")
+    assert state() == {1: (11.0, 7), 2: (20.0, 5), 3: (30.0, 1)}
+
+    # exact replay (same seq): update wins the tie -> same values, idempotent
+    merge_into_partitions(spark, out, newer, ("k",), ("day",), order_col="seq")
+    assert state() == {1: (11.0, 7), 2: (20.0, 5), 3: (30.0, 1)}

@@ -757,3 +757,45 @@ def test_apply_cdc_stream_merges_batches_idempotently(spark, tmp_path):
     before = state()
     drain([])
     assert state() == before
+
+
+def test_apply_cdc_stream_out_of_order_batch_does_not_regress(spark, tmp_path):
+    """A LATER micro-batch carrying an OLDER record (backfill / late
+    file) must not regress state: order_col now flows into the merge
+    itself, which keeps max(seq) between the stored row and the update
+    instead of unconditionally replacing matched keys."""
+    from bigdatalab_spark.streaming.jobs import apply_cdc_stream
+
+    target = str(tmp_path / "state")
+    updates_dir = tmp_path / "updates"
+    updates_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k LONG, day STRING, v DOUBLE, seq LONG"
+
+    spark.createDataFrame([(1, "d1", 10.0, 0)], schema).write.partitionBy(
+        "day"
+    ).parquet(target)
+
+    def drain(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).json(str(updates_dir))
+        stream = spark.readStream.schema(schema).json(str(updates_dir))
+        q = apply_cdc_stream(
+            stream, target, ("k",), ("day",), ckpt, order_col="seq"
+        )
+        q.awaitTermination(60)
+
+    def state():
+        return {
+            r["k"]: (r["v"], r["seq"])
+            for r in spark.read.parquet(target).collect()
+        }
+
+    drain([(1, "d1", 15.0, 5), (2, "d1", 20.0, 5)])  # batch 1: seq 5
+    assert state() == {1: (15.0, 5), 2: (20.0, 5)}
+
+    # batch 2 arrives LATER but carries seq 3 (older) for k=1, plus a
+    # genuinely newer k=2 — only the newer one lands
+    drain([(1, "d1", 99.0, 3), (2, "d1", 22.0, 7)])
+    assert state() == {1: (15.0, 5), 2: (22.0, 7)}
