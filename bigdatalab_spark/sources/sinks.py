@@ -339,45 +339,67 @@ def merge_into_partitions(
         # is an insert (the streaming CDC apply starts from empty)
         overwrite_partitions(updates, target_path, partition_cols)
         return {"partitions_rewritten": len(affected)}
+    merged = merge_frames(
+        target.filter(partition_prune_predicate(affected, partition_cols)),
+        updates,
+        key_cols,
+        order_col,
+    )
+    overwrite_partitions(merged, target_path, partition_cols)
+    return {"partitions_rewritten": len(affected)}
+
+
+def partition_prune_predicate(
+    affected: list[tuple], partition_cols: tuple[str, ...]
+):
+    """OR-of-ANDs partition prune over the affected partition tuples.
+    eqNullSafe throughout: ``col == lit(None)`` is NULL, which would
+    drop every stored row of the __HIVE_DEFAULT_PARTITION__ (null)
+    directory from the kept side while dynamic overwrite still
+    rewrites that partition from the updates alone — silently losing
+    the unmatched stored rows."""
     prune = F.lit(False)
     for values in affected:
         match = F.lit(True)
         for c, v in zip(partition_cols, values):
-            # eqNullSafe: `col == lit(None)` is NULL, which would drop
-            # every stored row of the __HIVE_DEFAULT_PARTITION__ (null)
-            # directory from `kept` while dynamic overwrite still
-            # rewrites that partition from the updates alone — silently
-            # losing the unmatched stored rows.
             match = match & F.col(c).eqNullSafe(F.lit(v))
         prune = prune | match
+    return prune
+
+
+def merge_frames(
+    stored: DataFrame,
+    updates: DataFrame,
+    key_cols: tuple[str, ...],
+    order_col: str | None = None,
+) -> DataFrame:
+    """The MERGE combine shared by the in-place and versioned sinks:
+    matched keys replaced by the update (``order_col=None``) or by the
+    max-order row of {stored, update} with update winning ties
+    (order-aware — late backfills cannot regress state). Both sides
+    must be key-unique; output columns follow ``stored``."""
     if order_col is None:
-        kept = target.filter(prune).join(
+        kept = stored.join(
             updates.select(*key_cols), list(key_cols), "left_anti"
         )
-        merged = updates.select(*target.columns).unionByName(kept)
-    else:
-        keys = list(key_cols)
-        rest = [c for c in target.columns if c not in keys]
-        both = (
-            target.filter(prune)
-            .select(*target.columns)
-            .withColumn("_src", F.lit(0))
-            .unionByName(
-                updates.select(*target.columns).withColumn("_src", F.lit(1))
-            )
+        return updates.select(*stored.columns).unionByName(kept)
+    keys = list(key_cols)
+    rest = [c for c in stored.columns if c not in keys]
+    both = (
+        stored.select(*stored.columns)
+        .withColumn("_src", F.lit(0))
+        .unionByName(
+            updates.select(*stored.columns).withColumn("_src", F.lit(1))
         )
-        # argmax by (order, _src): newer order wins; on an order tie the
-        # UPDATE wins (_src=1 > 0). Both sides are key-unique, so at
-        # most two rows per key reach the aggregate — deterministic.
-        packed = both.groupBy(*keys).agg(
-            F.max(
-                F.struct(
-                    order_col, "_src", *[c for c in rest if c != order_col]
-                )
-            ).alias("_w")
-        )
-        merged = packed.select(
-            *keys, *[F.col(f"_w.{c}").alias(c) for c in rest]
-        ).select(*target.columns)
-    overwrite_partitions(merged, target_path, partition_cols)
-    return {"partitions_rewritten": len(affected)}
+    )
+    # argmax by (order, _src): newer order wins; on an order tie the
+    # UPDATE wins (_src=1 > 0). Both sides are key-unique, so at most
+    # two rows per key reach the aggregate — deterministic.
+    packed = both.groupBy(*keys).agg(
+        F.max(
+            F.struct(order_col, "_src", *[c for c in rest if c != order_col])
+        ).alias("_w")
+    )
+    return packed.select(
+        *keys, *[F.col(f"_w.{c}").alias(c) for c in rest]
+    ).select(*stored.columns)

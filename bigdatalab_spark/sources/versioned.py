@@ -136,3 +136,114 @@ def vacuum(path: str, keep_last: int = 2) -> list[int]:
         if committed:
             removed.append(v)
     return sorted(removed)
+
+
+def merge_into_versioned(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: tuple[str, ...],
+    partition_cols: tuple[str, ...],
+    order_col: str | None = None,
+) -> dict:
+    """MERGE (upsert) composed with the versioned-dataset primitive —
+    the answer to the in-place sink's hand-rolled crash story: every
+    merge lands as a NEW immutable snapshot, so
+
+    - a crash mid-merge leaves a marker-less directory the next writer
+      and every reader ignore; the retry simply builds the next
+      version — no recovery sweep, no staging protocol;
+    - undoing a bad merge is :func:`rollback` — a pointer write — with
+      the full history still readable via :func:`read_version`;
+    - readers mid-merge keep seeing the old pointer target (snapshot
+      isolation), where the in-place rewrite briefly hides partitions.
+
+    Storage does NOT multiply by versions: untouched partitions are
+    HARD-LINKED from the previous snapshot (file-level sharing, the
+    physical twin of a table format's manifest reuse — same inode, new
+    directory entry), and only the partitions present in ``updates``
+    are written fresh. ``vacuum`` drops old snapshots' directory
+    entries; shared files survive until their last link goes.
+
+    Same contracts as ``merge_into_partitions``: key-unique updates,
+    partition-stable keys; ``order_col`` makes the merge order-aware
+    (stored-vs-update max, safe under out-of-order batches).
+
+    Returns ``{"version", "partitions_rewritten", "partitions_linked"}``.
+    """
+    from bigdatalab_spark.sources.sinks import (
+        merge_frames,
+        partition_prune_predicate,
+    )
+
+    if not key_cols or not partition_cols:
+        raise ValueError(
+            "merge_into_versioned requires key and partition columns"
+        )
+    current = latest_version(path)
+    if current is None:
+        version = write_version(updates, path, partition_cols)
+        n_parts = updates.select(*partition_cols).distinct().count()
+        return {
+            "version": version,
+            "partitions_rewritten": n_parts,
+            "partitions_linked": 0,
+        }
+
+    affected = [
+        tuple(r[c] for c in partition_cols)
+        for r in updates.select(*partition_cols).distinct().collect()
+    ]
+    target = spark.read.parquet(_version_dir(path, current))
+    if not affected:
+        # empty batch: snapshot is the previous one — no new version
+        return {
+            "version": current,
+            "partitions_rewritten": 0,
+            "partitions_linked": 0,
+        }
+    merged = merge_frames(
+        target.filter(partition_prune_predicate(affected, partition_cols)),
+        updates,
+        key_cols,
+        order_col,
+    )
+
+    existing = [int(e[2:]) for e in os.listdir(path) if e.startswith("v=")]
+    version = max(existing, default=0) + 1
+    vdir = _version_dir(path, version)
+    # 1) write the rewritten partitions fresh into the invisible snapshot
+    merged.write.mode("errorifexists").partitionBy(*partition_cols).parquet(vdir)
+    # 2) hard-link every leaf partition of the previous snapshot that the
+    # write did NOT produce (directory presence = rewritten): same bytes,
+    # zero copy, old snapshot untouched
+    prev = _version_dir(path, current)
+    linked = 0
+    for dirpath, _dirnames, filenames in os.walk(prev):
+        parquet = [f for f in filenames if f.endswith(".parquet")]
+        if not parquet:
+            continue
+        rel = os.path.relpath(dirpath, prev)
+        if rel == ".":
+            # unpartitioned files at the root only occur with no
+            # partition_cols, which this sink requires
+            continue
+        dst = os.path.join(vdir, rel)
+        if os.path.exists(dst):
+            continue  # rewritten by the merge
+        os.makedirs(dst, exist_ok=True)
+        for f in parquet:
+            os.link(os.path.join(dirpath, f), os.path.join(dst, f))
+        linked += 1
+    # 3) commit marker, then atomic pointer flip
+    with open(os.path.join(vdir, _MARKER), "w", encoding="utf-8"):
+        pass
+    tmp = os.path.join(path, f"{_POINTER}.tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(str(version))
+    os.replace(tmp, os.path.join(path, _POINTER))
+    return {
+        "version": version,
+        "partitions_rewritten": len(affected),
+        "partitions_linked": linked,
+    }

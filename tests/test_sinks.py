@@ -772,3 +772,132 @@ def test_merge_into_partitions_order_aware_keeps_newer_stored_row(spark, tmp_pat
     # exact replay (same seq): update wins the tie -> same values, idempotent
     merge_into_partitions(spark, out, newer, ("k",), ("day",), order_col="seq")
     assert state() == {1: (11.0, 7), 2: (20.0, 5), 3: (30.0, 1)}
+
+
+def test_merge_into_versioned_snapshots_link_rollback_and_crash(spark, tmp_path):
+    """MERGE composed with the versioned primitive: each merge lands as
+    a new immutable snapshot; untouched partitions are HARD-LINKED from
+    the previous version (same inode — file-level sharing, storage does
+    not multiply); a crashed writer's marker-less directory is ignored
+    and never blocks the retry; undoing a bad merge is a pointer-only
+    rollback with full history readable."""
+    import glob
+    import os
+
+    from bigdatalab_spark.sources.versioned import (
+        latest_version,
+        list_versions,
+        merge_into_versioned,
+        read_version,
+        rollback,
+        vacuum,
+    )
+
+    path = str(tmp_path / "vds")
+    base = spark.createDataFrame(
+        [("d1", 1, 10.0), ("d1", 2, 20.0), ("d2", 3, 30.0)],
+        "day STRING, k LONG, v DOUBLE",
+    )
+    # bootstrap: first merge creates v1
+    res1 = merge_into_versioned(spark, path, base, ("k",), ("day",))
+    assert res1["version"] == 1 and latest_version(path) == 1
+
+    # merge touching only d2: d1 must be hard-linked, not copied
+    upd = spark.createDataFrame(
+        [("d2", 3, 33.0), ("d2", 4, 40.0)], "day STRING, k LONG, v DOUBLE"
+    )
+    res2 = merge_into_versioned(spark, path, upd, ("k",), ("day",))
+    assert res2 == {
+        "version": 2,
+        "partitions_rewritten": 1,
+        "partitions_linked": 1,
+    }
+    got = {r["k"]: r["v"] for r in read_version(spark, path).collect()}
+    assert got == {1: 10.0, 2: 20.0, 3: 33.0, 4: 40.0}
+    # v1 is untouched history (time travel)
+    v1 = {r["k"]: r["v"] for r in read_version(spark, path, 1).collect()}
+    assert v1 == {1: 10.0, 2: 20.0, 3: 30.0}
+    # the untouched partition's files share inodes across versions
+    f1 = glob.glob(f"{path}/v=1/day=d1/*.parquet")
+    f2 = glob.glob(f"{path}/v=2/day=d1/*.parquet")
+    assert sorted(os.path.basename(f) for f in f1) == sorted(
+        os.path.basename(f) for f in f2
+    )
+    inodes1 = {os.path.basename(f): os.stat(f).st_ino for f in f1}
+    inodes2 = {os.path.basename(f): os.stat(f).st_ino for f in f2}
+    assert inodes1 == inodes2
+
+    # crashed writer debris: a marker-less v=3 with partial bytes — every
+    # reader ignores it, and the next merge takes v=4 (numbers not reused)
+    os.makedirs(f"{path}/v=3/day=d1")
+    with open(f"{path}/v=3/day=d1/partial.parquet", "wb") as fh:
+        fh.write(b"crashed")
+    assert list_versions(path) == [1, 2] and latest_version(path) == 2
+
+    res3 = merge_into_versioned(
+        spark,
+        path,
+        spark.createDataFrame([("d1", 1, 11.0)], "day STRING, k LONG, v DOUBLE"),
+        ("k",),
+        ("day",),
+    )
+    assert res3["version"] == 4
+    assert {r["k"]: r["v"] for r in read_version(spark, path).collect()} == {
+        1: 11.0,
+        2: 20.0,
+        3: 33.0,
+        4: 40.0,
+    }
+
+    # bad load? rollback is a pointer write; history intact
+    rollback(path, 2)
+    assert latest_version(path) == 2
+    assert {r["k"]: r["v"] for r in read_version(spark, path).collect()} == got
+
+    # vacuum reclaims old versions + the crashed debris, never the target
+    removed = vacuum(path, keep_last=1)
+    assert 2 not in removed and latest_version(path) == 2
+    assert not os.path.exists(f"{path}/v=3")
+    # shared files survive vacuum of the other version via their link
+    assert {r["k"]: r["v"] for r in read_version(spark, path).collect()} == got
+
+    # empty batch: no new snapshot
+    resE = merge_into_versioned(
+        spark, path, base.limit(0), ("k",), ("day",)
+    )
+    assert resE["version"] == latest_version(path) == 2
+
+
+def test_merge_into_versioned_order_aware(spark, tmp_path):
+    """order_col flows through the versioned merge too: a stale update
+    (lower seq) cannot regress a newer stored row, and the stale
+    attempt is still a rollbackable snapshot."""
+    from bigdatalab_spark.sources.versioned import (
+        merge_into_versioned,
+        read_version,
+    )
+
+    path = str(tmp_path / "vds")
+    merge_into_versioned(
+        spark,
+        path,
+        spark.createDataFrame(
+            [("d1", 1, 10.0, 5)], "day STRING, k LONG, v DOUBLE, seq LONG"
+        ),
+        ("k",),
+        ("day",),
+        order_col="seq",
+    )
+    merge_into_versioned(
+        spark,
+        path,
+        spark.createDataFrame(
+            [("d1", 1, 99.0, 3)], "day STRING, k LONG, v DOUBLE, seq LONG"
+        ),
+        ("k",),
+        ("day",),
+        order_col="seq",
+    )
+    assert {
+        r["k"]: (r["v"], r["seq"]) for r in read_version(spark, path).collect()
+    } == {1: (10.0, 5)}

@@ -799,3 +799,109 @@ def test_apply_cdc_stream_out_of_order_batch_does_not_regress(spark, tmp_path):
     # genuinely newer k=2 — only the newer one lands
     drain([(1, "d1", 99.0, 3), (2, "d1", 22.0, 7)])
     assert state() == {1: (15.0, 5), 2: (22.0, 7)}
+
+
+def test_stream_stream_attribution_multi_batch_equals_batch(spark, sf_dir, tmp_path):
+    """streaming_attribution's strict gate drains one file = one
+    micro-batch; this test proves the SAME append-mode interval join
+    stays equal to the batch twin when the drain spans MULTIPLE
+    micro-batches — i.e. the watermark keeps exactly the state the
+    cross-batch matches need and evicts only what no future purchase
+    can touch. Events are split into 3 ts-ordered files and replayed
+    with maxFilesPerTrigger=1, so clicks from batch k must still be in
+    state when their purchases arrive in batch k+1."""
+    from bigdatalab_spark.sources.readers import load_table, normalize_ts_layout
+    from bigdatalab_spark.streaming.jobs import (
+        stream_stream_interval_join,
+        unique_sink_name,
+    )
+
+    events = load_table(spark, str(sf_dir), "events")
+    n = events.count()
+    # compute the batch twin FIRST: its pairs pick the split boundary so
+    # at least one click/purchase pair is GUARANTEED to straddle a file
+    # (= micro-batch) boundary — otherwise the test proves nothing
+    # beyond the single-batch gate
+    pairs_pdf = (
+        events.alias("c")
+        .filter("event_type = 'click'")
+        .join(
+            events.alias("p").filter("event_type = 'purchase'"),
+            F.expr(
+                "c.user_id = p.user_id AND p.ts > c.ts "
+                "AND p.ts <= c.ts + INTERVAL 1 HOUR"
+            ),
+        )
+        .select(
+            F.col("c.event_id").alias("click_id"),
+            F.col("p.event_id").alias("purchase_id"),
+            F.col("c.ts").alias("click_ts"),
+            F.col("p.ts").alias("purchase_ts"),
+        )
+        .toPandas()
+    )
+    assert len(pairs_pdf), "no attribution pairs in fixture"
+    # boundary 1: right after the median pair's click -> its purchase
+    # (strictly later ts) lands in a later file
+    anchor = pairs_pdf.sort_values("click_ts").iloc[len(pairs_pdf) // 2]
+    import time
+
+    all_pdf = events.toPandas().sort_values("ts", kind="stable").reset_index(drop=True)
+    b1 = anchor["click_ts"]
+    later = all_pdf[all_pdf["ts"] > b1].reset_index(drop=True)
+    b2 = later["ts"].iloc[len(later) // 2]
+    thirds = [
+        all_pdf[all_pdf["ts"] <= b1],
+        all_pdf[(all_pdf["ts"] > b1) & (all_pdf["ts"] <= b2)],
+        all_pdf[all_pdf["ts"] > b2],
+    ]
+    assert all(len(t) for t in thirds)
+    src = tmp_path / "events_split"
+    src.mkdir()
+    total = 0
+    for i, pdf in enumerate(thirds):
+        total += len(pdf)
+        pdf.to_parquet(str(src / f"part{i}.parquet"))
+        time.sleep(1.1)  # distinct mtimes pin the replay order
+    assert total == n
+
+    schema = spark.read.parquet(str(src / "part0.parquet")).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    ev = normalize_ts_layout(raw)
+    clicks = ev.filter("event_type = 'click'").select("event_id", "user_id", "ts")
+    purchases = ev.filter("event_type = 'purchase'").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = stream_stream_interval_join(clicks, purchases)
+    name = unique_sink_name("attr_multibatch")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 3, f"expected >=3 micro-batches, got {n_batches}"
+
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.table(name).collect()
+    }
+    want = set(zip(pairs_pdf["click_id"], pairs_pdf["purchase_id"]))
+    assert got == want
+    # and the split genuinely produced cross-batch matches: some purchase
+    # in file k+1 pairs a click in file <= k
+    bounds = [pdf[["event_id"]].assign(f=i) for i, pdf in enumerate(thirds)]
+    import pandas as pd
+
+    fmap = dict(
+        pd.concat(bounds).set_index("event_id")["f"]
+    )
+    cross = [(c, p) for c, p in want if fmap[c] != fmap[p]]
+    assert cross, "ts split produced no cross-batch pairs; widen the interval"
