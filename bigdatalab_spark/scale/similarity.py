@@ -401,8 +401,36 @@ def ivf_kmeans_topk(
     query; recall vs brute force AND broadcast-vs-shuffle result
     equality are asserted in tests/test_scale.py.
     """
-    if query_join not in ("broadcast", "shuffle"):
-        raise ValueError("query_join must be 'broadcast' or 'shuffle'")
+    assigned, centroids = fit_ivf_index(
+        corpus, n_centroids=n_centroids, seed=seed, vec_col=vec_col, id_col=id_col
+    )
+    return ivf_serve_topk(
+        queries,
+        assigned,
+        centroids,
+        k=k,
+        n_probe=n_probe,
+        vec_col=vec_col,
+        id_col=id_col,
+        query_join=query_join,
+    )
+
+
+def fit_ivf_index(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """OFFLINE phase of the IVF index, split out so serving can be
+    timed (and re-run) without re-fitting: train the coarse quantizer
+    (pyspark.ml KMeans) and bucket every corpus vector. Returns
+    ``(assigned, centroids)`` — assigned is corpus-sized (the frame
+    you'd WRITE partitioned by bucket at 100 TB; callers may persist
+    it), centroids is n_centroids rows (broadcast-sized). The x100
+    bench showed the end-to-end IVF numbers are fit-dominated — this
+    split is what makes the serving join's scaling measurable."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -415,14 +443,33 @@ def ivf_kmeans_topk(
     assigned = model.transform(corpus_v).select(
         "neighbor_id", "cv", F.col("prediction").alias("bucket")
     )
-
-    q_rows = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
-    spark = queries.sparkSession
+    spark = corpus.sparkSession
     centroids = spark.createDataFrame(
         [(int(b), [float(x) for x in c]) for b, c in enumerate(model.clusterCenters())],
         "bucket int, center array<double>",
+    )
+    return assigned, centroids
+
+
+def ivf_serve_topk(
+    queries: DataFrame,
+    assigned: DataFrame,
+    centroids: DataFrame,
+    k: int = 3,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_join: str = "broadcast",
+) -> DataFrame:
+    """ONLINE phase of the IVF index over a prebuilt
+    :func:`fit_ivf_index` result: route queries to their ``n_probe``
+    nearest centroids (broadcast of the tiny centroid table), exact
+    cosine top-k within probed buckets only. Join-strategy semantics
+    identical to :func:`ivf_kmeans_topk`'s ``query_join``."""
+    if query_join not in ("broadcast", "shuffle"):
+        raise ValueError("query_join must be 'broadcast' or 'shuffle'")
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
     wp = Window.partitionBy("query_id").orderBy(F.desc("c_sim"), F.asc("bucket"))
     probes = (

@@ -1580,3 +1580,79 @@ def test_prefix_filter_jaccard_equals_inverted_index(spark, sf_dir):
     )
     sh.unpersist()
     assert pref_cands < full_cands, (pref_cands, full_cands)
+
+
+def test_mg_candidates_bounded_by_k_times_tasks_under_zipf(spark):
+    """The Misra-Gries candidate pass must honor its scale contract on
+    a SKEWED key: at most k candidate values per input partition
+    (k*tasks rows total — KB-sized at any corpus size), while still
+    containing every true heavy hitter, and the recount pass stays
+    exact. A Zipf-ish key (rank r appears ~N/r times) is the
+    production shape — few huge keys, a long tail."""
+    from pyspark.sql import functions as F
+
+    from bigdatalab_spark.scale.heavyhitters import (
+        exact_heavy_hitters,
+        mg_candidates,
+    )
+
+    n, parts, k = 200_000, 8, 20
+    # zipf-ish: key = floor(sqrt(id)) ranks inversely by frequency —
+    # key 0 ~1 row ... but inverted: use id % harmonic buckets instead.
+    # Deterministic Zipf: value v chosen so P(v) ~ 1/v — map uniform id
+    # through the harmonic cumulative: v = floor(N/(id+1)) gives value
+    # frequencies ~ N/v^2... simplest exact construction: repeat value v
+    # ceil(C/v) times via a range explode.
+    vals = spark.range(1, 2000).select(
+        F.col("id").alias("v"),
+        F.explode(F.sequence(F.lit(1), (F.lit(20000) / F.col("id")).cast("int"))).alias("rep"),
+    )
+    df = vals.select(F.col("v").cast("string").alias("word")).repartition(parts)
+    total = df.count()
+
+    cand = mg_candidates(df, "word", k)
+    n_cand = cand.count()
+    assert n_cand <= k * parts, f"{n_cand} candidates > k*tasks = {k * parts}"
+
+    got = {(r.word, r.n) for r in exact_heavy_hitters(df, "word", k).collect()}
+    truth = {
+        (r.word, r.n)
+        for r in df.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") * (k + 1) > total)
+        .collect()
+    }
+    assert got == truth and truth  # skew guarantees non-empty heavies
+
+
+def test_ivf_fit_serve_split_equals_end_to_end(spark, sf_dir):
+    """fit_ivf_index + ivf_serve_topk is the same computation as
+    ivf_kmeans_topk (seeded KMeans -> identical index), so serving over
+    a prebuilt/persisted index — the serve-only bench path — answers
+    exactly like the end-to-end call, in both join regimes."""
+    from bigdatalab_spark.scale.similarity import (
+        fit_ivf_index,
+        ivf_kmeans_topk,
+        ivf_serve_topk,
+    )
+    from bigdatalab_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 5")
+    want = {
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in ivf_kmeans_topk(queries, emb, k=3).collect()
+    }
+    assigned, centroids = fit_ivf_index(emb)
+    assigned = assigned.persist()
+    try:
+        for mode in ("broadcast", "shuffle"):
+            got = {
+                (r.query_id, r.rank, r.neighbor_id)
+                for r in ivf_serve_topk(
+                    queries, assigned, centroids, k=3, query_join=mode
+                ).collect()
+            }
+            assert got == want, mode
+    finally:
+        assigned.unpersist()
