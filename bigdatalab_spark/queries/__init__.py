@@ -119,6 +119,11 @@ _POST_WINDOW = (
     "heavy_hitter_words",
     "dedup_jaccard_prefix",
     "streaming_attribution",
+    # round 6
+    "variant_props_stats",
+    "unpivot_order_metrics",
+    "group_by_all_revenue",
+    "parameterized_sql_revenue",
 )
 
 

@@ -133,3 +133,163 @@ def collated_segment_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_mktsegment
         """
     )
+
+
+@query(
+    "variant_props_stats",
+    ids=("S6",),
+    oracle="""
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
+               count(*) - count(json_extract_string(props, '$.j'))
+                   AS n_missing_j
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT type (Spark 4): semi-structured data stored as a real
+    engine type instead of a string. ``parse_json`` builds the VARIANT
+    column once (binary-encoded, shredding-ready — at 100 TB this is
+    what you'd persist so extraction skips per-query JSON parsing);
+    ``try_variant_get`` extracts typed fields, yielding NULL — not an
+    error — for a missing path ($.j probes exactly that). Contrast
+    with `event_props_json`, which re-parses the string per extraction
+    via get_json_object. Oracle restates both paths over DuckDB's JSON
+    extraction."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select("event_type", F.parse_json("props").alias("vp"))
+    extracted = v.select(
+        "event_type",
+        F.try_variant_get("vp", "$.k", "bigint").alias("k"),
+        F.try_variant_get("vp", "$.j", "bigint").alias("j"),
+    )
+    return (
+        extracted.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            (F.count(F.lit(1)) - F.count("j")).alias("n_missing_j"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "unpivot_order_metrics",
+    ids=("A7", "P6"),
+    oracle="""
+        WITH wide AS (
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+            FROM orders
+            GROUP BY o_orderpriority
+        )
+        SELECT o_orderpriority, metric, value FROM (
+            SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value
+            FROM wide
+            UNION ALL
+            SELECT o_orderpriority, 'n_customers', n_customers FROM wide
+        )
+        ORDER BY o_orderpriority, metric
+    """,
+)
+def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``unpivot``/``melt`` — the inverse of the pivot surface
+    (`pivot_status_by_segment`): a wide per-priority metric frame
+    melts to long (priority, metric, value) form, the shape metric
+    stores and chart layers want. The unpivot itself is a zero-shuffle
+    local expansion (each row emits one row per value column in
+    place); only the upstream aggregate exchanges. Oracle restates as
+    UNION ALL, which is exactly Spark's logical expansion of Unpivot."""
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+    return (
+        wide.unpivot(
+            ["o_orderpriority"],
+            ["n_orders", "n_customers"],
+            "metric",
+            "value",
+        )
+        .orderBy("o_orderpriority", "metric")
+    )
+
+
+@query(
+    "group_by_all_revenue",
+    ids=("A7", "A8"),
+    oracle="""
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(CAST(sum(o_totalprice) AS DECIMAL(38,2)) AS VARCHAR)
+                   AS total_price
+        FROM orders
+        GROUP BY ALL
+        ORDER BY o_orderpriority, o_orderstatus
+    """,
+)
+def group_by_all_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` (Spark 4 / modern-SQL convenience shared with
+    DuckDB — the oracle literally runs the same clause): every
+    non-aggregate select item becomes a grouping key, so adding a
+    dimension can't silently desync the SELECT list from the GROUP BY.
+    Money sum renders via the string path (decimal-exact, engine- and
+    magnitude-proof)."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               count(*) AS n,
+               CAST(CAST(sum(o_totalprice) AS DECIMAL(38,2)) AS STRING)
+                   AS total_price
+        FROM orders
+        GROUP BY ALL
+        ORDER BY o_orderpriority, o_orderstatus
+        """
+    )
+
+
+@query(
+    "parameterized_sql_revenue",
+    ids=("J4", "A4"),
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_high_value
+        FROM orders
+        WHERE o_totalprice > 150000.0
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+)
+def parameterized_sql_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 4 ``spark.sql(query, args=...)``) with
+    the ``IDENTIFIER()`` clause: the table NAME binds through an
+    identifier parameter and the threshold through a value parameter —
+    the injection-safe templating surface (string-concatenated SQL is
+    the anti-pattern this replaces; a value param can never escape
+    into syntax, an IDENTIFIER param can never smuggle a subquery).
+    Plans identically to the literal form — the strict oracle is that
+    literal form."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_high_value
+        FROM IDENTIFIER(:tbl)
+        WHERE o_totalprice > :threshold
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        args={"tbl": "orders", "threshold": 150000.0},
+    )
