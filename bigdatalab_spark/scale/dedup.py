@@ -341,14 +341,59 @@ def incremental_dedup(
     )
 
 
+def _candidate_mass_guard(
+    keyed: DataFrame,
+    sh: DataFrame,
+    budget_per_doc: float,
+    algo: str,
+) -> None:
+    """Shared regime guard for exact-join candidate generators: one
+    aggregate over the candidate-key frame computes the join's output
+    mass (sum over key buckets of C(c,2)); if it exceeds
+    ``budget_per_doc * n_docs``, fail loudly instead of launching a
+    silent near-quadratic job. See prefix_filter_jaccard_pairs for the
+    regime analysis and the measured x100 numbers."""
+    stats = (
+        keyed.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("mass"))
+        .crossJoin(
+            F.broadcast(sh.agg(F.countDistinct("doc_id").alias("n_docs")))
+        )
+        .collect()[0]
+    )
+    mass, n_docs = stats["mass"] or 0.0, stats["n_docs"]
+    if mass > budget_per_doc * n_docs:
+        raise RuntimeError(
+            f"{algo}: candidate mass {mass:.3g} pairs for {n_docs} docs "
+            f"({mass / max(n_docs, 1):.0f}x/doc) exceeds the budget of "
+            f"{budget_per_doc:g}x/doc — this corpus has no shingle "
+            "frequency tail (low-entropy/heavily-duplicated text), so "
+            "shared-shingle candidate generation degrades toward "
+            "all-pairs. Use minhash_near_dups (banded LSH, output-bound "
+            "on this corpus shape), or raise/disable the budget to force "
+            "the exact join."
+        )
+
+
 def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.5, n: int = 3
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    candidate_budget_per_doc: float | None = 2000.0,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dups WITHOUT LSH: candidates = pairs
     sharing at least one shingle (inverted-index join). The exact
     baseline the LSH pipeline's recall is measured against; quadratic
-    in the worst case, so gate-scale and test use only."""
+    in the worst case, so gate-scale and test use only. Carries the
+    same regime guard as :func:`prefix_filter_jaccard_pairs` (budget
+    2000x/doc: sf0.01 = 28x, sf0.1 = 253x, the shared-marker x100
+    replica = ~20,000x and a measured DNF at 2400 s)."""
     sh = doc_shingles(docs, n=n).cache()
+    if candidate_budget_per_doc is not None:
+        _candidate_mass_guard(
+            sh, sh, candidate_budget_per_doc, "ngram_jaccard_pairs"
+        )
     cands = (
         sh.alias("a")
         .join(
@@ -363,7 +408,10 @@ def ngram_jaccard_pairs(
 
 
 def prefix_filter_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.5, n: int = 3
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    candidate_budget_per_doc: float | None = 500.0,
 ) -> DataFrame:
     """Exact Jaccard threshold self-join with PREFIX FILTERING — the
     scale answer to :func:`ngram_jaccard_pairs`'s quadratic caveat.
@@ -388,6 +436,23 @@ def prefix_filter_jaccard_pairs(
     join over prefix rows only — every stage carries ids+hashes, never
     text. ``threshold`` should be binary-exact (0.5, 0.25, 0.75) so the
     ceil-based prefix length replays identically in the SQL oracle.
+
+    REGIME GUARD (``candidate_budget_per_doc``): the prefix-filter
+    lemma gives selectivity only when the shingle FREQUENCY TAIL
+    exists — on natural text most documents own some globally-rare
+    shingles, so prefix buckets stay small and the candidate join is
+    output-bound. On a low-entropy corpus (tiny vocabulary, heavy
+    whole-corpus duplication) even the rarest prefix shingles are hot
+    and the candidate set degrades toward all-pairs — measured at the
+    x100 replica: candidate mass ~21,800x docs (~9.4B pairs for 500k
+    docs, a silent multi-hour job) vs 3.2x/86x at the sf0.01/sf0.1
+    gates. Before the join, one aggregate over the (small) prefix
+    frame computes sum over buckets of C(c,2); if it exceeds
+    ``candidate_budget_per_doc * n_docs`` the call FAILS LOUDLY with
+    the measured mass and directs to ``minhash_near_dups`` (banded LSH
+    stays output-bound on exactly this corpus shape). The eager
+    aggregate reuses the cached shingle frame; pass ``None`` to run
+    unguarded.
     """
     sh = doc_shingles(docs, n=n).cache()
     doc_freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
@@ -409,6 +474,10 @@ def prefix_filter_jaccard_pairs(
         )
         .select("doc_id", "shingle")
     )
+    if candidate_budget_per_doc is not None:
+        _candidate_mass_guard(
+            prefixes, sh, candidate_budget_per_doc, "prefix_filter_jaccard_pairs"
+        )
     cands = (
         prefixes.alias("a")
         .join(

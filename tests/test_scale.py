@@ -1656,3 +1656,33 @@ def test_ivf_fit_serve_split_equals_end_to_end(spark, sf_dir):
             assert got == want, mode
     finally:
         assigned.unpersist()
+
+
+def test_prefix_filter_regime_guard_fires_on_low_entropy_corpus(spark, sf_dir):
+    """The prefix-filter exact join must FAIL LOUDLY — not run a silent
+    near-quadratic job — when the corpus has no shingle frequency tail
+    (the x100 lesson: 21,800 candidate pairs per doc vs 86x at sf0.1).
+    The gate corpus under the default budget passes; the same corpus
+    under a tightened budget raises with the measured mass and the LSH
+    pointer."""
+    import pytest
+
+    from bigdatalab_spark.scale.dedup import prefix_filter_jaccard_pairs
+    from bigdatalab_spark.sources import load_table
+
+    docs = load_table(spark, str(sf_dir), "documents")
+    # default budget: gate corpus is comfortably inside (3.2x/doc)
+    assert prefix_filter_jaccard_pairs(docs, threshold=0.5).count() >= 0
+    # tightened budget models the low-entropy regime: loud failure
+    with pytest.raises(RuntimeError, match="minhash_near_dups"):
+        prefix_filter_jaccard_pairs(
+            docs, threshold=0.5, candidate_budget_per_doc=0.001
+        ).count()
+    # the shared-shingle generator carries the same guard
+    from bigdatalab_spark.scale.dedup import ngram_jaccard_pairs
+
+    assert ngram_jaccard_pairs(docs, threshold=0.5).count() >= 0
+    with pytest.raises(RuntimeError, match="minhash_near_dups"):
+        ngram_jaccard_pairs(
+            docs, threshold=0.5, candidate_budget_per_doc=0.001
+        ).count()

@@ -41,7 +41,8 @@ import sys
 COPY_TABLES = ("region", "nation", "customer", "supplier", "part")
 
 
-def build(src: str, dst: str, factor: int) -> None:
+def build(src: str, dst: str, factor: int, doc_markers: str = "shared",
+          only: tuple[str, ...] | None = None) -> None:
     import duckdb
 
     os.makedirs(dst, exist_ok=True)
@@ -52,6 +53,8 @@ def build(src: str, dst: str, factor: int) -> None:
         return f"read_parquet('{src}/{name}.parquet')"
 
     def copy(sql: str, name: str) -> None:
+        if only is not None and name not in only:
+            return
         con.execute(
             f"COPY ({sql}) TO '{dst}/{name}.parquet' (FORMAT PARQUET)"
         )
@@ -100,15 +103,30 @@ def build(src: str, dst: str, factor: int) -> None:
     dspan = con.sql(
         f"SELECT max(doc_id) + 1 FROM {src_tbl('documents')}"
     ).fetchone()[0]
+    # Marker shape is a REGIME choice (round-6 finding): the original
+    # 'f<fam>' markers are shared across base docs, which — combined
+    # with the generator's ~31-word vocabulary — leaves the corpus with
+    # NO shingle frequency tail: every 3-gram is corpus-hot, the
+    # adversarial case for exact similarity joins (prefix-filter
+    # candidates degrade toward all-pairs; only banding/LSH stays
+    # output-bound). doc_markers="unique" suffixes the marker with the
+    # base doc id, giving every family ~doc-unique rare shingles — the
+    # NATURAL-text regime (real corpora have power-law shingle df with
+    # a massive unique tail). Build one replica of each to measure both
+    # regimes; family structure and true near-dup pairs are identical.
+    if doc_markers == "unique":
+        marker = "'\\1f' || (i // 10) || 'd' || doc_id || ' '"
+    else:
+        marker = "'\\1f' || (i // 10) || ' '"
     copy(
         f"""
         SELECT doc_id + i * {dspan} AS doc_id,
                regexp_replace(text, '((\\S+\\s+){{4}})',
-                              '\\1f' || (i // 10) || ' ', 'g')
+                              {marker}, 'g')
                    || ' v' || (i % 10) AS text,
                lang, source,
                length(regexp_replace(text, '((\\S+\\s+){{4}})',
-                                     '\\1f' || (i // 10) || ' ', 'g')
+                                     {marker}, 'g')
                       || ' v' || (i % 10)) AS n_chars
         FROM {src_tbl('documents')}, range({factor}) r(i)
         """,
@@ -132,11 +150,21 @@ def build(src: str, dst: str, factor: int) -> None:
 
 
 def main() -> int:
-    if len(sys.argv) != 4:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = dict(
+        a[2:].split("=", 1) for a in sys.argv[1:] if a.startswith("--")
+    )
+    if len(args) != 3:
         print(__doc__)
+        print(
+            "Flags: --doc-markers=shared|unique   (unique = natural-text"
+            " shingle-tail regime)\n"
+            "       --only=documents[,events,...] (build a subset of tables)"
+        )
         return 2
-    src, dst, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
-    build(src, dst, factor)
+    src, dst, factor = args[0], args[1], int(args[2])
+    only = tuple(flags["only"].split(",")) if "only" in flags else None
+    build(src, dst, factor, doc_markers=flags.get("doc-markers", "shared"), only=only)
     return 0
 
 
