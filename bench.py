@@ -75,7 +75,7 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warmup: run the first query once so JVM/codegen startup is excluded.
-    if headline:
+    if headline and os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0":
         _run(REGISTRY[headline[0]].fn(spark, sf_dir))
 
     # SPARK_GRAFT_BENCH_RUNS: timed runs per query (default 3; min-of-N).
@@ -84,10 +84,16 @@ def main() -> int:
     # min-of-3 guards against is amortized anyway. Recorded per run in
     # SCALE_NOTES when != 3.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # SPARK_GRAFT_BENCH_WARMUP=0 skips the per-query warm run: at decade
+    # scale a single execution is minutes long (startup noise amortized)
+    # and shuffle scratch from the warm run can exceed the sandbox disk
+    # before the timed run starts.
+    warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
     timings: dict[str, float] = {}
     for name in headline:
         spark.catalog.clearCache()
-        _run(REGISTRY[name].fn(spark, sf_dir))  # per-query warm run
+        if warmup:
+            _run(REGISTRY[name].fn(spark, sf_dir))  # per-query warm run
         best = float("inf")
         for _ in range(n_runs):
             spark.catalog.clearCache()
