@@ -34,6 +34,26 @@ def _run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _noise_sentinel(spark, sf_dir: str) -> float:
+    """Time a FIXED trivial pipeline (full nation scan+count into noop)
+    the same way the real queries are timed (min of 3, cache-cleared).
+
+    The sentinel's code never changes across rounds, so its timing
+    isolates machine/env drift from plan regressions: if the sentinel
+    moves by the same factor as the headline queries, the drift is the
+    box, not the code (round-6 bench drifted 8.39→9.59 s uniformly with
+    zero headline-query diffs and there was no in-artifact way to prove
+    it; this field is that proof)."""
+    best = float("inf")
+    for _ in range(3):
+        spark.catalog.clearCache()
+        df = spark.read.parquet(f"{sf_dir}/nation.parquet").groupBy().count()
+        t0 = time.perf_counter()
+        _run(df)
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -74,9 +94,17 @@ def main() -> int:
     spark = get_session(app_name="bigdatalab-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Environment attribution: load average when the bench starts/ends,
+    # CPU count, and a fixed noise-sentinel timing. A loadavg(1m) well
+    # above ~1-2 at start means another process (pytest, a second Spark
+    # session) is polluting the numbers — rerun solo.
+    load_start = os.getloadavg()
+
     # Warmup: run the first query once so JVM/codegen startup is excluded.
     if headline and os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0":
         _run(REGISTRY[headline[0]].fn(spark, sf_dir))
+
+    sentinel = _noise_sentinel(spark, sf_dir)
 
     # SPARK_GRAFT_BENCH_RUNS: timed runs per query (default 3; min-of-N).
     # The x1000 decade runs set 1 — a single ~15-min query would blow any
@@ -111,6 +139,12 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "env": {
+                    "cpus": os.cpu_count(),
+                    "loadavg_start": [round(x, 2) for x in load_start],
+                    "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+                    "sentinel_nation_count_sec": sentinel,
+                },
             }
         )
     )

@@ -15,7 +15,7 @@ the reference's ``coalesce(1)`` before save (ExampleWeather2.scala:33)
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
@@ -316,37 +316,45 @@ def merge_into_partitions(
     out-of-order batches (a late backfill carrying an older record can
     no longer regress state to a stale value); without it, matched keys
     are unconditionally replaced and callers must deliver batches in
-    ``order_col`` order. The order-aware path is one grouped
-    ``max(struct(order, src, ...))`` aggregate over the pruned
-    partitions' union — same shuffle shape as the anti-join it
-    replaces, map-side combined.
+    ``order_col`` order. The order-aware path is one keyed row_number
+    window over the pruned partitions' union — same shuffle shape as
+    the anti-join it replaces.
+
+    Concurrency: the whole read-modify-write holds the dataset writer
+    lock (see :mod:`bigdatalab_spark.sources.locks`) — two concurrent
+    merges would both read the same stored rows and the second dynamic
+    overwrite would silently discard the first merge's output; the
+    second writer now fails loudly at entry instead.
 
     Returns ``{"partitions_rewritten": n}``.
     """
+    from bigdatalab_spark.sources.locks import dataset_write_lock
+
     if not key_cols or not partition_cols:
         raise ValueError("merge_into_partitions requires key and partition columns")
-    affected = [
-        tuple(r[c] for c in partition_cols)
-        for r in updates.select(*partition_cols).distinct().collect()
-    ]
-    if not affected:
-        return {"partitions_rewritten": 0}
+    with dataset_write_lock(target_path, "merge_into_partitions"):
+        affected = [
+            tuple(r[c] for c in partition_cols)
+            for r in updates.select(*partition_cols).distinct().collect()
+        ]
+        if not affected:
+            return {"partitions_rewritten": 0}
 
-    try:
-        target = spark.read.parquet(target_path)
-    except AnalysisException:
-        # no dataset yet: the first MERGE bootstraps it — every update
-        # is an insert (the streaming CDC apply starts from empty)
-        overwrite_partitions(updates, target_path, partition_cols)
+        try:
+            target = spark.read.parquet(target_path)
+        except AnalysisException:
+            # no dataset yet: the first MERGE bootstraps it — every update
+            # is an insert (the streaming CDC apply starts from empty)
+            overwrite_partitions(updates, target_path, partition_cols)
+            return {"partitions_rewritten": len(affected)}
+        merged = merge_frames(
+            target.filter(partition_prune_predicate(affected, partition_cols)),
+            updates,
+            key_cols,
+            order_col,
+        )
+        overwrite_partitions(merged, target_path, partition_cols)
         return {"partitions_rewritten": len(affected)}
-    merged = merge_frames(
-        target.filter(partition_prune_predicate(affected, partition_cols)),
-        updates,
-        key_cols,
-        order_col,
-    )
-    overwrite_partitions(merged, target_path, partition_cols)
-    return {"partitions_rewritten": len(affected)}
 
 
 def partition_prune_predicate(
@@ -377,29 +385,41 @@ def merge_frames(
     matched keys replaced by the update (``order_col=None``) or by the
     max-order row of {stored, update} with update winning ties
     (order-aware — late backfills cannot regress state). Both sides
-    must be key-unique; output columns follow ``stored``."""
+    must be key-unique; output columns follow ``stored``.
+
+    The order-aware path ranks with a row_number window over
+    ``(order desc, source desc)`` rather than ``max(struct(...))`` so
+    payload columns are CARRIED, never COMPARED — a stored frame with
+    an unorderable column type (MapType) merges fine; only
+    ``order_col`` itself must be orderable. Same single shuffle on the
+    keys either way, and at most two rows per key reach the window."""
+    src = "__merge_src"
+    if src in stored.columns:
+        raise ValueError(
+            f"column name {src!r} is reserved by merge_frames as the "
+            "stored-vs-update tiebreak; rename it in the input frames"
+        )
     if order_col is None:
         kept = stored.join(
             updates.select(*key_cols), list(key_cols), "left_anti"
         )
         return updates.select(*stored.columns).unionByName(kept)
     keys = list(key_cols)
-    rest = [c for c in stored.columns if c not in keys]
     both = (
         stored.select(*stored.columns)
-        .withColumn("_src", F.lit(0))
+        .withColumn(src, F.lit(0))
         .unionByName(
-            updates.select(*stored.columns).withColumn("_src", F.lit(1))
+            updates.select(*stored.columns).withColumn(src, F.lit(1))
         )
     )
-    # argmax by (order, _src): newer order wins; on an order tie the
-    # UPDATE wins (_src=1 > 0). Both sides are key-unique, so at most
-    # two rows per key reach the aggregate — deterministic.
-    packed = both.groupBy(*keys).agg(
-        F.max(
-            F.struct(order_col, "_src", *[c for c in rest if c != order_col])
-        ).alias("_w")
+    # argmax by (order, src): newer order wins; on an order tie the
+    # UPDATE wins (src=1 > 0). desc puts NULL order last (loses), the
+    # same outcome struct-max ordering gave.
+    win = Window.partitionBy(*keys).orderBy(
+        F.col(order_col).desc(), F.col(src).desc()
     )
-    return packed.select(
-        *keys, *[F.col(f"_w.{c}").alias(c) for c in rest]
-    ).select(*stored.columns)
+    return (
+        both.withColumn("__merge_rn", F.row_number().over(win))
+        .filter(F.col("__merge_rn") == 1)
+        .select(*stored.columns)
+    )

@@ -30,6 +30,11 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from bigdatalab_spark.sources.locks import (
+    ConcurrentWriteError,
+    dataset_write_lock,
+)
+
 _POINTER = "_latest"
 _MARKER = "_COMMITTED"
 
@@ -68,8 +73,17 @@ def write_version(
 ) -> int:
     """Write ``df`` as the next immutable snapshot and flip the pointer.
     Returns the new version number. Crash-safe: the snapshot is
-    invisible until its marker lands, and the pointer replace is atomic
-    (one committing writer per dataset, like every pointer design)."""
+    invisible until its marker lands, and the pointer replace is atomic.
+    Concurrency-safe: the writer lock serializes version allocation and
+    the flip, so two simultaneous writers cannot commit out of order
+    (raises :class:`ConcurrentWriteError` instead of queueing)."""
+    with dataset_write_lock(path, "write_version"):
+        return _write_version_locked(df, path, partition_cols)
+
+
+def _write_version_locked(
+    df: DataFrame, path: str, partition_cols: tuple[str, ...] = ()
+) -> int:
     os.makedirs(path, exist_ok=True)
     existing = [
         int(e[2:]) for e in os.listdir(path) if e.startswith("v=")
@@ -105,19 +119,33 @@ def read_version(
 
 def rollback(path: str, version: int) -> None:
     """Undo to an earlier snapshot by moving ONLY the pointer — the
-    rolled-back-over versions stay readable (and vacuumable)."""
+    rolled-back-over versions stay readable (and vacuumable). Takes the
+    writer lock: a rollback racing a merge would otherwise be silently
+    undone by the merge's pointer flip (or worse, the merge commits a
+    combine of the version the rollback just rejected)."""
     if version not in list_versions(path):
         raise FileNotFoundError(f"version {version} not committed under {path}")
-    tmp = os.path.join(path, f"{_POINTER}.tmp")
-    with open(tmp, "w", encoding="utf-8") as fh:
-        fh.write(str(version))
-    os.replace(tmp, os.path.join(path, _POINTER))
+    with dataset_write_lock(path, "rollback"):
+        tmp = os.path.join(path, f"{_POINTER}.tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(str(version))
+        os.replace(tmp, os.path.join(path, _POINTER))
 
 
 def vacuum(path: str, keep_last: int = 2) -> list[int]:
     """Reclaim storage: delete committed snapshots beyond the newest
     ``keep_last``, never the pointer's target, plus any crashed
-    marker-less directories. Returns the versions removed."""
+    marker-less directories. Returns the versions removed.
+
+    Takes the writer lock: "marker-less directory" is indistinguishable
+    from a LIVE writer's snapshot mid-write — vacuuming while a merge
+    is in flight would delete the files it is still producing. Under
+    the lock, any marker-less dir really is crash debris."""
+    with dataset_write_lock(path, "vacuum"):
+        return _vacuum_locked(path, keep_last)
+
+
+def _vacuum_locked(path: str, keep_last: int) -> list[int]:
     import shutil
 
     keep = set(list_versions(path)[-keep_last:]) if keep_last > 0 else set()
@@ -170,19 +198,41 @@ def merge_into_versioned(
     (stored-vs-update max, safe under out-of-order batches).
 
     Returns ``{"version", "partitions_rewritten", "partitions_linked"}``.
+
+    Concurrency: the writer lock is held across the whole
+    read-modify-write (read pointer → combine → link → flip), so two
+    simultaneous merges cannot both build on the same base version and
+    silently discard each other — the second raises
+    :class:`ConcurrentWriteError` at entry (retry = re-read + re-merge).
+    A pointer re-check immediately before the flip turns any bypass of
+    the lock into a loud failure instead of a lost update.
     """
+    if not key_cols or not partition_cols:
+        raise ValueError(
+            "merge_into_versioned requires key and partition columns"
+        )
+    with dataset_write_lock(path, "merge_into_versioned"):
+        return _merge_into_versioned_locked(
+            spark, path, updates, key_cols, partition_cols, order_col
+        )
+
+
+def _merge_into_versioned_locked(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: tuple[str, ...],
+    partition_cols: tuple[str, ...],
+    order_col: str | None,
+) -> dict:
     from bigdatalab_spark.sources.sinks import (
         merge_frames,
         partition_prune_predicate,
     )
 
-    if not key_cols or not partition_cols:
-        raise ValueError(
-            "merge_into_versioned requires key and partition columns"
-        )
     current = latest_version(path)
     if current is None:
-        version = write_version(updates, path, partition_cols)
+        version = _write_version_locked(updates, path, partition_cols)
         n_parts = updates.select(*partition_cols).distinct().count()
         return {
             "version": version,
@@ -235,7 +285,19 @@ def merge_into_versioned(
         for f in parquet:
             os.link(os.path.join(dirpath, f), os.path.join(dst, f))
         linked += 1
-    # 3) commit marker, then atomic pointer flip
+    # 3) CAS: the merge was computed against `current`; if the pointer
+    # moved (a writer bypassing the lock), committing would discard that
+    # writer's merge. Abort BEFORE the marker lands so this snapshot
+    # stays invisible crash-debris for vacuum.
+    if latest_version(path) != current:
+        raise ConcurrentWriteError(
+            f"merge_into_versioned on {path}: pointer moved from "
+            f"v={current} to v={latest_version(path)} mid-merge — a "
+            "concurrent writer bypassed the writer lock; this merge was "
+            "based on the old snapshot and is aborted (uncommitted). "
+            "Retry to re-merge against the new current version."
+        )
+    # commit marker, then atomic pointer flip
     with open(os.path.join(vdir, _MARKER), "w", encoding="utf-8"):
         pass
     tmp = os.path.join(path, f"{_POINTER}.tmp")

@@ -198,6 +198,12 @@ def test_full_oracle_artifact_covers_entire_registry():
         f"`python -m tools.oracle_check <sf_dir> --json {latest.name}` "
         f"after registering: {missing}"
     )
+    stale = sorted(recorded - set(REGISTRY))
+    assert not stale, (
+        f"{latest.name} names queries no longer registered — a demotion "
+        f"must be followed by an artifact refresh so stale green rows "
+        f"cannot stand in as evidence: {stale}"
+    )
     failed = sorted(n for n, r in data["results"].items() if not r["ok"])
     assert not failed, f"{latest.name} records failures: {failed}"
     assert data["n_pass"] == data["n_queries"] == len(data["results"])

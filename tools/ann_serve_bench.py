@@ -44,7 +44,10 @@ def main() -> int:
 
     emb = load_table(spark, sf_dir, "embeddings")
     n_corpus = emb.count()
-    queries = emb.filter(F.col("vec_id") < n_queries)
+    # limit(), not an id-range filter: on a source with sparse vec_ids a
+    # `vec_id < n` predicate silently times fewer queries than reported.
+    queries = emb.sort("vec_id").limit(n_queries).persist()
+    n_queries = queries.count()  # report the actual query-set size
 
     t0 = time.perf_counter()
     assigned, centroids = fit_ivf_index(emb)
@@ -64,6 +67,7 @@ def main() -> int:
         )
         out[f"serve_{mode}_sec"] = round(best, 3)
     assigned.unpersist()
+    queries.unpersist()
     print(json.dumps(out))
     return 0
 
