@@ -123,39 +123,45 @@ def query_lut(
     ).select("query_id", "e.s", "e.code", "e.sq_dist")
 
 
-def pq_topk(
-    queries: DataFrame,
+def fit_pq_index(
     corpus: DataFrame,
-    k: int = 5,
     m: int = PQ_SUBSPACES,
     codebook_k: int = PQ_CODEBOOK,
     seed: int = 42,
-    rerank: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     codebooks: list[list[list[float]]] | None = None,
-) -> DataFrame:
-    """ADC top-k: (query_id, rank, neighbor_id, dist), smallest
-    (approximate) squared L2 first.
-
-    The score join is (codes x LUT) on (s, code) ints followed by one
-    (query, neighbor) sum — the corpus' float vectors are never read
-    for scoring, which is the entire point of PQ at 100 TB.
-
-    ``rerank=R`` enables the production second stage: take the top R
-    ADC candidates per query, fetch ONLY those R float vectors (a
-    broadcast-semi-join-sized read, not a corpus scan), and re-rank by
-    exact squared L2. Quantization error then costs recall only when a
-    true neighbor falls outside the R-shortlist — measured on the gate
-    corpus (500 x 64-d synthetic gaussians, distance concentration
-    makes this the HARD case for PQ): recall@5 is 0.30 raw ADC (m=4),
-    0.84 with m=8 + R=50 rerank; self-neighbor is recovered 10/10 even
-    raw. ``dist`` is the ADC approximation when rerank is None, exact
-    when set.
-    """
+) -> tuple[DataFrame, list[list[list[float]]]]:
+    """OFFLINE phase of the PQ index, split out (mirroring
+    similarity.fit_ivf_index) so serving can be timed and re-run
+    without re-fitting: train per-subspace codebooks (or reuse the ones
+    passed in) and encode the corpus. Returns ``(codes, codebooks)`` —
+    codes is ``(neighbor_id, s, code)``, the corpus-sized frame you
+    PERSIST as the index at 100 TB (~64x smaller than the floats);
+    codebooks are kilobyte-sized and go in a model store
+    (:func:`save_codebooks` / :func:`load_codebooks`)."""
     books = codebooks or train_codebooks(corpus, m, codebook_k, seed, vec_col)
-    codes = encode_corpus(corpus, books, vec_col, id_col)
-    lut = query_lut(queries, books, vec_col, id_col)
+    return encode_corpus(corpus, books, vec_col, id_col), books
+
+
+def pq_serve_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    rerank: int | None = None,
+    corpus: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ONLINE phase over a prebuilt :func:`fit_pq_index` result: build
+    the per-query ADC lookup table (|Q| * m * k rows, broadcast-sized),
+    score via the (codes x LUT) int join + one (query, neighbor) sum —
+    the corpus floats are never read for scoring. ``rerank=R`` needs
+    the float vectors for the R-shortlist only, so ``corpus`` must be
+    passed then (the serve join against it is shortlist-sized, not a
+    scan)."""
+    lut = query_lut(queries, codebooks, vec_col, id_col)
     scored = (
         codes.join(F.broadcast(lut), ["s", "code"])
         .groupBy("query_id", "neighbor_id")
@@ -163,6 +169,8 @@ def pq_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
     if rerank is not None:
+        if corpus is None:
+            raise ValueError("rerank requires the corpus float vectors")
         shortlist = (
             scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= rerank)
@@ -179,6 +187,48 @@ def pq_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "dist")
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    m: int = PQ_SUBSPACES,
+    codebook_k: int = PQ_CODEBOOK,
+    seed: int = 42,
+    rerank: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """ADC top-k: (query_id, rank, neighbor_id, dist), smallest
+    (approximate) squared L2 first. End-to-end composition of
+    :func:`fit_pq_index` + :func:`pq_serve_topk` — the split is the
+    production shape (fit offline once, serve per query batch); this
+    wrapper is the gate/registry entry.
+
+    The score join is (codes x LUT) on (s, code) ints followed by one
+    (query, neighbor) sum — the corpus' float vectors are never read
+    for scoring, which is the entire point of PQ at 100 TB.
+
+    ``rerank=R`` enables the production second stage: take the top R
+    ADC candidates per query, fetch ONLY those R float vectors (a
+    broadcast-semi-join-sized read, not a corpus scan), and re-rank by
+    exact squared L2. Quantization error then costs recall only when a
+    true neighbor falls outside the R-shortlist — measured on the gate
+    corpus (500 x 64-d synthetic gaussians, distance concentration
+    makes this the HARD case for PQ): recall@5 is 0.30 raw ADC (m=4),
+    0.84 with m=8 + R=50 rerank; self-neighbor is recovered 10/10 even
+    raw. ``dist`` is the ADC approximation when rerank is None, exact
+    when set.
+    """
+    codes, books = fit_pq_index(
+        corpus, m, codebook_k, seed, vec_col, id_col, codebooks
+    )
+    return pq_serve_topk(
+        queries, codes, books, k=k, rerank=rerank, corpus=corpus,
+        vec_col=vec_col, id_col=id_col,
     )
 
 
@@ -211,24 +261,47 @@ def ivf_pq_topk(
     Deterministic given seeds; learned quantizers -> rows-only query,
     recall gated in tests vs exact L2 (same gates as pq_topk/IVF).
     """
+    codes, centroids, books = fit_ivf_pq_index(
+        corpus, n_centroids, m, codebook_k, seed, vec_col, id_col, codebooks
+    )
+    return ivf_pq_serve_topk(
+        queries, codes, centroids, books,
+        k=k, n_probe=n_probe, rerank=rerank, corpus=corpus,
+        vec_col=vec_col, id_col=id_col,
+    )
+
+
+def fit_ivf_pq_index(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    m: int = PQ_SUBSPACES * 2,
+    codebook_k: int = PQ_CODEBOOK,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codebooks: list[list[list[float]]] | None = None,
+) -> tuple[DataFrame, DataFrame, list[list[list[float]]]]:
+    """OFFLINE phase of IVF-PQ: train the coarse quantizer, bucket the
+    corpus, train (or reuse) PQ codebooks, and encode. Returns
+    ``(codes, centroids, codebooks)`` — codes is
+    ``(neighbor_id, s, code, bucket)``, the frame you persist
+    PARTITIONED BY bucket at 100 TB so a probe reads only its
+    directories; centroids is ``n_centroids`` rows; codebooks go in
+    the model store."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     corpus_v = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
     )
     coarse = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(corpus_v)
     assigned = coarse.transform(corpus_v).select(
-        "neighbor_id", "cv", F.col("prediction").alias("bucket")
+        "neighbor_id", F.col("prediction").alias("bucket")
     )
     books = codebooks or train_codebooks(corpus, m, codebook_k, seed + 1, vec_col)
-    codes = encode_corpus(corpus, books, vec_col, id_col).join(
-        assigned.select("neighbor_id", "bucket"), "neighbor_id"
-    )
-
-    spark = queries.sparkSession
+    codes = encode_corpus(corpus, books, vec_col, id_col).join(assigned, "neighbor_id")
+    spark = corpus.sparkSession
     centroids = spark.createDataFrame(
         [
             (int(b), [float(x) for x in c])
@@ -236,6 +309,26 @@ def ivf_pq_topk(
         ],
         "bucket int, center array<double>",
     )
+    return codes, centroids, books
+
+
+def ivf_pq_serve_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    centroids: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    n_probe: int = 2,
+    rerank: int | None = 50,
+    corpus: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ONLINE phase over a prebuilt :func:`fit_ivf_pq_index` result:
+    probe each query's ``n_probe`` nearest buckets (centroid table is
+    broadcast), ADC-score ONLY the probed buckets' codes against the
+    broadcast query LUT, optionally exact-rerank the shortlist
+    (``corpus`` floats required then, shortlist-sized read)."""
     q_rows = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     wp = Window.partitionBy("query_id").orderBy(F.asc("c_dist"), F.asc("bucket"))
     probes = (
@@ -251,7 +344,7 @@ def ivf_pq_topk(
         .filter(F.col("_pr") <= n_probe)
         .select("query_id", "bucket")
     )
-    lut = query_lut(queries, books, vec_col, id_col)
+    lut = query_lut(queries, codebooks, vec_col, id_col)
     scored = (
         codes.join(F.broadcast(probes), "bucket")
         .join(F.broadcast(lut), ["query_id", "s", "code"])
@@ -260,6 +353,8 @@ def ivf_pq_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
     if rerank is not None:
+        if corpus is None:
+            raise ValueError("rerank requires the corpus float vectors")
         shortlist = (
             scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= rerank)
@@ -315,3 +410,47 @@ def train_codebooks_cached(
             _CODEBOOK_MEMO.pop(next(iter(_CODEBOOK_MEMO)))
         _CODEBOOK_MEMO[memo_key] = train_codebooks(corpus, m, k, seed, vec_col)
     return _CODEBOOK_MEMO[memo_key]
+
+
+def save_codebooks(codebooks: list[list[list[float]]], path: str) -> None:
+    """Persist trained PQ codebooks as JSON — the durable model-store
+    half of the fit/serve split (the session memo above only lives as
+    long as the process; a serving cluster loads the codebooks that
+    were trained when the encoded table was built — serving with ANY
+    other codebooks silently mis-scores every query). Atomic
+    write-temp + rename, same pointer discipline as the versioned
+    sink. Floats round-trip exactly (repr-precision JSON)."""
+    import json
+    import os
+
+    payload = {
+        "format": "pq-codebooks-v1",
+        "m": len(codebooks),
+        "k": len(codebooks[0]) if codebooks else 0,
+        "sub_dim": len(codebooks[0][0]) if codebooks and codebooks[0] else 0,
+        "codebooks": codebooks,
+    }
+    tmp = f"{path}.tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(payload, fh)
+    os.replace(tmp, path)
+
+
+def load_codebooks(path: str) -> list[list[list[float]]]:
+    """Load codebooks written by :func:`save_codebooks`; validates the
+    format marker and the (m, k, sub_dim) header against the payload so
+    a truncated or foreign file fails loudly, not as bad distances."""
+    import json
+
+    with open(path, encoding="utf-8") as fh:
+        payload = json.load(fh)
+    if payload.get("format") != "pq-codebooks-v1":
+        raise ValueError(f"{path}: not a pq-codebooks-v1 file")
+    books = payload["codebooks"]
+    if (
+        len(books) != payload["m"]
+        or any(len(b) != payload["k"] for b in books)
+        or any(len(c) != payload["sub_dim"] for b in books for c in b)
+    ):
+        raise ValueError(f"{path}: codebook payload does not match its header")
+    return [[[float(x) for x in c] for c in b] for b in books]

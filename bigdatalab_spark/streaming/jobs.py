@@ -337,7 +337,13 @@ def apply_cdc_stream(
     max-``order_col`` row first (algebraic ``max(struct(order, ...))``
     keeper — map-side combined, deterministic because the leading
     ``(order, keys)`` prefix orders totally), satisfying the merge's
-    key-unique contract under bursty sources.
+    key-unique contract under bursty sources. NOTE: this within-batch
+    collapse COMPARES payload columns (that's what makes an exact
+    order tie deterministic), so with ``order_col`` set every batch
+    column must be orderable — unlike the stored-vs-update merge
+    itself (merge_frames), which carries payloads via a row_number
+    window and accepts MapType. Pre-collapse the batch yourself if it
+    carries unorderable payloads.
 
     Returns the started StreamingQuery (availableNow trigger — drains
     what exists, then stops; restart with the same checkpoint resumes

@@ -1686,3 +1686,88 @@ def test_prefix_filter_regime_guard_fires_on_low_entropy_corpus(spark, sf_dir):
         ngram_jaccard_pairs(
             docs, threshold=0.5, candidate_budget_per_doc=0.001
         ).count()
+
+
+def test_pq_fit_serve_split_matches_end_to_end(spark, sf_dir, tmp_path):
+    """Round-7: the PQ family gets the same fit/serve split as IVF —
+    serving over a PREBUILT codes frame with codebooks LOADED from the
+    model store must return exactly what the end-to-end wrapper does
+    (serving with any other codebooks would silently mis-score)."""
+    from bigdatalab_spark.scale.pq import (
+        fit_pq_index,
+        load_codebooks,
+        pq_serve_topk,
+        pq_topk,
+        save_codebooks,
+    )
+    from bigdatalab_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.sort("vec_id").limit(5)
+
+    codes, books = fit_pq_index(emb, m=8, seed=42)
+    store = str(tmp_path / "codebooks.json")
+    save_codebooks(books, store)
+    loaded = load_codebooks(store)
+    assert loaded == books  # exact float round-trip through the store
+
+    served = pq_serve_topk(q, codes, loaded, k=5, rerank=20, corpus=emb)
+    e2e = pq_topk(q, emb, k=5, m=8, seed=42, rerank=20)
+    as_rows = lambda df: sorted(  # noqa: E731
+        (r["query_id"], r["rank"], r["neighbor_id"], round(r["dist"], 9))
+        for r in df.collect()
+    )
+    assert as_rows(served) == as_rows(e2e)
+
+
+def test_ivf_pq_fit_serve_split_matches_end_to_end(spark, sf_dir):
+    """Same split contract for IVF-PQ: probe + ADC + rerank over the
+    prebuilt (codes, centroids, codebooks) triple equals the wrapper."""
+    from bigdatalab_spark.scale.pq import (
+        fit_ivf_pq_index,
+        ivf_pq_serve_topk,
+        ivf_pq_topk,
+    )
+    from bigdatalab_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.sort("vec_id").limit(5)
+    codes, centroids, books = fit_ivf_pq_index(emb, m=8, seed=42)
+    served = ivf_pq_serve_topk(
+        q, codes, centroids, books, k=5, n_probe=2, rerank=20, corpus=emb
+    )
+    e2e = ivf_pq_topk(q, emb, k=5, n_probe=2, m=8, seed=42, rerank=20)
+    as_rows = lambda df: sorted(  # noqa: E731
+        (r["query_id"], r["rank"], r["neighbor_id"], round(r["dist"], 9))
+        for r in df.collect()
+    )
+    assert as_rows(served) == as_rows(e2e)
+
+
+def test_codebook_store_rejects_corrupt_payloads(tmp_path):
+    """A truncated or foreign codebook file must fail loudly at load,
+    not serve as bad distances."""
+    import json
+
+    import pytest
+
+    from bigdatalab_spark.scale.pq import load_codebooks, save_codebooks
+
+    books = [[[1.0, 2.0], [3.0, 4.0]], [[5.0, 6.0], [7.0, 8.0]]]
+    path = str(tmp_path / "books.json")
+    save_codebooks(books, path)
+    assert load_codebooks(path) == books
+
+    with open(path) as fh:
+        payload = json.load(fh)
+    payload["codebooks"][0].pop()  # truncate one codebook
+    with open(path, "w") as fh:
+        json.dump(payload, fh)
+    with pytest.raises(ValueError, match="does not match its header"):
+        load_codebooks(path)
+
+    foreign = str(tmp_path / "foreign.json")
+    with open(foreign, "w") as fh:
+        json.dump({"whatever": 1}, fh)
+    with pytest.raises(ValueError, match="not a pq-codebooks-v1"):
+        load_codebooks(foreign)

@@ -905,3 +905,140 @@ def test_stream_stream_attribution_multi_batch_equals_batch(spark, sf_dir, tmp_p
     )
     cross = [(c, p) for c, p in want if fmap[c] != fmap[p]]
     assert cross, "ts split produced no cross-batch pairs; widen the interval"
+
+
+def test_stream_stream_attribution_survives_cross_process_restart(
+    spark, sf_dir, tmp_path
+):
+    """Round-7: the multi-batch test replays 3 files in ONE process;
+    this one proves the stream-stream join's state store survives REAL
+    recovery (the reference's restart lesson, ExerciseNetcat.scala:67-81
+    style): process A drains part of the replay and is hard-killed
+    (os._exit — no stop(), no flush); process B is a FRESH SparkSession
+    restarting from the same checkpoint and must finish the drain with
+    the joined output exactly equal to the batch twin — clicks whose
+    state was built before the crash still match purchases that arrive
+    only after the restart, and the file sink's transaction log keeps
+    delivery exactly-once across the crash."""
+    import subprocess
+    import sys
+    import time
+
+    from bigdatalab_spark.sources.readers import load_table
+
+    events = load_table(spark, str(sf_dir), "events")
+    pairs_pdf = (
+        events.alias("c")
+        .filter("event_type = 'click'")
+        .join(
+            events.alias("p").filter("event_type = 'purchase'"),
+            F.expr(
+                "c.user_id = p.user_id AND p.ts > c.ts "
+                "AND p.ts <= c.ts + INTERVAL 1 HOUR"
+            ),
+        )
+        .select(
+            F.col("c.event_id").alias("click_id"),
+            F.col("p.event_id").alias("purchase_id"),
+            F.col("c.ts").alias("click_ts"),
+            F.col("p.ts").alias("purchase_ts"),
+        )
+        .toPandas()
+    )
+    assert len(pairs_pdf) >= 4, "fixture too small for a 3-way split"
+    # both file boundaries anchored ON pairs, so wherever the crash
+    # lands (after file0 or file1) some pair straddles the A/B frontier
+    by_click = pairs_pdf.sort_values("click_ts").reset_index(drop=True)
+    b1 = by_click["click_ts"].iloc[len(by_click) // 3]
+    later = by_click[by_click["click_ts"] > b1].reset_index(drop=True)
+    assert len(later), "no pairs beyond the first boundary"
+    b2 = later["click_ts"].iloc[len(later) // 2]
+
+    all_pdf = events.toPandas().sort_values("ts", kind="stable").reset_index(drop=True)
+    thirds = [
+        all_pdf[all_pdf["ts"] <= b1],
+        all_pdf[(all_pdf["ts"] > b1) & (all_pdf["ts"] <= b2)],
+        all_pdf[all_pdf["ts"] > b2],
+    ]
+    assert all(len(t) for t in thirds)
+
+    src = tmp_path / "events_split"
+    out = tmp_path / "attr_out"
+    ckpt = tmp_path / "attr_ckpt"
+    src.mkdir()
+    runner = tmp_path / "attr_runner.py"
+    runner.write_text(
+        """
+import os, sys, time
+phase, src, out, ckpt = sys.argv[1:5]
+from bigdatalab_spark.session import get_session
+from bigdatalab_spark.sources.readers import normalize_ts_layout
+from bigdatalab_spark.streaming.jobs import stream_stream_interval_join
+spark = get_session(app_name="attr-restart-" + phase)
+spark.sparkContext.setLogLevel("ERROR")
+schema = spark.read.parquet(os.path.join(src, "part0.parquet")).schema
+raw = (spark.readStream.schema(schema)
+       .option("maxFilesPerTrigger", 1).parquet(src))
+ev = normalize_ts_layout(raw)
+clicks = ev.filter("event_type = 'click'").select("event_id", "user_id", "ts")
+purchases = ev.filter("event_type = 'purchase'").select("event_id", "user_id", "ts")
+writer = (stream_stream_interval_join(clicks, purchases)
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt).outputMode("append"))
+if phase == "A":
+    q = writer.trigger(processingTime="500 milliseconds").start()
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        done = [b for b in (q.recentProgress or []) if b["numInputRows"] > 0]
+        if done:
+            os._exit(7)  # hard crash mid-replay: no stop(), no cleanup
+        time.sleep(0.2)
+    os._exit(3)  # timed out before committing any batch
+q = writer.trigger(availableNow=True).start()
+q.awaitTermination()
+n_live = len([b for b in (q.recentProgress or []) if b["numInputRows"] > 0])
+spark.stop()
+sys.exit(0 if n_live >= 1 else 4)
+"""
+    )
+    # phase A sees only the first two files
+    for i, pdf in enumerate(thirds[:2]):
+        pdf.to_parquet(str(src / f"part{i}.parquet"))
+        time.sleep(1.1)  # distinct mtimes pin the replay order
+
+    env = dict(__import__("os").environ, PYTHONPATH="/root/repo")
+    args = [sys.executable, str(runner), "A", str(src), str(out), str(ckpt)]
+    proc_a = subprocess.run(
+        args, cwd="/root/repo", env=env, capture_output=True, text=True, timeout=300
+    )
+    assert proc_a.returncode == 7, (
+        f"phase A did not crash as scripted: rc={proc_a.returncode}\n"
+        f"{proc_a.stderr[-2000:]}"
+    )
+
+    # the crash happened; only now does the third file arrive
+    time.sleep(1.1)
+    thirds[2].to_parquet(str(src / "part2.parquet"))
+
+    args[2] = "B"
+    proc_b = subprocess.run(
+        args, cwd="/root/repo", env=env, capture_output=True, text=True, timeout=300
+    )
+    assert proc_b.returncode == 0, (
+        f"phase B restart failed: rc={proc_b.returncode}\n{proc_b.stderr[-2000:]}"
+    )
+
+    got_pdf = spark.read.parquet(str(out)).toPandas()
+    got = set(zip(got_pdf["click_id"], got_pdf["purchase_id"]))
+    want = set(zip(pairs_pdf["click_id"], pairs_pdf["purchase_id"]))
+    assert got == want
+    # exactly-once across the crash: no duplicate joined rows either
+    assert len(got_pdf) == len(want)
+    # and the restart really crossed a state frontier: some pair's click
+    # arrived in a file A could see while its purchase was in a file B
+    # processed (b2-anchored pair straddles files 1|2 by construction)
+    fmap = {}
+    for i, pdf in enumerate(thirds):
+        for eid in pdf["event_id"]:
+            fmap[eid] = i
+    assert any(fmap[c] != fmap[p] for c, p in want)
