@@ -54,6 +54,28 @@ def _noise_sentinel(spark, sf_dir: str) -> float:
     return round(best, 4)
 
 
+def _disk_sentinel(mb: int = 128) -> float:
+    """Measured write+fsync throughput (MB/s) of the shuffle-scratch
+    filesystem. The CPU sentinel above misses disk drift — round-7's
+    x1000 rerun moved the two most shuffle-heavy queries 1.6-1.8x with
+    the CPU sentinel flat, which is exactly the signature of scratch
+    I/O slowing down. Best of 2 so a single writeback stall doesn't
+    masquerade as the disk."""
+    import tempfile
+
+    block = b"\x5a" * (1 << 20)
+    best = 0.0
+    for _ in range(2):
+        with tempfile.NamedTemporaryFile(dir="/tmp") as fh:
+            t0 = time.perf_counter()
+            for _i in range(mb):
+                fh.write(block)
+            fh.flush()
+            os.fsync(fh.fileno())
+            best = max(best, mb / (time.perf_counter() - t0))
+    return round(best, 1)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -144,6 +166,7 @@ def main() -> int:
                     "loadavg_start": [round(x, 2) for x in load_start],
                     "loadavg_end": [round(x, 2) for x in os.getloadavg()],
                     "sentinel_nation_count_sec": sentinel,
+                    "sentinel_disk_write_mb_s": _disk_sentinel(),
                 },
             }
         )

@@ -124,6 +124,9 @@ _POST_WINDOW = (
     "unpivot_order_metrics",
     "group_by_all_revenue",
     "parameterized_sql_revenue",
+    # round 7
+    "listagg_order_priorities",
+    "bitmap_distinct_users",
 )
 
 

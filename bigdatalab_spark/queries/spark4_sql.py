@@ -293,3 +293,81 @@ def parameterized_sql_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "orders", "threshold": 150000.0},
     )
+
+
+@query(
+    "listagg_order_priorities",
+    ids=("A6", "A8"),
+    oracle="""
+        SELECT o_orderstatus,
+               string_agg(DISTINCT o_orderpriority, ','
+                          ORDER BY o_orderpriority) AS priorities,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+)
+def listagg_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``listagg`` (Spark 4 / SQL:2016): ordered string aggregation as
+    a FIRST-CLASS aggregate — the report-surface twin of the inverted
+    index's collect_list+sort_array+array_join composition, but
+    deterministic by declaration (``WITHIN GROUP (ORDER BY ...)``) and
+    deduplicated in-aggregate (DISTINCT). Scale shape: DISTINCT
+    collapses each group to its unique priority values (5) BEFORE any
+    string concatenation, so the shuffle carries (status, priority)
+    pairs, never row-sized strings."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               listagg(DISTINCT o_orderpriority, ',')
+                   WITHIN GROUP (ORDER BY o_orderpriority) AS priorities,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """
+    )
+
+
+@query(
+    "bitmap_distinct_users",
+    ids=("A11", "A12"),
+    oracle="""
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-aggregate EXACT distinct (Spark 4 ``bitmap_*`` family) —
+    the third point on the distinct-count spectrum beside exact
+    count(DISTINCT) (A11) and HLL++ (A12): exact like the former,
+    fixed-size-state like the latter. Each (event_type, id-bucket)
+    group folds its user ids into one 4 KB bitmap
+    (``bitmap_construct_agg(bitmap_bit_position(id))`` — partial
+    aggregation merges bitmaps map-side), then ``bitmap_count`` pops
+    each bitmap and a plain sum stacks the disjoint buckets. At 100 TB
+    the shuffle carries one bitmap per (group, 32k-id bucket) instead
+    of every distinct id — and the bucket bitmaps are the PERSISTABLE
+    pre-aggregate: daily bitmaps OR-merge (``bitmap_or_agg``) into
+    monthly exact distincts without touching raw ids again, which
+    count(DISTINCT) can never do. Oracle replays the plain A11 form."""
+    _views(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        SELECT event_type,
+               sum(bitmap_count(bm)) AS n_users
+        FROM (
+            SELECT event_type,
+                   bitmap_construct_agg(bitmap_bit_position(user_id)) AS bm
+            FROM events
+            GROUP BY event_type, bitmap_bucket_number(user_id)
+        )
+        GROUP BY event_type
+        ORDER BY event_type
+        """
+    )
