@@ -386,3 +386,34 @@ def test_python_datasource_fixedwidth_writer_roundtrip_and_abort(spark, tmp_path
         if not orphans:
             break
         _time.sleep(0.25)
+
+
+def test_bitmap_preaggregate_or_merges_across_days(spark, sf_dir):
+    """bitmap_distinct_users' docstring claims the bucket bitmaps are a
+    PERSISTABLE pre-aggregate: daily bitmaps OR-merge into the exact
+    monthly distinct without touching raw ids again. Prove it: build
+    per-(day, bucket) bitmaps, bitmap_or_agg them per bucket, sum the
+    popcounts — equals count(DISTINCT user_id) over the whole table."""
+    from bigdatalab_spark.sources import load_table
+
+    ev = load_table(spark, str(sf_dir), "events")
+    ev.createOrReplaceTempView("ev_bm")
+    merged = spark.sql(
+        """
+        SELECT sum(bitmap_count(bm)) AS n
+        FROM (
+            SELECT bucket, bitmap_or_agg(day_bm) AS bm
+            FROM (
+                SELECT to_date(ts) AS day,
+                       bitmap_bucket_number(user_id) AS bucket,
+                       bitmap_construct_agg(bitmap_bit_position(user_id))
+                           AS day_bm
+                FROM ev_bm
+                GROUP BY to_date(ts), bitmap_bucket_number(user_id)
+            )
+            GROUP BY bucket
+        )
+        """
+    ).collect()[0]["n"]
+    exact = ev.selectExpr("count(DISTINCT user_id) AS n").collect()[0]["n"]
+    assert merged == exact
