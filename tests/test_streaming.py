@@ -1042,3 +1042,66 @@ sys.exit(0 if n_live >= 1 else 4)
         for eid in pdf["event_id"]:
             fmap[eid] = i
     assert any(fmap[c] != fmap[p] for c, p in want)
+
+
+def test_observe_metrics_batch_and_streaming(spark, sf_dir, tmp_path):
+    """df.observe() — in-flight pipeline telemetry: accumulator-style
+    aggregates collected DURING an action on the same scan, no second
+    job (the operational staple for row-count/quality gauges on a
+    100 TB pipeline, where a separate metrics query would re-read the
+    input). Batch: Observation object. Streaming: per-micro-batch
+    observedMetrics in the query progress, summed across the drain."""
+    import time
+
+    from pyspark.sql import Observation
+
+    from bigdatalab_spark.sources.readers import load_table
+    from bigdatalab_spark.streaming.jobs import unique_sink_name
+
+    ev = load_table(spark, str(sf_dir), "events")
+    want_n = ev.count()
+    want_total = ev.agg(F.sum("value")).collect()[0][0]
+
+    obs = Observation("ev_metrics")
+    observed = ev.observe(
+        obs, F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")
+    )
+    observed.select("event_type").distinct().count()  # any action on the scan
+    got = obs.get
+    assert got["n"] == want_n
+    assert abs(got["total"] - want_total) < 1e-6
+
+    # streaming: metrics must aggregate per micro-batch and be readable
+    # from the progress events (the monitoring-hook surface)
+    src = tmp_path / "obs_src"
+    src.mkdir()
+    pdf = ev.toPandas().sort_values("ts", kind="stable").reset_index(drop=True)
+    half = len(pdf) // 2
+    for i, chunk in enumerate((pdf.iloc[:half], pdf.iloc[half:])):
+        chunk.to_parquet(str(src / f"part{i}.parquet"))
+        time.sleep(1.1)
+    schema = spark.read.parquet(str(src / "part0.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .observe("batch_metrics", F.count(F.lit(1)).alias("n_rows"))
+        .groupBy("event_type")
+        .count()
+    )
+    name = unique_sink_name("obs_stream")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    per_batch = [
+        p["observedMetrics"]["batch_metrics"]["n_rows"]
+        for p in q.recentProgress
+        if p.get("observedMetrics")
+    ]
+    assert len(per_batch) >= 2  # metrics observed on every non-empty batch
+    assert sum(per_batch) == want_n
