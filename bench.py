@@ -34,7 +34,7 @@ def _run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _noise_sentinel(spark, sf_dir: str) -> float:
+def _noise_sentinel(spark, sf_dir: str) -> float | None:
     """Time a FIXED trivial pipeline (full nation scan+count into noop)
     the same way the real queries are timed (min of 3, cache-cleared).
 
@@ -44,6 +44,10 @@ def _noise_sentinel(spark, sf_dir: str) -> float:
     box, not the code (round-6 bench drifted 8.39→9.59 s uniformly with
     zero headline-query diffs and there was no in-artifact way to prove
     it; this field is that proof)."""
+    if not os.path.exists(f"{sf_dir}/nation.parquet"):
+        # partial replicas (--only=documents) carry no dims; a missing
+        # sentinel must not kill the bench they're feeding
+        return None
     best = float("inf")
     for _ in range(3):
         spark.catalog.clearCache()

@@ -180,7 +180,12 @@ def pq_serve_topk(
         cv = corpus.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
         )
-        scored = shortlist.join(F.broadcast(qv), "query_id").join(cv, "neighbor_id").select(
+        # broadcast the Q*R-row shortlist side against the corpus floats:
+        # at 100 TB the rerank must be a broadcast probe into the corpus,
+        # never a corpus shuffle (don't leave it to AQE's size estimate)
+        scored = F.broadcast(shortlist.join(F.broadcast(qv), "query_id")).join(
+            cv, "neighbor_id"
+        ).select(
             "query_id", "neighbor_id", _sq_dist(F.col("qv"), F.col("cv")).alias("dist")
         )
     return (
@@ -361,8 +366,10 @@ def ivf_pq_serve_topk(
             .select("query_id", "neighbor_id")
         )
         cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+        # same contract as pq_serve_topk: the Q*R shortlist broadcasts
+        # into the corpus floats — a probe, never a corpus shuffle
         scored = (
-            shortlist.join(F.broadcast(q_rows), "query_id")
+            F.broadcast(shortlist.join(F.broadcast(q_rows), "query_id"))
             .join(cv, "neighbor_id")
             .select(
                 "query_id",
