@@ -422,3 +422,42 @@ def test_quantile_sketch_partially_aggregates(spark, sf_dir):
     df = REGISTRY["approx_value_quantiles"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ObjectHashAggregate") >= 2, plan
+
+
+def test_bitmap_distinct_partial_aggregates_and_prunes(spark, sf_dir):
+    """bitmap_distinct_users' scale claim: the id->bitmap fold is a real
+    partial aggregation (bitmaps merge map-side, the shuffle carries
+    one bitmap per (group, bucket), never raw ids) and the scan reads
+    only the two needed columns."""
+    df = REGISTRY["bitmap_distinct_users"].fn(spark, str(sf_dir))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "bitmap_construct_agg" in plan
+    # partial (map-side) half of the bitmap aggregate is present
+    assert "partial_bitmap_construct_agg" in plan or "partial" in plan.lower()
+    cols = read_schema_columns(df)
+    assert set(cols) <= {"event_type", "user_id"}, cols
+
+
+def test_listagg_prunes_to_two_columns(spark, sf_dir):
+    """listagg_order_priorities reads (status, priority) only — the
+    aggregate never drags unrelated order columns through the shuffle."""
+    df = REGISTRY["listagg_order_priorities"].fn(spark, str(sf_dir))
+    cols = read_schema_columns(df)
+    assert set(cols) <= {"o_orderstatus", "o_orderpriority"}, cols
+
+
+def test_pq_rerank_broadcasts_shortlist_not_corpus(spark, sf_dir):
+    """The rerank stage must probe the corpus floats with a broadcast of
+    the Q*R shortlist — a corpus-side shuffle there would dominate
+    serving at scale."""
+    from bigdatalab_spark.scale.pq import fit_pq_index, pq_serve_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.sort("vec_id").limit(3)
+    codes, books = fit_pq_index(emb, m=8, seed=42)
+    served = pq_serve_topk(q, codes, books, k=3, rerank=10, corpus=emb)
+    assert has_broadcast_join(served)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    # every join in the serving plan is broadcast-shaped: no
+    # SortMergeJoin / ShuffledHashJoin against the corpus anywhere
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan

@@ -1771,3 +1771,39 @@ def test_codebook_store_rejects_corrupt_payloads(tmp_path):
         json.dump({"whatever": 1}, fh)
     with pytest.raises(ValueError, match="not a pq-codebooks-v1"):
         load_codebooks(foreign)
+
+
+def test_pq_index_survives_parquet_round_trip(spark, sf_dir, tmp_path):
+    """The fit/serve split's storage claim, end to end: write the codes
+    frame to parquet (the persisted index) and the codebooks to the
+    JSON store, reload BOTH in place of the in-memory objects, and
+    serving must return exactly the same answer — the restartable
+    production layout (index on disk + model store), not a same-session
+    convenience."""
+    from bigdatalab_spark.scale.pq import (
+        fit_pq_index,
+        load_codebooks,
+        pq_serve_topk,
+        save_codebooks,
+    )
+    from bigdatalab_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.sort("vec_id").limit(5)
+    codes, books = fit_pq_index(emb, m=8, seed=42)
+
+    idx_path = str(tmp_path / "pq_codes")
+    store = str(tmp_path / "books.json")
+    codes.write.mode("overwrite").parquet(idx_path)
+    save_codebooks(books, store)
+
+    reloaded = pq_serve_topk(
+        q, spark.read.parquet(idx_path), load_codebooks(store),
+        k=5, rerank=20, corpus=emb,
+    )
+    live = pq_serve_topk(q, codes, books, k=5, rerank=20, corpus=emb)
+    as_rows = lambda df: sorted(  # noqa: E731
+        (r["query_id"], r["rank"], r["neighbor_id"], round(r["dist"], 9))
+        for r in df.collect()
+    )
+    assert as_rows(reloaded) == as_rows(live)
