@@ -25,12 +25,20 @@ from __future__ import annotations
 import contextlib
 import os
 
-_LOCK = "_writer.lock"
-
-
 class ConcurrentWriteError(RuntimeError):
     """Another writer holds the dataset lock, or the version pointer
     moved underneath a read-modify-write merge."""
+
+
+def lockfile_path(path: str) -> str:
+    """The dataset's lockfile is a SIBLING of the dataset directory
+    (``<path>__writer.lock``), never a child: compaction's pointer flip
+    renames the dataset directory itself, and a child lockfile would
+    ride the rename (vanishing from the live path mid-critical-section)
+    — worse, creating the dataset dir just to hold the lock would make
+    a crashed flip's recovery see an "existing" (empty) dataset and
+    delete the only surviving copy."""
+    return path.rstrip("/") + "__writer.lock"
 
 
 @contextlib.contextmanager
@@ -42,8 +50,9 @@ def dataset_write_lock(path: str, what: str = "write"):
     frees the waiter's planned input version is stale anyway; the
     caller should re-read and retry the whole merge.
     """
-    os.makedirs(path, exist_ok=True)
-    lock = os.path.join(path, _LOCK)
+    parent = os.path.dirname(os.path.abspath(path.rstrip("/")))
+    os.makedirs(parent, exist_ok=True)
+    lock = lockfile_path(path)
     try:
         fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError:

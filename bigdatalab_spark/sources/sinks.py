@@ -241,7 +241,27 @@ def compact_partitions(
     skew this clustering implies. Returns
     ``{"files_before": n, "files_after": m}`` counted on disk. Row
     content is preserved exactly; layout-only.
+
+    Takes the dataset writer lock: two concurrent compactions share the
+    same fresh/old staging prefixes and their two-rename pointer flips
+    interleave into data loss; and the debris-recovery preamble would
+    happily delete a LIVE sibling's staging directory. The second
+    compactor (or a compactor racing a MERGE) fails loudly instead.
     """
+    from bigdatalab_spark.sources.locks import dataset_write_lock
+
+    with dataset_write_lock(path, "compact_partitions"):
+        return _compact_partitions_locked(
+            spark, path, partition_cols, max_records_per_file
+        )
+
+
+def _compact_partitions_locked(
+    spark: SparkSession,
+    path: str,
+    partition_cols: tuple[str, ...],
+    max_records_per_file: int,
+) -> dict:
     import glob
     import os
     import shutil

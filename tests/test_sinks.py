@@ -1035,7 +1035,9 @@ def test_versioned_maintenance_ops_respect_writer_lock(spark, tmp_path):
     path = str(tmp_path / "vds")
     df = spark.createDataFrame([("d1", 1, 1.0)], "day STRING, k LONG, v DOUBLE")
     v1 = v_mod.write_version(df, path, ("day",))
-    lock = os.path.join(path, "_writer.lock")
+    from bigdatalab_spark.sources.locks import lockfile_path
+
+    lock = lockfile_path(path)
     with open(lock, "w") as fh:
         fh.write("12345")
     for op in (
@@ -1062,11 +1064,13 @@ def test_merge_into_partitions_second_writer_fails_loudly(spark, tmp_path):
     path = str(tmp_path / "ds")
     df = spark.createDataFrame([("d1", 1, 1.0)], "day STRING, k LONG, v DOUBLE")
     merge_into_partitions(spark, path, df, ("k",), ("day",))
-    with open(os.path.join(path, "_writer.lock"), "w") as fh:
+    from bigdatalab_spark.sources.locks import lockfile_path
+
+    with open(lockfile_path(path), "w") as fh:
         fh.write("999")
     with pytest.raises(ConcurrentWriteError, match="merge_into_partitions"):
         merge_into_partitions(spark, path, df, ("k",), ("day",))
-    os.remove(os.path.join(path, "_writer.lock"))
+    os.remove(lockfile_path(path))
     res = merge_into_partitions(spark, path, df, ("k",), ("day",))
     assert res == {"partitions_rewritten": 1}
 
@@ -1109,3 +1113,34 @@ def test_merge_frames_rejects_reserved_tiebreak_column(spark):
     )
     with pytest.raises(ValueError, match="__merge_src"):
         merge_frames(stored, stored, ("k",), order_col="seq")
+
+
+def test_compact_partitions_respects_writer_lock(spark, tmp_path):
+    """Two concurrent compactions share staging prefixes and interleave
+    their pointer-flip renames into data loss; the lock rejects the
+    second. The lockfile is a SIBLING of the dataset dir — a child
+    would ride the flip's rename, and creating the dataset dir to hold
+    it would make crashed-flip recovery mistake an empty dir for a
+    complete dataset."""
+    import os
+
+    import pytest
+
+    from bigdatalab_spark.sources.locks import ConcurrentWriteError, lockfile_path
+    from bigdatalab_spark.sources.sinks import compact_partitions
+
+    path = str(tmp_path / "ds")
+    spark.createDataFrame(
+        [("d1", i, float(i)) for i in range(20)], "day STRING, k LONG, v DOUBLE"
+    ).repartition(5).write.partitionBy("day").parquet(path)
+    with open(lockfile_path(path), "w") as fh:
+        fh.write("424242")
+    with pytest.raises(ConcurrentWriteError, match="compact_partitions"):
+        compact_partitions(spark, path, ("day",), max_records_per_file=100)
+    os.remove(lockfile_path(path))
+    res = compact_partitions(spark, path, ("day",), max_records_per_file=100)
+    assert res["files_after"] <= res["files_before"]
+    # the lock lives OUTSIDE the dataset: the flip's renames never moved
+    # or deleted it, and it is released after success
+    assert not os.path.exists(lockfile_path(path))
+    assert spark.read.parquet(path).count() == 20
