@@ -445,16 +445,20 @@ def test_parquet_schema_evolution_merge_and_corrupt_tolerance(spark, tmp_path):
     assert rows[0] is None and rows[7] == "x"
 
     bad = str(tmp_path / "bad")
-    spark.range(10).write.parquet(bad)
+    spark.range(10).repartition(4).write.parquet(bad)
     import glob
 
+    schema = spark.read.parquet(bad).schema  # capture BEFORE corruption
     victim = glob.glob(f"{bad}/*.parquet")[0]
     with open(victim, "wb") as fh:
         fh.write(b"not parquet")
     saved = spark.conf.get("spark.sql.files.ignoreCorruptFiles", None)
     spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
     try:
-        n = spark.read.parquet(bad).count()
+        # explicit schema: the surface under test is SCAN tolerance of a
+        # corrupt file; schema INFERENCE may sample exactly the corrupted
+        # footer depending on listing order, which made this flake
+        n = spark.read.schema(schema).parquet(bad).count()
         assert 0 < n < 10
     finally:
         if saved is None:
