@@ -570,3 +570,31 @@ def semantic_dedup(
         "dup_of",
         "max_sim",
     )
+
+
+def save_ivf_index(
+    assigned: DataFrame, centroids: DataFrame, path: str
+) -> None:
+    """Persist a :func:`fit_ivf_index` result as the DURABLE index the
+    fit docstring promises: the bucketed corpus written PARTITIONED BY
+    its bucket (``path/corpus/bucket=N/``) and the centroid table
+    beside it (``path/centroids``). The partition layout is the point —
+    a serving join against this index prunes its scan to the probed
+    buckets' directories via dynamic partition pruning (asserted in
+    tests), so a 2-of-8-probe query batch reads 1/4 of a 100 TB corpus
+    from disk, not all of it."""
+    assigned.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{path}/corpus"
+    )
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Load a :func:`save_ivf_index` layout back as ``(assigned,
+    centroids)``, serve-ready for :func:`ivf_serve_topk`. The corpus
+    frame is a plain partitioned-parquet scan, so Catalyst sees the
+    bucket directories and can partition-prune the serving join."""
+    return (
+        spark.read.parquet(f"{path}/corpus"),
+        spark.read.parquet(f"{path}/centroids"),
+    )

@@ -1807,3 +1807,38 @@ def test_pq_index_survives_parquet_round_trip(spark, sf_dir, tmp_path):
         for r in df.collect()
     )
     assert as_rows(reloaded) == as_rows(live)
+
+
+def test_ivf_index_on_disk_serves_with_dynamic_partition_pruning(
+    spark, sf_dir, tmp_path
+):
+    """The durable IVF layout's whole point: serving against the
+    bucket-partitioned on-disk index must (a) return exactly what the
+    in-memory index returns, and (b) PRUNE the corpus scan to the
+    probed buckets via dynamic partition pruning — the broadcast probe
+    set doubles as the partition filter, so a 2-of-8-probe batch reads
+    1/4 of the directories of a 100 TB corpus, not all of them."""
+    from bigdatalab_spark.scale.similarity import (
+        fit_ivf_index,
+        ivf_serve_topk,
+        load_ivf_index,
+        save_ivf_index,
+    )
+    from bigdatalab_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.sort("vec_id").limit(5)
+    assigned, centroids = fit_ivf_index(emb, n_centroids=8, seed=42)
+    save_ivf_index(assigned, centroids, str(tmp_path / "ivf"))
+    disk_assigned, disk_centroids = load_ivf_index(spark, str(tmp_path / "ivf"))
+
+    live = ivf_serve_topk(q, assigned, centroids, k=3, n_probe=2)
+    disk = ivf_serve_topk(q, disk_assigned, disk_centroids, k=3, n_probe=2)
+    as_rows = lambda df: sorted(  # noqa: E731
+        (r["query_id"], r["rank"], r["neighbor_id"], round(r["cos_sim"], 9))
+        for r in df.collect()
+    )
+    assert as_rows(disk) == as_rows(live)
+
+    plan = disk._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:3000]
