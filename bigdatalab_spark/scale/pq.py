@@ -461,3 +461,31 @@ def load_codebooks(path: str) -> list[list[list[float]]]:
     ):
         raise ValueError(f"{path}: codebook payload does not match its header")
     return [[[float(x) for x in c] for c in b] for b in books]
+
+
+def save_ivf_pq_index(
+    codes: DataFrame,
+    centroids: DataFrame,
+    codebooks: list[list[list[float]]],
+    path: str,
+) -> None:
+    """Persist a :func:`fit_ivf_pq_index` result as the full durable
+    index: codes written PARTITIONED BY bucket (``path/codes/bucket=N``
+    — the serving join's broadcast probe set dynamic-partition-prunes
+    this scan to the probed directories), centroid table beside it,
+    codebooks in the JSON model store. Together these are everything a
+    fresh serving cluster needs; the float corpus is only touched by
+    the optional rerank stage."""
+    codes.write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/codes")
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    save_codebooks(codebooks, f"{path}/codebooks.json")
+
+
+def load_ivf_pq_index(spark, path: str):
+    """Load :func:`save_ivf_pq_index` back as ``(codes, centroids,
+    codebooks)``, serve-ready for :func:`ivf_pq_serve_topk`."""
+    return (
+        spark.read.parquet(f"{path}/codes"),
+        spark.read.parquet(f"{path}/centroids"),
+        load_codebooks(f"{path}/codebooks.json"),
+    )

@@ -1842,3 +1842,38 @@ def test_ivf_index_on_disk_serves_with_dynamic_partition_pruning(
 
     plan = disk._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:3000]
+
+
+def test_ivf_pq_index_on_disk_serves_with_partition_pruning(spark, sf_dir, tmp_path):
+    """Durable IVF-PQ layout: serving from the persisted
+    (codes-by-bucket, centroids, codebook-store) triple is bit-identical
+    to the in-memory index, and the codes scan carries a dynamicpruning
+    partition filter from the broadcast probe set."""
+    from bigdatalab_spark.scale.pq import (
+        fit_ivf_pq_index,
+        ivf_pq_serve_topk,
+        load_ivf_pq_index,
+        save_ivf_pq_index,
+    )
+    from bigdatalab_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.sort("vec_id").limit(5)
+    codes, centroids, books = fit_ivf_pq_index(emb, m=8, seed=42)
+    save_ivf_pq_index(codes, centroids, books, str(tmp_path / "ivfpq"))
+    d_codes, d_centroids, d_books = load_ivf_pq_index(spark, str(tmp_path / "ivfpq"))
+    assert d_books == books
+
+    live = ivf_pq_serve_topk(
+        q, codes, centroids, books, k=3, n_probe=2, rerank=20, corpus=emb
+    )
+    disk = ivf_pq_serve_topk(
+        q, d_codes, d_centroids, d_books, k=3, n_probe=2, rerank=20, corpus=emb
+    )
+    as_rows = lambda df: sorted(  # noqa: E731
+        (r["query_id"], r["rank"], r["neighbor_id"], round(r["dist"], 9))
+        for r in df.collect()
+    )
+    assert as_rows(disk) == as_rows(live)
+    plan = disk._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:3000]
