@@ -19,6 +19,17 @@ warm run, with the session cache cleared between runs: single-shot
 timings on a shared box swing 2-10x with GC/load ordering effects
 (measured in SCALE_NOTES round-3), and min-of-3 recovers the
 reproducible pipeline cost the plan actually implies.
+
+HYGIENE RULE (round-7 lesson, binding on whoever runs this): the bench
+must run SOLO. If the emitted env block shows loadavg_start[0] above
+~1.5, or sentinel_nation_count_sec above ~0.11 (solo reference
+0.090-0.097 on this box), the measurement is load-polluted — discard
+it and rerun with nothing else on the machine. Round 7's driver
+artifact (10.70 s at loadavg 2.68, sentinel 0.1185) vs the solo rerun
+(9.63 s, sentinel 0.0898) is the canonical example. Use
+``python -m tools.bench_compare OLD.json NEW.json`` to compare rounds:
+it normalizes per-query deltas by the CPU-sentinel ratio so
+environment drift isn't misread as a plan regression.
 """
 
 from __future__ import annotations
@@ -58,19 +69,36 @@ def _noise_sentinel(spark, sf_dir: str) -> float | None:
     return round(best, 4)
 
 
-def _disk_sentinel(mb: int = 128) -> float:
+def _scratch_dir(spark) -> str:
+    """The filesystem Spark actually spills/shuffles to: the session's
+    ``spark.local.dir`` when set, else the SPARK_LOCAL_DIRS env, else
+    the system temp dir — measuring a different filesystem than the
+    shuffle scratch would make the disk sentinel's attribution wrong."""
+    import tempfile
+
+    try:
+        d = spark.conf.get("spark.local.dir", None)
+    except Exception:
+        d = None
+    d = d or os.environ.get("SPARK_LOCAL_DIRS") or tempfile.gettempdir()
+    d = d.split(",")[0]
+    return d if os.path.isdir(d) else tempfile.gettempdir()
+
+
+def _disk_sentinel(scratch: str, mb: int = 128) -> float:
     """Measured write+fsync throughput (MB/s) of the shuffle-scratch
-    filesystem. The CPU sentinel above misses disk drift — round-7's
-    x1000 rerun moved the two most shuffle-heavy queries 1.6-1.8x with
-    the CPU sentinel flat, which is exactly the signature of scratch
-    I/O slowing down. Best of 2 so a single writeback stall doesn't
-    masquerade as the disk."""
+    filesystem (``scratch`` — see :func:`_scratch_dir`). The CPU
+    sentinel above misses disk drift — round-7's x1000 rerun moved the
+    two most shuffle-heavy queries 1.6-1.8x with the CPU sentinel
+    flat, which is exactly the signature of scratch I/O slowing down.
+    Best of 2 so a single writeback stall doesn't masquerade as the
+    disk."""
     import tempfile
 
     block = b"\x5a" * (1 << 20)
     best = 0.0
     for _ in range(2):
-        with tempfile.NamedTemporaryFile(dir="/tmp") as fh:
+        with tempfile.NamedTemporaryFile(dir=scratch) as fh:
             t0 = time.perf_counter()
             for _i in range(mb):
                 fh.write(block)
@@ -131,6 +159,7 @@ def main() -> int:
         _run(REGISTRY[headline[0]].fn(spark, sf_dir))
 
     sentinel = _noise_sentinel(spark, sf_dir)
+    scratch = _scratch_dir(spark)
 
     # SPARK_GRAFT_BENCH_RUNS: timed runs per query (default 3; min-of-N).
     # The x1000 decade runs set 1 — a single ~15-min query would blow any
@@ -170,7 +199,8 @@ def main() -> int:
                     "loadavg_start": [round(x, 2) for x in load_start],
                     "loadavg_end": [round(x, 2) for x in os.getloadavg()],
                     "sentinel_nation_count_sec": sentinel,
-                    "sentinel_disk_write_mb_s": _disk_sentinel(),
+                    "sentinel_disk_write_mb_s": _disk_sentinel(scratch),
+                    "sentinel_disk_path": scratch,
                 },
             }
         )

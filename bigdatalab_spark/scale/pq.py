@@ -324,7 +324,7 @@ def ivf_pq_serve_topk(
     codebooks: list[list[list[float]]],
     k: int = 5,
     n_probe: int = 2,
-    rerank: int | None = 50,
+    rerank: int | None = None,
     corpus: DataFrame | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -333,7 +333,14 @@ def ivf_pq_serve_topk(
     probe each query's ``n_probe`` nearest buckets (centroid table is
     broadcast), ADC-score ONLY the probed buckets' codes against the
     broadcast query LUT, optionally exact-rerank the shortlist
-    (``corpus`` floats required then, shortlist-sized read)."""
+    (``corpus`` floats required then, shortlist-sized read).
+
+    ``rerank`` defaults to None so the durable-index path
+    (:func:`load_ivf_pq_index` → serve) works with default args — the
+    loaded triple has no float corpus; pass ``rerank=R`` together with
+    ``corpus`` to enable the exact second stage (the
+    :func:`ivf_pq_topk` convenience wrapper keeps rerank=50 because it
+    always has the corpus in hand)."""
     q_rows = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     wp = Window.partitionBy("query_id").orderBy(F.asc("c_dist"), F.asc("bucket"))
     probes = (

@@ -414,11 +414,13 @@ def merge_frames(
     ``order_col`` itself must be orderable. Same single shuffle on the
     keys either way, and at most two rows per key reach the window."""
     src = "__merge_src"
-    if src in stored.columns:
-        raise ValueError(
-            f"column name {src!r} is reserved by merge_frames as the "
-            "stored-vs-update tiebreak; rename it in the input frames"
-        )
+    for reserved in (src, "__merge_rn"):
+        if reserved in stored.columns:
+            raise ValueError(
+                f"column name {reserved!r} is reserved by merge_frames "
+                "for its internal tiebreak/rank columns; rename it in "
+                "the input frames"
+            )
     if order_col is None:
         kept = stored.join(
             updates.select(*key_cols), list(key_cols), "left_anti"

@@ -123,9 +123,15 @@ def rollback(path: str, version: int) -> None:
     writer lock: a rollback racing a merge would otherwise be silently
     undone by the merge's pointer flip (or worse, the merge commits a
     combine of the version the rollback just rejected)."""
-    if version not in list_versions(path):
-        raise FileNotFoundError(f"version {version} not committed under {path}")
     with dataset_write_lock(path, "rollback"):
+        # Existence check must run UNDER the lock: a concurrent vacuum
+        # (which holds the lock and deletes non-pointer-target versions)
+        # could remove the target between an early check and the pointer
+        # flip, leaving _latest pointing at a deleted snapshot.
+        if version not in list_versions(path):
+            raise FileNotFoundError(
+                f"version {version} not committed under {path}"
+            )
         tmp = os.path.join(path, f"{_POINTER}.tmp")
         with open(tmp, "w", encoding="utf-8") as fh:
             fh.write(str(version))

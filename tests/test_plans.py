@@ -432,8 +432,11 @@ def test_bitmap_distinct_partial_aggregates_and_prunes(spark, sf_dir):
     df = REGISTRY["bitmap_distinct_users"].fn(spark, str(sf_dir))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "bitmap_construct_agg" in plan
-    # partial (map-side) half of the bitmap aggregate is present
-    assert "partial_bitmap_construct_agg" in plan or "partial" in plan.lower()
+    # partial (map-side) half of the BITMAP aggregate specifically —
+    # a generic "partial" match would be satisfied by any other
+    # partial aggregate in the plan (e.g. partial_count) and gate
+    # nothing if Spark renames the bitmap function
+    assert "partial_bitmap_construct_agg" in plan, plan
     cols = read_schema_columns(df)
     assert set(cols) <= {"event_type", "user_id"}, cols
 

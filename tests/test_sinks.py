@@ -1042,14 +1042,17 @@ def test_versioned_maintenance_ops_respect_writer_lock(spark, tmp_path):
     from bigdatalab_spark.sources.locks import lockfile_path
 
     lock = lockfile_path(path)
+    # the holder must be a LIVE pid: a dead same-host holder is now
+    # auto-recovered (crashed-writer takeover), which would let these
+    # ops through instead of refusing
     with open(lock, "w") as fh:
-        fh.write("12345")
+        fh.write(str(os.getpid()))
     for op in (
         lambda: v_mod.write_version(df, path, ("day",)),
         lambda: v_mod.rollback(path, v1),
         lambda: v_mod.vacuum(path),
     ):
-        with pytest.raises(ConcurrentWriteError, match="pid 12345"):
+        with pytest.raises(ConcurrentWriteError, match=f"pid {os.getpid()}"):
             op()
     os.remove(lock)
     assert v_mod.write_version(df, path, ("day",)) == v1 + 1
@@ -1071,7 +1074,7 @@ def test_merge_into_partitions_second_writer_fails_loudly(spark, tmp_path):
     from bigdatalab_spark.sources.locks import lockfile_path
 
     with open(lockfile_path(path), "w") as fh:
-        fh.write("999")
+        fh.write(str(os.getpid()))  # live holder — dead pids are taken over
     with pytest.raises(ConcurrentWriteError, match="merge_into_partitions"):
         merge_into_partitions(spark, path, df, ("k",), ("day",))
     os.remove(lockfile_path(path))
@@ -1117,6 +1120,13 @@ def test_merge_frames_rejects_reserved_tiebreak_column(spark):
     )
     with pytest.raises(ValueError, match="__merge_src"):
         merge_frames(stored, stored, ("k",), order_col="seq")
+    # __merge_rn is equally reserved: withColumn would silently clobber
+    # a stored column of that name and return 1 for every row
+    stored_rn = spark.createDataFrame(
+        [(1, 5, 7)], "k LONG, seq LONG, __merge_rn LONG"
+    )
+    with pytest.raises(ValueError, match="__merge_rn"):
+        merge_frames(stored_rn, stored_rn, ("k",), order_col="seq")
 
 
 def test_compact_partitions_respects_writer_lock(spark, tmp_path):
@@ -1138,7 +1148,7 @@ def test_compact_partitions_respects_writer_lock(spark, tmp_path):
         [("d1", i, float(i)) for i in range(20)], "day STRING, k LONG, v DOUBLE"
     ).repartition(5).write.partitionBy("day").parquet(path)
     with open(lockfile_path(path), "w") as fh:
-        fh.write("424242")
+        fh.write(str(os.getpid()))  # live holder — dead pids are taken over
     with pytest.raises(ConcurrentWriteError, match="compact_partitions"):
         compact_partitions(spark, path, ("day",), max_records_per_file=100)
     os.remove(lockfile_path(path))
@@ -1148,3 +1158,90 @@ def test_compact_partitions_respects_writer_lock(spark, tmp_path):
     # or deleted it, and it is released after success
     assert not os.path.exists(lockfile_path(path))
     assert spark.read.parquet(path).count() == 20
+
+
+def test_crashed_writer_lock_is_taken_over(tmp_path):
+    """A writer that dies while holding the lock must not require manual
+    `rm` recovery: the next same-host writer sees the dead pid and takes
+    the lock over. A live holder (this process) still refuses, and a
+    cross-host dead pid is never stolen (liveness is unknowable)."""
+    import socket
+    import subprocess
+    import sys
+
+    import pytest
+
+    from bigdatalab_spark.sources.locks import (
+        ConcurrentWriteError,
+        dataset_write_lock,
+        lockfile_path,
+    )
+
+    path = str(tmp_path / "ds")
+    lock = lockfile_path(path)
+
+    # 1. crashed writer: a real subprocess takes the lock and os._exit's
+    code = (
+        "from bigdatalab_spark.sources.locks import dataset_write_lock\n"
+        "import os\n"
+        f"ctx = dataset_write_lock({path!r}, 'crash-sim')\n"
+        "ctx.__enter__()\n"
+        "os._exit(1)\n"  # hard death: no finally, lockfile left behind
+    )
+    subprocess.run(
+        [sys.executable, "-c", code], cwd="/root/repo", check=False, timeout=60
+    )
+    assert os.path.exists(lock)  # debris confirmed
+    with dataset_write_lock(path, "recovery"):
+        with open(lock, encoding="utf-8") as fh:
+            assert fh.read().split()[0] == str(os.getpid())  # we hold it
+    assert not os.path.exists(lock)
+
+    # 2. live same-host holder: refused, lockfile untouched
+    with open(lock, "w", encoding="utf-8") as fh:
+        fh.write(f"{os.getpid()} {socket.gethostname()}")
+    with pytest.raises(ConcurrentWriteError, match=f"pid {os.getpid()}"):
+        with dataset_write_lock(path, "second"):
+            pass
+    assert os.path.exists(lock)
+
+    # 3. dead pid but ANOTHER host: never stolen
+    with open(lock, "w", encoding="utf-8") as fh:
+        fh.write("99999999 some-other-host")
+    with pytest.raises(ConcurrentWriteError, match="some-other-host"):
+        with dataset_write_lock(path, "crosshost"):
+            pass
+
+    # 4. garbage contents: conservative — treated as held
+    with open(lock, "w", encoding="utf-8") as fh:
+        fh.write("not-a-pid")
+    with pytest.raises(ConcurrentWriteError):
+        with dataset_write_lock(path, "garbage"):
+            pass
+    os.remove(lock)
+
+
+def test_rollback_existence_check_runs_under_lock(spark, tmp_path):
+    """Round-7 advice (medium): rollback's target-exists check must run
+    INSIDE the writer lock — checked-then-vacuumed would leave _latest
+    pointing at a deleted snapshot. Behaviorally: a missing version
+    raises FileNotFoundError AND releases the lock (the check happened
+    in the locked region, not before it)."""
+    import pytest
+
+    from bigdatalab_spark.sources.locks import lockfile_path
+    from bigdatalab_spark.sources.versioned import (
+        latest_version,
+        rollback,
+        write_version,
+    )
+
+    path = str(tmp_path / "vds")
+    df = spark.createDataFrame([("d1", 1, 1.0)], "day STRING, k LONG, v DOUBLE")
+    v1 = write_version(df, path, ("day",))
+    write_version(df, path, ("day",))
+    with pytest.raises(FileNotFoundError, match="not committed"):
+        rollback(path, 777)
+    assert not os.path.exists(lockfile_path(path))  # lock released
+    rollback(path, v1)  # the real path still works after the failure
+    assert latest_version(path) == v1
