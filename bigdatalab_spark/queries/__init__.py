@@ -127,6 +127,8 @@ _POST_WINDOW = (
     # round 7
     "listagg_order_priorities",
     "bitmap_distinct_users",
+    # round 8
+    "incremental_dedup_index_status",
 )
 
 

@@ -557,6 +557,41 @@ def incremental_dedup_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup(batch, corpus).orderBy("doc_id")
 
 
+@query(
+    "incremental_dedup_index_status",
+    ids=("SCALE-DEDUP", "SCALE-CURATION"),
+    oracle=_incremental_oracle(),
+)
+def incremental_dedup_index_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The durable-signature-store twin of ``incremental_dedup_status``
+    (round 8): build a :func:`~bigdatalab_spark.scale.dedup.
+    save_dedup_index` from the corpus half, then classify the batch
+    half with :func:`~bigdatalab_spark.scale.dedup.
+    incremental_dedup_from_index` — corpus text is read ONCE at index
+    build and never at serve (plan-asserted in tests). The oracle is
+    the SAME SQL as the self-contained query because the serve path is
+    bit-identical by construction (shared classify core), which is
+    exactly the property the oracle certifies here."""
+    import os
+    import tempfile
+
+    from bigdatalab_spark.scale.dedup import (
+        incremental_dedup_from_index,
+        save_dedup_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter("doc_id % 2 = 0")
+    batch = docs.filter("doc_id % 2 = 1")
+    idx = os.path.join(
+        tempfile.gettempdir(),
+        "bigdatalab_dedup_index",
+        os.path.basename(sf_dir.rstrip("/")) or "sf",
+    )
+    save_dedup_index(corpus, idx)  # overwrite-under-lock: rebuild per run
+    return incremental_dedup_from_index(spark, batch, idx).orderBy("doc_id")
+
+
 def _simhash_pairs_oracle() -> str:
     from bigdatalab_spark.scale.hashing import SIMHASH_BITS
 

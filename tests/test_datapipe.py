@@ -848,3 +848,127 @@ def test_hand_built_lsh_agrees_with_spark_ml_minhashlsh(spark):
     assert their_recall >= 0.9, their_recall
     # the sets agree on what matters: planted pairs found by both
     assert len(ours & theirs & planted) >= 0.85 * len(planted)
+
+
+def test_dedup_index_roundtrip_serves_bit_identical(spark, sf_dir, tmp_path):
+    """The durable signature store (round-8 headline): building a
+    save_dedup_index from the corpus and serving a batch against it
+    must classify BIT-identically to the self-contained
+    incremental_dedup — on real documents, with every status class
+    exercised (batch rows engineered to hit exact/near/new)."""
+    from bigdatalab_spark.scale.dedup import (
+        incremental_dedup,
+        incremental_dedup_from_index,
+        save_dedup_index,
+    )
+    from bigdatalab_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    # batch: real new docs + an exact corpus copy + a near-dup (text
+    # perturbed by one appended word) — ids disjoint from the corpus
+    base = docs.filter(F.col("doc_id") % 3 == 0).limit(20)
+    seed = corpus.limit(2).collect()
+    extra = spark.createDataFrame(
+        [
+            (10_000_001, seed[0]["text"]),                 # exact dup
+            (10_000_002, seed[1]["text"] + " perturbed"),  # near dup
+        ],
+        "doc_id long, text string",
+    )
+    batch = base.select("doc_id", "text").unionByName(extra)
+
+    idx = str(tmp_path / "dedup_idx")
+    meta = save_dedup_index(corpus, idx)
+    assert meta["format"] == "dedup-index/1" and meta["n"] == 3
+
+    live = {
+        r["doc_id"]: r["status"]
+        for r in incremental_dedup(batch, corpus).collect()
+    }
+    served = {
+        r["doc_id"]: r["status"]
+        for r in incremental_dedup_from_index(spark, batch, idx).collect()
+    }
+    assert served == live
+    assert served[10_000_001] == "exact_dup"
+    assert served[10_000_002] == "near_dup"
+    assert "new" in served.values()
+
+
+def test_dedup_index_serve_never_reads_corpus_text(spark, sf_dir, tmp_path):
+    """The index's 100 TB contract: serving reads band rows, shingles
+    and hashes from the index — the corpus TEXT column is never
+    scanned (daily cost ∝ batch, not corpus re-shingling). The batch
+    here is in-memory, so ANY file scan whose ReadSchema contains
+    'text' would be a corpus read — assert there is none, and that the
+    corpus parquet path itself never appears in the plan."""
+    from bigdatalab_spark.scale.dedup import (
+        incremental_dedup_from_index,
+        save_dedup_index,
+    )
+    from bigdatalab_spark.sources import load_table
+
+    corpus = load_table(spark, sf_dir, "documents")
+    idx = str(tmp_path / "dedup_idx")
+    save_dedup_index(corpus, idx)
+    # the batch must generate ≥1 candidate (a perturbed corpus doc) —
+    # with zero candidates Catalyst folds the empty shard filter away
+    # and eliminates the shingle scan entirely, leaving nothing to
+    # assert pruning on
+    seed_text = corpus.sort("doc_id").limit(1).collect()[0]["text"]
+    batch = spark.createDataFrame(
+        [
+            (10_000_001, "a brand new probe document for the plan test"),
+            (10_000_002, (seed_text or "") + " perturbed"),
+        ],
+        "doc_id long, text string",
+    )
+    out = incremental_dedup_from_index(spark, batch, idx)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "documents.parquet" not in plan, plan[:3000]
+    import re
+
+    for m in re.finditer(r"ReadSchema: ([^\n]+)", plan):
+        assert "text" not in m.group(1), m.group(1)
+    # the shingle-store scan must carry the literal shard partition
+    # filter (static pruning to the candidate docs' shards) — without
+    # it the verify stage reads all n_shards directories every day
+    assert re.search(r"PartitionFilters: \[shard#\d+ IN \(", plan), plan[:3000]
+    got = {r["doc_id"]: r["status"] for r in out.collect()}
+    assert got[10_000_001] == "new" and got[10_000_002] == "near_dup"
+
+
+def test_dedup_index_load_refuses_incomplete_or_foreign(spark, tmp_path):
+    """meta.json is the commit marker (written last, atomic install):
+    a missing, corrupt, or version-mismatched meta refuses loudly."""
+    import json
+    import os
+
+    import pytest
+
+    from bigdatalab_spark.scale.dedup import load_dedup_index, save_dedup_index
+
+    # never built
+    with pytest.raises(FileNotFoundError, match="meta.json missing"):
+        load_dedup_index(spark, str(tmp_path / "nowhere"))
+
+    corpus = spark.createDataFrame(
+        [(1, "one corpus document of several words here")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    save_dedup_index(corpus, idx)
+    meta_path = os.path.join(idx, "meta.json")
+
+    # corrupt payload
+    with open(meta_path, "w", encoding="utf-8") as fh:
+        fh.write("{not json")
+    with pytest.raises(ValueError, match="corrupt dedup index meta"):
+        load_dedup_index(spark, idx)
+
+    # foreign/stale format
+    with open(meta_path, "w", encoding="utf-8") as fh:
+        json.dump({"format": "dedup-index/0", "n": 3}, fh)
+    with pytest.raises(ValueError, match="rebuild with save_dedup_index"):
+        load_dedup_index(spark, idx)

@@ -71,3 +71,54 @@ def test_ann_serve_bench_rejects_unknown_family():
     )
     assert proc.returncode != 0
     assert "nope" in (proc.stderr + proc.stdout)
+
+
+def test_bench_compare_normalizes_by_sentinel(tmp_path):
+    """bench_compare must (a) divide out the sentinel ratio, (b) flag
+    only normalized regressions, (c) accept both raw bench lines and
+    the driver's {parsed: ...} wrapper, (d) report added/removed."""
+    old = {
+        "metric": "headline_queries_total", "value": 10.0, "unit": "sec",
+        "queries": {"q_a": 1.0, "q_b": 2.0, "q_gone": 1.0}, "sf": "0.1",
+        "env": {"sentinel_nation_count_sec": 0.10},
+    }
+    # machine 1.5x slower (sentinel 0.15): q_a's 1.5 s is pure
+    # environment (normalized 1.0); q_b's 4.5 s is a real 1.5x
+    # regression on top of it
+    new = {
+        "parsed": {
+            "metric": "headline_queries_total", "value": 12.0, "unit": "sec",
+            "queries": {"q_a": 1.5, "q_b": 4.5, "q_new": 0.5}, "sf": "0.1",
+            "env": {"sentinel_nation_count_sec": 0.15},
+        }
+    }
+    a, b = tmp_path / "a.json", tmp_path / "b.json"
+    a.write_text(json.dumps(old))
+    b.write_text(json.dumps(new))
+    proc = subprocess.run(
+        [sys.executable, "-m", "tools.bench_compare", str(a), str(b)],
+        cwd=str(ROOT), capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 1, proc.stderr  # exactly one regression
+    out = json.loads(proc.stdout.strip())
+    assert out["env_ratio"] == 1.5
+    assert out["queries"]["q_a"]["normalized_ratio"] == 1.0
+    assert out["queries"]["q_b"]["normalized_ratio"] == 1.5
+    assert out["regressions"] == ["q_b"]
+    assert out["added"] == ["q_new"] and out["removed"] == ["q_gone"]
+
+    # threshold override clears the flag -> exit 0
+    proc2 = subprocess.run(
+        [sys.executable, "-m", "tools.bench_compare", str(a), str(b),
+         "--threshold=1.6"],
+        cwd=str(ROOT), capture_output=True, text=True, timeout=120,
+    )
+    assert proc2.returncode == 0
+
+
+def test_dedup_serve_bench_smoke():
+    out = _run_tool("tools.dedup_serve_bench", SF, "50")
+    assert out["n_corpus"] > 0 and out["n_batch"] == 50
+    for k in ("self_contained_sec", "index_build_sec", "serve_sec"):
+        assert out[k] > 0
+    assert out["serve_speedup_vs_self_contained"] > 0
