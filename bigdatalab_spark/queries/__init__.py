@@ -129,6 +129,7 @@ _POST_WINDOW = (
     "bitmap_distinct_users",
     # round 8
     "incremental_dedup_index_status",
+    "wav_audio_features",
 )
 
 

@@ -191,6 +191,47 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "wav_audio_features",
+    ids=("SCALE-MM",),
+    oracle="""
+        -- replays the deterministic WAV generator symbolically: the
+        -- Spark side builds REAL RIFF containers (stdlib wave writer)
+        -- and truly parses them back; the oracle reproduces the
+        -- signal math. n = doc_id % 50 + 10 PCM16 mono samples at
+        -- 8 kHz, sample(i) = ((doc_id*31 + i*7) % 65536) - 32768.
+        WITH d AS (SELECT doc_id, doc_id % 50 + 10 AS n FROM documents),
+        s AS (
+            SELECT doc_id, n,
+                   ((doc_id * 31 + i * 7) % 65536) - 32768 AS v
+            FROM d, LATERAL unnest(generate_series(0, n - 1)) AS t(i)
+        )
+        SELECT doc_id,
+               8000 AS sample_rate,
+               1 AS n_channels,
+               2 AS sample_width,
+               CAST(n AS BIGINT) AS n_frames,
+               CAST(n AS DOUBLE) / 8000 AS duration_sec,
+               sqrt(CAST(sum(v * v) AS DOUBLE) / n) AS rms,
+               CAST(NULL AS VARCHAR) AS decode_error
+        FROM s
+        GROUP BY doc_id, n
+        ORDER BY doc_id
+    """,
+)
+def wav_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL RIFF/WAV decode (round 8): deterministic WAV payloads are
+    generated per document (genuine containers from the stdlib wave
+    writer), then :func:`bigdatalab_spark.scale.multimodal.decode_audio`
+    parses the bytes back — header fields, frame counts, duration, and
+    exact-integer-sum RMS. The NotImplementedError codec slots now
+    cover images only."""
+    from bigdatalab_spark.scale.multimodal import decode_audio, make_wav_blobs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_audio(make_wav_blobs(docs)).orderBy("doc_id")
+
+
+@query(
     "udtf_doc_spans",
     ids=("SCALE-TEXTQA",),
     oracle="""

@@ -2006,3 +2006,86 @@ spark.stop()
     for fam in ("ivf", "ivfpq", "dedup"):
         got = [tuple(r) for r in served[fam]]
         assert got == live[fam], (fam, got[:5], live[fam][:5])
+
+
+def test_decode_audio_real_wav_roundtrip_and_poison_tolerance(spark):
+    """decode_audio is a REAL codec (stdlib RIFF/WAV): it must parse
+    genuine containers of shapes the generator never produces (stereo,
+    8-bit, 44.1 kHz), compute the exact-integer-sum RMS for PCM16, and
+    survive poison payloads with a NULL-feature row instead of a task
+    failure (the 100 TB contract for media scans)."""
+    import io
+    import math
+    import struct
+    import wave
+
+    from bigdatalab_spark.scale.multimodal import decode_audio
+
+    def wav_bytes(nch, width, rate, frames):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(nch)
+            w.setsampwidth(width)
+            w.setframerate(rate)
+            if width == 2:
+                samples = [(i * 1000) % 30000 - 15000 for i in range(frames * nch)]
+                w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+            else:
+                w.writeframes(bytes((i * 7) % 256 for i in range(frames * nch)))
+        return buf.getvalue(), (
+            [(i * 1000) % 30000 - 15000 for i in range(frames * nch)]
+            if width == 2
+            else None
+        )
+
+    stereo, stereo_samples = wav_bytes(2, 2, 44100, 25)
+    mono8, _ = wav_bytes(1, 1, 8000, 40)
+    rows = [
+        (1, bytearray(stereo)),
+        (2, bytearray(mono8)),
+        (3, bytearray(b"not a wav at all")),
+        (4, bytearray(b"RIFF\x00\x00\x00\x00WAVEjunk")),  # RIFF magic, bad body
+    ]
+    blobs = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in decode_audio(blobs).collect()}
+
+    s = got[1]
+    assert (s["sample_rate"], s["n_channels"], s["sample_width"]) == (44100, 2, 2)
+    assert s["n_frames"] == 25 and s["decode_error"] is None
+    assert s["duration_sec"] == 25 / 44100.0
+    sq = sum(v * v for v in stereo_samples)
+    assert s["rms"] == math.sqrt(sq / len(stereo_samples))  # bit-exact
+
+    m = got[2]
+    assert (m["sample_rate"], m["sample_width"], m["n_frames"]) == (8000, 1, 40)
+    assert m["rms"] is None  # only PCM16 gets an RMS; header still decoded
+
+    for bad in (3, 4):
+        r = got[bad]
+        assert r["decode_error"] is not None
+        assert r["sample_rate"] is None and r["rms"] is None
+
+
+def test_make_wav_blobs_are_genuine_riff_containers(spark):
+    """The generator's output must be REAL WAV — parseable by the
+    stdlib reader outside Spark, with the documented signal."""
+    import io
+    import struct
+    import wave
+
+    from bigdatalab_spark.scale.multimodal import (
+        WAV_RATE,
+        _wav_samples,
+        make_wav_blobs,
+    )
+
+    ids = spark.createDataFrame([(7,), (123,)], "doc_id long")
+    blobs = {r["doc_id"]: bytes(r["payload"]) for r in make_wav_blobs(ids).collect()}
+    for did, payload in blobs.items():
+        assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            assert w.getframerate() == WAV_RATE
+            assert w.getnchannels() == 1 and w.getsampwidth() == 2
+            raw = w.readframes(w.getnframes())
+        got = list(struct.unpack(f"<{len(raw)//2}h", raw))
+        assert got == _wav_samples(did)

@@ -122,3 +122,33 @@ def test_dedup_serve_bench_smoke():
     for k in ("self_contained_sec", "index_build_sec", "serve_sec"):
         assert out[k] > 0
     assert out["serve_speedup_vs_self_contained"] > 0
+
+
+def test_fuzz_oracle_generator_is_deterministic():
+    from tools.fuzz_oracle import generate_query
+
+    qs = [generate_query(s) for s in range(50)]
+    assert qs == [generate_query(s) for s in range(50)]  # seed-stable
+    assert len(set(qs)) > 25  # the grammar actually varies
+    # every LIMIT is governed by a total order on the key (the one
+    # shape where cross-engine equality needs it)
+    for q in qs:
+        if "LIMIT" in q:
+            assert "ORDER BY" in q
+    # no order-dependent float accumulation ever generated
+    for q in qs:
+        assert "sum(" not in q or "AS BIGINT" in q
+        assert "round(" not in q.lower()
+
+
+def test_fuzz_oracle_differential_smoke():
+    """25 seeds, driver-strict comparison, at sf0.001 — the pytest gate
+    for the randomized differential harness; the tool itself runs
+    unbounded seed ranges."""
+    proc = subprocess.run(
+        [sys.executable, "-m", "tools.fuzz_oracle", SF, "--seeds=25"],
+        cwd=str(ROOT), capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-2000:]
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["n_pass"] == 25 and out["failed_seeds"] == []

@@ -1,0 +1,344 @@
+"""Randomized differential testing: Spark SQL vs DuckDB on one query text.
+
+The 161 curated oracles are strong but hand-picked; this tool closes
+the "what about the queries nobody wrote?" gap with a seeded grammar
+over the fixture schemas. Each seed deterministically generates ONE
+query in the common SQL subset both engines parse identically —
+projections, arithmetic, string functions, filters, joins along real
+FK edges, grouped aggregates, row_number windows, order-by-key limits
+— and runs the SAME text through Spark SQL and DuckDB, comparing with
+the driver-strict machinery from tools.oracle_check (exact value
+rendering, no float tolerance). The reference's own lesson is
+plan-equivalence across surfaces (303-spark-sql/README.md:125-129);
+this extends it to generated plans.
+
+Dialect discipline baked into the grammar (each a measured divergence
+if violated):
+- SUM over integers is wrapped CAST(... AS BIGINT) — DuckDB sums to
+  HUGEINT (pandas object/float), Spark to LONG;
+- SUM/AVG over doubles is never generated — floating accumulation
+  order differs between engines, so equality is not defined;
+- ROUND is never generated (half-even vs half-away); FLOOR is value-
+  safe but type-divergent — Spark floor() returns BIGINT, DuckDB
+  DOUBLE — so a projected floor is canonicalized CAST(floor(x) AS
+  BIGINT) (found by this tool's first 300-seed run: seeds 43, 72,
+  127, 185, 259, 269 all failed on exactly this dtype-kind mismatch);
+- LIMIT only ever appears under an ORDER BY on a unique key column,
+  projected, so the kept prefix is well-defined in both engines;
+- timestamp columns are excluded from the column pool (pandas dtype
+  normalization differs); numeric + varchar only.
+
+Usage: python -m tools.fuzz_oracle [sf_dir] [--seeds=25] [--start=0]
+Output: per-seed [OK]/[FAIL] lines + one JSON summary line.
+Exit 1 on any mismatch — every discrepancy is either an engine bug, a
+generator dialect bug, or a canonicalization to document.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+import sys
+
+#: column pools per table: (ints, doubles, strings, primary key)
+SCHEMAS: dict[str, dict] = {
+    "region": {"i": ["r_regionkey"], "d": [], "s": ["r_name"], "pk": "r_regionkey"},
+    "nation": {
+        "i": ["n_nationkey", "n_regionkey"],
+        "d": [],
+        "s": ["n_name"],
+        "pk": "n_nationkey",
+    },
+    "customer": {
+        "i": ["c_custkey", "c_nationkey"],
+        "d": ["c_acctbal"],
+        "s": ["c_name", "c_mktsegment"],
+        "pk": "c_custkey",
+    },
+    "orders": {
+        "i": ["o_orderkey", "o_custkey"],
+        "d": ["o_totalprice"],
+        "s": ["o_orderstatus", "o_orderpriority"],
+        "pk": "o_orderkey",
+    },
+    "lineitem": {
+        "i": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+        "d": ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "s": ["l_returnflag", "l_linestatus"],
+        "pk": "l_orderkey",  # not unique — LIMIT shapes use a composite
+        "pk2": "l_linenumber",
+    },
+    "part": {
+        "i": ["p_partkey", "p_size"],
+        "d": ["p_retailprice"],
+        "s": ["p_name", "p_brand", "p_type"],
+        "pk": "p_partkey",
+    },
+    "supplier": {
+        "i": ["s_suppkey", "s_nationkey"],
+        "d": ["s_acctbal"],
+        "s": ["s_name"],
+        "pk": "s_suppkey",
+    },
+    "events": {
+        "i": ["event_id", "user_id"],
+        "d": ["value"],
+        "s": ["event_type"],
+        "pk": "event_id",
+    },
+}
+
+#: FK join edges: (left table, left col, right table, right col)
+JOINS = [
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+]
+
+
+def _int_expr(rng: random.Random, col: str) -> str:
+    return rng.choice(
+        [
+            col,
+            f"{col} + {rng.randint(1, 9)}",
+            f"{col} * {rng.randint(2, 5)}",
+            f"{col} % {rng.randint(2, 13)}",
+            f"({col} + {rng.randint(1, 5)}) % {rng.randint(3, 11)}",
+        ]
+    )
+
+
+def _str_expr(rng: random.Random, col: str) -> str:
+    return rng.choice(
+        [
+            col,
+            f"upper({col})",
+            f"lower({col})",
+            f"substr({col}, 1, {rng.randint(1, 4)})",
+            f"length({col})",
+            f"upper(substr({col}, {rng.randint(1, 2)}, 3))",
+        ]
+    )
+
+
+def _dbl_expr(rng: random.Random, col: str) -> str:
+    # per-row arithmetic only — never accumulated (order-dependent)
+    return rng.choice(
+        [
+            col,
+            f"{col} * 2",
+            f"{col} + {col}",
+            f"CAST(floor({col}) AS BIGINT)",  # see dialect note on floor
+            f"{col} - floor({col})",
+        ]
+    )
+
+
+def _predicate(rng: random.Random, sch: dict) -> str:
+    cands = []
+    if sch["i"]:
+        c = rng.choice(sch["i"])
+        cands += [
+            f"{c} % {rng.randint(2, 7)} = {rng.randint(0, 1)}",
+            f"{c} > {rng.randint(0, 50)}",
+            f"{c} <= {rng.randint(10, 500)}",
+        ]
+    if sch["s"]:
+        c = rng.choice(sch["s"])
+        cands += [
+            f"length({c}) > {rng.randint(3, 8)}",
+            f"upper({c}) LIKE '%{rng.choice('AEIORST')}%'",
+            f"substr({c}, 1, 1) >= '{rng.choice('ABCFMPa')}'",
+        ]
+    if sch["d"]:
+        c = rng.choice(sch["d"])
+        cands += [f"{c} > {rng.randint(0, 100)}", f"floor({c}) % 2 = 0"]
+    p = rng.choice(cands)
+    if rng.random() < 0.3:
+        q = rng.choice([x for x in cands if x != p] or [p])
+        p = f"({p}) {rng.choice(['AND', 'OR'])} ({q})"
+    return p
+
+
+def _aggs(rng: random.Random, sch: dict) -> list[str]:
+    out = ["CAST(count(*) AS BIGINT) AS cnt"]
+    if sch["i"]:
+        c = rng.choice(sch["i"])
+        out.append(
+            rng.choice(
+                [
+                    f"CAST(sum({c}) AS BIGINT) AS sum_i",
+                    f"min({c}) AS min_i",
+                    f"max({c}) AS max_i",
+                    f"avg({c} % 97) AS avg_i",  # exact int sum / count
+                ]
+            )
+        )
+    if sch["s"]:
+        c = rng.choice(sch["s"])
+        out.append(rng.choice([f"min({c}) AS min_s", f"max({c}) AS max_s"]))
+    if sch["d"] and rng.random() < 0.7:
+        c = rng.choice(sch["d"])
+        out.append(rng.choice([f"min({c}) AS min_d", f"max({c}) AS max_d"]))
+    return out
+
+
+def generate_query(seed: int) -> str:
+    """Deterministic seed -> one dialect-neutral SQL text."""
+    rng = random.Random(seed)
+    shape = rng.choice(["scan", "agg", "join", "join_agg", "window", "limit"])
+    t = rng.choice(sorted(SCHEMAS))
+    sch = SCHEMAS[t]
+
+    if shape == "scan":
+        proj = [f"{sch['pk']} AS pk"]
+        if sch["i"]:
+            proj.append(f"{_int_expr(rng, rng.choice(sch['i']))} AS e_i")
+        if sch["s"]:
+            proj.append(f"{_str_expr(rng, rng.choice(sch['s']))} AS e_s")
+        if sch["d"] and rng.random() < 0.6:
+            proj.append(f"{_dbl_expr(rng, rng.choice(sch['d']))} AS e_d")
+        if "pk2" in sch:
+            proj.append(f"{sch['pk2']} AS pk2")
+        return f"SELECT {', '.join(proj)} FROM {t} WHERE {_predicate(rng, sch)}"
+
+    if shape == "agg":
+        keys = []
+        if sch["s"]:
+            keys.append(rng.choice(sch["s"]))
+        if sch["i"] and (not keys or rng.random() < 0.5):
+            keys.append(f"{rng.choice(sch['i'])} % {rng.randint(2, 9)}")
+        sel = [f"{k} AS g{j}" for j, k in enumerate(keys)] + _aggs(rng, sch)
+        where = f" WHERE {_predicate(rng, sch)}" if rng.random() < 0.6 else ""
+        return (
+            f"SELECT {', '.join(sel)} FROM {t}{where} "
+            f"GROUP BY {', '.join(f'g{j}' for j in range(len(keys)))}"
+        )
+
+    if shape in ("join", "join_agg"):
+        lt, lc, rt, rc = rng.choice(JOINS)
+        ls, rs = SCHEMAS[lt], SCHEMAS[rt]
+        on = f"{lt}.{lc} = {rt}.{rc}"
+        if shape == "join":
+            proj = [f"{lt}.{ls['pk']} AS lpk", f"{rt}.{rs['pk']} AS rpk"]
+            if ls["s"]:
+                proj.append(f"{_str_expr(rng, lt + '.' + rng.choice(ls['s']))} AS e_ls")
+            if rs["s"]:
+                proj.append(f"{_str_expr(rng, rt + '.' + rng.choice(rs['s']))} AS e_rs")
+            if "pk2" in ls:
+                proj.append(f"{lt}.{ls['pk2']} AS lpk2")
+            where = (
+                f" AND {lt}.{ls['pk']} % {rng.randint(2, 5)} = 0"
+                if rng.random() < 0.5
+                else ""
+            )
+            return (
+                f"SELECT {', '.join(proj)} FROM {lt} JOIN {rt} ON {on}{where}"
+            )
+        key = (
+            f"{rt}.{rng.choice(rs['s'])}" if rs["s"] else f"{rt}.{rs['pk']} % 3"
+        )
+        aggs = ["CAST(count(*) AS BIGINT) AS cnt"]
+        if ls["i"]:
+            aggs.append(
+                f"CAST(sum({lt}.{rng.choice(ls['i'])} % 89) AS BIGINT) AS sum_i"
+            )
+        if ls["s"]:
+            aggs.append(f"max({lt}.{rng.choice(ls['s'])}) AS max_s")
+        return (
+            f"SELECT {key} AS g0, {', '.join(aggs)} "
+            f"FROM {lt} JOIN {rt} ON {on} GROUP BY g0"
+        )
+
+    if shape == "window":
+        # rank within a low-cardinality partition, ordered by the unique
+        # key so ties are impossible and the rank is well-defined
+        part = (
+            rng.choice(sch["s"])
+            if sch["s"]
+            else f"{sch['pk']} % {rng.randint(2, 5)}"
+        )
+        order = sch["pk"] if "pk2" not in sch else f"{sch['pk']}, {sch['pk2']}"
+        return (
+            f"SELECT {sch['pk']} AS pk, {part} AS g, "
+            f"row_number() OVER (PARTITION BY {part} ORDER BY {order}) AS rn "
+            f"FROM {t} WHERE {_predicate(rng, sch)}"
+        )
+
+    # limit: only ever under a total order on the (composite) key
+    order = sch["pk"] if "pk2" not in sch else f"{sch['pk']}, {sch['pk2']}"
+    proj = [f"{sch['pk']} AS pk"]
+    if "pk2" in sch:
+        proj.append(f"{sch['pk2']} AS pk2")
+    if sch["s"]:
+        proj.append(f"{_str_expr(rng, rng.choice(sch['s']))} AS e_s")
+    return (
+        f"SELECT {', '.join(proj)} FROM {t} "
+        f"ORDER BY {order} LIMIT {rng.randint(1, 40)}"
+    )
+
+
+def run_seed(spark, con, seed: int, sf_dir: str) -> tuple[str, list[str]]:
+    from tools.oracle_check import compare_frames
+
+    q = generate_query(seed)
+    sdf = spark.sql(q).toPandas()
+    ddf = con.execute(q).fetchdf()
+    return q, compare_frames(sdf, ddf)
+
+
+def main() -> int:
+    from bigdatalab_spark.session import get_session
+    from bigdatalab_spark.sources.readers import TABLES
+    from tools.oracle_check import duckdb_connection
+
+    argv = list(sys.argv[1:])
+    seeds, start = 25, 0
+    pos = []
+    for a in argv:
+        if a.startswith("--seeds="):
+            seeds = int(a.split("=", 1)[1])
+        elif a.startswith("--start="):
+            start = int(a.split("=", 1)[1])
+        else:
+            pos.append(a)
+    sf_dir = pos[0] if pos else "/root/testdata/sf0.01"
+
+    spark = get_session(app_name="fuzz-oracle")
+    spark.sparkContext.setLogLevel("ERROR")
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    con = duckdb_connection(sf_dir)
+
+    failures = []
+    for seed in range(start, start + seeds):
+        try:
+            q, problems = run_seed(spark, con, seed, sf_dir)
+        except Exception as exc:  # noqa: BLE001 — a parse divergence IS a finding
+            q, problems = generate_query(seed), [f"exception: {exc}"]
+        status = "OK " if not problems else "FAIL"
+        print(f"[{status}] seed={seed}")
+        if problems:
+            print(f"       {q}")
+            for p in problems[:4]:
+                print(f"       {p}")
+            failures.append(seed)
+    print(
+        json.dumps(
+            {
+                "sf_dir": sf_dir,
+                "seeds": list(range(start, start + seeds)),
+                "n_pass": seeds - len(failures),
+                "n_fail": len(failures),
+                "failed_seeds": failures,
+            }
+        )
+    )
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
