@@ -404,18 +404,18 @@ def zorder_clustering_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     min/max row-group stats prune scans filtered on EITHER dimension,
     not just the leading sort column. Pure bit arithmetic, codegen'd,
     bit-identical in the oracle."""
+    from bigdatalab_spark.operators.zorder import zorder_key
+
     ev = load_table(spark, sf_dir, "events")
     x = (F.col("user_id") % 64).cast("bigint")
     y = (F.dayofmonth("ts") % 64).cast("bigint")
     dims = ev.select("event_id", x.alias("x"), y.alias("y"))
-    z = F.lit(0).cast("bigint")
-    for j in range(_Z_BITS):
-        z = z + F.shiftleft(F.shiftright(F.col("x"), j).bitwiseAND(1), 2 * j)
-        z = z + F.shiftleft(F.shiftright(F.col("y"), j).bitwiseAND(1), 2 * j + 1)
-    return (
-        dims.select("event_id", "x", "y", z.cast("bigint").alias("z_key"))
-        .orderBy("z_key", "event_id")
-    )
+    return dims.select(
+        "event_id",
+        "x",
+        "y",
+        zorder_key(F.col("x"), F.col("y"), _Z_BITS).alias("z_key"),
+    ).orderBy("z_key", "event_id")
 
 
 @query(

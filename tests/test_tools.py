@@ -152,3 +152,16 @@ def test_fuzz_oracle_differential_smoke():
     assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-2000:]
     out = json.loads(proc.stdout.strip().splitlines()[-1])
     assert out["n_pass"] == 25 and out["failed_seeds"] == []
+
+
+def test_zorder_bench_smoke():
+    out = _run_tool("tools.zorder_bench", SF, "4")
+    assert set(out["layouts"]) == {"zorder", "linear", "unsorted"}
+    for name, st in out["layouts"].items():
+        for p in ("x_only", "y_only", "both"):
+            assert 0 < st[p]["scanned_bytes_ratio"] <= 1.0
+    # identical predicate results across layouts (layout is I/O only)
+    ms = {st["n_match"] for st in out["layouts"].values()}
+    assert len(ms) == 1
+    # unsorted prunes nothing; zorder must beat it on the 2-D predicate
+    assert out["layouts"]["unsorted"]["worst_ratio"] == 1.0
