@@ -265,6 +265,17 @@ def ivf_pq_topk(
 
     Deterministic given seeds; learned quantizers -> rows-only query,
     recall gated in tests vs exact L2 (same gates as pq_topk/IVF).
+
+    Sizing the knobs (measured at 600k x 64-d, SCALE_NOTES round-8):
+    recall@5 is set by RERANK DEPTH, not n_probe — ADC with m=8
+    misranks true neighbors out of a 50-deep shortlist (recall 0.38)
+    while rerank=200 -> 0.74 and rerank=500 -> 1.00, flat across
+    probes. n_centroids sets serve COST: at 8 cells serve time climbed
+    2.4x across the probe sweep, at 64 cells (~sqrt(N) territory) it
+    was flat ~5.5 s. Production rule: n_centroids ~ sqrt(corpus),
+    n_probe=2 for boundary safety, rerank sized to the recall target
+    (it is Q x R float fetches — shortlist I/O, never a corpus scan).
+    The small defaults here fit the gate corpus.
     """
     codes, centroids, books = fit_ivf_pq_index(
         corpus, n_centroids, m, codebook_k, seed, vec_col, id_col, codebooks

@@ -165,3 +165,19 @@ def test_zorder_bench_smoke():
     assert len(ms) == 1
     # unsorted prunes nothing; zorder must beat it on the 2-D predicate
     assert out["layouts"]["unsorted"]["worst_ratio"] == 1.0
+
+
+def test_ann_recall_bench_smoke():
+    out = _run_tool("tools.ann_recall_bench", SF, "5", "3", "quick")
+    assert out["k"] == 3 and out["n_queries"] == 5
+    assert set(out["grid"]) == {
+        f"probe{p}_rerank{r}" for p in (1, 2) for r in (0, 20)
+    }
+    for v in out["grid"].values():
+        assert 0.0 <= v["recall"] <= 1.0 and v["serve_sec"] > 0
+    # rerank can only help at fixed n_probe (exact re-scoring of a
+    # superset shortlist) — allow equality, forbid degradation
+    for p in (1, 2):
+        r0 = out["grid"][f"probe{p}_rerank0"]["recall"]
+        r20 = out["grid"][f"probe{p}_rerank20"]["recall"]
+        assert r20 >= r0

@@ -189,7 +189,10 @@ def _aggs(rng: random.Random, sch: dict) -> list[str]:
 def generate_query(seed: int) -> str:
     """Deterministic seed -> one dialect-neutral SQL text."""
     rng = random.Random(seed)
-    shape = rng.choice(["scan", "agg", "join", "join_agg", "window", "limit"])
+    shape = rng.choice(
+        ["scan", "agg", "join", "join_agg", "window", "limit", "case",
+         "having", "union"]
+    )
     t = rng.choice(sorted(SCHEMAS))
     sch = SCHEMAS[t]
 
@@ -267,6 +270,40 @@ def generate_query(seed: int) -> str:
             f"row_number() OVER (PARTITION BY {part} ORDER BY {order}) AS rn "
             f"FROM {t} WHERE {_predicate(rng, sch)}"
         )
+
+    if shape == "case":
+        ic = rng.choice(sch["i"]) if sch["i"] else f"length({rng.choice(sch['s'])})"
+        arms = rng.randint(1, 3)
+        case = "CASE"
+        lo = 0
+        for _ in range(arms):
+            lo += rng.randint(2, 20)
+            case += f" WHEN {ic} < {lo} THEN '{rng.choice('abcde')}{lo}'"
+        case += " ELSE 'zz' END"
+        proj = [f"{sch['pk']} AS pk", f"{case} AS cat"]
+        if "pk2" in sch:
+            proj.append(f"{sch['pk2']} AS pk2")
+        where = f" WHERE {_predicate(rng, sch)}" if rng.random() < 0.5 else ""
+        return f"SELECT {', '.join(proj)} FROM {t}{where}"
+
+    if shape == "having":
+        key = rng.choice(sch["s"]) if sch["s"] else f"{sch['pk']} % 7"
+        # HAVING spelled with the full aggregate (alias reference in
+        # HAVING is a dialect extension neither engine needs here)
+        return (
+            f"SELECT {key} AS g0, CAST(count(*) AS BIGINT) AS cnt "
+            f"FROM {t} GROUP BY g0 HAVING count(*) > {rng.randint(1, 20)}"
+        )
+
+    if shape == "union":
+        proj = [f"{sch['pk']} AS pk"]
+        if "pk2" in sch:
+            proj.append(f"{sch['pk2']} AS pk2")
+        if sch["s"]:
+            proj.append(f"{_str_expr(rng, rng.choice(sch['s']))} AS e_s")
+        p1, p2 = _predicate(rng, sch), _predicate(rng, sch)
+        sel = f"SELECT {', '.join(proj)} FROM {t}"
+        return f"{sel} WHERE {p1} UNION ALL {sel} WHERE {p2}"
 
     # limit: only ever under a total order on the (composite) key
     order = sch["pk"] if "pk2" not in sch else f"{sch['pk']}, {sch['pk2']}"
