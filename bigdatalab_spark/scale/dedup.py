@@ -541,6 +541,121 @@ def save_dedup_index(
     return meta
 
 
+def append_to_dedup_index(
+    docs_new: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Fold new documents into an existing :func:`save_dedup_index` —
+    the second half of the daily-ingest cycle (classify the batch, then
+    append its 'new' docs) without re-shingling the corpus: every write
+    here is batch-proportional except the two ingest-side probes noted
+    below. Parameters (shingle n, cap, shard count) come from the index
+    meta, so an append can never mix geometries.
+
+    Crash discipline: meta.json is REMOVED first and rewritten last
+    inside the writer lock — the appends to the four stores are not
+    mutually atomic, so a crash mid-append must leave a load-REFUSING
+    index (rebuild with save_dedup_index), never a silently
+    half-appended one. Same marker-last contract as the build.
+
+    Cap semantics: new band rows are dropped for buckets whose
+    COMBINED size (existing + appended — one batch-keyed probe of the
+    band store) exceeds the cap. This matches a full rebuild exactly
+    while the cap never binds (the normal regime, and the bit-identity
+    the tests pin); when an append does push a bucket over, the rebuild
+    would drop the bucket's OLD rows too, while append leaves them —
+    candidate-generation recall is a superset of the rebuild's, and
+    verification stays exact either way.
+
+    Content hashes are appended after an anti-join against the store
+    (the other ingest-side probe), so the hash store stays distinct.
+    Ids must be new — appending an existing doc_id would double its
+    shingle rows and corrupt its stored size.
+    """
+    import json
+    import os
+
+    spark = docs_new.sparkSession
+    _, bands_cur, _, _, meta = load_dedup_index(spark, path)
+    n, cap, n_shards = meta["n"], meta["max_bucket_size"], meta["n_shards"]
+
+    import shutil
+
+    from bigdatalab_spark.sources.locks import dataset_write_lock
+
+    sh_new = doc_shingles(docs_new, text_col, id_col, n).cache()
+    bands_new = band_rows(minhash_signatures(sh_new))
+
+    with dataset_write_lock(path, "append_to_dedup_index"):
+        # An append job must never READ the store it is appending to
+        # (self-read-append races on the file listing): the two
+        # store-probes below are resolved EAGERLY, under the lock,
+        # before any write touches their target.
+        if cap is not None:
+            new_counts = bands_new.groupBy("band", "sig").agg(
+                F.count(F.lit(1)).alias("_n_new")
+            )
+            old_counts = (
+                bands_cur.join(
+                    new_counts.select("band", "sig"), ["band", "sig"], "left_semi"
+                )
+                .groupBy("band", "sig")
+                .agg(F.count(F.lit(1)).alias("_n_old"))
+            )
+            # over-cap keys are ~zero in a healthy corpus: collect the
+            # DROP set (metadata-sized) and anti-join it as a literal
+            drop = (
+                new_counts.join(old_counts, ["band", "sig"], "left")
+                .filter(
+                    F.col("_n_new") + F.coalesce(F.col("_n_old"), F.lit(0)) > cap
+                )
+                .select("band", "sig")
+                .collect()
+            )
+            if drop:
+                drop_df = spark.createDataFrame(
+                    [(r["band"], r["sig"]) for r in drop], "band int, sig string"
+                )
+                bands_new = bands_new.join(
+                    F.broadcast(drop_df), ["band", "sig"], "left_anti"
+                )
+        # hash anti-join staged to a scratch subdir so the append never
+        # reads its own target; staging debris is harmless (outside the
+        # store paths, removed on success, index refuses loads anyway
+        # if we crash before meta is restored)
+        staging = os.path.join(path, "_hashes_staging")
+        (
+            docs_new.select(F.md5(normalize_text(text_col)).alias("content_hash"))
+            .filter(F.col("content_hash").isNotNull())
+            .distinct()
+            .join(spark.read.parquet(f"{path}/hashes"), "content_hash", "left_anti")
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+
+        meta_path = os.path.join(path, "meta.json")
+        os.remove(meta_path)  # uncommit: a crash below must refuse loads
+        bands_new.write.mode("append").partitionBy("band").parquet(
+            f"{path}/bands"
+        )
+        sh_new.withColumn(
+            "shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int")
+        ).write.mode("append").partitionBy("shard").parquet(f"{path}/shingles")
+        sh_new.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_sh")
+        ).write.mode("append").parquet(f"{path}/sizes")
+        spark.read.parquet(staging).write.mode("append").parquet(f"{path}/hashes")
+        shutil.rmtree(staging, ignore_errors=True)
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp, meta_path)
+    sh_new.unpersist()
+    return meta
+
+
 def load_dedup_index(
     spark, path: str
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, dict]:

@@ -972,3 +972,77 @@ def test_dedup_index_load_refuses_incomplete_or_foreign(spark, tmp_path):
         json.dump({"format": "dedup-index/0", "n": 3}, fh)
     with pytest.raises(ValueError, match="rebuild with save_dedup_index"):
         load_dedup_index(spark, idx)
+
+
+def test_dedup_index_append_completes_the_daily_cycle(spark, sf_dir, tmp_path):
+    """The daily-ingest loop: classify a batch against the index, fold
+    its 'new' docs in with append_to_dedup_index, and (a) a re-serve of
+    the same content now reports duplicates, (b) serving a THIRD batch
+    against the appended index is bit-identical to serving against a
+    full rebuild over corpus ∪ batch (cap never binds here — the
+    documented exactness regime), (c) the store stays load-valid."""
+    from bigdatalab_spark.scale.dedup import (
+        append_to_dedup_index,
+        incremental_dedup_from_index,
+        load_dedup_index,
+        save_dedup_index,
+    )
+    from bigdatalab_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0).limit(15)
+
+    idx = str(tmp_path / "idx")
+    save_dedup_index(corpus, idx)
+
+    day1 = {
+        r["doc_id"]: r["status"]
+        for r in incremental_dedup_from_index(spark, batch, idx).collect()
+    }
+    new_ids = [i for i, s in day1.items() if s == "new"]
+    assert new_ids, "fixture produced no new docs; widen the batch"
+    new_docs = batch.filter(F.col("doc_id").isin(new_ids))
+    append_to_dedup_index(new_docs, idx)
+
+    # (a) the same content under fresh ids is now an exact dup
+    reprobe = spark.createDataFrame(
+        [
+            (20_000_000 + i, r["text"])
+            for i, r in enumerate(new_docs.collect())
+        ],
+        "doc_id long, text string",
+    )
+    day2 = {
+        r["doc_id"]: r["status"]
+        for r in incremental_dedup_from_index(spark, reprobe, idx).collect()
+    }
+    assert set(day2.values()) == {"exact_dup"}, day2
+
+    # (b) appended index == full rebuild for an unrelated third batch
+    seed = corpus.sort("doc_id").limit(2).collect()
+    batch3 = spark.createDataFrame(
+        [
+            (30_000_001, seed[0]["text"]),
+            (30_000_002, (seed[1]["text"] or "") + " perturbed again"),
+            (30_000_003, "yet another wholly new document body"),
+        ],
+        "doc_id long, text string",
+    )
+    rebuilt = str(tmp_path / "rebuilt")
+    save_dedup_index(corpus.unionByName(new_docs), rebuilt)
+    got_append = sorted(
+        (r["doc_id"], r["status"])
+        for r in incremental_dedup_from_index(spark, batch3, idx).collect()
+    )
+    got_rebuild = sorted(
+        (r["doc_id"], r["status"])
+        for r in incremental_dedup_from_index(spark, batch3, rebuilt).collect()
+    )
+    assert got_append == got_rebuild
+
+    # (c) stores stay consistent: distinct hashes, sizes keyed once
+    hashes, bands, shingles, sizes, meta = load_dedup_index(spark, idx)
+    assert hashes.count() == hashes.distinct().count()
+    assert sizes.count() == sizes.select("doc_id").distinct().count()
+    assert meta["format"] == "dedup-index/1"
