@@ -130,6 +130,8 @@ _POST_WINDOW = (
     # round 8
     "incremental_dedup_index_status",
     "wav_audio_features",
+    "pipe_syntax_order_stats",
+    "streaming_dedup_ingest",
 )
 
 

@@ -592,6 +592,177 @@ def incremental_dedup_index_status(spark: SparkSession, sf_dir: str) -> DataFram
     return incremental_dedup_from_index(spark, batch, idx).orderBy("doc_id")
 
 
+def _two_round_ingest_oracle() -> str:
+    """Sequential replay of the STREAMING ingest loop in pure SQL: two
+    micro-batches (doc_id%4==1 then %4==3) classified in order, with
+    round 1's 'new' docs ADMITTED into round 2's corpus — exactly what
+    dedup_ingest_stream does through the durable index. One copy of
+    the shingle/minhash/band CTEs serves both rounds; each round gets
+    its own candidate/verify/exact block. No cap modeling needed: the
+    bucket cap is a provable no-op at oracle scale (same stance as
+    every LSH oracle here)."""
+    from bigdatalab_spark.queries.dedup import SHINGLES_CTE, _PARAMS_VALUES
+    from bigdatalab_spark.scale.hashing import MINHASH_P, MINHASH_ROWS
+
+    def verify(round_id: int) -> str:
+        return f"""
+        inter{round_id} AS (
+            SELECT doc1, doc2, count(*) AS n_common
+            FROM cands{round_id} c
+            JOIN shingles s1 ON s1.doc_id = c.doc1
+            JOIN shingles s2 ON s2.doc_id = c.doc2 AND s2.shingle = s1.shingle
+            GROUP BY doc1, doc2
+        ),
+        near{round_id} AS (
+            SELECT DISTINCT doc1 AS doc_id
+            FROM inter{round_id}
+            JOIN zsizes s1 ON s1.doc_id = doc1
+            JOIN zsizes s2 ON s2.doc_id = doc2
+            WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= 0.5
+        )"""
+
+    return f"""
+        WITH {SHINGLES_CTE},
+        params(i, a, b) AS (VALUES {_PARAMS_VALUES}),
+        hashes AS (
+            SELECT doc_id, shingle,
+                   CAST('0x' || substr(md5(shingle), 1, 7) AS BIGINT) AS h
+            FROM shingles
+        ),
+        mh AS (
+            SELECT doc_id, i, min((h * a + b) % {MINHASH_P}) AS v
+            FROM hashes, params
+            GROUP BY doc_id, i
+        ),
+        bands AS (
+            SELECT doc_id, i // {MINHASH_ROWS} AS band,
+                   string_agg(CAST(v AS VARCHAR), '_' ORDER BY i) AS sig
+            FROM mh
+            GROUP BY doc_id, i // {MINHASH_ROWS}
+        ),
+        zsizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+        chash AS (
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash
+            FROM documents
+        ),
+        -- round 1: batch (%4==1) vs the prebuilt corpus (%2==0)
+        cands1 AS (
+            SELECT DISTINCT b.doc_id AS doc1, c.doc_id AS doc2
+            FROM bands b JOIN bands c ON b.band = c.band AND b.sig = c.sig
+            WHERE b.doc_id % 4 = 1 AND c.doc_id % 2 = 0
+        ),
+        {verify(1)},
+        exact1 AS (
+            SELECT h.doc_id FROM chash h
+            WHERE h.doc_id % 4 = 1 AND h.content_hash IN (
+                SELECT content_hash FROM chash WHERE doc_id % 2 = 0)
+            UNION
+            SELECT b.doc_id FROM chash b
+            JOIN chash b2 ON b2.content_hash = b.content_hash
+                         AND b2.doc_id < b.doc_id AND b2.doc_id % 4 = 1
+            WHERE b.doc_id % 4 = 1
+        ),
+        status1 AS (
+            SELECT b.doc_id,
+                   CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                        WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                        ELSE 'new' END AS status
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 1) b
+            LEFT JOIN exact1 e ON e.doc_id = b.doc_id
+            LEFT JOIN near1 n ON n.doc_id = b.doc_id
+        ),
+        -- round 2 corpus: prebuilt corpus + round 1's admitted docs
+        corpus2 AS (
+            SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT doc_id FROM status1 WHERE status = 'new'
+        ),
+        cands2 AS (
+            SELECT DISTINCT b.doc_id AS doc1, c.doc_id AS doc2
+            FROM bands b JOIN bands c ON b.band = c.band AND b.sig = c.sig
+            WHERE b.doc_id % 4 = 3
+              AND c.doc_id IN (SELECT doc_id FROM corpus2)
+        ),
+        {verify(2)},
+        exact2 AS (
+            SELECT h.doc_id FROM chash h
+            WHERE h.doc_id % 4 = 3 AND h.content_hash IN (
+                SELECT content_hash FROM chash
+                WHERE doc_id IN (SELECT doc_id FROM corpus2))
+            UNION
+            SELECT b.doc_id FROM chash b
+            JOIN chash b2 ON b2.content_hash = b.content_hash
+                         AND b2.doc_id < b.doc_id AND b2.doc_id % 4 = 3
+            WHERE b.doc_id % 4 = 3
+        ),
+        status2 AS (
+            SELECT b.doc_id,
+                   CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                        WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                        ELSE 'new' END AS status
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 3) b
+            LEFT JOIN exact2 e ON e.doc_id = b.doc_id
+            LEFT JOIN near2 n ON n.doc_id = b.doc_id
+        )
+        SELECT doc_id, status FROM status1
+        UNION ALL
+        SELECT doc_id, status FROM status2
+        ORDER BY doc_id
+    """
+
+
+@query(
+    "streaming_dedup_ingest",
+    ids=("SCALE-DEDUP", "T2", "T4", "K4"),
+    oracle=_two_round_ingest_oracle(),
+)
+def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-8 production loop under the oracle gate: a REAL
+    readStream replays the odd documents as two mtime-ordered
+    micro-batches (doc_id%4==1 then %4==3) through
+    :func:`~bigdatalab_spark.streaming.jobs.dedup_ingest_stream` —
+    each batch classified against the durable signature store, its
+    statuses landed in a per-batch-partitioned audit log, its 'new'
+    docs APPENDED to the index so the second batch deduplicates
+    against what the first admitted. The oracle replays both rounds
+    sequentially in SQL (round 2's corpus = corpus ∪ round 1's
+    admitted docs), so strict equality certifies the whole
+    stream → classify → admit → re-classify loop, not one batch."""
+    import os
+    import tempfile
+    import time
+
+    from bigdatalab_spark.scale.dedup import save_dedup_index
+    from bigdatalab_spark.streaming.jobs import dedup_ingest_stream
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scratch = tempfile.mkdtemp(prefix="dedup_ingest_")
+    idx, src = f"{scratch}/idx", f"{scratch}/src"
+    save_dedup_index(docs.filter("doc_id % 2 = 0"), idx)
+    docs.filter("doc_id % 4 = 1").coalesce(1).write.parquet(f"{src}/f1")
+    docs.filter("doc_id % 4 = 3").coalesce(1).write.parquet(f"{src}/f2")
+    # the file source orders micro-batches by modification time; pin it
+    # explicitly instead of sleeping between writes
+    now = time.time()
+    for d, off in (("f1", -10), ("f2", 10)):
+        for fn in os.listdir(f"{src}/{d}"):
+            os.utime(f"{src}/{d}/{fn}", (now + off, now + off))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(f"{src}/*")
+    )
+    q = dedup_ingest_stream(stream, idx, f"{scratch}/statuses", f"{scratch}/ckpt")
+    q.awaitTermination(600)
+    return (
+        spark.read.parquet(f"{scratch}/statuses")
+        .select("doc_id", "status")
+        .orderBy("doc_id")
+    )
+
+
 def _simhash_pairs_oracle() -> str:
     from bigdatalab_spark.scale.hashing import SIMHASH_BITS
 

@@ -371,3 +371,45 @@ def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY event_type
         """
     )
+
+
+@query(
+    "pipe_syntax_order_stats",
+    ids=("A7", "A8", "O1"),
+    oracle=f"""
+        SELECT o_orderstatus,
+               o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               {dsum('o_totalprice')} AS revenue
+        FROM orders
+        WHERE o_totalprice > 50000
+        GROUP BY o_orderstatus, o_orderpriority
+        HAVING count(*) > 5
+        ORDER BY o_orderstatus, o_orderpriority
+    """,
+)
+def pipe_syntax_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax, multi-stage composition (extends the round-4
+    ``pipe_syntax_returnflag_revenue`` basic flow): source |> filter
+    |> aggregate |> POST-AGGREGATE filter |> projection |> order — the
+    post-aggregate ``|> WHERE`` references an aggregate ALIAS (the
+    pipe form of HAVING, impossible to misplace) and the late ``|>
+    SELECT`` reshapes after filtering, which is where nested standard
+    SQL needs a subquery. The DuckDB oracle IS that standard nested
+    form (HAVING + ordered projection), so strict equality proves the
+    lowering of the full stage algebra, not just parseability. Money
+    via the string-decimal path (dsum) like every revenue oracle."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        f"""
+        FROM orders
+        |> WHERE o_totalprice > 50000
+        |> AGGREGATE count(*) AS n_orders,
+                     {dsum('o_totalprice')} AS revenue
+           GROUP BY o_orderstatus, o_orderpriority
+        |> WHERE n_orders > 5
+        |> SELECT o_orderstatus, o_orderpriority,
+                  CAST(n_orders AS BIGINT) AS n_orders, revenue
+        |> ORDER BY o_orderstatus, o_orderpriority
+        """
+    )

@@ -384,3 +384,96 @@ def apply_cdc_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dedup_ingest_stream(
+    stream: DataFrame,
+    index_path: str,
+    status_path: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Streaming ingest against the durable dedup signature store — the
+    production loop the round-8 index work exists for: every
+    micro-batch is (1) classified with
+    :func:`~bigdatalab_spark.scale.dedup.incremental_dedup_from_index`
+    (corpus text never read), (2) its per-doc statuses land in a
+    partitioned audit log (``status_path/batch_id=N``), and (3) its
+    'new' documents are folded into the index with
+    :func:`~bigdatalab_spark.scale.dedup.append_to_dedup_index`, so
+    LATER micro-batches deduplicate against everything earlier ones
+    admitted.
+
+    Exactly-once story (the order of the three steps is the design):
+    - statuses are computed BEFORE any append of this batch (a batch
+      can never classify against its own documents) and written with
+      per-batch-directory OVERWRITE — replay rewrites byte-identical
+      rows, and the directory's _SUCCESS marker makes "already
+      classified" detectable;
+    - on a replayed batch the classify step is SKIPPED when its status
+      directory is committed (recomputing after a partial append would
+      see the batch's own docs in the index and flip them to
+      exact_dup — the marker prevents exactly that);
+    - the append is idempotent: candidates are anti-joined against the
+      index's sizes store first, so re-appending an already-admitted
+      doc is a no-op (double-appending would corrupt its shingle rows
+      and stored size).
+    Any crash point therefore replays to the same final (status log,
+    index) state.
+
+    Returns the started StreamingQuery (availableNow — drains existing
+    input then stops; restarting with the same checkpoint resumes).
+    """
+    import os
+
+    from bigdatalab_spark.scale.dedup import (
+        append_to_dedup_index,
+        incremental_dedup_from_index,
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        part = os.path.join(status_path, f"batch_id={batch_id}")
+        if not os.path.exists(os.path.join(part, "_SUCCESS")):
+            incremental_dedup_from_index(
+                spark, batch_df, index_path, threshold, text_col, id_col
+            ).write.mode("overwrite").parquet(part)
+        new_ids = (
+            spark.read.parquet(part)
+            .filter(F.col("status") == "new")
+            .select("doc_id")
+        )
+        new_docs = (
+            batch_df.select(
+                F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+            )
+            .join(new_ids, "doc_id", "left_semi")
+            .join(
+                spark.read.parquet(f"{index_path}/sizes").select("doc_id"),
+                "doc_id",
+                "left_anti",  # replay guard: already-admitted docs skip
+            )
+        )
+        # stage eagerly: new_docs' lineage READS the sizes store that
+        # the append WRITES — materializing to scratch truncates the
+        # lineage so no append job can re-trigger a self-read (a
+        # persist() would not guarantee that under cache eviction)
+        staged = os.path.join(checkpoint_dir, f"_staged_batch_{batch_id}")
+        new_docs.write.mode("overwrite").parquet(staged)
+        staged_docs = spark.read.parquet(staged)
+        if not staged_docs.isEmpty():
+            append_to_dedup_index(staged_docs, index_path)
+        import shutil
+
+        shutil.rmtree(staged, ignore_errors=True)
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1105,3 +1105,98 @@ def test_observe_metrics_batch_and_streaming(spark, sf_dir, tmp_path):
     ]
     assert len(per_batch) >= 2  # metrics observed on every non-empty batch
     assert sum(per_batch) == want_n
+
+
+def test_dedup_ingest_stream_classifies_and_grows_the_index(spark, sf_dir, tmp_path):
+    """The round-8 production loop: micro-batches classified against the
+    durable dedup index, new docs appended, so a batch-2 copy of a
+    batch-1-admitted doc is flagged exact_dup. Restarting the drained
+    stream (same checkpoint) replays nothing and changes nothing —
+    the exactly-once contract of the status log + idempotent append."""
+    import time
+
+    from bigdatalab_spark.scale.dedup import (
+        incremental_dedup_from_index,
+        load_dedup_index,
+        save_dedup_index,
+    )
+    from bigdatalab_spark.sources import load_table
+    from bigdatalab_spark.streaming.jobs import dedup_ingest_stream
+
+    docs = load_table(spark, str(sf_dir), "documents").select("doc_id", "text")
+    corpus = docs.filter("doc_id % 2 = 0")
+    idx = str(tmp_path / "idx")
+    save_dedup_index(corpus, idx)
+
+    corpus_seed = corpus.sort("doc_id").limit(1).collect()[0]["text"]
+    src = tmp_path / "ingest_src"
+    src.mkdir()
+
+    def w(name, rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(str(src / name))
+
+    b1_new = "a genuinely new streaming document body one"
+    w(
+        "f1",
+        [
+            (10_000_001, corpus_seed),      # dup of the prebuilt corpus
+            (10_000_002, b1_new),           # new -> appended
+        ],
+    )
+    time.sleep(1.1)  # file source orders micro-batches by mtime
+    w(
+        "f2",
+        [
+            (10_000_003, b1_new),           # copy of batch-1-ADMITTED doc
+            (10_000_004, b1_new + " but perturbed"),  # near-dup of it
+            (10_000_005, "another wholly new streaming document"),
+        ],
+    )
+
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", "1"
+    ).option("latestFirst", "false").parquet(str(src / "*"))
+    status_path = str(tmp_path / "statuses")
+    ckpt = str(tmp_path / "ckpt")
+    q = dedup_ingest_stream(stream, idx, status_path, ckpt)
+    q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: r["status"]
+        for r in spark.read.parquet(status_path).collect()
+    }
+    assert got == {
+        10_000_001: "exact_dup",
+        10_000_002: "new",
+        10_000_003: "exact_dup",   # only possible if batch 1 grew the index
+        10_000_004: "near_dup",    # likewise
+        10_000_005: "new",
+    }, got
+
+    # the admitted docs are served by the index now
+    probe = spark.createDataFrame(
+        [(20_000_001, b1_new)], "doc_id long, text string"
+    )
+    assert [
+        r["status"]
+        for r in incremental_dedup_from_index(spark, probe, idx).collect()
+    ] == ["exact_dup"]
+
+    # restart on the same checkpoint: nothing replays, nothing changes
+    before = spark.read.parquet(f"{idx}/sizes").count()
+    q2 = dedup_ingest_stream(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*")),
+        idx,
+        status_path,
+        ckpt,
+    )
+    q2.awaitTermination(60)
+    assert spark.read.parquet(f"{idx}/sizes").count() == before
+    assert spark.read.parquet(status_path).count() == 5
+    hashes, _, _, sizes, _ = load_dedup_index(spark, idx)
+    assert hashes.count() == hashes.distinct().count()
+    assert sizes.count() == sizes.select("doc_id").distinct().count()
