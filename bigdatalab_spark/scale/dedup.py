@@ -656,14 +656,76 @@ def append_to_dedup_index(
     return meta
 
 
-def load_dedup_index(
-    spark, path: str
-) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, dict]:
-    """Load a :func:`save_dedup_index` layout back as
-    ``(hashes, bands, shingles, sizes, meta)``, serve-ready for
-    :func:`incremental_dedup_from_index`. Validates the format marker —
-    a missing/corrupt/foreign meta.json refuses loudly rather than
-    classifying against a half-written index."""
+def compact_dedup_index(
+    spark,
+    path: str,
+    max_records_per_file: int = 5_000_000,
+) -> dict:
+    """Small-file compaction for a :func:`save_dedup_index` layout —
+    the standing maintenance job the STREAMING ingest loop makes
+    necessary: every
+    :func:`~bigdatalab_spark.streaming.jobs.dedup_ingest_stream`
+    micro-batch appends one more file set to each of the four stores
+    (bands gains files in every touched ``band=N/`` directory,
+    shingles in every candidate shard, sizes and hashes one per
+    batch), so after a thousand daily batches the serve-time scan cost
+    is dominated by file COUNT, not bytes — the same failure mode
+    :func:`~bigdatalab_spark.sources.sinks.compact_partitions`
+    addresses for plain tables, applied to the index's layout.
+
+    Layout-only: rows are preserved exactly, so a serve after
+    compaction is bit-identical to one before (pinned by the pytest).
+    The partitioned stores (bands by ``band``, shingles by ``shard``)
+    keep their partition scheme — serve-side pruning contracts are
+    untouched; the flat stores (sizes, hashes) collapse to
+    ``ceil(rows / max_records_per_file)`` files.
+
+    Crash discipline: meta.json is NOT removed — each store flips
+    old→fresh via the two-rename protocol, so at every crash point the
+    store is either wholly old, wholly new, or mid-flip (path missing,
+    ``__compact_old`` holding the only copy). Mid-flip, loads fail
+    LOUDLY on the missing store path; re-running compaction resumes
+    the flip through the debris-recovery preamble. There is no window
+    where a serve can read a silently mixed layout.
+
+    Takes the writer lock on the INDEX ROOT (the same lock
+    save/append use), so a compaction cannot interleave with an append
+    — an append landing between two store flips would be lost when the
+    pre-append snapshot is renamed into place."""
+    from bigdatalab_spark.sources.locks import dataset_write_lock
+    from bigdatalab_spark.sources.sinks import (
+        _compact_flat_locked,
+        _compact_partitions_locked,
+    )
+
+    with dataset_write_lock(path, "compact_dedup_index"):
+        # validate the commit marker only — the stores themselves may
+        # legitimately be mid-flip from a crashed previous compaction
+        # (each store's debris preamble resumes its own flip below),
+        # so an eager four-store read here would break exactly the
+        # recovery this function promises
+        _read_dedup_meta(path)
+        return {
+            "bands": _compact_partitions_locked(
+                spark, f"{path}/bands", ("band",), max_records_per_file
+            ),
+            "shingles": _compact_partitions_locked(
+                spark, f"{path}/shingles", ("shard",), max_records_per_file
+            ),
+            "sizes": _compact_flat_locked(
+                spark, f"{path}/sizes", max_records_per_file
+            ),
+            "hashes": _compact_flat_locked(
+                spark, f"{path}/hashes", max_records_per_file
+            ),
+        }
+
+
+def _read_dedup_meta(path: str) -> dict:
+    """Read and validate an index's meta.json commit marker — the
+    shared refuse-loudly gate of :func:`load_dedup_index` (which also
+    opens the four stores) and :func:`compact_dedup_index` (which must
+    NOT, so it can recover a store whose pointer flip crashed)."""
     import json
     import os
 
@@ -685,6 +747,18 @@ def load_dedup_index(
             f"this engine serves {DEDUP_INDEX_FORMAT!r} — rebuild with "
             "save_dedup_index"
         )
+    return meta
+
+
+def load_dedup_index(
+    spark, path: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, dict]:
+    """Load a :func:`save_dedup_index` layout back as
+    ``(hashes, bands, shingles, sizes, meta)``, serve-ready for
+    :func:`incremental_dedup_from_index`. Validates the format marker —
+    a missing/corrupt/foreign meta.json refuses loudly rather than
+    classifying against a half-written index."""
+    meta = _read_dedup_meta(path)
     return (
         spark.read.parquet(f"{path}/hashes"),
         spark.read.parquet(f"{path}/bands"),

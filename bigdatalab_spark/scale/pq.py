@@ -499,6 +499,47 @@ def save_ivf_pq_index(
     save_codebooks(codebooks, f"{path}/codebooks.json")
 
 
+def append_to_ivf_pq_index(
+    new_vectors: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Fold new vectors into a stored :func:`save_ivf_pq_index`
+    without refitting — same contract as
+    :func:`~bigdatalab_spark.scale.similarity.append_to_ivf_index`:
+    the coarse quantizer AND the PQ codebooks are frozen (both are
+    models; refitting either invalidates every stored code), new
+    vectors are encoded with the stored codebooks
+    (:func:`encode_corpus` — codebook centroids as plan literals),
+    bucketed against the stored centroid table, and appended into the
+    existing ``codes/bucket=N/`` directories. One store is written by
+    one job (centroids and codebooks are immutable), so a crashed
+    append leaves only ``_temporary`` debris; the writer lock
+    serializes appends against each other and against a rebuild. Ids
+    must be new. Quantization drift: new-distribution vectors encode
+    against old codebooks with growing reconstruction error — the
+    rerank stage absorbs moderate drift (exact distances on the
+    shortlist); a refit + full re-encode is the reset."""
+    from bigdatalab_spark.scale.similarity import assign_to_centroids
+    from bigdatalab_spark.sources.locks import dataset_write_lock
+
+    spark = new_vectors.sparkSession
+    with dataset_write_lock(path, "append_to_ivf_pq_index"):
+        centroids = spark.read.parquet(f"{path}/centroids")
+        books = load_codebooks(f"{path}/codebooks.json")
+        assigned = assign_to_centroids(
+            new_vectors, centroids, vec_col, id_col
+        ).select("neighbor_id", "bucket")
+        (
+            encode_corpus(new_vectors, books, vec_col, id_col)
+            .join(assigned, "neighbor_id")
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(f"{path}/codes")
+        )
+
+
 def load_ivf_pq_index(spark, path: str):
     """Load :func:`save_ivf_pq_index` back as ``(codes, centroids,
     codebooks)``, serve-ready for :func:`ivf_pq_serve_topk`."""

@@ -589,6 +589,85 @@ def save_ivf_index(
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
 
 
+def assign_to_centroids(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Euclidean argmin bucket assignment against a FIXED centroid
+    table — the append-path twin of ``KMeans.transform`` (pinned
+    equivalent on real data by the pytest): squared L2 to every
+    centroid via a broadcast cross join, ``row_number`` argmin with
+    ties broken by the lowest bucket id (KMeans's first-index-wins).
+    Returns the :func:`fit_ivf_index` ``assigned`` schema
+    ``(neighbor_id, cv, bucket)``, so the output appends cleanly onto
+    a stored index. Fully distributed — the only driver-sized object
+    is the broadcast centroid table."""
+    d = F.zip_with(
+        F.col("cv"),
+        F.col("center"),
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    w = Window.partitionBy("neighbor_id").orderBy(F.asc("_d2"), F.asc("bucket"))
+    return (
+        vectors.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        )
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            "neighbor_id",
+            "cv",
+            "bucket",
+            F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x).alias("_d2"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("neighbor_id", "cv", "bucket")
+    )
+
+
+def append_to_ivf_index(
+    new_vectors: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Fold new vectors into a stored :func:`save_ivf_index` without
+    refitting — the ANN twin of
+    :func:`~bigdatalab_spark.scale.dedup.append_to_dedup_index`, and
+    the operation a daily embedding-ingest pipeline actually runs: the
+    coarse quantizer is FROZEN (refitting would re-bucket the whole
+    corpus — a full rewrite, done deliberately and rarely), new
+    vectors are assigned to their nearest stored centroid by
+    :func:`assign_to_centroids`, and the rows land in the existing
+    ``bucket=N/`` partition directories, so serving's partition
+    pruning is untouched.
+
+    Crash/concurrency story: the append touches ONE store (centroids
+    are immutable), written by a single Spark job whose files become
+    visible only at job commit — a crashed append leaves ``_temporary``
+    debris, never half-visible rows. The writer lock serializes
+    appends against each other and against a concurrent rebuild
+    (``save_ivf_index``'s overwrite racing an append interleaves into
+    a mixed-generation corpus). Ids must be new — appending an
+    existing neighbor_id duplicates it in every serve result.
+
+    The documented drift trade-off: vectors from a distribution the
+    original fit never saw still go to their nearest OLD centroid;
+    buckets grow unbalanced as drift accumulates (monitor bucket
+    sizes; refit + ``save_ivf_index`` is the rebalance)."""
+    from bigdatalab_spark.sources.locks import dataset_write_lock
+
+    spark = new_vectors.sparkSession
+    with dataset_write_lock(path, "append_to_ivf_index"):
+        centroids = spark.read.parquet(f"{path}/centroids")
+        assign_to_centroids(new_vectors, centroids, vec_col, id_col).write.mode(
+            "append"
+        ).partitionBy("bucket").parquet(f"{path}/corpus")
+
+
 def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     """Load a :func:`save_ivf_index` layout back as ``(assigned,
     centroids)``, serve-ready for :func:`ivf_serve_topk`. The corpus

@@ -299,6 +299,52 @@ def _compact_partitions_locked(
     return {"files_before": before, "files_after": _count()}
 
 
+def _compact_flat_locked(
+    spark: SparkSession,
+    path: str,
+    max_records_per_file: int,
+) -> dict:
+    """Compaction for an UNPARTITIONED parquet store — the flat-store
+    twin of :func:`_compact_partitions_locked`, with the identical
+    fresh/old two-rename flip and debris-recovery discipline (see
+    there for why in-place overwrite has a loss window). One count job
+    sizes the target layout (ceil(rows / max_records_per_file) output
+    files) so a store that incremental writers shredded into hundreds
+    of KB-files collapses to a handful of full ones. Caller holds the
+    dataset writer lock."""
+    import glob
+    import math
+    import os
+    import shutil
+
+    def _count() -> int:
+        return len(glob.glob(f"{path}/**/*.parquet", recursive=True))
+
+    fresh = f"{path}__compact_fresh"
+    old = f"{path}__compact_old"
+    if os.path.exists(fresh):
+        shutil.rmtree(fresh)
+    if os.path.exists(old):
+        if not os.path.exists(path):
+            os.rename(old, path)  # resume the interrupted pointer flip
+        else:
+            shutil.rmtree(old)
+
+    before = _count()
+    rows = spark.read.parquet(path).count()
+    n_files = max(1, math.ceil(rows / max_records_per_file))
+    (
+        spark.read.parquet(path)
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .parquet(fresh)
+    )
+    os.rename(path, old)
+    os.rename(fresh, path)
+    shutil.rmtree(old)
+    return {"files_before": before, "files_after": _count()}
+
+
 def merge_into_partitions(
     spark: SparkSession,
     target_path: str,

@@ -1046,3 +1046,87 @@ def test_dedup_index_append_completes_the_daily_cycle(spark, sf_dir, tmp_path):
     assert hashes.count() == hashes.distinct().count()
     assert sizes.count() == sizes.select("doc_id").distinct().count()
     assert meta["format"] == "dedup-index/1"
+
+
+def test_dedup_index_compaction_layout_only_and_crash_recoverable(
+    spark, sf_dir, tmp_path
+):
+    """compact_dedup_index is the maintenance half of the streaming
+    ingest loop: appends fragment the four stores one file set per
+    batch; compaction collapses the file count while (a) serving
+    BIT-identically, (b) keeping the shard partition-pruning contract
+    in the plan, and (c) recovering a crash that died mid-pointer-flip
+    simply by being re-run."""
+    import glob
+    import os
+
+    import pytest
+
+    from bigdatalab_spark.scale.dedup import (
+        append_to_dedup_index,
+        compact_dedup_index,
+        incremental_dedup_from_index,
+        save_dedup_index,
+    )
+    from bigdatalab_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "idx")
+    save_dedup_index(docs.filter(F.col("doc_id") % 3 == 0), idx)
+    # three daily appends, each leaving its own file set in every store
+    for k in (1, 2):
+        for half in (0, 1):
+            append_to_dedup_index(
+                docs.filter(
+                    (F.col("doc_id") % 3 == k)
+                    & (F.col("doc_id") % 2 == half)
+                ),
+                idx,
+            )
+
+    def n_files(store: str) -> int:
+        return len(glob.glob(f"{idx}/{store}/**/*.parquet", recursive=True))
+
+    seed = docs.sort("doc_id").limit(1).collect()[0]["text"]
+    probe = spark.createDataFrame(
+        [
+            (40_000_001, seed),                      # exact dup
+            (40_000_002, (seed or "") + " tail"),    # near dup
+            (40_000_003, "an entirely novel probe document body"),
+        ],
+        "doc_id long, text string",
+    )
+    before_files = {s: n_files(s) for s in ("bands", "shingles", "sizes", "hashes")}
+    before = sorted(
+        (r["doc_id"], r["status"])
+        for r in incremental_dedup_from_index(spark, probe, idx).collect()
+    )
+
+    stats = compact_dedup_index(spark, idx, max_records_per_file=5_000_000)
+    after_files = {s: n_files(s) for s in ("bands", "shingles", "sizes", "hashes")}
+    # every store shrank (4 write rounds × up-to-32 shuffle files each)
+    for s in ("bands", "shingles", "sizes", "hashes"):
+        assert after_files[s] < before_files[s], (s, before_files, after_files)
+        assert stats[s]["files_after"] == after_files[s]
+    assert after_files["sizes"] == 1 and after_files["hashes"] == 1
+
+    out = incremental_dedup_from_index(spark, probe, idx)
+    assert sorted((r["doc_id"], r["status"]) for r in out.collect()) == before
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert re.search(r"PartitionFilters: \[shard#\d+ IN \(", plan), plan[:3000]
+
+    # crash mid-flip: sizes renamed aside, path missing — load refuses
+    # loudly, and a re-run of compaction resumes the flip
+    os.rename(f"{idx}/sizes", f"{idx}/sizes__compact_old")
+    with pytest.raises(Exception):
+        incremental_dedup_from_index(spark, probe, idx).collect()
+    compact_dedup_index(spark, idx, max_records_per_file=5_000_000)
+    assert os.path.exists(f"{idx}/sizes")
+    assert not os.path.exists(f"{idx}/sizes__compact_old")
+    out2 = sorted(
+        (r["doc_id"], r["status"])
+        for r in incremental_dedup_from_index(spark, probe, idx).collect()
+    )
+    assert out2 == before

@@ -1879,6 +1879,185 @@ def test_ivf_pq_index_on_disk_serves_with_partition_pruning(spark, sf_dir, tmp_p
     assert "dynamicpruning" in plan.lower(), plan[:3000]
 
 
+def test_assign_to_centroids_matches_kmeans_transform(spark, sf_dir):
+    """assign_to_centroids is the append path's stand-in for
+    KMeans.transform (the model object is gone by append time; only
+    the centroid TABLE survives in the index) — on the full embeddings
+    fixture the DataFrame Euclidean-argmin assignment must agree with
+    the model's own bucketing vector-for-vector."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from bigdatalab_spark.scale.similarity import assign_to_centroids
+    from bigdatalab_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", array_to_vector(F.col("embedding")).alias("features")
+    )
+    model = KMeans(k=6, seed=11, maxIter=20).fit(v)
+    expected = {
+        r["vec_id"]: r["prediction"] for r in model.transform(v).collect()
+    }
+    centroids = spark.createDataFrame(
+        [
+            (int(b), [float(x) for x in c])
+            for b, c in enumerate(model.clusterCenters())
+        ],
+        "bucket int, center array<double>",
+    )
+    got = {
+        r["neighbor_id"]: r["bucket"]
+        for r in assign_to_centroids(emb, centroids).collect()
+    }
+    assert got == expected
+
+
+def test_ivf_append_extends_the_durable_index_without_refit(
+    spark, sf_dir, tmp_path
+):
+    """Daily embedding ingest: append_to_ivf_index folds new vectors
+    into a stored index under the FROZEN quantizer. Serving from the
+    appended layout must be bit-identical to serving an in-memory
+    union of (original assignment, assign_to_centroids(batch)) — i.e.
+    append == rebuild-with-the-same-centroids — and an appended exact
+    copy of a query vector must surface at rank 1 with cos_sim ~ 1."""
+    from bigdatalab_spark.scale.similarity import (
+        assign_to_centroids,
+        append_to_ivf_index,
+        fit_ivf_index,
+        ivf_serve_topk,
+        load_ivf_index,
+        save_ivf_index,
+    )
+    from bigdatalab_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 3 != 0)
+    batch = emb.filter(F.col("vec_id") % 3 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    q = emb.sort("vec_id").limit(3)
+
+    path = str(tmp_path / "ivf")
+    assigned, centroids = fit_ivf_index(corpus, n_centroids=8, seed=42)
+    save_ivf_index(assigned, centroids, path)
+    append_to_ivf_index(batch, path)
+
+    d_assigned, d_centroids = load_ivf_index(spark, path)
+    assert d_assigned.count() == corpus.count() + batch.count()
+
+    live_union = assigned.unionByName(assign_to_centroids(batch, centroids))
+    as_rows = lambda df: sorted(  # noqa: E731
+        (r["query_id"], r["rank"], r["neighbor_id"], round(r["cos_sim"], 9))
+        for r in df.collect()
+    )
+    disk = ivf_serve_topk(q, d_assigned, d_centroids, k=3, n_probe=2)
+    assert as_rows(disk) == as_rows(
+        ivf_serve_topk(q, live_union, centroids, k=3, n_probe=2)
+    )
+
+    # an appended exact copy of a query vector is served back at rank 1
+    copy_src = q.sort("vec_id").limit(1).collect()[0]
+    append_to_ivf_index(
+        spark.createDataFrame(
+            [(20_000_000, copy_src["embedding"])],
+            emb.select("vec_id", "embedding").schema,
+        ),
+        path,
+    )
+    d_assigned2, d_centroids2 = load_ivf_index(spark, path)
+    probe = spark.createDataFrame(
+        [(copy_src["vec_id"], copy_src["embedding"])],
+        emb.select("vec_id", "embedding").schema,
+    )
+    top = (
+        ivf_serve_topk(probe, d_assigned2, d_centroids2, k=2, n_probe=2)
+        .sort("rank")
+        .collect()
+    )
+    by_id = {r["neighbor_id"]: r["cos_sim"] for r in top}
+    assert 20_000_000 in by_id and by_id[20_000_000] > 0.999999
+
+
+def test_ivf_pq_append_encodes_with_stored_models(spark, sf_dir, tmp_path):
+    """append_to_ivf_pq_index encodes new vectors with the STORED
+    codebooks and buckets them against the STORED centroids: the
+    appended code rows must equal a live encode of the batch with the
+    loaded models, and a rerank serve over the grown index must return
+    an appended exact-copy vector at rank 1 with distance ~ 0."""
+    from bigdatalab_spark.scale.pq import (
+        append_to_ivf_pq_index,
+        encode_corpus,
+        fit_ivf_pq_index,
+        ivf_pq_serve_topk,
+        load_ivf_pq_index,
+        save_ivf_pq_index,
+    )
+    from bigdatalab_spark.scale.similarity import assign_to_centroids
+    from bigdatalab_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 3 != 0)
+    batch = emb.filter(F.col("vec_id") % 3 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+
+    path = str(tmp_path / "ivfpq")
+    codes, centroids, books = fit_ivf_pq_index(corpus, m=8, seed=42)
+    save_ivf_pq_index(codes, centroids, books, path)
+    append_to_ivf_pq_index(batch, path)
+
+    d_codes, d_centroids, d_books = load_ivf_pq_index(spark, path)
+    assert d_books == books
+    m = len(books)
+    assert d_codes.count() == (corpus.count() + batch.count()) * m
+
+    appended = d_codes.filter(F.col("neighbor_id") >= 10_000_000)
+    expected = encode_corpus(batch, books).join(
+        assign_to_centroids(batch, centroids).select(
+            "neighbor_id", "bucket"
+        ),
+        "neighbor_id",
+    )
+    key = lambda df: sorted(  # noqa: E731
+        (r["neighbor_id"], r["s"], r["code"], r["bucket"]) for r in df.collect()
+    )
+    assert key(appended) == key(expected)
+
+    # rerank serve returns an appended exact copy at distance ~ 0
+    copy_src = emb.sort("vec_id").limit(1).collect()[0]
+    full = emb.select("vec_id", "embedding").unionByName(batch)
+    probe = spark.createDataFrame(
+        [(copy_src["vec_id"], copy_src["embedding"])],
+        emb.select("vec_id", "embedding").schema,
+    )
+    append_to_ivf_pq_index(
+        spark.createDataFrame(
+            [(20_000_000, copy_src["embedding"])],
+            emb.select("vec_id", "embedding").schema,
+        ),
+        path,
+    )
+    d_codes2, d_centroids2, d_books2 = load_ivf_pq_index(spark, path)
+    grown = full.unionByName(
+        spark.createDataFrame(
+            [(20_000_000, copy_src["embedding"])],
+            emb.select("vec_id", "embedding").schema,
+        )
+    )
+    top = (
+        ivf_pq_serve_topk(
+            probe, d_codes2, d_centroids2, d_books2,
+            k=2, n_probe=2, rerank=20, corpus=grown,
+        )
+        .sort("rank")
+        .collect()
+    )
+    by_id = {r["neighbor_id"]: r["dist"] for r in top}
+    assert 20_000_000 in by_id and by_id[20_000_000] < 1e-9
+
+
 def test_durable_indexes_serve_from_fresh_process(spark, sf_dir, tmp_path):
     """Round-8 (verdict #2): the DPP tests load each durable index in
     the SAME session that built it — this proves the artifacts are
