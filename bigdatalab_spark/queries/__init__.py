@@ -132,6 +132,7 @@ _POST_WINDOW = (
     "wav_audio_features",
     "pipe_syntax_order_stats",
     "streaming_dedup_ingest",
+    "pivot_order_status_matrix",
 )
 
 

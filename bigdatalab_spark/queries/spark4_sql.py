@@ -374,6 +374,51 @@ def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pivot_order_status_matrix",
+    ids=("A7", "A8", "O1"),
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(CASE WHEN o_orderstatus = 'O' THEN o_orderkey END) AS BIGINT) AS open_n,
+               CAST(CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(28,6)) END) AS STRING) AS DOUBLE) AS open_rev,
+               CAST(count(CASE WHEN o_orderstatus = 'F' THEN o_orderkey END) AS BIGINT) AS filled_n,
+               CAST(CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(28,6)) END) AS STRING) AS DOUBLE) AS filled_rev,
+               CAST(count(CASE WHEN o_orderstatus = 'P' THEN o_orderkey END) AS BIGINT) AS pending_n,
+               CAST(CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(28,6)) END) AS STRING) AS DOUBLE) AS pending_rev
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+)
+def pivot_order_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL ``PIVOT`` (wide crosstab): order count and exact-decimal
+    revenue per priority × status, one output column pair per pivoted
+    status value — the declarative form of the reference's manual
+    matrix queries (303-spark-sql/README.md:89-113 teaches the
+    spark.sql surface; the conditional-aggregation lowering is what
+    the oracle states explicitly). Catalyst rewrites PIVOT into one
+    hash aggregate over CASE-projected columns — a single scan and a
+    single shuffle regardless of how many status values are pivoted,
+    identical to the hand-written form at any scale. The revenue cells
+    go through the string-decimal path (dsum) so both engines
+    accumulate in DECIMAL(28,6) and render identically; empty cells
+    are NULL rev / 0 n in both lowerings."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT * FROM (
+            SELECT o_orderpriority, o_orderstatus, o_orderkey, o_totalprice
+            FROM orders
+        ) PIVOT (
+            CAST(count(o_orderkey) AS BIGINT) AS n,
+            CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS STRING) AS DOUBLE) AS rev
+            FOR o_orderstatus IN ('O' AS open, 'F' AS filled, 'P' AS pending)
+        )
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+@query(
     "pipe_syntax_order_stats",
     ids=("A7", "A8", "O1"),
     oracle=f"""

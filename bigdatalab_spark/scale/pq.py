@@ -540,6 +540,26 @@ def append_to_ivf_pq_index(
         )
 
 
+def compact_ivf_pq_index(
+    spark, path: str, max_records_per_file: int = 5_000_000
+) -> dict:
+    """Small-file compaction for a :func:`save_ivf_pq_index` layout —
+    the codes-store twin of
+    :func:`~bigdatalab_spark.scale.similarity.compact_ivf_index`
+    (appends fragment ``codes/bucket=N/``; centroids and the codebook
+    JSON are immutable and left alone). Layout-only, two-rename flip,
+    index-root writer lock."""
+    from bigdatalab_spark.sources.locks import dataset_write_lock
+    from bigdatalab_spark.sources.sinks import _compact_partitions_locked
+
+    with dataset_write_lock(path, "compact_ivf_pq_index"):
+        return {
+            "codes": _compact_partitions_locked(
+                spark, f"{path}/codes", ("bucket",), max_records_per_file
+            )
+        }
+
+
 def load_ivf_pq_index(spark, path: str):
     """Load :func:`save_ivf_pq_index` back as ``(codes, centroids,
     codebooks)``, serve-ready for :func:`ivf_pq_serve_topk`."""

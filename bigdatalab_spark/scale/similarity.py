@@ -668,6 +668,29 @@ def append_to_ivf_index(
         ).partitionBy("bucket").parquet(f"{path}/corpus")
 
 
+def compact_ivf_index(
+    spark, path: str, max_records_per_file: int = 5_000_000
+) -> dict:
+    """Small-file compaction for a :func:`save_ivf_index` layout — the
+    maintenance job :func:`append_to_ivf_index` makes necessary (every
+    append lands one file set into the touched ``bucket=N/``
+    directories). Layout-only: the corpus store is rewritten
+    clustered back onto its bucket partitions (pruning contract
+    untouched, serve bit-identical — pinned by the pytest) via the
+    two-rename atomic-with-resume flip; centroids are a handful of
+    rows and are left alone. Same index-root writer lock as append,
+    so a compaction cannot interleave with one."""
+    from bigdatalab_spark.sources.locks import dataset_write_lock
+    from bigdatalab_spark.sources.sinks import _compact_partitions_locked
+
+    with dataset_write_lock(path, "compact_ivf_index"):
+        return {
+            "corpus": _compact_partitions_locked(
+                spark, f"{path}/corpus", ("bucket",), max_records_per_file
+            )
+        }
+
+
 def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     """Load a :func:`save_ivf_index` layout back as ``(assigned,
     centroids)``, serve-ready for :func:`ivf_serve_topk`. The corpus

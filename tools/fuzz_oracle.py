@@ -5,7 +5,9 @@ the "what about the queries nobody wrote?" gap with a seeded grammar
 over the fixture schemas. Each seed deterministically generates ONE
 query in the common SQL subset both engines parse identically —
 projections, arithmetic, string functions, filters, joins along real
-FK edges, grouped aggregates, row_number windows, order-by-key limits
+FK edges, grouped aggregates, row_number windows, whole-partition
+window aggregates, lag/lead under a total order, DISTINCT over derived
+expressions, (NOT) IN subqueries along FK edges, order-by-key limits
 — and runs the SAME text through Spark SQL and DuckDB, comparing with
 the driver-strict machinery from tools.oracle_check (exact value
 rendering, no float tolerance). The reference's own lesson is
@@ -191,7 +193,8 @@ def generate_query(seed: int) -> str:
     rng = random.Random(seed)
     shape = rng.choice(
         ["scan", "agg", "join", "join_agg", "window", "limit", "case",
-         "having", "union"]
+         "having", "union", "window_agg", "lag_lead", "distinct",
+         "in_subquery"]
     )
     t = rng.choice(sorted(SCHEMAS))
     sch = SCHEMAS[t]
@@ -269,6 +272,79 @@ def generate_query(seed: int) -> str:
             f"SELECT {sch['pk']} AS pk, {part} AS g, "
             f"row_number() OVER (PARTITION BY {part} ORDER BY {order}) AS rn "
             f"FROM {t} WHERE {_predicate(rng, sch)}"
+        )
+
+    if shape == "window_agg":
+        # whole-partition frames only: with no ORDER BY inside the
+        # OVER, the frame is the entire partition, so the result is
+        # order-independent in both engines; integer modular sums keep
+        # the accumulation exact (same discipline as _aggs)
+        part = (
+            rng.choice(sch["s"])
+            if sch["s"]
+            else f"{sch['pk']} % {rng.randint(2, 5)}"
+        )
+        ic = rng.choice(sch["i"])
+        proj = [
+            f"{sch['pk']} AS pk",
+            f"{part} AS g",
+            f"CAST(count(*) OVER (PARTITION BY {part}) AS BIGINT) AS w_cnt",
+            f"CAST(sum({ic} % 97) OVER (PARTITION BY {part}) AS BIGINT) AS w_sum",
+            f"min({ic}) OVER (PARTITION BY {part}) AS w_min",
+        ]
+        if "pk2" in sch:
+            proj.append(f"{sch['pk2']} AS pk2")
+        where = f" WHERE {_predicate(rng, sch)}" if rng.random() < 0.5 else ""
+        return f"SELECT {', '.join(proj)} FROM {t}{where}"
+
+    if shape == "lag_lead":
+        # offset functions are well-defined only under a TOTAL order —
+        # the (composite) unique key, same rule as the limit shape
+        part = (
+            rng.choice(sch["s"])
+            if sch["s"]
+            else f"{sch['pk']} % {rng.randint(2, 5)}"
+        )
+        order = sch["pk"] if "pk2" not in sch else f"{sch['pk']}, {sch['pk2']}"
+        ic = rng.choice(sch["i"])
+        fn = rng.choice(["lag", "lead"])
+        proj = [
+            f"{sch['pk']} AS pk",
+            f"{fn}({ic}, {rng.randint(1, 2)}) "
+            f"OVER (PARTITION BY {part} ORDER BY {order}) AS w_off",
+        ]
+        if "pk2" in sch:
+            proj.append(f"{sch['pk2']} AS pk2")
+        return f"SELECT {', '.join(proj)} FROM {t} WHERE {_predicate(rng, sch)}"
+
+    if shape == "distinct":
+        # DISTINCT over derived expressions — the deduped set is
+        # well-defined; no floats (distinct on doubles is exact-equality
+        # on both sides, but keep the pools int/string for clarity)
+        proj = [f"{_int_expr(rng, rng.choice(sch['i']))} AS e_i"]
+        if sch["s"]:
+            proj.append(f"{_str_expr(rng, rng.choice(sch['s']))} AS e_s")
+        where = f" WHERE {_predicate(rng, sch)}" if rng.random() < 0.5 else ""
+        return f"SELECT DISTINCT {', '.join(proj)} FROM {t}{where}"
+
+    if shape == "in_subquery":
+        # semi-join shape: outer rows filtered by an IN over a real FK
+        # edge (possibly further predicated) — exercises both engines'
+        # subquery decorrelation
+        lt, lc, rt, rc = rng.choice(JOINS)
+        ls, rs = SCHEMAS[lt], SCHEMAS[rt]
+        proj = [f"{ls['pk']} AS pk"]
+        if "pk2" in ls:
+            proj.append(f"{ls['pk2']} AS pk2")
+        if ls["s"]:
+            proj.append(f"{_str_expr(rng, rng.choice(ls['s']))} AS e_s")
+        inner_where = (
+            f" WHERE {_predicate(rng, rs)}" if rng.random() < 0.6 else ""
+        )
+        neg = "NOT " if rng.random() < 0.3 else ""
+        return (
+            f"SELECT {', '.join(proj)} FROM {lt} "
+            f"WHERE {lc} {neg}IN (SELECT {rc} FROM {rt}{inner_where})"
         )
 
     if shape == "case":
