@@ -548,7 +548,10 @@ def compact_ivf_pq_index(
     :func:`~bigdatalab_spark.scale.similarity.compact_ivf_index`
     (appends fragment ``codes/bucket=N/``; centroids and the codebook
     JSON are immutable and left alone). Layout-only, two-rename flip,
-    index-root writer lock."""
+    index-root writer lock. The serve is probe-pruned, so the
+    parallelism-floor rule for ``max_records_per_file`` in
+    :func:`~bigdatalab_spark.scale.similarity.compact_ivf_index`
+    applies here verbatim (SCALE_NOTES round-8)."""
     from bigdatalab_spark.sources.locks import dataset_write_lock
     from bigdatalab_spark.sources.sinks import _compact_partitions_locked
 

@@ -679,7 +679,17 @@ def compact_ivf_index(
     untouched, serve bit-identical — pinned by the pytest) via the
     two-rename atomic-with-resume flip; centroids are a handful of
     rows and are left alone. Same index-root writer lock as append,
-    so a compaction cannot interleave with one."""
+    so a compaction cannot interleave with one.
+
+    Choosing ``max_records_per_file`` (measured, SCALE_NOTES round-8):
+    a probe-pruned serve reads only ``n_probe`` buckets, so its scan
+    parallelism is floored at files-per-bucket × n_probe while bucket
+    files are under ``spark.sql.files.maxPartitionBytes`` — compacting
+    a sub-128MB-per-bucket corpus to ONE file per bucket throttled the
+    600k-vector serve 4× (4 tasks on 32 cores). Keep roughly
+    (cores / n_probe) files per bucket at that scale; once buckets
+    exceed maxPartitionBytes the ceiling vanishes (parquet row-group
+    splitting restores parallelism) and bigger files win outright."""
     from bigdatalab_spark.sources.locks import dataset_write_lock
     from bigdatalab_spark.sources.sinks import _compact_partitions_locked
 

@@ -386,6 +386,67 @@ def apply_cdc_stream(
     )
 
 
+def embedding_ingest_stream(
+    stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Streaming embedding ingest into a durable
+    :func:`~bigdatalab_spark.scale.similarity.save_ivf_index` — the
+    ANN twin of :func:`dedup_ingest_stream`: every micro-batch of new
+    vectors is folded into the index with
+    :func:`~bigdatalab_spark.scale.similarity.append_to_ivf_index`
+    (frozen quantizer, rows landing in the existing bucket
+    partitions), so queries served against the index see vectors
+    seconds after they arrive instead of after the next full rebuild.
+
+    Exactly-once: ``append_to_ivf_index`` requires new ids, but a
+    crashed-and-replayed micro-batch re-delivers ids that may already
+    be in the corpus. The batch is therefore anti-joined against the
+    corpus store's ``neighbor_id`` column first (a columnar single-
+    column scan of the index — never the vectors), and the surviving
+    rows are STAGED to scratch before the append so the append job's
+    lineage cannot re-read the store it writes (same eager-staging
+    discipline as the dedup loop). Replay of a committed batch finds
+    all its ids present and appends nothing.
+
+    Returns the started StreamingQuery (availableNow — drains existing
+    input then stops; restart with the same checkpoint resumes)."""
+    import os
+    import shutil
+
+    from bigdatalab_spark.scale.similarity import append_to_ivf_index
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        fresh = batch_df.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+        ).join(
+            spark.read.parquet(f"{index_path}/corpus").select(
+                F.col("neighbor_id").alias("vec_id")
+            ),
+            "vec_id",
+            "left_anti",  # replay guard: already-ingested ids skip
+        )
+        staged = os.path.join(checkpoint_dir, f"_staged_batch_{batch_id}")
+        fresh.write.mode("overwrite").parquet(staged)
+        staged_vecs = spark.read.parquet(staged)
+        if not staged_vecs.isEmpty():
+            append_to_ivf_index(staged_vecs, index_path)
+        shutil.rmtree(staged, ignore_errors=True)
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def dedup_ingest_stream(
     stream: DataFrame,
     index_path: str,

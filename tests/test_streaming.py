@@ -1200,3 +1200,76 @@ def test_dedup_ingest_stream_classifies_and_grows_the_index(spark, sf_dir, tmp_p
     hashes, _, _, sizes, _ = load_dedup_index(spark, idx)
     assert hashes.count() == hashes.distinct().count()
     assert sizes.count() == sizes.select("doc_id").distinct().count()
+
+
+def test_embedding_ingest_stream_grows_ivf_index_exactly_once(
+    spark, sf_dir, tmp_path
+):
+    """The ANN twin of the dedup ingest loop: micro-batches of vectors
+    folded into the durable IVF index under the frozen quantizer; an
+    appended vector is servable immediately; restarts and id replays
+    append nothing twice (anti-join replay guard on the corpus ids)."""
+    import time
+
+    from bigdatalab_spark.scale.similarity import (
+        fit_ivf_index,
+        ivf_serve_topk,
+        load_ivf_index,
+        save_ivf_index,
+    )
+    from bigdatalab_spark.sources import load_table
+    from bigdatalab_spark.streaming.jobs import embedding_ingest_stream
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 4 != 0)
+    assigned, centroids = fit_ivf_index(corpus, n_centroids=8, seed=42)
+    idx = str(tmp_path / "ivf")
+    save_ivf_index(assigned, centroids, idx)
+    n0 = corpus.count()
+
+    held = emb.filter(F.col("vec_id") % 4 == 0).sort("vec_id").limit(6).collect()
+    schema = emb.select("vec_id", "embedding").schema
+    src = tmp_path / "vec_src"
+    src.mkdir()
+
+    def w(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / name)
+        )
+
+    w("f1", [(10_000_000 + i, r["embedding"]) for i, r in enumerate(held[:3])])
+    time.sleep(1.1)  # file source orders micro-batches by mtime
+    # f2 replays one already-ingested id (guard must skip it) + 3 new
+    w(
+        "f2",
+        [(10_000_000, held[0]["embedding"])]
+        + [(20_000_000 + i, r["embedding"]) for i, r in enumerate(held[3:])],
+    )
+
+    def start():
+        return embedding_ingest_stream(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(str(src / "*")),
+            idx,
+            str(tmp_path / "ckpt"),
+        )
+
+    start().awaitTermination(120)
+    d_assigned, d_centroids = load_ivf_index(spark, idx)
+    assert d_assigned.count() == n0 + 6  # 3 + (3 new; the replayed id skipped)
+    assert (
+        d_assigned.groupBy("neighbor_id").count().filter("count > 1").count()
+        == 0
+    )
+
+    # an ingested copy of a held-out vector is served at rank 1
+    probe = spark.createDataFrame([(1, held[0]["embedding"])], schema)
+    top = ivf_serve_topk(probe, d_assigned, d_centroids, k=2, n_probe=2).collect()
+    by_id = {r["neighbor_id"]: r["cos_sim"] for r in top}
+    assert 10_000_000 in by_id and by_id[10_000_000] > 0.999999
+
+    # restart on the same checkpoint: nothing replays, nothing changes
+    start().awaitTermination(60)
+    assert load_ivf_index(spark, idx)[0].count() == n0 + 6
