@@ -133,6 +133,7 @@ _POST_WINDOW = (
     "pipe_syntax_order_stats",
     "streaming_dedup_ingest",
     "pivot_order_status_matrix",
+    "range_window_revenue",
 )
 
 

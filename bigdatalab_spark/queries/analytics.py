@@ -632,3 +632,61 @@ def safe_ratio_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "range_window_revenue",
+    ids=("A8", "O1", "P3"),
+    oracle="""
+        SELECT o_orderkey,
+               o_orderpriority,
+               CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS INT) AS day,
+               CAST(count(*) OVER w AS BIGINT) AS w_cnt,
+               CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) OVER w AS STRING) AS DOUBLE) AS w_rev
+        FROM orders
+        WINDOW w AS (
+            PARTITION BY o_orderpriority
+            ORDER BY datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+            RANGE BETWEEN 7 PRECEDING AND 7 FOLLOWING
+        )
+        ORDER BY o_orderkey
+    """,
+)
+def range_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE window frame — the frame family the ROWS
+    queries can't stand in for: per priority class, each order sees
+    the count and exact-decimal revenue of all orders within ±7
+    CALENDAR DAYS of its own date (``rangeBetween(-7, 7)`` over an
+    epoch-day integer), not ±N rows. The distinction is what makes
+    the result deterministic here: many orders share a day, so any
+    ROWS frame over this ordering would depend on tie order, while the
+    RANGE frame includes peers BY VALUE — ties cannot change it. Same
+    per-partition sort-shuffle as every window; the frame is a
+    sliding-bounds pass over the sorted run, O(n) per partition.
+    Revenue accumulates in DECIMAL(28,6) (order-independent), rendered
+    through the string-decimal path on both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day")
+        .rangeBetween(-7, 7)
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderpriority",
+            day.cast("int").alias("day"),
+            "o_totalprice",
+        )
+        .withColumn("w_cnt", F.count(F.lit(1)).over(w).cast("bigint"))
+        .withColumn(
+            "w_rev",
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+            .over(w)
+            .cast("string")
+            .cast("double"),
+        )
+        .drop("o_totalprice")
+        .orderBy("o_orderkey")
+    )

@@ -392,6 +392,8 @@ def embedding_ingest_stream(
     checkpoint_dir: str,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    compact_every: int | None = None,
+    compact_max_records_per_file: int = 5_000_000,
 ):
     """Streaming embedding ingest into a durable
     :func:`~bigdatalab_spark.scale.similarity.save_ivf_index` — the
@@ -412,12 +414,23 @@ def embedding_ingest_stream(
     discipline as the dedup loop). Replay of a committed batch finds
     all its ids present and appends nothing.
 
+    ``compact_every=N`` runs
+    :func:`~bigdatalab_spark.scale.similarity.compact_ivf_index`
+    inline after every Nth batch (replay-safe: layout-only,
+    resume-safe flips). Pass ``compact_max_records_per_file`` per the
+    parallelism-floor rule in that function's docstring — a
+    probe-pruned serve needs several files (or >maxPartitionBytes) per
+    bucket.
+
     Returns the started StreamingQuery (availableNow — drains existing
     input then stops; restart with the same checkpoint resumes)."""
     import os
     import shutil
 
-    from bigdatalab_spark.scale.similarity import append_to_ivf_index
+    from bigdatalab_spark.scale.similarity import (
+        append_to_ivf_index,
+        compact_ivf_index,
+    )
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -438,6 +451,10 @@ def embedding_ingest_stream(
         if not staged_vecs.isEmpty():
             append_to_ivf_index(staged_vecs, index_path)
         shutil.rmtree(staged, ignore_errors=True)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_ivf_index(
+                spark, index_path, compact_max_records_per_file
+            )
 
     return (
         stream.writeStream.foreachBatch(_apply)
@@ -455,6 +472,7 @@ def dedup_ingest_stream(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    compact_every: int | None = None,
 ):
     """Streaming ingest against the durable dedup signature store — the
     production loop the round-8 index work exists for: every
@@ -484,6 +502,14 @@ def dedup_ingest_stream(
     Any crash point therefore replays to the same final (status log,
     index) state.
 
+    ``compact_every=N`` runs
+    :func:`~bigdatalab_spark.scale.dedup.compact_dedup_index` inline
+    after every Nth batch's append — the standing maintenance the
+    append drift (~32 files/batch, SCALE_NOTES round-8) needs, without
+    an external operator. Safe under replay: compaction is layout-only
+    and resume-safe, so a crash mid-compaction replays the (no-op)
+    batch and re-runs it.
+
     Returns the started StreamingQuery (availableNow — drains existing
     input then stops; restarting with the same checkpoint resumes).
     """
@@ -491,6 +517,7 @@ def dedup_ingest_stream(
 
     from bigdatalab_spark.scale.dedup import (
         append_to_dedup_index,
+        compact_dedup_index,
         incremental_dedup_from_index,
     )
 
@@ -531,6 +558,8 @@ def dedup_ingest_stream(
         import shutil
 
         shutil.rmtree(staged, ignore_errors=True)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_dedup_index(spark, index_path)
 
     return (
         stream.writeStream.foreachBatch(_apply)

@@ -1273,3 +1273,67 @@ def test_embedding_ingest_stream_grows_ivf_index_exactly_once(
     # restart on the same checkpoint: nothing replays, nothing changes
     start().awaitTermination(60)
     assert load_ivf_index(spark, idx)[0].count() == n0 + 6
+
+
+def test_ingest_stream_inline_compaction_bounds_file_count(
+    spark, sf_dir, tmp_path
+):
+    """compact_every=N makes the ingest loop self-maintaining: after
+    every Nth batch the index is compacted inline, so the file count is
+    bounded by the compacted layout instead of growing one file set per
+    append — and since the last drained batch triggers compaction, the
+    final layout IS the compacted one (a second manual compaction is a
+    no-op on file count). Rows unaffected."""
+    import glob
+    import time
+
+    from bigdatalab_spark.scale.similarity import (
+        compact_ivf_index,
+        fit_ivf_index,
+        load_ivf_index,
+        save_ivf_index,
+    )
+    from bigdatalab_spark.sources import load_table
+    from bigdatalab_spark.streaming.jobs import embedding_ingest_stream
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 4 != 0)
+    assigned, centroids = fit_ivf_index(corpus, n_centroids=4, seed=42)
+    idx = str(tmp_path / "ivf")
+    save_ivf_index(assigned, centroids, idx)
+    n0 = corpus.count()
+
+    held = emb.filter(F.col("vec_id") % 4 == 0).sort("vec_id").limit(4).collect()
+    schema = emb.select("vec_id", "embedding").schema
+    src = tmp_path / "vec_src"
+    src.mkdir()
+    now = time.time()
+    for i, r in enumerate(held):
+        spark.createDataFrame(
+            [(10_000_000 + i, r["embedding"])], schema
+        ).coalesce(1).write.parquet(str(src / f"f{i}"))
+    for i in range(len(held)):  # pin micro-batch order by mtime
+        for fn in glob.glob(str(src / f"f{i}" / "*")):
+            import os
+
+            os.utime(fn, (now + i, now + i))
+
+    q = embedding_ingest_stream(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(str(src / "*")),
+        idx,
+        str(tmp_path / "ckpt"),
+        compact_every=2,
+    )
+    q.awaitTermination(120)
+
+    assert load_ivf_index(spark, idx)[0].count() == n0 + 4
+
+    def n_files() -> int:
+        return len(glob.glob(f"{idx}/corpus/**/*.parquet", recursive=True))
+
+    after_stream = n_files()
+    compact_ivf_index(spark, idx)  # already compacted: layout unchanged
+    assert n_files() == after_stream
