@@ -134,6 +134,7 @@ _POST_WINDOW = (
     "streaming_dedup_ingest",
     "pivot_order_status_matrix",
     "range_window_revenue",
+    "png_image_features",
 )
 
 

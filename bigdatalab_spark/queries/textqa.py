@@ -232,6 +232,74 @@ def wav_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "png_image_features",
+    ids=("SCALE-MM",),
+    oracle="""
+        -- replays the deterministic PNG generator symbolically: the
+        -- Spark side builds REAL PNG containers (stdlib zlib/struct,
+        -- CRC-checked chunks, all five scanline filters) and truly
+        -- parses them back; the oracle reproduces the pixel math.
+        -- w = doc_id % 13 + 4, h = doc_id % 9 + 3, 8-bit RGB with
+        -- r=(doc_id*7+x*3+y*5)%256, g=(doc_id*11+x*5+y*3)%256,
+        -- b=(doc_id*13+x+y*7)%256.
+        WITH d AS (
+            SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 9 + 3 AS h
+            FROM documents
+        ),
+        px AS (
+            SELECT doc_id, w, h,
+                   (doc_id * 7 + x * 3 + y * 5) % 256 AS r,
+                   (doc_id * 11 + x * 5 + y * 3) % 256 AS g,
+                   (doc_id * 13 + x + y * 7) % 256 AS b
+            FROM d,
+                 LATERAL unnest(generate_series(0, w - 1)) AS tx(x),
+                 LATERAL unnest(generate_series(0, h - 1)) AS ty(y)
+        )
+        SELECT doc_id,
+               CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height,
+               CAST(8 AS INT) AS bit_depth,
+               CAST(2 AS INT) AS color_type,
+               CAST(sum(r) AS DOUBLE) / (w * h) AS mean_r,
+               CAST(sum(g) AS DOUBLE) / (w * h) AS mean_g,
+               CAST(sum(b) AS DOUBLE) / (w * h) AS mean_b,
+               CAST(NULL AS VARCHAR) AS decode_error
+        FROM px
+        GROUP BY doc_id, w, h
+        ORDER BY doc_id
+    """,
+)
+def png_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode (round 8, the image twin of the WAV move):
+    deterministic PNG payloads are generated per document — genuine
+    containers from the pure-stdlib encoder, cycling through all five
+    PNG scanline filters — then
+    :func:`bigdatalab_spark.scale.multimodal.decode_png` parses the
+    bytes back with no image library: chunk CRCs verified, IDAT
+    inflated, filters undone, exact-integer-sum channel means. The
+    NotImplementedError codec slots now cover non-PNG image formats
+    only (JPEG/WebP, which genuinely need PIL)."""
+    from bigdatalab_spark.scale.multimodal import decode_png, make_png_blobs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        decode_png(make_png_blobs(docs))
+        .select(
+            "doc_id",
+            "width",
+            "height",
+            "bit_depth",
+            "color_type",
+            "mean_r",
+            "mean_g",
+            "mean_b",
+            "decode_error",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "udtf_doc_spans",
     ids=("SCALE-TEXTQA",),
     oracle="""

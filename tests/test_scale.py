@@ -2337,3 +2337,148 @@ def test_make_wav_blobs_are_genuine_riff_containers(spark):
             raw = w.readframes(w.getnframes())
         got = list(struct.unpack(f"<{len(raw)//2}h", raw))
         assert got == _wav_samples(did)
+
+
+def test_decode_png_real_codec_roundtrip_and_poison_tolerance(spark):
+    """decode_png is a REAL codec (stdlib zlib/struct): it must parse
+    genuine containers — including shapes the generator never produces
+    (grayscale, RGBA) — verify chunk CRCs, undo all five scanline
+    filters, compute exact-integer-sum channel means, and survive
+    poison payloads with a NULL-feature row instead of a task failure
+    (the 100 TB contract for media scans)."""
+    import hashlib
+
+    import numpy as np
+
+    from bigdatalab_spark.scale.multimodal import (
+        _png_pixels,
+        decode_png,
+        encode_png,
+    )
+
+    rgb = _png_pixels(37)  # h=7 rows -> filters 0..4 and 0,1 again
+    gray = (np.arange(60, dtype=np.uint8).reshape(6, 10) * 5) % 256
+    rgba = np.random.default_rng(3).integers(0, 256, (9, 6, 4), dtype=np.uint8)
+    good_png = encode_png(rgb)
+    corrupt = bytearray(good_png)
+    corrupt[-5] ^= 0xFF  # flip a byte inside IEND's CRC
+    rows = [
+        (1, bytearray(good_png)),
+        (2, bytearray(encode_png(gray))),
+        (3, bytearray(encode_png(rgba))),
+        (4, bytearray(b"not a png at all")),
+        (5, bytearray(good_png[:30])),  # truncated mid-IHDR
+        (6, corrupt),
+    ]
+    blobs = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in decode_png(blobs).collect()}
+
+    r = got[1]
+    assert (r["width"], r["height"], r["bit_depth"], r["color_type"]) == (
+        rgb.shape[1],
+        rgb.shape[0],
+        8,
+        2,
+    )
+    n = rgb.shape[0] * rgb.shape[1]
+    sums = rgb.astype("int64").sum(axis=(0, 1))
+    assert r["mean_r"] == sums[0] / n  # bit-exact, one int->double division
+    assert r["mean_g"] == sums[1] / n
+    assert r["mean_b"] == sums[2] / n
+    assert r["pixel_digest"] == hashlib.md5(rgb.tobytes()).hexdigest()
+    assert r["decode_error"] is None
+
+    g = got[2]
+    assert g["color_type"] == 0
+    gm = int(gray.astype("int64").sum()) / gray.size
+    assert g["mean_r"] == gm and g["mean_g"] == gm and g["mean_b"] == gm
+
+    a = got[3]
+    assert a["color_type"] == 6
+    asums = rgba.astype("int64").sum(axis=(0, 1))
+    an = rgba.shape[0] * rgba.shape[1]
+    assert a["mean_r"] == asums[0] / an  # alpha ignored in means
+    assert a["pixel_digest"] == hashlib.md5(rgba.tobytes()).hexdigest()
+
+    for bad in (4, 5, 6):
+        row = got[bad]
+        assert row["decode_error"] is not None
+        assert row["width"] is None and row["mean_r"] is None
+    assert "CRC" in got[6]["decode_error"]  # corruption detected, not decoded
+
+
+def test_make_png_blobs_are_genuine_containers_with_all_filters(spark):
+    """The generator's output must be REAL PNG — correct signature,
+    CRC-valid chunks, zlib-inflatable IDAT whose scanlines cycle
+    through ALL FIVE spec filter types (so the decoder's unfilter
+    algebra is genuinely exercised), replaying the documented signal."""
+    import struct
+    import zlib
+
+    from bigdatalab_spark.scale.multimodal import (
+        _decode_png_bytes,
+        _png_dims,
+        _png_pixels,
+        make_png_blobs,
+    )
+
+    ids = spark.createDataFrame([(7,), (123,), (460,)], "doc_id long")
+    blobs = {r["doc_id"]: bytes(r["payload"]) for r in make_png_blobs(ids).collect()}
+    for did, payload in blobs.items():
+        assert payload.startswith(b"\x89PNG\r\n\x1a\n")
+        # independent chunk walk (not via the decoder under test)
+        pos, chunks, idat = 8, [], b""
+        while pos < len(payload):
+            (length,) = struct.unpack(">I", payload[pos : pos + 4])
+            ctype = payload[pos + 4 : pos + 8]
+            body = payload[pos + 8 : pos + 8 + length]
+            (crc,) = struct.unpack(
+                ">I", payload[pos + 8 + length : pos + 12 + length]
+            )
+            assert zlib.crc32(ctype + body) & 0xFFFFFFFF == crc
+            chunks.append(ctype)
+            if ctype == b"IDAT":
+                idat += body
+            pos += 12 + length
+        assert chunks[0] == b"IHDR" and chunks[-1] == b"IEND"
+        w, h = _png_dims(did)
+        raw = zlib.decompress(idat)
+        assert len(raw) == h * (w * 3 + 1)
+        ftypes = [raw[y * (w * 3 + 1)] for y in range(h)]
+        assert ftypes == [y % 5 for y in range(h)]
+        if h >= 5:
+            assert set(ftypes) == {0, 1, 2, 3, 4}
+        px, _, _ = _decode_png_bytes(payload)
+        assert (px == _png_pixels(did)).all()
+
+
+def test_resize_png_real_nearest_neighbor(spark):
+    """resize_png decodes, resamples with the floor mapping
+    src = (dst * src_dim) // dst_dim, and re-encodes a GENUINE PNG:
+    decoding the output must give exactly the source pixels at the
+    mapped coordinates. Poison payloads keep their id with a NULL
+    payload."""
+    import numpy as np
+
+    from bigdatalab_spark.scale.multimodal import (
+        _decode_png_bytes,
+        _png_pixels,
+        encode_png,
+        resize_png,
+    )
+
+    src = _png_pixels(123)
+    rows = [(1, bytearray(encode_png(src))), (2, bytearray(b"junk"))]
+    blobs = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in resize_png(blobs, 20, 15).collect()}
+
+    out = got[1]
+    assert (out["width"], out["height"]) == (20, 15)
+    px, _, ctype = _decode_png_bytes(bytes(out["payload"]))
+    assert ctype == 2 and px.shape == (15, 20, 3)
+    ys = (np.arange(15) * src.shape[0]) // 15
+    xs = (np.arange(20) * src.shape[1]) // 20
+    assert (px == src[ys][:, xs]).all()
+    assert out["n_bytes"] == len(bytes(out["payload"]))
+
+    assert got[2]["payload"] is None and got[2]["n_bytes"] is None
