@@ -135,6 +135,7 @@ _POST_WINDOW = (
     "pivot_order_status_matrix",
     "range_window_revenue",
     "png_image_features",
+    "dedup_index_forget_status",
 )
 
 

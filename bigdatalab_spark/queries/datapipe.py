@@ -474,7 +474,14 @@ def stream_static_segment_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).orderBy("segment")
 
 
-def _incremental_oracle() -> str:
+def _incremental_oracle(
+    corpus_pred: str = "doc_id % 2 = 0",
+    batch_pred: str = "doc_id % 2 = 1",
+) -> str:
+    """SQL replay of batch-vs-corpus classification, parameterized on
+    the corpus/batch membership predicates so the forget-path query
+    (corpus minus tombstoned docs) shares one oracle builder with the
+    plain incremental queries."""
     from bigdatalab_spark.queries.dedup import (
         SHINGLES_CTE,
         _PARAMS_VALUES,
@@ -503,19 +510,23 @@ def _incremental_oracle() -> str:
         ),
         cands AS (
             SELECT DISTINCT b.doc_id AS doc1, c.doc_id AS doc2
-            FROM bands b JOIN bands c ON b.band = c.band AND b.sig = c.sig
-            WHERE b.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+            FROM bands b
+            JOIN (SELECT doc_id FROM documents WHERE {batch_pred}) bb
+              ON bb.doc_id = b.doc_id
+            JOIN bands c ON b.band = c.band AND b.sig = c.sig
+            JOIN (SELECT doc_id FROM documents WHERE {corpus_pred}) cc
+              ON cc.doc_id = c.doc_id
         ),
         {_VERIFY_SQL},
         near AS (SELECT DISTINCT doc1 AS doc_id FROM verified WHERE jaccard >= 0.5),
         bh AS (
             SELECT doc_id,
                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash
-            FROM documents WHERE doc_id % 2 = 1
+            FROM documents WHERE {batch_pred}
         ),
         ch AS (
             SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash
-            FROM documents WHERE doc_id % 2 = 0
+            FROM documents WHERE {corpus_pred}
         ),
         exact AS (
             SELECT doc_id FROM bh JOIN ch USING (content_hash)
@@ -528,7 +539,7 @@ def _incremental_oracle() -> str:
                CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
                     WHEN n.doc_id IS NOT NULL THEN 'near_dup'
                     ELSE 'new' END AS status
-        FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) b
+        FROM (SELECT doc_id FROM documents WHERE {batch_pred}) b
         LEFT JOIN exact e ON e.doc_id = b.doc_id
         LEFT JOIN near n ON n.doc_id = b.doc_id
         ORDER BY b.doc_id
@@ -589,6 +600,50 @@ def incremental_dedup_index_status(spark: SparkSession, sf_dir: str) -> DataFram
         os.path.basename(sf_dir.rstrip("/")) or "sf",
     )
     save_dedup_index(corpus, idx)  # overwrite-under-lock: rebuild per run
+    return incremental_dedup_from_index(spark, batch, idx).orderBy("doc_id")
+
+
+@query(
+    "dedup_index_forget_status",
+    ids=("SCALE-DEDUP", "SCALE-CURATION"),
+    oracle=_incremental_oracle(
+        corpus_pred="doc_id % 2 = 0 AND doc_id % 10 <> 4"
+    ),
+)
+def dedup_index_forget_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten over the durable dedup index (round 8):
+    build the index from the corpus half, then
+    :func:`~bigdatalab_spark.scale.dedup.remove_from_dedup_index`
+    tombstones every corpus doc with ``doc_id % 10 = 4`` — an
+    O(delete-batch) logical delete in the deletion-vector style — and
+    the batch classifies against what remains: a duplicate of
+    forgotten content re-admits as ``new`` (unless a live copy still
+    carries the same content). The oracle is the SAME classification
+    SQL with the corpus predicate narrowed to the surviving docs,
+    certifying that serve-after-delete equals a rebuild on the reduced
+    corpus. Physical reclamation
+    (:func:`~bigdatalab_spark.scale.dedup.purge_dedup_tombstones`) is
+    covered by pytest, where bit-identity of the serve across the
+    purge is pinned."""
+    import os
+    import tempfile
+
+    from bigdatalab_spark.scale.dedup import (
+        incremental_dedup_from_index,
+        remove_from_dedup_index,
+        save_dedup_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter("doc_id % 2 = 0")
+    batch = docs.filter("doc_id % 2 = 1")
+    idx = os.path.join(
+        tempfile.gettempdir(),
+        "bigdatalab_dedup_forget_index",
+        os.path.basename(sf_dir.rstrip("/")) or "sf",
+    )
+    save_dedup_index(corpus, idx)  # overwrite-under-lock: rebuild per run
+    remove_from_dedup_index(corpus.filter("doc_id % 10 = 4").select("doc_id"), idx)
     return incremental_dedup_from_index(spark, batch, idx).orderBy("doc_id")
 
 

@@ -448,8 +448,11 @@ def _classify_batch(
 
 #: current on-disk layout version of the durable dedup index — bump on
 #: any layout/semantics change so a stale index fails loudly at load
-#: instead of silently mis-classifying
-DEDUP_INDEX_FORMAT = "dedup-index/1"
+#: instead of silently mis-classifying. v2 (round 8): the hashes store
+#: carries per-doc (doc_id, content_hash) rows instead of distinct
+#: hashes (so a deletion can be attributed to its document), and a
+#: fifth store ``tombstones/`` holds logically-deleted doc_ids.
+DEDUP_INDEX_FORMAT = "dedup-index/2"
 
 
 def save_dedup_index(
@@ -487,8 +490,17 @@ def save_dedup_index(
       verify's |B| term is a lookup instead of a corpus-wide aggregate
       — with it, the serve plan contains NO corpus-proportional
       shuffle, only columnar index scans;
-    - ``path/hashes/`` — distinct normalized content hashes for the
-      exact-dup membership probe;
+    - ``path/hashes/`` — per-doc ``(doc_id, content_hash)`` rows for
+      the exact-dup membership probe (the probe is a semi-join, so
+      multiplicity is free — and carrying the doc_id is what makes a
+      later :func:`remove_from_dedup_index` able to retract exactly one
+      document's contribution: a hash shared by a surviving copy keeps
+      matching);
+    - ``path/tombstones/`` — logically-deleted doc_ids (created EMPTY
+      at build; see :func:`remove_from_dedup_index` /
+      :func:`purge_dedup_tombstones` — the deletion-vector model:
+      deletes are O(delete-batch) now, physically reclaimed at the
+      next purge);
     - ``path/meta.json`` — format version + shingle ``n`` + cap, so a
       serve with mismatched parameters is impossible (the serve reads
       its parameters FROM the index).
@@ -507,8 +519,9 @@ def save_dedup_index(
     if max_bucket_size is not None:
         bands = cap_buckets(bands, max_bucket_size)
     hashes = corpus.select(
-        F.md5(normalize_text(text_col)).alias("content_hash")
-    ).distinct()
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.md5(normalize_text(text_col)).alias("content_hash"),
+    ).filter(F.col("content_hash").isNotNull())
     meta = {
         "format": DEDUP_INDEX_FORMAT,
         "n": n,
@@ -530,6 +543,9 @@ def save_dedup_index(
             "overwrite"
         ).parquet(f"{path}/sizes")
         hashes.write.mode("overwrite").parquet(f"{path}/hashes")
+        corpus.sparkSession.createDataFrame(
+            [], "doc_id long"
+        ).write.mode("overwrite").parquet(f"{path}/tombstones")
         tmp = os.path.join(path, "meta.json.tmp")
         with open(tmp, "w", encoding="utf-8") as fh:
             json.dump(meta, fh)
@@ -555,7 +571,7 @@ def append_to_dedup_index(
     meta, so an append can never mix geometries.
 
     Crash discipline: meta.json is REMOVED first and rewritten last
-    inside the writer lock — the appends to the four stores are not
+    inside the writer lock — the appends to the data stores are not
     mutually atomic, so a crash mid-append must leave a load-REFUSING
     index (rebuild with save_dedup_index), never a silently
     half-appended one. Same marker-last contract as the build.
@@ -569,10 +585,11 @@ def append_to_dedup_index(
     candidate-generation recall is a superset of the rebuild's, and
     verification stays exact either way.
 
-    Content hashes are appended after an anti-join against the store
-    (the other ingest-side probe), so the hash store stays distinct.
-    Ids must be new — appending an existing doc_id would double its
-    shingle rows and corrupt its stored size.
+    Content hashes are appended as per-doc ``(doc_id, content_hash)``
+    rows (the v2 store shape — the probe is a semi-join, so no
+    distinct pass is needed and the append never reads the hash
+    store). Ids must be new — appending an existing doc_id would
+    double its shingle rows and corrupt its stored size.
     """
     import json
     import os
@@ -580,8 +597,6 @@ def append_to_dedup_index(
     spark = docs_new.sparkSession
     _, bands_cur, _, _, meta = load_dedup_index(spark, path)
     n, cap, n_shards = meta["n"], meta["max_bucket_size"], meta["n_shards"]
-
-    import shutil
 
     from bigdatalab_spark.sources.locks import dataset_write_lock
 
@@ -621,20 +636,6 @@ def append_to_dedup_index(
                 bands_new = bands_new.join(
                     F.broadcast(drop_df), ["band", "sig"], "left_anti"
                 )
-        # hash anti-join staged to a scratch subdir so the append never
-        # reads its own target; staging debris is harmless (outside the
-        # store paths, removed on success, index refuses loads anyway
-        # if we crash before meta is restored)
-        staging = os.path.join(path, "_hashes_staging")
-        (
-            docs_new.select(F.md5(normalize_text(text_col)).alias("content_hash"))
-            .filter(F.col("content_hash").isNotNull())
-            .distinct()
-            .join(spark.read.parquet(f"{path}/hashes"), "content_hash", "left_anti")
-            .write.mode("overwrite")
-            .parquet(staging)
-        )
-
         meta_path = os.path.join(path, "meta.json")
         os.remove(meta_path)  # uncommit: a crash below must refuse loads
         bands_new.write.mode("append").partitionBy("band").parquet(
@@ -646,8 +647,15 @@ def append_to_dedup_index(
         sh_new.groupBy("doc_id").agg(
             F.count(F.lit(1)).alias("n_sh")
         ).write.mode("append").parquet(f"{path}/sizes")
-        spark.read.parquet(staging).write.mode("append").parquet(f"{path}/hashes")
-        shutil.rmtree(staging, ignore_errors=True)
+        (
+            docs_new.select(
+                F.col(id_col).cast("long").alias("doc_id"),
+                F.md5(normalize_text(text_col)).alias("content_hash"),
+            )
+            .filter(F.col("content_hash").isNotNull())
+            .write.mode("append")
+            .parquet(f"{path}/hashes")
+        )
         tmp = meta_path + ".tmp"
         with open(tmp, "w", encoding="utf-8") as fh:
             json.dump(meta, fh)
@@ -665,7 +673,7 @@ def compact_dedup_index(
     the standing maintenance job the STREAMING ingest loop makes
     necessary: every
     :func:`~bigdatalab_spark.streaming.jobs.dedup_ingest_stream`
-    micro-batch appends one more file set to each of the four stores
+    micro-batch appends one more file set to each of the data stores
     (bands gains files in every touched ``band=N/`` directory,
     shingles in every candidate shard, sizes and hashes one per
     batch), so after a thousand daily batches the serve-time scan cost
@@ -718,13 +726,16 @@ def compact_dedup_index(
             "hashes": _compact_flat_locked(
                 spark, f"{path}/hashes", max_records_per_file
             ),
+            "tombstones": _compact_flat_locked(
+                spark, f"{path}/tombstones", max_records_per_file
+            ),
         }
 
 
 def _read_dedup_meta(path: str) -> dict:
     """Read and validate an index's meta.json commit marker — the
     shared refuse-loudly gate of :func:`load_dedup_index` (which also
-    opens the four stores) and :func:`compact_dedup_index` (which must
+    opens the stores) and :func:`compact_dedup_index` (which must
     NOT, so it can recover a store whose pointer flip crashed)."""
     import json
     import os
@@ -757,15 +768,137 @@ def load_dedup_index(
     ``(hashes, bands, shingles, sizes, meta)``, serve-ready for
     :func:`incremental_dedup_from_index`. Validates the format marker —
     a missing/corrupt/foreign meta.json refuses loudly rather than
-    classifying against a half-written index."""
+    classifying against a half-written index.
+
+    Tombstones are APPLIED here: the hashes and bands frames come back
+    anti-joined against ``path/tombstones``, so every consumer —
+    serving, append's cap accounting — sees only live documents. The
+    shingle and size stores are returned raw: a tombstoned doc cannot
+    become a candidate once its band rows are filtered, so its shingle
+    rows are unreachable at serve time (they are reclaimed physically
+    by :func:`purge_dedup_tombstones`). The anti-join is doc_id-only
+    column traffic, and with an empty tombstone store AQE collapses it
+    to a broadcast no-op."""
     meta = _read_dedup_meta(path)
+    tomb = spark.read.parquet(f"{path}/tombstones")
     return (
-        spark.read.parquet(f"{path}/hashes"),
-        spark.read.parquet(f"{path}/bands"),
+        spark.read.parquet(f"{path}/hashes").join(tomb, "doc_id", "left_anti"),
+        spark.read.parquet(f"{path}/bands").join(tomb, "doc_id", "left_anti"),
         spark.read.parquet(f"{path}/shingles"),
         spark.read.parquet(f"{path}/sizes"),
         meta,
     )
+
+
+def remove_from_dedup_index(doc_ids: DataFrame, path: str) -> int:
+    """Logically delete documents from a :func:`save_dedup_index` — the
+    right-to-be-forgotten / retention contract a production corpus
+    index must honor, in the deletion-vector style of the table
+    formats: the delete itself is O(delete batch) (doc_ids appended to
+    ``path/tombstones``), and every subsequent load anti-joins the
+    hash/band stores against it, so a removed document immediately
+    stops matching as an exact OR near duplicate — a re-submitted copy
+    of forgotten content classifies as ``new`` (unless another live
+    copy still carries the same content, which keeps matching: the
+    hash store's per-doc rows make that distinction exact). Physical
+    reclamation is deferred to :func:`purge_dedup_tombstones`.
+
+    Ids are staged eagerly (anti-joined against the current tombstone
+    store so re-removals stay no-ops and the store stays lean) before
+    the append touches its target — the same no-self-read-append
+    discipline as the other index writers. Returns the number of NEW
+    tombstones written. meta.json is untouched: a tombstone append is
+    atomic at the parquet-job level, and a crashed append leaves only
+    uncommitted ``_temporary`` debris, never a half-applied delete."""
+    import shutil
+
+    from bigdatalab_spark.sources.locks import dataset_write_lock
+
+    spark = doc_ids.sparkSession
+    with dataset_write_lock(path, "remove_from_dedup_index"):
+        _read_dedup_meta(path)
+        staging = f"{path}/_tombstones_staging"
+        (
+            doc_ids.select(F.col("doc_id").cast("long").alias("doc_id"))
+            .distinct()
+            .join(
+                spark.read.parquet(f"{path}/tombstones"), "doc_id", "left_anti"
+            )
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        staged = spark.read.parquet(staging)
+        n_new = staged.count()
+        if n_new:
+            staged.write.mode("append").parquet(f"{path}/tombstones")
+        shutil.rmtree(staging, ignore_errors=True)
+        return n_new
+
+
+def purge_dedup_tombstones(
+    spark,
+    path: str,
+    max_records_per_file: int = 5_000_000,
+) -> dict:
+    """Physically reclaim tombstoned documents from a dedup index — the
+    maintenance half of :func:`remove_from_dedup_index`, exactly as
+    compaction is the maintenance half of append: each of the four data
+    stores is rewritten WITHOUT the tombstoned docs' rows (partitioned
+    stores keep their band/shard pruning scheme), then the tombstone
+    store itself is emptied, all under the index-root writer lock.
+
+    Crash discipline is FREE here, which is the point of the
+    deletion-vector design: because every load applies the tombstone
+    anti-join anyway, a purge interrupted at ANY store boundary leaves
+    a correct-serving index — purged stores lose nothing (their rows
+    were already invisible), unpurged stores are still filtered at
+    load. Each store flips via the resume-safe two-rename protocol,
+    the tombstone store is emptied LAST (only after every data store
+    has dropped the rows), and re-running a crashed purge completes
+    it. meta.json is never touched. Returns per-store
+    ``{files_before, files_after}`` plus ``n_purged_docs``."""
+    from bigdatalab_spark.sources.locks import dataset_write_lock
+    from bigdatalab_spark.sources.sinks import (
+        _compact_flat_locked,
+        _compact_partitions_locked,
+    )
+
+    with dataset_write_lock(path, "purge_dedup_tombstones"):
+        _read_dedup_meta(path)
+        tomb = spark.read.parquet(f"{path}/tombstones")
+        n_tomb = tomb.count()
+
+        def drop_dead(df: DataFrame) -> DataFrame:
+            return df.join(
+                spark.read.parquet(f"{path}/tombstones"), "doc_id", "left_anti"
+            )
+
+        stats = {
+            "n_purged_docs": n_tomb,
+            "bands": _compact_partitions_locked(
+                spark, f"{path}/bands", ("band",), max_records_per_file,
+                transform=drop_dead,
+            ),
+            "shingles": _compact_partitions_locked(
+                spark, f"{path}/shingles", ("shard",), max_records_per_file,
+                transform=drop_dead,
+            ),
+            "sizes": _compact_flat_locked(
+                spark, f"{path}/sizes", max_records_per_file,
+                transform=drop_dead,
+            ),
+            "hashes": _compact_flat_locked(
+                spark, f"{path}/hashes", max_records_per_file,
+                transform=drop_dead,
+            ),
+        }
+        # every data store has dropped the rows — only now may the
+        # tombstones disappear (emptying first would resurrect them)
+        stats["tombstones"] = _compact_flat_locked(
+            spark, f"{path}/tombstones", max_records_per_file,
+            transform=lambda df: df.limit(0),
+        )
+        return stats
 
 
 def incremental_dedup_from_index(

@@ -261,7 +261,12 @@ def _compact_partitions_locked(
     path: str,
     partition_cols: tuple[str, ...],
     max_records_per_file: int,
+    transform=None,
 ) -> dict:
+    """Core of :func:`compact_partitions` (caller holds the writer
+    lock). ``transform`` optionally rewrites the frame between read and
+    write — the hook row-level maintenance (tombstone purges) uses to
+    ride the same resume-safe two-rename flip; None = layout-only."""
     import glob
     import os
     import shutil
@@ -285,9 +290,11 @@ def _compact_partitions_locked(
             shutil.rmtree(old)  # path is complete; old is the backup copy
 
     before = _count()
+    df = spark.read.parquet(path)
+    if transform is not None:
+        df = transform(df)
     (
-        spark.read.parquet(path)
-        .repartition(*[F.col(c) for c in partition_cols])
+        df.repartition(*[F.col(c) for c in partition_cols])
         .write.mode("overwrite")
         .option("maxRecordsPerFile", max_records_per_file)
         .partitionBy(*partition_cols)
@@ -303,6 +310,7 @@ def _compact_flat_locked(
     spark: SparkSession,
     path: str,
     max_records_per_file: int,
+    transform=None,
 ) -> dict:
     """Compaction for an UNPARTITIONED parquet store — the flat-store
     twin of :func:`_compact_partitions_locked`, with the identical
@@ -310,8 +318,10 @@ def _compact_flat_locked(
     there for why in-place overwrite has a loss window). One count job
     sizes the target layout (ceil(rows / max_records_per_file) output
     files) so a store that incremental writers shredded into hundreds
-    of KB-files collapses to a handful of full ones. Caller holds the
-    dataset writer lock."""
+    of KB-files collapses to a handful of full ones. ``transform``
+    optionally rewrites the frame between read and write (row-level
+    maintenance riding the same flip); the count job sizes the
+    TRANSFORMED frame. Caller holds the dataset writer lock."""
     import glob
     import math
     import os
@@ -331,14 +341,12 @@ def _compact_flat_locked(
             shutil.rmtree(old)
 
     before = _count()
-    rows = spark.read.parquet(path).count()
+    df = spark.read.parquet(path)
+    if transform is not None:
+        df = transform(df)
+    rows = df.count()
     n_files = max(1, math.ceil(rows / max_records_per_file))
-    (
-        spark.read.parquet(path)
-        .repartition(n_files)
-        .write.mode("overwrite")
-        .parquet(fresh)
-    )
+    df.repartition(n_files).write.mode("overwrite").parquet(fresh)
     os.rename(path, old)
     os.rename(fresh, path)
     shutil.rmtree(old)

@@ -880,7 +880,7 @@ def test_dedup_index_roundtrip_serves_bit_identical(spark, sf_dir, tmp_path):
 
     idx = str(tmp_path / "dedup_idx")
     meta = save_dedup_index(corpus, idx)
-    assert meta["format"] == "dedup-index/1" and meta["n"] == 3
+    assert meta["format"] == "dedup-index/2" and meta["n"] == 3
 
     live = {
         r["doc_id"]: r["status"]
@@ -1045,7 +1045,7 @@ def test_dedup_index_append_completes_the_daily_cycle(spark, sf_dir, tmp_path):
     hashes, bands, shingles, sizes, meta = load_dedup_index(spark, idx)
     assert hashes.count() == hashes.distinct().count()
     assert sizes.count() == sizes.select("doc_id").distinct().count()
-    assert meta["format"] == "dedup-index/1"
+    assert meta["format"] == "dedup-index/2"
 
 
 def test_dedup_index_compaction_layout_only_and_crash_recoverable(
@@ -1130,3 +1130,141 @@ def test_dedup_index_compaction_layout_only_and_crash_recoverable(
         for r in incremental_dedup_from_index(spark, probe, idx).collect()
     )
     assert out2 == before
+
+
+def test_dedup_index_forget_semantics_per_copy(spark, tmp_path):
+    """remove_from_dedup_index retracts exactly ONE document's
+    contribution (the v2 per-doc hash rows make this precise): with two
+    corpus copies of the same content, forgetting one still matches a
+    re-submitted copy as exact_dup; forgetting both re-admits it as
+    new. A near-dup of forgotten content re-admits too."""
+    from bigdatalab_spark.scale.dedup import (
+        incremental_dedup_from_index,
+        remove_from_dedup_index,
+        save_dedup_index,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                      # second copy of the same content
+            (3, "completely different text about spark partitions and shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (101, base),                    # exact copy of forgotten content
+            (102, base + " perturbed"),     # near-dup of forgotten content
+            (103, "unrelated new document entirely on its own"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    save_dedup_index(corpus, idx, max_bucket_size=None)
+
+    def classify():
+        return {
+            r["doc_id"]: r["status"]
+            for r in incremental_dedup_from_index(spark, batch, idx).collect()
+        }
+
+    before = classify()
+    assert before[101] == "exact_dup" and before[102] == "near_dup"
+    assert before[103] == "new"
+
+    # forget ONE copy: the surviving copy keeps matching both probes
+    assert remove_from_dedup_index(
+        spark.createDataFrame([(1,)], "doc_id long"), idx
+    ) == 1
+    after_one = classify()
+    assert after_one == before
+
+    # forget the second copy too: the content is gone from the index
+    remove_from_dedup_index(spark.createDataFrame([(2,)], "doc_id long"), idx)
+    after_both = classify()
+    assert after_both[101] == "new" and after_both[102] == "new"
+    assert after_both[103] == "new"
+
+    # idempotent: re-removing writes nothing
+    assert remove_from_dedup_index(
+        spark.createDataFrame([(1,), (2,)], "doc_id long"), idx
+    ) == 0
+
+
+def test_dedup_index_purge_is_physical_and_interrupt_safe(
+    spark, sf_dir, tmp_path
+):
+    """purge_dedup_tombstones physically reclaims tombstoned rows from
+    every store (serve stays BIT-identical, tombstones empty after),
+    and — the deletion-vector property — an interrupted purge serves
+    correctly at EVERY store boundary: purged stores lost only
+    invisible rows, unpurged stores are still load-filtered."""
+    import glob
+
+    from bigdatalab_spark.scale.dedup import (
+        incremental_dedup_from_index,
+        load_dedup_index,
+        purge_dedup_tombstones,
+        remove_from_dedup_index,
+        save_dedup_index,
+    )
+    from bigdatalab_spark.sources import load_table
+    from bigdatalab_spark.sources.sinks import _compact_partitions_locked
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1).limit(60)
+    idx = str(tmp_path / "idx")
+    save_dedup_index(corpus, idx)
+    dead = corpus.filter(F.col("doc_id") % 10 == 4).select("doc_id")
+    n_dead = dead.count()
+    assert remove_from_dedup_index(dead, idx) == n_dead
+
+    def serve():
+        return sorted(
+            (r["doc_id"], r["status"])
+            for r in incremental_dedup_from_index(spark, batch, idx).collect()
+        )
+
+    logical = serve()
+
+    # simulate a purge interrupted after ONE store (bands purged via the
+    # same transform+flip the real purge uses, everything else untouched)
+    tomb = spark.read.parquet(f"{idx}/tombstones")
+    _compact_partitions_locked(
+        spark, f"{idx}/bands", ("band",), 5_000_000,
+        transform=lambda df: df.join(tomb, "doc_id", "left_anti"),
+    )
+    assert serve() == logical  # mixed state serves identically
+
+    stats = purge_dedup_tombstones(spark, idx)
+    assert stats["n_purged_docs"] == n_dead
+    assert serve() == logical  # full purge is invisible to the answer
+
+    # physical: no dead rows anywhere, tombstones empty
+    dead_ids = {r["doc_id"] for r in dead.collect()}
+    hashes, bands, shingles, sizes, _ = load_dedup_index(spark, idx)
+    for frame in (hashes, bands, shingles, sizes):
+        got = {r["doc_id"] for r in frame.select("doc_id").distinct().collect()}
+        assert not (got & dead_ids)
+    assert spark.read.parquet(f"{idx}/tombstones").count() == 0
+
+    # re-running a completed purge is a no-op that keeps serving
+    stats2 = purge_dedup_tombstones(spark, idx)
+    assert stats2["n_purged_docs"] == 0
+    assert serve() == logical
+
+    # shard pruning contract survives the purge (partitioned rewrite
+    # kept the partition scheme)
+    import re
+
+    plan = (
+        incremental_dedup_from_index(spark, batch, idx)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert re.search(r"PartitionFilters: \[shard#\d+ IN \(", plan), plan[:3000]
+    assert glob.glob(f"{idx}/shingles/shard=*")
