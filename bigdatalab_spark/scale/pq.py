@@ -496,6 +496,9 @@ def save_ivf_pq_index(
     the optional rerank stage."""
     codes.write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/codes")
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    codes.sparkSession.createDataFrame(
+        [], "neighbor_id long"
+    ).write.mode("overwrite").parquet(f"{path}/tombstones")
     save_codebooks(codebooks, f"{path}/codebooks.json")
 
 
@@ -563,11 +566,42 @@ def compact_ivf_pq_index(
         }
 
 
+def remove_from_ivf_pq_index(vec_ids, path: str) -> int:
+    """Logically delete vectors from a :func:`save_ivf_pq_index` —
+    same tombstone contract as
+    :func:`~bigdatalab_spark.scale.similarity.remove_from_ivf_index`,
+    applied to the codes store (the rerank corpus, if any, is the
+    caller's table; a tombstoned id never reaches rerank because it is
+    filtered before the shortlist forms)."""
+    from bigdatalab_spark.scale.similarity import _remove_from_index
+
+    return _remove_from_index(vec_ids, path, "remove_from_ivf_pq_index")
+
+
+def purge_ivf_pq_tombstones(
+    spark, path: str, max_records_per_file: int = 5_000_000
+) -> dict:
+    """Physically reclaim tombstoned code rows (bucket partitioning
+    preserved), then empty the tombstone store — the IVF-PQ twin of
+    :func:`~bigdatalab_spark.scale.similarity.purge_ivf_tombstones`."""
+    from bigdatalab_spark.scale.similarity import _purge_index_tombstones
+
+    return _purge_index_tombstones(
+        spark, path, "codes", "purge_ivf_pq_tombstones", max_records_per_file
+    )
+
+
 def load_ivf_pq_index(spark, path: str):
     """Load :func:`save_ivf_pq_index` back as ``(codes, centroids,
-    codebooks)``, serve-ready for :func:`ivf_pq_serve_topk`."""
+    codebooks)``, serve-ready for :func:`ivf_pq_serve_topk`.
+    Tombstoned vectors are filtered here (anti-join against
+    ``path/tombstones``; absent store = nothing deleted)."""
+    from bigdatalab_spark.scale.similarity import _apply_index_tombstones
+
     return (
-        spark.read.parquet(f"{path}/codes"),
+        _apply_index_tombstones(
+            spark, spark.read.parquet(f"{path}/codes"), path
+        ),
         spark.read.parquet(f"{path}/centroids"),
         load_codebooks(f"{path}/codebooks.json"),
     )

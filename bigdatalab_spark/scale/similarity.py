@@ -587,6 +587,9 @@ def save_ivf_index(
         f"{path}/corpus"
     )
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    assigned.sparkSession.createDataFrame(
+        [], "neighbor_id long"
+    ).write.mode("overwrite").parquet(f"{path}/tombstones")
 
 
 def assign_to_centroids(
@@ -701,12 +704,182 @@ def compact_ivf_index(
         }
 
 
+def refit_ivf_index(
+    spark, path: str, n_centroids: int | None = None, seed: int = 42
+) -> dict:
+    """The deliberate, rare FULL rewrite that closes
+    :func:`append_to_ivf_index`'s documented drift trade-off: appends
+    keep the coarse quantizer frozen, so old centroids slowly absorb
+    new distributions (a genuinely novel vector cluster lands in — and
+    stretches — whichever stale bucket is nearest, degrading that
+    bucket's selectivity for every query). Refit retrains KMeans on
+    the CURRENT stored corpus, re-buckets every vector, and replaces
+    the index in place. ``n_centroids`` defaults to the stored count;
+    raise it when drift added genuinely new clusters (the pytest's
+    drift scenario).
+
+    Crash/concurrency story: the new generation (corpus AND centroids
+    together) is staged to a fresh sibling of the INDEX ROOT and the
+    whole root flips via the two-rename resume-safe protocol — a
+    mixed-generation window (new bucket assignment served against old
+    centroids, which would silently probe the wrong directories) is
+    structurally impossible; mid-flip the root is missing and loads
+    fail loudly, and re-running the refit resumes the flip through the
+    debris preamble. The writer lock is a SIBLING of the root, so the
+    flip never carries it away, and a refit cannot interleave with an
+    append/compaction. IVF-PQ indexes refit by rebuilding
+    (fit_ivf_pq_index + save_ivf_pq_index): their codebooks must be
+    retrained with the quantizer, so there is no cheaper path to
+    share. Returns ``{n_vectors, n_centroids}``."""
+    import os
+    import shutil
+
+    from bigdatalab_spark.sources.locks import dataset_write_lock
+
+    with dataset_write_lock(path, "refit_ivf_index"):
+        fresh, old = f"{path}__refit_fresh", f"{path}__refit_old"
+        if os.path.exists(fresh):
+            shutil.rmtree(fresh)
+        if os.path.exists(old):
+            if not os.path.exists(path):
+                os.rename(old, path)  # resume the interrupted root flip
+            else:
+                shutil.rmtree(old)
+        corpus, centroids = load_ivf_index(spark, path)
+        k = n_centroids if n_centroids is not None else centroids.count()
+        assigned, cents = fit_ivf_index(
+            corpus.select("neighbor_id", "cv"),
+            n_centroids=k,
+            seed=seed,
+            vec_col="cv",
+            id_col="neighbor_id",
+        )
+        save_ivf_index(assigned, cents, fresh)
+        n_vectors = spark.read.parquet(f"{fresh}/corpus").count()
+        os.rename(path, old)  # root flip: old generation aside ...
+        os.rename(fresh, path)  # ... new generation into place
+        shutil.rmtree(old)
+        return {"n_vectors": n_vectors, "n_centroids": k}
+
+
+def _apply_index_tombstones(spark, rows: DataFrame, path: str) -> DataFrame:
+    """Anti-join an index's neighbor_id-keyed store against its
+    ``path/tombstones``, shared by the IVF and IVF-PQ loads. Indexes
+    written before tombstones existed have no store — treated as
+    empty (a plain scan, no join inserted). Measured: the anti-join
+    does not displace the serving join's dynamic partition pruning
+    (the probed-bucket scan contract survives — pinned in tests)."""
+    import os
+
+    if not os.path.exists(f"{path}/tombstones"):
+        return rows
+    tomb = spark.read.parquet(f"{path}/tombstones")
+    return rows.join(tomb, "neighbor_id", "left_anti")
+
+
+def _remove_from_index(vec_ids: DataFrame, path: str, op: str) -> int:
+    """Shared logical-delete core for the ANN indexes (the embedding
+    twin of :func:`~bigdatalab_spark.scale.dedup.remove_from_dedup_index`):
+    O(delete-batch) append of ids to ``path/tombstones`` under the
+    writer lock, eagerly staged and anti-joined against the current
+    store so re-removals are no-ops. Returns new tombstones written."""
+    import os
+    import shutil
+
+    from bigdatalab_spark.sources.locks import dataset_write_lock
+
+    spark = vec_ids.sparkSession
+    ids = vec_ids.select(
+        F.col(vec_ids.columns[0]).cast("long").alias("neighbor_id")
+    ).distinct()
+    with dataset_write_lock(path, op):
+        store = f"{path}/tombstones"
+        if os.path.exists(store):
+            ids = ids.join(spark.read.parquet(store), "neighbor_id", "left_anti")
+        staging = f"{path}/_tombstones_staging"
+        ids.write.mode("overwrite").parquet(staging)
+        staged = spark.read.parquet(staging)
+        n_new = staged.count()
+        if n_new:
+            staged.write.mode("append").parquet(store)
+        shutil.rmtree(staging, ignore_errors=True)
+        return n_new
+
+
+def _purge_index_tombstones(
+    spark, path: str, row_store: str, op: str, max_records_per_file: int
+) -> dict:
+    """Shared physical-reclamation core for the ANN indexes: rewrite
+    the bucket-partitioned row store without tombstoned ids (riding
+    the resume-safe transform+flip), then empty the tombstone store
+    LAST. Interrupt-safe for free, as with the dedup purge: loads
+    filter by tombstones regardless, so every intermediate state
+    serves identically."""
+    from bigdatalab_spark.sources.locks import dataset_write_lock
+    from bigdatalab_spark.sources.sinks import (
+        _compact_flat_locked,
+        _compact_partitions_locked,
+    )
+
+    with dataset_write_lock(path, op):
+        n_tomb = spark.read.parquet(f"{path}/tombstones").count()
+
+        def drop_dead(df: DataFrame) -> DataFrame:
+            return df.join(
+                spark.read.parquet(f"{path}/tombstones"),
+                "neighbor_id",
+                "left_anti",
+            )
+
+        stats = {
+            "n_purged_vectors": n_tomb,
+            row_store: _compact_partitions_locked(
+                spark, f"{path}/{row_store}", ("bucket",),
+                max_records_per_file, transform=drop_dead,
+            ),
+        }
+        stats["tombstones"] = _compact_flat_locked(
+            spark, f"{path}/tombstones", max_records_per_file,
+            transform=lambda df: df.limit(0),
+        )
+        return stats
+
+
+def remove_from_ivf_index(vec_ids: DataFrame, path: str) -> int:
+    """Logically delete vectors from a :func:`save_ivf_index` — the
+    ANN side of the right-to-be-forgotten contract (a forgotten
+    document's embedding must stop being servable as anyone's
+    neighbor): ids land in ``path/tombstones`` in O(delete batch),
+    and every load anti-joins the corpus store against them, so the
+    vectors vanish from all top-k results immediately. Physical
+    reclamation is :func:`purge_ivf_tombstones`. First column of
+    ``vec_ids`` is taken as the id."""
+    return _remove_from_index(vec_ids, path, "remove_from_ivf_index")
+
+
+def purge_ivf_tombstones(
+    spark, path: str, max_records_per_file: int = 5_000_000
+) -> dict:
+    """Physically reclaim tombstoned vectors from a
+    :func:`save_ivf_index` corpus store (bucket partitioning — and the
+    serve's partition-pruning contract — preserved), then empty the
+    tombstone store. Same interrupt-safety argument as
+    :func:`~bigdatalab_spark.scale.dedup.purge_dedup_tombstones`."""
+    return _purge_index_tombstones(
+        spark, path, "corpus", "purge_ivf_tombstones", max_records_per_file
+    )
+
+
 def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     """Load a :func:`save_ivf_index` layout back as ``(assigned,
     centroids)``, serve-ready for :func:`ivf_serve_topk`. The corpus
     frame is a plain partitioned-parquet scan, so Catalyst sees the
-    bucket directories and can partition-prune the serving join."""
+    bucket directories and can partition-prune the serving join.
+    Tombstoned vectors are filtered here (anti-join against
+    ``path/tombstones``; DPP on the serving join survives it)."""
     return (
-        spark.read.parquet(f"{path}/corpus"),
+        _apply_index_tombstones(
+            spark, spark.read.parquet(f"{path}/corpus"), path
+        ),
         spark.read.parquet(f"{path}/centroids"),
     )

@@ -2482,3 +2482,180 @@ def test_resize_png_real_nearest_neighbor(spark):
     assert out["n_bytes"] == len(bytes(out["payload"]))
 
     assert got[2]["payload"] is None and got[2]["n_bytes"] is None
+
+
+def test_refit_ivf_index_recovers_append_drift(spark, tmp_path):
+    """The refit op closes the append path's documented drift
+    trade-off, measurably: a genuinely NEW vector cluster appended
+    under the frozen quantizer splits across the stale buckets (half
+    its members land nearest the A centroid, half nearest B — by
+    construction), so an n_probe=1 query from that cluster can only
+    ever see half its true neighbors. After refit with k=3 the cluster
+    owns a bucket: the same query finds all of them. Also pins the
+    root-flip crash discipline: mid-flip the index refuses loudly and
+    re-running the refit resumes it."""
+    import os
+
+    from bigdatalab_spark.scale.similarity import (
+        append_to_ivf_index,
+        fit_ivf_index,
+        ivf_serve_topk,
+        load_ivf_index,
+        refit_ivf_index,
+        save_ivf_index,
+    )
+
+    dim = 8
+
+    def vec(first, second, jitter_i):
+        v = [0.0] * dim
+        v[0] = first + 0.01 * jitter_i
+        v[1] = second
+        return v
+
+    a = [(100 + i, vec(10.0, 0.0, i)) for i in range(40)]
+    b = [(200 + i, vec(-10.0, 0.0, i)) for i in range(40)]
+    # cluster C: first dim alternates ±1, so under the A/B quantizer
+    # its members split deterministically between the two old buckets
+    c = [(300 + i, vec(1.0 if i % 2 else -1.0, 30.0, i)) for i in range(40)]
+
+    schema = "vec_id long, embedding array<double>"
+    corpus_ab = spark.createDataFrame(a + b, schema)
+    idx = str(tmp_path / "ivf")
+    assigned, cents = fit_ivf_index(corpus_ab, n_centroids=2, seed=42)
+    save_ivf_index(assigned, cents, idx)
+    append_to_ivf_index(spark.createDataFrame(c, schema), idx)
+
+    q = spark.createDataFrame(
+        [(1, vec(0.0, 30.0, 0))], "vec_id long, embedding array<double>"
+    )
+
+    def c_hits(k_centroids_note=None):
+        corpus_now, cents_now = load_ivf_index(spark, idx)
+        got = ivf_serve_topk(q, corpus_now, cents_now, k=30, n_probe=1).collect()
+        return sum(1 for r in got if 300 <= r["neighbor_id"] < 340)
+
+    before = c_hits()
+    assert before <= 20  # frozen quantizer: half of C is in the other bucket
+
+    stats = refit_ivf_index(spark, idx, n_centroids=3)
+    assert stats == {"n_vectors": 120, "n_centroids": 3}
+    after = c_hits()
+    assert after == 30  # C owns a bucket now; every neighbor is C
+
+    # the new generation is coherent: one centroid sits on C's mean,
+    # and the buckets carry the true cluster sizes
+    corpus_now, cents_now = load_ivf_index(spark, idx)
+    sizes = sorted(
+        r["n"] for r in corpus_now.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+    )
+    assert sizes == [40, 40, 40]
+    near_c = [
+        r for r in cents_now.collect() if abs(r["center"][1] - 30.0) < 1.0
+    ]
+    assert len(near_c) == 1
+
+    # crash mid-root-flip: path missing, old generation aside — loads
+    # refuse loudly; re-running the refit resumes the flip first
+    os.rename(idx, f"{idx}__refit_old")
+    with pytest.raises(Exception):
+        load_ivf_index(spark, idx)[0].collect()
+    stats2 = refit_ivf_index(spark, idx, n_centroids=3)
+    assert stats2["n_vectors"] == 120
+    assert not os.path.exists(f"{idx}__refit_old")
+    assert c_hits() == 30
+
+
+def test_ann_index_tombstone_delete_and_purge(spark, tmp_path):
+    """Forgotten vectors must vanish from top-k immediately (logical
+    delete) and stay gone across physical purge (bit-identical serve);
+    the pattern covers both ANN index families, and an index written
+    before tombstones existed still loads (absent store = empty)."""
+    import glob
+    import os
+    import shutil
+
+    from bigdatalab_spark.scale.pq import (
+        fit_ivf_pq_index,
+        ivf_pq_serve_topk,
+        load_ivf_pq_index,
+        purge_ivf_pq_tombstones,
+        remove_from_ivf_pq_index,
+        save_ivf_pq_index,
+    )
+    from bigdatalab_spark.scale.similarity import (
+        fit_ivf_index,
+        ivf_serve_topk,
+        load_ivf_index,
+        purge_ivf_tombstones,
+        remove_from_ivf_index,
+        save_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    assigned, cents = fit_ivf_index(emb, n_centroids=4)
+    save_ivf_index(assigned, cents, idx)
+
+    victim = emb.limit(1).collect()[0]
+    q = spark.createDataFrame(
+        [(victim["vec_id"], victim["embedding"])],
+        "vec_id long, embedding array<double>",
+    )
+
+    def serve_ids():
+        corpus, cc = load_ivf_index(spark, idx)
+        return [
+            r["neighbor_id"]
+            for r in ivf_serve_topk(q, corpus, cc, k=5, n_probe=2).collect()
+        ]
+
+    before = serve_ids()
+    assert before[0] == victim["vec_id"]  # self is rank 1
+
+    assert remove_from_ivf_index(
+        spark.createDataFrame([(victim["vec_id"],)], "vec_id long"), idx
+    ) == 1
+    after = serve_ids()
+    assert victim["vec_id"] not in after and len(after) == 5
+    assert after == before[1:] + after[-1:]  # next-best shifted up
+
+    # idempotent re-remove; purge keeps the answer bit-identical
+    assert remove_from_ivf_index(
+        spark.createDataFrame([(victim["vec_id"],)], "vec_id long"), idx
+    ) == 0
+    n_rows_before = spark.read.parquet(f"{idx}/corpus").count()
+    stats = purge_ivf_tombstones(spark, idx)
+    assert stats["n_purged_vectors"] == 1
+    assert spark.read.parquet(f"{idx}/corpus").count() == n_rows_before - 1
+    assert spark.read.parquet(f"{idx}/tombstones").count() == 0
+    assert serve_ids() == after
+    assert glob.glob(f"{idx}/corpus/bucket=*")  # partition scheme kept
+
+    # pre-tombstone index (no store) still loads and serves
+    shutil.rmtree(f"{idx}/tombstones")
+    assert serve_ids() == after
+    assert not os.path.exists(f"{idx}/tombstones")
+
+    # IVF-PQ twin
+    pq_idx = str(tmp_path / "ivfpq")
+    codes, pq_cents, books = fit_ivf_pq_index(emb, n_centroids=4, m=4, seed=7)
+    save_ivf_pq_index(codes, pq_cents, books, pq_idx)
+
+    def pq_serve_ids():
+        c, cc, bb = load_ivf_pq_index(spark, pq_idx)
+        return [
+            r["neighbor_id"]
+            for r in ivf_pq_serve_topk(q, c, cc, bb, k=5, n_probe=2).collect()
+        ]
+
+    pq_before = pq_serve_ids()
+    assert victim["vec_id"] in pq_before
+    assert remove_from_ivf_pq_index(
+        spark.createDataFrame([(victim["vec_id"],)], "vec_id long"), pq_idx
+    ) == 1
+    pq_after = pq_serve_ids()
+    assert victim["vec_id"] not in pq_after and len(pq_after) == 5
+    purge_ivf_pq_tombstones(spark, pq_idx)
+    assert pq_serve_ids() == pq_after
+    assert spark.read.parquet(f"{pq_idx}/tombstones").count() == 0
