@@ -181,3 +181,18 @@ def test_ann_recall_bench_smoke():
         r0 = out["grid"][f"probe{p}_rerank0"]["recall"]
         r20 = out["grid"][f"probe{p}_rerank20"]["recall"]
         assert r20 >= r0
+
+
+def test_forget_bench_smoke():
+    out = _run_tool("tools.forget_bench", SF, "50", "200")
+    assert out["n_corpus"] > 0 and out["n_tombstoned"] == 50
+    assert out["n_purged"] == 50
+    for k in (
+        "index_build_sec",
+        "serve_pre_sec",
+        "remove_sec",
+        "serve_logical_sec",
+        "purge_sec",
+        "serve_purged_sec",
+    ):
+        assert out[k] > 0
