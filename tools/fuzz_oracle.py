@@ -28,7 +28,11 @@ if violated):
 - LIMIT only ever appears under an ORDER BY on a unique key column,
   projected, so the kept prefix is well-defined in both engines;
 - timestamp columns are excluded from the column pool (pandas dtype
-  normalization differs); numeric + varchar only.
+  normalization differs); numeric + varchar only;
+- ROLLUP on an EMPTY input diverges: DuckDB (like Postgres and the
+  standard's GROUP BY ()) emits the grand-total row with cnt=0, Spark
+  emits nothing — found by seed 116 of the first widened-grammar run;
+  canonicalized with a no-op-on-nonempty HAVING count(*) > 0.
 
 Usage: python -m tools.fuzz_oracle [sf_dir] [--seeds=25] [--start=0]
 Output: per-seed [OK]/[FAIL] lines + one JSON summary line.
@@ -194,7 +198,8 @@ def generate_query(seed: int) -> str:
     shape = rng.choice(
         ["scan", "agg", "join", "join_agg", "window", "limit", "case",
          "having", "union", "window_agg", "lag_lead", "distinct",
-         "in_subquery"]
+         "in_subquery", "outer_join", "exists", "setop",
+         "scalar_subquery", "rollup"]
     )
     t = rng.choice(sorted(SCHEMAS))
     sch = SCHEMAS[t]
@@ -345,6 +350,100 @@ def generate_query(seed: int) -> str:
         return (
             f"SELECT {', '.join(proj)} FROM {lt} "
             f"WHERE {lc} {neg}IN (SELECT {rc} FROM {rt}{inner_where})"
+        )
+
+    if shape == "outer_join":
+        # LEFT JOIN along a REVERSED FK edge (dim LEFT JOIN fact), with
+        # the fact-side predicate inside ON — the null-extension
+        # semantics both engines must agree on: a dim row with no
+        # surviving fact rows keeps exactly one output row of NULLs
+        lt, lc, rt, rc = rng.choice(JOINS)
+        ls, rs = SCHEMAS[lt], SCHEMAS[rt]
+        on = f"{rt}.{rc} = {lt}.{lc}"
+        if rng.random() < 0.7:
+            on += f" AND {lt}.{ls['pk']} % {rng.randint(2, 6)} = 0"
+        proj = [
+            f"{rt}.{rs['pk']} AS rpk",
+            f"{lt}.{ls['pk']} AS lpk",  # NULL where the ON never matched
+        ]
+        if ls["s"]:
+            proj.append(f"upper({lt}.{rng.choice(ls['s'])}) AS e_ls")
+        if "pk2" in ls:
+            proj.append(f"{lt}.{ls['pk2']} AS lpk2")
+        return f"SELECT {', '.join(proj)} FROM {rt} LEFT JOIN {lt} ON {on}"
+
+    if shape == "exists":
+        # correlated (NOT) EXISTS along a real FK edge — the other
+        # decorrelation surface beside IN; the inner predicate makes
+        # the semi/anti split non-trivial
+        lt, lc, rt, rc = rng.choice(JOINS)
+        ls, rs = SCHEMAS[lt], SCHEMAS[rt]
+        proj = [f"{ls['pk']} AS pk"]
+        if "pk2" in ls:
+            proj.append(f"{ls['pk2']} AS pk2")
+        if ls["s"]:
+            proj.append(f"{_str_expr(rng, rng.choice(ls['s']))} AS e_s")
+        inner_pred = (
+            f" AND {_predicate(rng, rs)}" if rng.random() < 0.6 else ""
+        )
+        neg = "NOT " if rng.random() < 0.4 else ""
+        return (
+            f"SELECT {', '.join(proj)} FROM {lt} WHERE {neg}EXISTS ("
+            f"SELECT 1 FROM {rt} WHERE {rt}.{rc} = {lt}.{lc}{inner_pred})"
+        )
+
+    if shape == "setop":
+        # INTERSECT / EXCEPT over derived int/string projections of the
+        # same table under two predicates — both engines default to
+        # DISTINCT set semantics, so the result is a well-defined set
+        proj = [f"{_int_expr(rng, rng.choice(sch['i']))} AS e_i"]
+        if sch["s"]:
+            proj.append(f"{_str_expr(rng, rng.choice(sch['s']))} AS e_s")
+        op = rng.choice(["INTERSECT", "EXCEPT"])
+        p1, p2 = _predicate(rng, sch), _predicate(rng, sch)
+        sel = f"SELECT {', '.join(proj)} FROM {t}"
+        return f"{sel} WHERE {p1} {op} {sel} WHERE {p2}"
+
+    if shape == "scalar_subquery":
+        # uncorrelated scalar subquery as a comparison bound —
+        # min/max over ints only (exact in both engines)
+        ic = rng.choice(sch["i"])
+        st = rng.choice(sorted(SCHEMAS))
+        ss = SCHEMAS[st]
+        sc = rng.choice(ss["i"])
+        fn = rng.choice(["min", "max"])
+        inner_where = (
+            f" WHERE {_predicate(rng, ss)}" if rng.random() < 0.5 else ""
+        )
+        proj = [f"{sch['pk']} AS pk"]
+        if "pk2" in sch:
+            proj.append(f"{sch['pk2']} AS pk2")
+        # % bounds the scalar so the outer predicate stays selective
+        return (
+            f"SELECT {', '.join(proj)} FROM {t} WHERE {ic} > "
+            f"(SELECT {fn}({sc}) % 53 FROM {st}{inner_where})"
+        )
+
+    if shape == "rollup":
+        # ROLLUP over two low-cardinality keys: subtotal rows carry
+        # grouping NULLs — the rendering and the set of rows must match
+        # across engines; counts and int min/max only (exact).
+        # HAVING count(*) > 0 canonicalizes a measured divergence
+        # (found by seed 116 of this tool's first widened run): on an
+        # EMPTY input, DuckDB — like Postgres and the standard's
+        # GROUP BY () — still emits the grand-total row (cnt=0), Spark
+        # emits nothing, even though Spark's own global aggregate on
+        # the same empty input emits one row. On non-empty inputs every
+        # rollup row has cnt >= 1, so the HAVING is a no-op.
+        k1 = rng.choice(sch["s"]) if sch["s"] else f"{sch['pk']} % 5"
+        k2 = f"{rng.choice(sch['i'])} % {rng.randint(2, 4)}"
+        ic = rng.choice(sch["i"])
+        where = f" WHERE {_predicate(rng, sch)}" if rng.random() < 0.5 else ""
+        return (
+            f"SELECT {k1} AS g0, {k2} AS g1, "
+            f"CAST(count(*) AS BIGINT) AS cnt, min({ic}) AS min_i "
+            f"FROM {t}{where} GROUP BY ROLLUP (g0, g1) "
+            f"HAVING count(*) > 0"
         )
 
     if shape == "case":
