@@ -196,3 +196,16 @@ def test_forget_bench_smoke():
         "serve_purged_sec",
     ):
         assert out[k] > 0
+
+
+def test_spill_bench_smoke():
+    # small enough to run fast; the contract is keys + matching answers
+    # (the 30M-row SCALE_NOTES run is where the spill itself is proven)
+    out = _run_tool("tools.spill_bench", "500000", "1500m", "16")
+    assert out["answers_match"] is True
+    assert out["tight"]["partitions"] == 2
+    assert out["sized"]["partitions"] == 16
+    for run in (out["tight"], out["sized"]):
+        assert run["elapsed_sec"] > 0
+        assert run["disk_spill_mb"] >= 0
+    assert out["tight"]["first_row"] == out["sized"]["first_row"]
