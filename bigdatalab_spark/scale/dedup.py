@@ -809,7 +809,17 @@ def remove_from_dedup_index(doc_ids: DataFrame, path: str) -> int:
     discipline as the other index writers. Returns the number of NEW
     tombstones written. meta.json is untouched: a tombstone append is
     atomic at the parquet-job level, and a crashed append leaves only
-    uncommitted ``_temporary`` debris, never a half-applied delete."""
+    uncommitted ``_temporary`` debris, never a half-applied delete.
+
+    Id-reuse rule: a tombstoned doc_id stays deleted — re-ingesting the
+    SAME id is a no-op until :func:`purge_dedup_tombstones` physically
+    reclaims its rows (the ingest loop's replay guard sees the stored
+    size row and skips the append; appending over live rows would
+    corrupt them). This is load-bearing for the streaming loop: a
+    replayed micro-batch that originally admitted a since-deleted doc
+    must NOT resurrect it. Re-admitting forgotten CONTENT is always
+    fine under a fresh id — it classifies as ``new`` and appends
+    normally (pinned by the ingest-interplay test)."""
     import shutil
 
     from bigdatalab_spark.sources.locks import dataset_write_lock

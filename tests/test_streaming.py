@@ -1337,3 +1337,85 @@ def test_ingest_stream_inline_compaction_bounds_file_count(
     after_stream = n_files()
     compact_ivf_index(spark, idx)  # already compacted: layout unchanged
     assert n_files() == after_stream
+
+
+def test_dedup_ingest_stream_interplay_with_tombstone_deletes(
+    spark, sf_dir, tmp_path
+):
+    """Composition of the ingest loop with the round-8 delete contract:
+    (a) a replayed stream must NOT resurrect a doc that was tombstoned
+    after it was admitted (the replay guard's id check is load-bearing
+    here, not just an idempotence nicety); (b) forgotten CONTENT under
+    a FRESH id re-admits normally — it classifies as new and the next
+    batch deduplicates against it again."""
+    import time
+
+    from bigdatalab_spark.scale.dedup import (
+        incremental_dedup_from_index,
+        remove_from_dedup_index,
+        save_dedup_index,
+    )
+    from bigdatalab_spark.sources import load_table
+    from bigdatalab_spark.streaming.jobs import dedup_ingest_stream
+
+    docs = load_table(spark, str(sf_dir), "documents").select("doc_id", "text")
+    corpus = docs.filter("doc_id % 2 = 0")
+    idx = str(tmp_path / "idx")
+    save_dedup_index(corpus, idx)
+
+    body = "the document that will later be forgotten entirely"
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def w(name, rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(str(src / name))
+
+    def run_stream():
+        q = dedup_ingest_stream(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "*")),
+            idx,
+            str(tmp_path / "statuses"),
+            str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+
+    w("f1", [(10_000_001, body)])
+    run_stream()
+    probe = spark.createDataFrame([(1, body)], "doc_id long, text string")
+
+    def probe_status():
+        return incremental_dedup_from_index(spark, probe, idx).collect()[0][
+            "status"
+        ]
+
+    assert probe_status() == "exact_dup"  # admitted by the stream
+
+    # forget the admitted doc; the content is gone from serving
+    assert remove_from_dedup_index(
+        spark.createDataFrame([(10_000_001,)], "doc_id long"), idx
+    ) == 1
+    assert probe_status() == "new"
+
+    # (a) restart on the same checkpoint (full replay surface exists in
+    # src): the deleted doc must NOT come back
+    run_stream()
+    assert probe_status() == "new"
+
+    # (b) the same content under a FRESH id re-admits through the loop,
+    # and a following batch deduplicates against it again
+    time.sleep(1.1)
+    w("f2", [(10_000_002, body)])
+    time.sleep(1.1)
+    w("f3", [(10_000_003, body)])
+    run_stream()
+    got = {
+        r["doc_id"]: r["status"]
+        for r in spark.read.parquet(str(tmp_path / "statuses")).collect()
+    }
+    assert got[10_000_002] == "new"        # forgotten content re-admits
+    assert got[10_000_003] == "exact_dup"  # ...and is deduped against
+    assert probe_status() == "exact_dup"
