@@ -412,7 +412,12 @@ def embedding_ingest_stream(
     rows are STAGED to scratch before the append so the append job's
     lineage cannot re-read the store it writes (same eager-staging
     discipline as the dedup loop). Replay of a committed batch finds
-    all its ids present and appends nothing.
+    all its ids present and appends nothing. The guard reads the RAW
+    store deliberately (not the tombstone-filtered load): a vector
+    tombstoned after it was ingested still blocks its own replay, so
+    a restart never resurrects a deleted vector — same id-reuse rule
+    as the dedup loop (re-ingesting a deleted id needs a purge first;
+    fresh ids always work).
 
     ``compact_every=N`` runs
     :func:`~bigdatalab_spark.scale.similarity.compact_ivf_index`

@@ -1419,3 +1419,81 @@ def test_dedup_ingest_stream_interplay_with_tombstone_deletes(
     assert got[10_000_002] == "new"        # forgotten content re-admits
     assert got[10_000_003] == "exact_dup"  # ...and is deduped against
     assert probe_status() == "exact_dup"
+
+
+def test_embedding_ingest_stream_interplay_with_tombstone_deletes(
+    spark, sf_dir, tmp_path
+):
+    """ANN twin of the dedup interplay test: a vector tombstoned after
+    streaming ingest must stay deleted across a full replay (the
+    replay guard reads the RAW corpus store, so the dead id still
+    blocks itself), while the same embedding under a fresh id
+    re-admits and serves."""
+    import time
+
+    from bigdatalab_spark.scale.similarity import (
+        fit_ivf_index,
+        ivf_serve_topk,
+        load_ivf_index,
+        remove_from_ivf_index,
+        save_ivf_index,
+    )
+    from bigdatalab_spark.streaming.jobs import embedding_ingest_stream
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    assigned, cents = fit_ivf_index(emb, n_centroids=4)
+    save_ivf_index(assigned, cents, idx)
+
+    vec = emb.limit(1).collect()[0]["embedding"]
+    vec_schema = emb.select("vec_id", "embedding").schema  # float vectors
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def w(name, rows):
+        spark.createDataFrame(rows, vec_schema).coalesce(1).write.parquet(
+            str(src / name)
+        )
+
+    def run_stream():
+        q = embedding_ingest_stream(
+            spark.readStream.schema(vec_schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "*")),
+            idx,
+            str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+
+    q_frame = spark.createDataFrame([(1, vec)], vec_schema)
+
+    def served_ids():
+        corpus, cc = load_ivf_index(spark, idx)
+        return {
+            r["neighbor_id"]
+            for r in ivf_serve_topk(q_frame, corpus, cc, k=3, n_probe=2).collect()
+        }
+
+    w("f1", [(30_000_001, vec)])
+    run_stream()
+    assert 30_000_001 in served_ids()  # ingested and servable
+
+    assert remove_from_ivf_index(
+        spark.createDataFrame([(30_000_001,)], "vec_id long"), idx
+    ) == 1
+    assert 30_000_001 not in served_ids()
+
+    # full replay surface exists in src: the deleted vector stays gone
+    run_stream()
+    assert 30_000_001 not in served_ids()
+    raw = spark.read.parquet(f"{idx}/corpus").filter(
+        F.col("neighbor_id") == 30_000_001
+    )
+    assert raw.count() == 1  # exactly the original row — nothing re-appended
+
+    # fresh id with the same embedding re-admits
+    time.sleep(1.1)
+    w("f2", [(30_000_002, vec)])
+    run_stream()
+    assert 30_000_002 in served_ids()
+    assert 30_000_001 not in served_ids()
