@@ -2135,21 +2135,32 @@ def test_durable_indexes_serve_from_fresh_process(spark, sf_dir, tmp_path):
     saved IVF index, IVF-PQ triple, and dedup signature store from
     disk (no access to the builder's memory) and serves; every result
     must be bit-identical to the builder session's live serve. One
-    subprocess serves all three (Spark startup ~15 s — pay it once)."""
+    subprocess serves all three (Spark startup ~15 s — pay it once).
+    Round-8 extension: each index gets a tombstoned victim before the
+    subprocess runs, so the self-sufficiency proof covers the deletion
+    layer too — the fresh process must honor deletes it never saw
+    happen (live expectations are computed on victim-filtered
+    frames)."""
     import json
     import os
     import subprocess
     import sys
 
-    from bigdatalab_spark.scale.dedup import incremental_dedup, save_dedup_index
+    from bigdatalab_spark.scale.dedup import (
+        incremental_dedup,
+        remove_from_dedup_index,
+        save_dedup_index,
+    )
     from bigdatalab_spark.scale.pq import (
         fit_ivf_pq_index,
         ivf_pq_serve_topk,
+        remove_from_ivf_pq_index,
         save_ivf_pq_index,
     )
     from bigdatalab_spark.scale.similarity import (
         fit_ivf_index,
         ivf_serve_topk,
+        remove_from_ivf_index,
         save_ivf_index,
     )
     from bigdatalab_spark.sources import load_table
@@ -2174,22 +2185,43 @@ def test_durable_indexes_serve_from_fresh_process(spark, sf_dir, tmp_path):
     save_ivf_pq_index(codes, pq_cent, books, ivfpq_path)
     save_dedup_index(docs, dedup_path)
 
+    # tombstone a victim in every index: the lowest vec_id is a query's
+    # own self-neighbor (guaranteed to change the served top-k), and
+    # seed[0]'s doc is what batch row 10_000_001 duplicates (its status
+    # must flip exact_dup -> new)
+    dead_vec = emb.sort("vec_id").limit(1).collect()[0]["vec_id"]
+    dead_doc = seed[0]["doc_id"]
+    ids = spark.createDataFrame([(dead_vec,)], "vec_id long")
+    assert remove_from_ivf_index(ids, ivf_path) == 1
+    assert remove_from_ivf_pq_index(ids, ivfpq_path) == 1
+    assert remove_from_dedup_index(
+        spark.createDataFrame([(dead_doc,)], "doc_id long"), dedup_path
+    ) == 1
+    live_assigned = assigned.filter(F.col("neighbor_id") != dead_vec)
+    live_codes = codes.filter(F.col("neighbor_id") != dead_vec)
+    live_docs = docs.filter(F.col("doc_id") != dead_doc)
+
     live = {
         "ivf": sorted(
             (r["query_id"], r["rank"], r["neighbor_id"], round(r["cos_sim"], 9))
-            for r in ivf_serve_topk(q, assigned, centroids, k=3, n_probe=2).collect()
+            for r in ivf_serve_topk(
+                q, live_assigned, centroids, k=3, n_probe=2
+            ).collect()
         ),
         "ivfpq": sorted(
             (r["query_id"], r["rank"], r["neighbor_id"], round(r["dist"], 9))
             for r in ivf_pq_serve_topk(
-                q, codes, pq_cent, books, k=3, n_probe=2
+                q, live_codes, pq_cent, books, k=3, n_probe=2
             ).collect()
         ),
         "dedup": sorted(
             (r["doc_id"], r["status"])
-            for r in incremental_dedup(batch, docs).collect()
+            for r in incremental_dedup(batch, live_docs).collect()
         ),
     }
+    assert (dead_vec, 1) not in {
+        (r[2], r[1]) for r in live["ivf"]
+    }  # the victim would have been a rank-1 self-neighbor
 
     runner = tmp_path / "serve_runner.py"
     runner.write_text(
