@@ -572,3 +572,52 @@ def dedup_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def forget_stream(
+    stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    family: str = "dedup",
+):
+    """Streaming deletion requests applied to a durable index — the
+    dual of the two ingest loops, and the shape GDPR-style forgetting
+    actually arrives in (a queue of ids, not an admin session): every
+    micro-batch of ids is tombstoned into the index with the family's
+    ``remove_from_*`` op. ``family`` is ``"dedup"`` (doc_ids into the
+    signature store), ``"ivf"`` or ``"ivfpq"`` (vec_ids into an ANN
+    index). The first column of the stream is taken as the id.
+
+    Exactly-once is free by construction here: the removers stage ids
+    anti-joined against the existing tombstone store, so a replayed
+    batch writes zero new tombstones — no status log or marker needed,
+    unlike the admission loops. Deletes are visible to the next serve
+    immediately (loads apply the tombstone filter); physical
+    reclamation stays a scheduled ``purge_*`` maintenance job.
+
+    Returns the started StreamingQuery (availableNow — drains existing
+    input then stops; restart with the same checkpoint resumes)."""
+    from bigdatalab_spark.scale.dedup import remove_from_dedup_index
+    from bigdatalab_spark.scale.pq import remove_from_ivf_pq_index
+    from bigdatalab_spark.scale.similarity import remove_from_ivf_index
+
+    removers = {
+        "dedup": remove_from_dedup_index,
+        "ivf": remove_from_ivf_index,
+        "ivfpq": remove_from_ivf_pq_index,
+    }
+    if family not in removers:
+        raise ValueError(f"family must be one of {sorted(removers)}")
+    remover = removers[family]
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        remover(batch_df.select(batch_df.columns[0]), index_path)
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

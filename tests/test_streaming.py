@@ -1497,3 +1497,106 @@ def test_embedding_ingest_stream_interplay_with_tombstone_deletes(
     run_stream()
     assert 30_000_002 in served_ids()
     assert 30_000_001 not in served_ids()
+
+
+def test_forget_stream_applies_streaming_deletes_exactly_once(
+    spark, sf_dir, tmp_path
+):
+    """Deletion requests as a stream (the queue shape forgetting
+    arrives in): two micro-batches of doc_ids tombstone docs out of
+    the dedup index — content stops matching after the drain — and a
+    full restart replays to zero new tombstones (the remover's
+    staging anti-join IS the exactly-once mechanism). The ANN family
+    switch is exercised on the IVF index with a served victim."""
+    import time
+
+    from bigdatalab_spark.scale.dedup import (
+        incremental_dedup_from_index,
+        save_dedup_index,
+    )
+    from bigdatalab_spark.scale.similarity import (
+        fit_ivf_index,
+        ivf_serve_topk,
+        load_ivf_index,
+        save_ivf_index,
+    )
+    from bigdatalab_spark.sources import load_table
+    from bigdatalab_spark.streaming.jobs import forget_stream
+
+    docs = load_table(spark, str(sf_dir), "documents").select("doc_id", "text")
+    idx = str(tmp_path / "dedup")
+    save_dedup_index(docs, idx)
+    victims = [r["doc_id"] for r in docs.sort("doc_id").limit(2).collect()]
+    bodies = [r["text"] for r in docs.sort("doc_id").limit(2).collect()]
+
+    src = tmp_path / "del_src"
+    src.mkdir()
+    spark.createDataFrame([(victims[0],)], "doc_id long").coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    time.sleep(1.1)
+    spark.createDataFrame([(victims[1],)], "doc_id long").coalesce(1).write.parquet(
+        str(src / "f2")
+    )
+
+    def run():
+        q = forget_stream(
+            spark.readStream.schema("doc_id long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "*")),
+            idx,
+            str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+
+    probe = spark.createDataFrame(
+        list(enumerate(bodies)), "doc_id long, text string"
+    )
+
+    def probe_statuses():
+        return {
+            r["doc_id"]: r["status"]
+            for r in incremental_dedup_from_index(spark, probe, idx).collect()
+        }
+
+    assert set(probe_statuses().values()) == {"exact_dup"}  # pre-delete
+    run()
+    # exact content forgotten (victims' near-dup FAMILY members remain
+    # in the corpus, so near_dup is still a legitimate outcome)
+    assert "exact_dup" not in set(probe_statuses().values())
+    n_tomb = spark.read.parquet(f"{idx}/tombstones").count()
+    assert n_tomb == 2
+
+    # restart = full replay surface: zero new tombstones
+    run()
+    assert spark.read.parquet(f"{idx}/tombstones").count() == n_tomb
+
+    # ANN family switch
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ivf = str(tmp_path / "ivf")
+    a, c = fit_ivf_index(emb, n_centroids=4)
+    save_ivf_index(a, c, ivf)
+    v = emb.sort("vec_id").limit(1).collect()[0]
+    vsrc = tmp_path / "vdel_src"
+    vsrc.mkdir()
+    spark.createDataFrame([(v["vec_id"],)], "vec_id long").coalesce(
+        1
+    ).write.parquet(str(vsrc / "f1"))
+    q = forget_stream(
+        spark.readStream.schema("vec_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(vsrc / "*")),
+        ivf,
+        str(tmp_path / "vckpt"),
+        family="ivf",
+    )
+    q.awaitTermination(120)
+    corpus, cents = load_ivf_index(spark, ivf)
+    qf = spark.createDataFrame(
+        [(1, v["embedding"])], emb.select("vec_id", "embedding").schema
+    )
+    served = {
+        r["neighbor_id"]
+        for r in ivf_serve_topk(qf, corpus, cents, k=3, n_probe=2).collect()
+    }
+    assert v["vec_id"] not in served
