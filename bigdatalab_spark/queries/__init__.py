@@ -136,6 +136,7 @@ _POST_WINDOW = (
     "range_window_revenue",
     "png_image_features",
     "dedup_index_forget_status",
+    "png_resize_features",
 )
 
 

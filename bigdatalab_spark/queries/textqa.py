@@ -300,6 +300,76 @@ def png_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "png_resize_features",
+    ids=("SCALE-MM",),
+    oracle="""
+        -- replays the FULL resize chain symbolically: the Spark side
+        -- encodes a real PNG, decodes it, nearest-neighbor resamples
+        -- to 8x6 with the floor mapping src = (dst * src_dim) //
+        -- dst_dim, re-encodes, and decodes AGAIN; the oracle computes
+        -- the generator signal at the mapped coordinates directly.
+        WITH d AS (
+            SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 9 + 3 AS h
+            FROM documents
+        ),
+        px AS (
+            SELECT doc_id,
+                   (doc_id * 7 + ((x * w) // 8) * 3 + ((y * h) // 6) * 5) % 256 AS r,
+                   (doc_id * 11 + ((x * w) // 8) * 5 + ((y * h) // 6) * 3) % 256 AS g,
+                   (doc_id * 13 + ((x * w) // 8) + ((y * h) // 6) * 7) % 256 AS b
+            FROM d,
+                 LATERAL unnest(generate_series(0, 7)) AS tx(x),
+                 LATERAL unnest(generate_series(0, 5)) AS ty(y)
+        )
+        SELECT doc_id,
+               CAST(8 AS INT) AS width,
+               CAST(6 AS INT) AS height,
+               CAST(8 AS INT) AS bit_depth,
+               CAST(2 AS INT) AS color_type,
+               CAST(sum(r) AS DOUBLE) / 48 AS mean_r,
+               CAST(sum(g) AS DOUBLE) / 48 AS mean_g,
+               CAST(sum(b) AS DOUBLE) / 48 AS mean_b,
+               CAST(NULL AS VARCHAR) AS decode_error
+        FROM px
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+)
+def png_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize, strict-oracled end to end (round 8): generate
+    a genuine PNG per document, :func:`~bigdatalab_spark.scale.
+    multimodal.resize_png` decodes it, nearest-neighbor resamples to
+    8x6 (floor mapping), and re-encodes a genuine PNG — which
+    :func:`~bigdatalab_spark.scale.multimodal.decode_png` then parses
+    back. Four codec passes (encode, decode, encode, decode) whose
+    final channel means the oracle replays symbolically at the mapped
+    source coordinates — any filter/CRC/resample defect anywhere in
+    the chain breaks the hash."""
+    from bigdatalab_spark.scale.multimodal import (
+        decode_png,
+        make_png_blobs,
+        resize_png,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        decode_png(resize_png(make_png_blobs(docs), 8, 6))
+        .select(
+            "doc_id",
+            "width",
+            "height",
+            "bit_depth",
+            "color_type",
+            "mean_r",
+            "mean_g",
+            "mean_b",
+            "decode_error",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "udtf_doc_spans",
     ids=("SCALE-TEXTQA",),
     oracle="""
