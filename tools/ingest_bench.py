@@ -75,7 +75,7 @@ def main() -> int:
     def store_files() -> dict:
         return {
             s: len(glob.glob(f"{idx}/{s}/**/*.parquet", recursive=True))
-            for s in ("bands", "shingles", "sizes", "hashes")
+            for s in ("bands", "shingles", "sizes", "hashes", "tombstones")
         }
 
     # reference serve batch: half exact dups (re-id'd corpus docs),
