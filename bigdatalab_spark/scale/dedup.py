@@ -823,10 +823,12 @@ def remove_from_dedup_index(doc_ids: DataFrame, path: str) -> int:
     import shutil
 
     from bigdatalab_spark.sources.locks import dataset_write_lock
+    from bigdatalab_spark.sources.sinks import resume_interrupted_flip
 
     spark = doc_ids.sparkSession
     with dataset_write_lock(path, "remove_from_dedup_index"):
         _read_dedup_meta(path)
+        resume_interrupted_flip(f"{path}/tombstones")
         staging = f"{path}/_tombstones_staging"
         (
             doc_ids.select(F.col("doc_id").cast("long").alias("doc_id"))
@@ -873,10 +875,17 @@ def purge_dedup_tombstones(
         _compact_partitions_locked,
     )
 
+    from bigdatalab_spark.sources.sinks import resume_interrupted_flip
+
     with dataset_write_lock(path, "purge_dedup_tombstones"):
         _read_dedup_meta(path)
-        tomb = spark.read.parquet(f"{path}/tombstones")
-        n_tomb = tomb.count()
+        # a PREVIOUS purge may have crashed mid-tombstones-flip (path
+        # missing, __compact_old holding the only copy) — the flip
+        # helper's debris preamble would recover it, but only when it
+        # runs for that store, which is after this top-level read:
+        # resume the flip here first or the re-run fails at read time
+        resume_interrupted_flip(f"{path}/tombstones")
+        n_tomb = spark.read.parquet(f"{path}/tombstones").count()
 
         def drop_dead(df: DataFrame) -> DataFrame:
             return df.join(

@@ -787,6 +787,7 @@ def _remove_from_index(vec_ids: DataFrame, path: str, op: str) -> int:
     import shutil
 
     from bigdatalab_spark.sources.locks import dataset_write_lock
+    from bigdatalab_spark.sources.sinks import resume_interrupted_flip
 
     spark = vec_ids.sparkSession
     ids = vec_ids.select(
@@ -794,6 +795,7 @@ def _remove_from_index(vec_ids: DataFrame, path: str, op: str) -> int:
     ).distinct()
     with dataset_write_lock(path, op):
         store = f"{path}/tombstones"
+        resume_interrupted_flip(store)
         if os.path.exists(store):
             ids = ids.join(spark.read.parquet(store), "neighbor_id", "left_anti")
         staging = f"{path}/_tombstones_staging"
@@ -819,9 +821,11 @@ def _purge_index_tombstones(
     from bigdatalab_spark.sources.sinks import (
         _compact_flat_locked,
         _compact_partitions_locked,
+        resume_interrupted_flip,
     )
 
     with dataset_write_lock(path, op):
+        resume_interrupted_flip(f"{path}/tombstones")
         n_tomb = spark.read.parquet(f"{path}/tombstones").count()
 
         def drop_dead(df: DataFrame) -> DataFrame:

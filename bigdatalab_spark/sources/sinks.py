@@ -306,6 +306,25 @@ def _compact_partitions_locked(
     return {"files_before": before, "files_after": _count()}
 
 
+def resume_interrupted_flip(path: str) -> bool:
+    """Resume a two-rename pointer flip that crashed between its
+    renames: ``path`` missing with ``path__compact_old`` holding the
+    only copy. The flip helpers run this recovery themselves before
+    rewriting a store, but a WRITER that must READ the store first
+    (tombstone removers, purge's count) needs it before the helper
+    ever runs — without it, a crashed maintenance job would leave the
+    next maintenance job failing at read time instead of resuming.
+    Caller holds the dataset writer lock. Returns True if a flip was
+    resumed."""
+    import os
+
+    old = f"{path}__compact_old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+        return True
+    return False
+
+
 def _compact_flat_locked(
     spark: SparkSession,
     path: str,

@@ -1268,3 +1268,51 @@ def test_dedup_index_purge_is_physical_and_interrupt_safe(
     )
     assert re.search(r"PartitionFilters: \[shard#\d+ IN \(", plan), plan[:3000]
     assert glob.glob(f"{idx}/shingles/shard=*")
+
+
+def test_purge_resumes_after_crash_mid_tombstones_flip(spark, tmp_path):
+    """A purge that died between the tombstone store's two renames
+    leaves the store path missing with __compact_old holding the only
+    copy. Re-running purge (or a remove) must RESUME that flip before
+    its own top-level read of the store — a crashed maintenance job
+    must not leave the next one failing at read time."""
+    import os
+
+    from bigdatalab_spark.scale.dedup import (
+        incremental_dedup_from_index,
+        purge_dedup_tombstones,
+        remove_from_dedup_index,
+        save_dedup_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"document body number {i} with words") for i in range(20)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    save_dedup_index(corpus, idx, max_bucket_size=None)
+    remove_from_dedup_index(
+        spark.createDataFrame([(3,), (7,)], "doc_id long"), idx
+    )
+
+    # simulate the mid-flip crash
+    os.rename(f"{idx}/tombstones", f"{idx}/tombstones__compact_old")
+
+    stats = purge_dedup_tombstones(spark, idx)
+    assert stats["n_purged_docs"] == 2  # the flip was resumed, not lost
+    assert os.path.exists(f"{idx}/tombstones")
+    assert not os.path.exists(f"{idx}/tombstones__compact_old")
+    assert spark.read.parquet(f"{idx}/tombstones").count() == 0
+
+    batch = spark.createDataFrame(
+        [(100, "document body number 3 with words")], "doc_id long, text string"
+    )
+    got = incremental_dedup_from_index(spark, batch, idx).collect()
+    assert got[0]["status"] == "new"  # doc 3 stayed forgotten
+
+    # remove after a simulated crash also resumes instead of failing
+    os.rename(f"{idx}/tombstones", f"{idx}/tombstones__compact_old")
+    assert remove_from_dedup_index(
+        spark.createDataFrame([(5,)], "doc_id long"), idx
+    ) == 1
+    assert spark.read.parquet(f"{idx}/tombstones").count() == 1
