@@ -137,6 +137,9 @@ _POST_WINDOW = (
     "png_image_features",
     "dedup_index_forget_status",
     "png_resize_features",
+    "quality_filter_funnel",
+    "normalization_dedup_stats",
+    "statestore_user_counts",
 )
 
 

@@ -456,3 +456,54 @@ def streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = unique_sink_name("stream_attr")
     run_stream_to_memory(out, name, output_mode="append")
     return spark.table(name).orderBy("click_id", "purchase_id")
+
+
+@query(
+    "statestore_user_counts",
+    ids=("T5", "T10"),
+    oracle="""
+        SELECT user_id, count(*) AS cnt
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+)
+def statestore_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline state-store inspection under the strict oracle: a REAL
+    ``readStream`` over events runs ``groupBy(user_id).count()`` to a
+    checkpoint (availableNow, RocksDB state store), then the answer is
+    read back NOT from the sink but from the checkpoint's state itself
+    via Spark 4's ``statestore`` batch source
+    (:mod:`bigdatalab_spark.streaming.state_reader`).
+
+    Strict equality against the batch oracle certifies the operability
+    contract this enables at 100 TB: the billions of keys a stateful
+    job holds are a queryable dataset — debuggable, auditable,
+    reconcilable against batch truth — without replaying any input or
+    touching the running query. One scan task per state partition, so
+    inspection parallelism scales with the state layout itself.
+    """
+    import tempfile
+
+    from bigdatalab_spark.streaming.jobs import (
+        stream_events,
+        unique_sink_name,
+    )
+    from bigdatalab_spark.streaming.state_reader import grouped_count_state
+
+    scratch = tempfile.mkdtemp(prefix="statestore_q_")
+    counts = stream_events(spark, sf_dir).groupBy("user_id").count()
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(unique_sink_name("statestore_counts"))
+        .outputMode("update")
+        .option("checkpointLocation", f"{scratch}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return (
+        grouped_count_state(spark, f"{scratch}/ckpt")
+        .select("user_id", F.col("cnt").cast("long").alias("cnt"))
+        .orderBy("user_id")
+    )

@@ -407,3 +407,115 @@ def udtf_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, s.pos
         """
     )
+
+
+@query(
+    "quality_filter_funnel",
+    ids=("SCALE-TEXT", "A5", "A8"),
+    oracle=f"""
+        WITH {_TOKS_CTE},
+        feats AS (
+            SELECT doc_id,
+                   len(ws) AS n_tokens,
+                   length(text) AS n_chars,
+                   len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+                   len(list_intersect(list_distinct(ws), {{stops}})) AS stop_hits
+            FROM toks
+        ),
+        tagged AS (
+            SELECT n_chars,
+                   CASE
+                       WHEN n_chars < 40 THEN '1_too_short'
+                       WHEN n_tokens < 8 THEN '2_too_few_tokens'
+                       WHEN CAST(n_punct AS DOUBLE) / n_chars > 0.10
+                           THEN '3_high_punct'
+                       WHEN stop_hits = 0 THEN '4_no_stopwords'
+                       ELSE '5_kept'
+                   END AS reason
+            FROM feats
+        )
+        SELECT reason,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+        FROM tagged
+        GROUP BY reason
+        ORDER BY reason
+    """.replace("{stops}", _STOPS),
+)
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass quality-filter funnel: every document is charged to the
+    FIRST rule of the drop cascade it fails (length -> token count ->
+    punctuation density -> stopword presence), survivors to ``5_kept``.
+
+    This is the report every large-scale curation run ships with its
+    output ("why did we drop 38% of the crawl?"), and the plan is the
+    cheapest possible one: a single scan computes the cascade as one
+    CASE expression, the partial hash aggregate collapses each task to
+    <=5 rows before the only shuffle. No per-rule re-scan — adding a
+    rule at 100 TB costs one more WHEN, not one more pass. The exact
+    counts are also the monitoring contract: funnel drift between daily
+    runs is the cheapest upstream-corruption alarm.
+
+    avg_chars divides an exact integer sum, so the double is
+    order-independent and hash-stable against the oracle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_features(docs).join(
+        docs.select("doc_id", F.length("text").alias("len_chars")), "doc_id"
+    )
+    reason = (
+        F.when(F.col("n_chars") < 40, "1_too_short")
+        .when(F.col("n_tokens") < 8, "2_too_few_tokens")
+        .when(F.col("punct_ratio") > 0.10, "3_high_punct")
+        .when(F.col("stop_ratio") == 0.0, "4_no_stopwords")
+        .otherwise("5_kept")
+    )
+    return (
+        feats.select(reason.alias("reason"), F.col("n_chars"))
+        .groupBy("reason")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias(
+                "avg_chars"
+            ),
+        )
+        .orderBy("reason")
+    )
+
+
+@query(
+    "normalization_dedup_stats",
+    ids=("SCALE-DEDUP", "SCALE-TEXT", "A11"),
+    oracle="""
+        SELECT count(*) AS n_docs,
+               count(DISTINCT md5(text)) AS distinct_raw,
+               count(DISTINCT md5(regexp_replace(lower(trim(text)),
+                                                 '\\s+', ' ', 'g')))
+                   AS distinct_norm
+        FROM documents
+    """,
+)
+def normalization_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much duplication does text normalization expose? Counts
+    distinct documents under the raw hash vs under a normalized hash
+    (lowercase, trimmed, internal whitespace collapsed) in one pass.
+
+    Case/whitespace jitter is the single biggest source of
+    near-duplicates that EXACT dedup misses and MinHash overkills;
+    normalize-then-hash catches them at exact-dedup cost. The gap
+    ``distinct_raw - distinct_norm`` is the yield estimate that decides
+    whether the normalized pass is worth scheduling on the full corpus.
+
+    Plan shape: documents are scanned once; only 16-byte hashes shuffle
+    (expand for the multi-distinct), never text — the same
+    hashes-not-payload rule every dedup operator here follows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.md5(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    )
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("distinct_raw"),
+        F.countDistinct(norm).alias("distinct_norm"),
+    )

@@ -1600,3 +1600,174 @@ def test_forget_stream_applies_streaming_deletes_exactly_once(
         for r in ivf_serve_topk(qf, corpus, cents, k=3, n_probe=2).collect()
     }
     assert v["vec_id"] not in served
+
+
+# ---------------------------------------------------------------------------
+# Offline state-store inspection (Spark 4 statestore / state-metadata source)
+# ---------------------------------------------------------------------------
+
+
+def _run_counted_stream(spark, sf_dir, ckpt, files_per_trigger=None):
+    from bigdatalab_spark.streaming.jobs import stream_events, unique_sink_name
+
+    stream = stream_events(spark, sf_dir)
+    counts = stream.groupBy("user_id").count()
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(unique_sink_name("state_reader_t"))
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return q
+
+
+def test_state_metadata_describes_the_aggregation(spark, sf_dir, tmp_path):
+    """state-metadata source: operator discovery without touching state —
+    one stateful operator, RocksDB-backed, committed batch range sane."""
+    from bigdatalab_spark.streaming.state_reader import read_state_metadata
+
+    ckpt = str(tmp_path / "ckpt_meta")
+    _run_counted_stream(spark, sf_dir, ckpt)
+    meta = read_state_metadata(spark, ckpt).collect()
+    assert len(meta) == 1
+    row = meta[0]
+    assert row.operatorName == "stateStoreSave"
+    assert row.operatorId == 0
+    assert row.numPartitions == int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert row.maxBatchId >= row.minBatchId >= 0
+
+
+def test_state_store_contents_equal_batch_truth(spark, sf_dir, tmp_path):
+    """The checkpoint's state, read OFFLINE via the statestore source,
+    is exactly the batch groupBy answer — no replay, no sink involved."""
+    from bigdatalab_spark.streaming.state_reader import grouped_count_state
+
+    ckpt = str(tmp_path / "ckpt_eq")
+    _run_counted_stream(spark, sf_dir, ckpt)
+    got = {
+        (r.user_id, r.cnt)
+        for r in grouped_count_state(spark, ckpt).collect()
+    }
+    want = {
+        (r.user_id, r.cnt)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_state_time_travel_reads_an_earlier_batch(spark, sf_dir, tmp_path):
+    """batchId option time-travels: with the events parquet split into
+    2 micro-batches, state@batch0 is a strict prefix of state@latest
+    (counts no larger, keys a subset)."""
+    import os
+
+    from bigdatalab_spark.sources import load_table
+    from bigdatalab_spark.streaming.jobs import unique_sink_name
+    from bigdatalab_spark.streaming.state_reader import (
+        grouped_count_state,
+        read_state_metadata,
+    )
+
+    src = str(tmp_path / "src")
+    events = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+    events.filter("event_id % 2 = 0").coalesce(1).write.parquet(f"{src}/a")
+    events.filter("event_id % 2 = 1").coalesce(1).write.parquet(f"{src}/b")
+    import time as _t
+
+    now = _t.time()
+    for d, off in (("a", -10), ("b", 10)):
+        for fn in os.listdir(f"{src}/{d}"):
+            os.utime(f"{src}/{d}/{fn}", (now + off, now + off))
+    ckpt = str(tmp_path / "ckpt_tt")
+    q = (
+        spark.readStream.schema("user_id long, event_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+        .groupBy("user_id")
+        .count()
+        .writeStream.format("memory")
+        .queryName(unique_sink_name("state_tt"))
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    meta = read_state_metadata(spark, ckpt).collect()[0]
+    assert meta.maxBatchId > meta.minBatchId, "expected >=2 micro-batches"
+    first = {
+        r.user_id: r.cnt
+        for r in grouped_count_state(spark, ckpt, batch_id=meta.minBatchId).collect()
+    }
+    last = {
+        r.user_id: r.cnt for r in grouped_count_state(spark, ckpt).collect()
+    }
+    assert set(first) <= set(last)
+    assert all(first[k] <= last[k] for k in first)
+    assert sum(last.values()) == events.count()
+    assert sum(first.values()) < sum(last.values())
+
+
+def test_state_change_feed_is_the_mutation_audit_trail(spark, sf_dir, tmp_path):
+    """readChangeFeed: the per-batch change rows replay to exactly the
+    final state (last update per key wins), and every micro-batch that
+    touched a key contributed rows — state CDC without snapshot diffs."""
+    import os
+    import time as _t
+
+    from bigdatalab_spark.streaming.jobs import unique_sink_name
+    from bigdatalab_spark.streaming.state_reader import (
+        grouped_count_state,
+        read_state_changes,
+    )
+
+    src = str(tmp_path / "src_cdc")
+    events = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+    events.filter("event_id % 2 = 0").coalesce(1).write.parquet(f"{src}/a")
+    events.filter("event_id % 2 = 1").coalesce(1).write.parquet(f"{src}/b")
+    now = _t.time()
+    for d, off in (("a", -10), ("b", 10)):
+        for fn in os.listdir(f"{src}/{d}"):
+            os.utime(f"{src}/{d}/{fn}", (now + off, now + off))
+    # changelog checkpointing is a write-time property of the stream
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true",
+    )
+    ckpt = str(tmp_path / "ckpt_cdc")
+    try:
+        q = (
+            spark.readStream.schema("user_id long, event_id long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/*")
+            .groupBy("user_id")
+            .count()
+            .writeStream.format("memory")
+            .queryName(unique_sink_name("state_cdc"))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+    finally:
+        spark.conf.unset(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled"
+        )
+    changes = read_state_changes(spark, ckpt, start_batch_id=0).collect()
+    assert changes and all(r.change_type == "update" for r in changes)
+    batches = {r.batch_id for r in changes}
+    assert len(batches) >= 2, "both micro-batches should appear in the feed"
+    # replay: last write per key == final state snapshot
+    replayed = {}
+    for r in sorted(changes, key=lambda r: r.batch_id):
+        replayed[r.key.user_id] = r.value[0]
+    final = {r.user_id: r.cnt for r in grouped_count_state(spark, ckpt).collect()}
+    assert replayed == final

@@ -180,6 +180,8 @@ def _aggs(rng: random.Random, sch: dict) -> list[str]:
                     f"min({c}) AS min_i",
                     f"max({c}) AS max_i",
                     f"avg({c} % 97) AS avg_i",  # exact int sum / count
+                    # exact distinct count; CAST for the HUGEINT leak
+                    f"CAST(count(DISTINCT {c} % 53) AS BIGINT) AS cd_i",
                 ]
             )
         )
@@ -199,7 +201,8 @@ def generate_query(seed: int) -> str:
         ["scan", "agg", "join", "join_agg", "window", "limit", "case",
          "having", "union", "window_agg", "lag_lead", "distinct",
          "in_subquery", "outer_join", "exists", "setop",
-         "scalar_subquery", "rollup"]
+         "scalar_subquery", "rollup", "cte_chain", "derived_join",
+         "rank_ties"]
     )
     t = rng.choice(sorted(SCHEMAS))
     sch = SCHEMAS[t]
@@ -445,6 +448,68 @@ def generate_query(seed: int) -> str:
             f"FROM {t}{where} GROUP BY ROLLUP (g0, g1) "
             f"HAVING count(*) > 0"
         )
+
+    if shape == "cte_chain":
+        # two chained CTEs: filter/derive -> aggregate -> final filter;
+        # the multi-stage pipeline shape every curated query composes,
+        # here with generated stages. All-int aggregates, exact.
+        ic = rng.choice(sch["i"])
+        key = rng.choice(sch["s"]) if sch["s"] else f"{sch['pk']} % 6"
+        return (
+            f"WITH base AS ("
+            f"SELECT {key} AS g0, {ic} % 97 AS v FROM {t} "
+            f"WHERE {_predicate(rng, sch)}"
+            f"), rolled AS ("
+            f"SELECT g0, CAST(count(*) AS BIGINT) AS cnt, "
+            f"CAST(sum(v) AS BIGINT) AS sum_v, min(v) AS min_v "
+            f"FROM base GROUP BY g0"
+            f") SELECT g0, cnt, sum_v, min_v FROM rolled "
+            f"WHERE cnt > {rng.randint(0, 5)}"
+        )
+
+    if shape == "derived_join":
+        # dim JOIN (pre-aggregated fact subquery) — the manual pre-agg
+        # optimization (302's lesson) as a generated shape: the derived
+        # table collapses the fact side before the join
+        lt, lc, rt, rc = rng.choice(JOINS)
+        ls, rs = SCHEMAS[lt], SCHEMAS[rt]
+        ic = rng.choice(ls["i"])
+        inner_where = (
+            f" WHERE {_predicate(rng, ls)}" if rng.random() < 0.5 else ""
+        )
+        proj = [f"{rt}.{rs['pk']} AS rpk", "f.cnt AS cnt", "f.sum_i AS sum_i"]
+        if rs["s"]:
+            proj.append(f"upper({rt}.{rng.choice(rs['s'])}) AS e_rs")
+        return (
+            f"SELECT {', '.join(proj)} FROM {rt} JOIN ("
+            f"SELECT {lc} AS k, CAST(count(*) AS BIGINT) AS cnt, "
+            f"CAST(sum({ic} % 89) AS BIGINT) AS sum_i "
+            f"FROM {lt}{inner_where} GROUP BY {lc}"
+            f") f ON f.k = {rt}.{rc}"
+        )
+
+    if shape == "rank_ties":
+        # rank/dense_rank ordered by a DERIVED, deliberately tie-heavy
+        # expression: unlike row_number, the rank VALUE is a pure
+        # function of the order key, so ties are well-defined across
+        # engines — this is exactly what row_number shapes must avoid
+        # and rank shapes may embrace
+        part = (
+            rng.choice(sch["s"])
+            if sch["s"]
+            else f"{sch['pk']} % {rng.randint(2, 5)}"
+        )
+        ic = rng.choice(sch["i"])
+        fn = rng.choice(["rank", "dense_rank"])
+        proj = [
+            f"{sch['pk']} AS pk",
+            f"{fn}() OVER (PARTITION BY {part} "
+            f"ORDER BY {ic} % {rng.randint(2, 7)}) AS rk",
+        ]
+        if "pk2" in sch:
+            proj.append(f"{sch['pk2']} AS pk2")
+        where = f" WHERE {_predicate(rng, sch)}" if rng.random() < 0.5 else ""
+        return f"SELECT {', '.join(proj)} FROM {t}{where}"
 
     if shape == "case":
         ic = rng.choice(sch["i"]) if sch["i"] else f"length({rng.choice(sch['s'])})"
