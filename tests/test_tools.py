@@ -209,3 +209,15 @@ def test_spill_bench_smoke():
         assert run["elapsed_sec"] > 0
         assert run["disk_spill_mb"] >= 0
     assert out["tight"]["first_row"] == out["sized"]["first_row"]
+
+
+def test_state_bench_smoke():
+    out = _run_tool("tools.state_bench", SF)
+    assert out["n_input_rows"] == 1000
+    for regime in ("user_counts", "user_day", "event_dedup"):
+        r = out[regime]
+        assert r["exact"] is True
+        assert r["n_state_rows"] > 0
+        assert r["state_read_sec"] > 0
+    # dedup state is one row per distinct input row
+    assert out["event_dedup"]["n_state_rows"] == 1000
