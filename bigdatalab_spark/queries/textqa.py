@@ -460,9 +460,7 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent and hash-stable against the oracle.
     """
     docs = load_table(spark, sf_dir, "documents")
-    feats = quality_features(docs).join(
-        docs.select("doc_id", F.length("text").alias("len_chars")), "doc_id"
-    )
+    feats = quality_features(docs)
     reason = (
         F.when(F.col("n_chars") < 40, "1_too_short")
         .when(F.col("n_tokens") < 8, "2_too_few_tokens")

@@ -514,3 +514,30 @@ def test_zorder_layout_prunes_rowgroups_on_either_dimension(spark, sf_dir, tmp_p
     zres = sorted(r["event_id"] for r in spark.read.parquet(zpath).filter(pred).collect())
     lres = sorted(r["event_id"] for r in spark.read.parquet(lpath).filter(pred).collect())
     assert zres == lres and len(zres) > 0
+
+
+def test_quality_filter_funnel_is_one_scan_one_shuffle(spark, sf_dir):
+    """The funnel's 100 TB claim: the whole drop cascade is ONE scan of
+    documents + ONE exchange (the <=5-row final aggregate). A second
+    scan or a join sneaking in is exactly the per-rule-re-scan
+    anti-pattern the query exists to avoid."""
+    df = REGISTRY["quality_filter_funnel"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    # one shuffle for the aggregate + the final tiny sort
+    assert "partial" in plan.lower(), plan
+
+
+def test_normalization_dedup_stats_shuffles_hashes_not_text(spark, sf_dir):
+    """The multi-distinct expands, but what crosses the wire must be the
+    md5 hashes — the text column is consumed at scan time."""
+    df = REGISTRY["normalization_dedup_stats"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan, plan
+    # the exchange's hashpartitioning keys are the derived md5s, never
+    # the raw text column itself
+    import re
+
+    for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "text#" not in m.group(1), m.group(0)
