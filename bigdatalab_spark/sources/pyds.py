@@ -13,6 +13,7 @@ layout (WeatherData.scala:2-12) as a registered format::
           .option("spec", spec_option(ISD_WEATHER_SPEC))
           .load(path))
     df.write.format("fixedwidth").option("spec", ...).save(out)  # sink too
+    spark.readStream.format("fixedwidth").option("spec", ...).load(dir)  # tail
 
 Scale/role note: each input FILE is one ``InputPartition``, so a
 directory of block-sized files parallelizes across executors like any
@@ -34,6 +35,7 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -158,6 +160,9 @@ class FixedWidthDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> "FixedWidthWriter":
         return FixedWidthWriter(dict(self.options), overwrite)
+
+    def streamReader(self, schema) -> "FixedWidthStreamReader":
+        return FixedWidthStreamReader(dict(self.options))
 
 
 def register_python_sources(spark) -> None:
@@ -296,3 +301,72 @@ class FixedWidthWriter(DataSourceWriter):
                     os.remove(os.path.join(self.path, f))
                 except FileNotFoundError:
                     pass
+
+
+class FixedWidthStreamReader(DataSourceStreamReader):
+    """Streaming half of the ``fixedwidth`` format (Spark 4 Python
+    streaming data source): tail a directory of fixed-width files as an
+    unbounded stream, one micro-batch per offset range, one
+    InputPartition per NEW file — so executors parse in parallel
+    exactly like the batch reader, and a 1000-file backlog drains with
+    1000-way parallelism, not driver-side.
+
+    Offset model: ``{"upto": <last consumed file name>}`` over the
+    lexicographically sorted listing. The source contract (same as
+    log-shipping layouts everywhere): files land atomically (write
+    temp + rename in) under monotonically non-decreasing names
+    (timestamps, part counters), and are immutable once visible. A
+    file arriving UNDER an already-committed name violates the
+    contract and is skipped — name your files monotonically.
+
+    Exactly-once: offsets are replayed by the checkpoint; a restarted
+    query re-reads precisely the files in its uncommitted range and no
+    others (pinned by the restart test).
+    """
+
+    def __init__(self, options: dict) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("fixedwidth stream requires a path (use .load(path))")
+        spec = options.get("spec")
+        if not spec:
+            raise ValueError("fixedwidth stream requires the 'spec' option")
+        self.path = path
+        self.spec = parse_spec_option(spec)
+
+    def _listing(self) -> list[str]:
+        import os
+
+        if not os.path.isdir(self.path):
+            return [self.path] if os.path.exists(self.path) else []
+        return sorted(
+            f for f in os.listdir(self.path) if not f.startswith(("_", "."))
+        )
+
+    def initialOffset(self) -> dict:
+        return {"upto": ""}
+
+    def latestOffset(self) -> dict:
+        names = self._listing()
+        return {"upto": names[-1] if names else ""}
+
+    def partitions(
+        self, start: dict, end: dict
+    ) -> list[InputPartition]:
+        import os
+
+        base = self.path if os.path.isdir(self.path) else os.path.dirname(self.path) or "."
+        names = [
+            n for n in self._listing() if start["upto"] < n <= end["upto"]
+        ]
+        return [_FilePartition(os.path.join(base, n)) for n in names]
+
+    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+        with open(partition.path, encoding="utf-8") as fh:
+            for line in fh:
+                yield _parse_line(line.rstrip("\n"), self.spec)
+
+    def commit(self, end: dict) -> None:
+        # offsets live in the query checkpoint; nothing source-side to
+        # reclaim (files are the caller's to retire)
+        pass

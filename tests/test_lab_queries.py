@@ -417,3 +417,82 @@ def test_bitmap_preaggregate_or_merges_across_days(spark, sf_dir):
     ).collect()[0]["n"]
     exact = ev.selectExpr("count(DISTINCT user_id) AS n").collect()[0]["n"]
     assert merged == exact
+
+
+def test_python_datasource_fixedwidth_streams_with_exactly_once_restart(
+    spark, tmp_path
+):
+    """Streaming half of the custom connector (DataSourceStreamReader):
+    files tail in name order with one input partition per new file;
+    a checkpoint restart re-reads ONLY its uncommitted range (a file
+    arriving between stop and restart is delivered exactly once,
+    certified end-to-end by the file sink's transaction log)."""
+    import time
+
+    from bigdatalab_spark.sources.pyds import register_python_sources, spec_option
+    from bigdatalab_spark.sources.readers import FixedWidthField
+
+    register_python_sources(spark)
+    spec = [
+        FixedWidthField("station", 0, 6, "string", None),
+        FixedWidthField("temp", 6, 12, "double", 10.0),
+    ]
+    opt = spec_option(spec)
+    d = tmp_path / "tail"
+    d.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def fw_line(st: str, t: float) -> str:
+        return st.ljust(6) + str(int(t * 10)).rjust(6)
+
+    (d / "f-001.txt").write_text(fw_line("AAA", 1.5) + "\n" + fw_line("BBB", 2.0) + "\n")
+    (d / "f-002.txt").write_text(fw_line("CCC", -3.0) + "\n")
+
+    def start():
+        return (
+            spark.readStream.format("fixedwidth")
+            .option("spec", opt)
+            .load(str(d))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    def sink_count() -> int:
+        try:
+            return spark.read.parquet(out).count()
+        except Exception:
+            return 0  # sink dir/metadata not created yet
+
+    def wait_rows(n: int, timeout_s: float = 90.0) -> None:
+        t0 = time.time()
+        while sink_count() < n:
+            assert time.time() - t0 < timeout_s, f"sink stuck at {sink_count()} < {n}"
+            time.sleep(0.3)
+
+    q = start()
+    try:
+        wait_rows(3)
+        # a file arriving mid-stream is picked up by a later batch
+        (d / "f-003.txt").write_text(fw_line("DDD", 7.5) + "\n")
+        wait_rows(4)
+    finally:
+        q.stop()
+
+    # arrives while the query is DOWN; restart must deliver it once
+    (d / "f-004.txt").write_text(fw_line("EEE", 0.1) + "\n")
+    q2 = start()
+    try:
+        wait_rows(5)
+        time.sleep(1.0)  # would duplicate now if the restart re-read
+        rows = sorted(
+            (r.station.rstrip(), r.temp)
+            for r in spark.read.parquet(out).collect()
+        )
+    finally:
+        q2.stop()
+    assert rows == [
+        ("AAA", 1.5), ("BBB", 2.0), ("CCC", -3.0), ("DDD", 7.5), ("EEE", 0.1)
+    ]
