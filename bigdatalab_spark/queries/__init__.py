@@ -140,6 +140,7 @@ _POST_WINDOW = (
     "quality_filter_funnel",
     "normalization_dedup_stats",
     "statestore_user_counts",
+    "sdp_quality_funnel",
 )
 
 

@@ -648,3 +648,75 @@ def fuzzy_token_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("word", "token", F.levenshtein("word", "token").alias("dist"), "n_occurrences")
         .orderBy("word", "token")
     )
+
+
+def _sdp_funnel_oracle() -> str:
+    from bigdatalab_spark.queries.textqa import _STOPS, _TOKS_CTE
+
+    return f"""
+        WITH {_TOKS_CTE},
+        feats AS (
+            SELECT doc_id,
+                   len(ws) AS n_tokens,
+                   length(text) AS n_chars,
+                   len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+                   len(list_intersect(list_distinct(ws), {_STOPS})) AS stop_hits
+            FROM toks
+        ),
+        scored AS (
+            SELECT n_tokens, n_chars, stop_hits,
+                   CASE WHEN n_chars > 0
+                        THEN CAST(n_punct AS DOUBLE) / n_chars
+                        ELSE 0.0 END AS punct_ratio,
+                   CASE WHEN n_tokens > 0
+                        THEN CAST(stop_hits AS DOUBLE) / n_tokens
+                        ELSE 0.0 END AS stop_ratio
+            FROM feats
+        ),
+        tagged AS (
+            SELECT n_chars,
+                   0.5 * least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+                 + 0.3 * least(stop_ratio * 8, 1.0)
+                 + 0.2 * (1 - least(punct_ratio * 4, 1.0)) AS quality_score,
+                   CASE
+                       WHEN n_chars < 40 THEN '1_too_short'
+                       WHEN n_tokens < 8 THEN '2_too_few_tokens'
+                       WHEN punct_ratio > 0.10 THEN '3_high_punct'
+                       WHEN stop_hits = 0 THEN '4_no_stopwords'
+                       ELSE '5_kept'
+                   END AS reason
+            FROM scored
+        )
+        SELECT reason,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+               max(quality_score) AS max_quality
+        FROM tagged
+        GROUP BY reason
+        ORDER BY reason
+    """
+
+
+@query(
+    "sdp_quality_funnel",
+    ids=("SCALE-PIPELINE", "K4", "A5"),
+    oracle=_sdp_funnel_oracle(),
+)
+def sdp_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The declarative-pipeline path under the strict oracle: the full
+    Spark 4.1 ``pyspark.pipelines`` graph (bronze temp view -> per-doc
+    quality MV partitioned by reason -> funnel MV) is captured via the
+    PUBLIC decorator API, executed by the classic-mode local runner
+    (:mod:`bigdatalab_spark.pipelines.local` — the Connect backend is
+    env-blocked), and the funnel is answered FROM THE MATERIALIZED
+    PARQUET, not from a live plan. Strict equality certifies the whole
+    declare -> topologically-materialize -> read-back cycle against the
+    single-query SQL restatement.
+    """
+    import tempfile
+
+    from bigdatalab_spark.pipelines.curation import run_curation_pipeline
+
+    storage = tempfile.mkdtemp(prefix="sdp_funnel_")
+    res = run_curation_pipeline(spark, sf_dir, storage)
+    return res["quality_funnel"].orderBy("reason")
