@@ -141,6 +141,7 @@ _POST_WINDOW = (
     "normalization_dedup_stats",
     "statestore_user_counts",
     "sdp_quality_funnel",
+    "sql_scripting_threshold",
 )
 
 

@@ -458,3 +458,65 @@ def pipe_syntax_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY o_orderstatus, o_orderpriority
         """
     )
+
+
+@query(
+    "sql_scripting_threshold",
+    ids=("§2.7", "A4"),
+    oracle="""
+        WITH t0 AS (
+            SELECT CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                   / count(*) AS t FROM events
+        ),
+        t1 AS (
+            SELECT CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                   / count(*) AS t FROM events, t0 WHERE value <= t0.t
+        ),
+        t2 AS (
+            SELECT CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                   / count(*) AS t FROM events, t1 WHERE value <= t1.t
+        ),
+        t3 AS (
+            SELECT CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                   / count(*) AS t FROM events, t2 WHERE value <= t2.t
+        )
+        SELECT t3.t AS threshold,
+               (SELECT count(*) FROM events, t3 WHERE value <= t3.t)
+                   AS n_below
+        FROM t3
+    """,
+)
+def sql_scripting_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4, SQL/PSM): an ITERATIVE computation in
+    pure SQL — BEGIN/END block, DECLAREd variables, a WHILE loop
+    refining a trimmed-mean threshold (t_{k+1} = mean of values <= t_k,
+    three contractions), no driver-side Python between iterations.
+
+    This is the control-flow surface 100 TB maintenance jobs want in
+    the warehouse instead of orchestration glue: each loop body is a
+    full Catalyst-planned aggregate over the table, and only the scalar
+    threshold crosses iterations. Determinism discipline: every mean is
+    an exact DECIMAL sum cast to DOUBLE then divided, so the float is a
+    pure function of the value set, never of partitioning or engine
+    accumulation order — which is what lets the DuckDB oracle replay
+    the loop as unrolled CTEs and match bit-for-bit.
+    """
+    _views(spark, sf_dir, "events")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE t DOUBLE;
+          DECLARE k INT DEFAULT 0;
+          SET t = (SELECT CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                          / count(*) FROM events);
+          WHILE k < 3 DO
+            SET t = (SELECT CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                            / count(*) FROM events WHERE value <= t);
+            SET k = k + 1;
+          END WHILE;
+          SELECT t AS threshold,
+                 (SELECT count(*) FROM events WHERE value <= t) AS n_below;
+        END
+        """
+    )
