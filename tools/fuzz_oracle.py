@@ -1,6 +1,6 @@
 """Randomized differential testing: Spark SQL vs DuckDB on one query text.
 
-The 161 curated oracles are strong but hand-picked; this tool closes
+The engine's curated oracles are strong but hand-picked; this tool closes
 the "what about the queries nobody wrote?" gap with a seeded grammar
 over the fixture schemas. Each seed deterministically generates ONE
 query in the common SQL subset both engines parse identically —
