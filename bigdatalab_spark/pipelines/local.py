@@ -45,6 +45,7 @@ from pyspark.pipelines.graph_element_registry import GraphElementRegistry
 from pyspark.pipelines.output import (
     MaterializedView,
     Output,
+    Sink,
     StreamingTable,
     Table,
     TemporaryView,
@@ -160,10 +161,21 @@ def run_pipeline(
         n_flows = len(flows_by_target.get(name, []))
         if n_flows == 0:
             raise ValueError(f"dataset {name!r} has no flow defining it")
-        if n_flows > 1 and not isinstance(out, StreamingTable):
+        if n_flows > 1 and not isinstance(out, (StreamingTable, Sink)):
             raise ValueError(
                 f"{name!r} has {n_flows} flows; only streaming tables "
-                f"accept multiple append flows"
+                f"and sinks accept multiple append flows"
+            )
+        if (
+            isinstance(out, Sink)
+            and n_flows > 1
+            and out.format not in ("console", "noop")
+        ):
+            # one file-sink transaction log per path: two flows into one
+            # file-format sink would fight over _spark_metadata
+            raise ValueError(
+                f"sink {name!r} ({out.format}) accepts one flow; "
+                f"declare one sink per flow for file formats"
             )
 
     pending = set(registry.outputs)
@@ -183,9 +195,10 @@ def run_pipeline(
                     blocked[name] = str(exc).split("\n")[0]
                     continue
                 raise
-            df.createOrReplaceTempView(name)
-            if not isinstance(registry.outputs[name], TemporaryView):
-                results[name] = df
+            if df is not None:  # sinks are external: nothing to register
+                df.createOrReplaceTempView(name)
+                if not isinstance(registry.outputs[name], TemporaryView):
+                    results[name] = df
             progressed.append(name)
         if not progressed:
             detail = "; ".join(f"{k}: {v}" for k, v in sorted(blocked.items()))
@@ -199,24 +212,23 @@ def run_pipeline(
 
 def _materialize(
     spark: SparkSession, out: Output, flows: list[Flow], storage: str
-) -> DataFrame:
+) -> DataFrame | None:
     if isinstance(out, TemporaryView):
         return _bind(spark, flows[0])()
 
-    path = os.path.join(storage, out.name)
-    if isinstance(out, StreamingTable):
-        # one sub-directory per flow: each file-sink transaction log has
-        # exactly one writing query, so flows never share a _spark_metadata
+    if isinstance(out, Sink):
+        # external destination: each flow streams out availableNow and
+        # the pipeline manages only the checkpoints, never the data
         for f in flows:
             sdf = _bind(spark, f)()
             if not sdf.isStreaming:
                 raise ValueError(
-                    f"append flow {f.name!r} to streaming table "
-                    f"{out.name!r} returned a batch DataFrame"
+                    f"flow {f.name!r} to sink {out.name!r} returned a "
+                    f"batch DataFrame; sinks take streaming flows"
                 )
             q = (
-                sdf.writeStream.format(out.format or "parquet")
-                .option("path", os.path.join(path, f.name))
+                sdf.writeStream.format(out.format)
+                .options(**dict(out.options))
                 .option(
                     "checkpointLocation",
                     os.path.join(storage, "_checkpoints", out.name, f.name),
@@ -225,7 +237,41 @@ def _materialize(
                 .start()
             )
             q.awaitTermination(3600)
-        return spark.read.parquet(*[os.path.join(path, f.name) for f in flows])
+        return None
+
+    path = os.path.join(storage, out.name)
+    fmt = out.format or "parquet"
+    if isinstance(out, StreamingTable):
+        # one sub-directory per flow: each file-sink transaction log has
+        # exactly one writing query, so flows never share a _spark_metadata;
+        # @dp.table's BATCH query function also lands here (the API
+        # registers it as a StreamingTable with one batch flow) — a batch
+        # flow is a FULL REFRESH of its slice (overwrite = idempotent
+        # across reruns), a streaming flow appends incrementally through
+        # its checkpoint
+        for f in flows:
+            sdf = _bind(spark, f)()
+            sub = os.path.join(path, f.name)
+            if not sdf.isStreaming:
+                writer = sdf.write.mode("overwrite").format(fmt)
+                if out.partition_cols:
+                    writer = writer.partitionBy(*out.partition_cols)
+                writer.save(sub)
+                continue
+            q = (
+                sdf.writeStream.format(fmt)
+                .option("path", sub)
+                .option(
+                    "checkpointLocation",
+                    os.path.join(storage, "_checkpoints", out.name, f.name),
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(3600)
+        return spark.read.format(fmt).load(
+            *[os.path.join(path, f.name) for f in flows]
+        )
 
     assert isinstance(out, (MaterializedView, Table)), out
     df = _bind(spark, flows[0])()

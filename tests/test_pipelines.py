@@ -176,14 +176,97 @@ def test_illegal_graphs_fail_loudly(spark, tmp_path):
     with pytest.raises(ValueError, match="unknown dataset"):
         run_pipeline(spark, reg3, str(tmp_path / "s3"))
 
-    # batch flow into a streaming table
+    # a batch flow into a streaming table is LEGAL (@dp.table's batch
+    # case) — it full-refreshes its slice idempotently across reruns
     reg4 = LocalGraphRegistry()
     with graph_element_registration_context(reg4):
         dp.create_streaming_table("st")
 
         @dp.append_flow(target="st")
         def batch_into_stream():
-            return spark.range(1)
+            return spark.range(3)
 
-    with pytest.raises(ValueError, match="returned a batch DataFrame"):
-        run_pipeline(spark, reg4, str(tmp_path / "s4"))
+    res = run_pipeline(spark, reg4, str(tmp_path / "s4"))
+    assert res["st"].count() == 3
+    res = run_pipeline(spark, reg4, str(tmp_path / "s4"))  # rerun: no dup
+    assert res["st"].count() == 3
+
+
+def test_sink_streams_to_external_destination(spark, sf_dir, tmp_path):
+    """create_sink: an external destination managed by the pipeline only
+    through its checkpoint — data lands at the sink's own path, nothing
+    is registered or returned, and re-running ships only new input."""
+    from pyspark import pipelines as dp
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame([(1, "a")], "id long, v string") \
+        .coalesce(1).write.parquet(str(src / "f1"))
+    dest = str(tmp_path / "dest")
+
+    def build_registry():
+        reg = LocalGraphRegistry()
+        with graph_element_registration_context(reg):
+            dp.create_sink("export", format="parquet", options={"path": dest})
+
+            @dp.append_flow(target="export")
+            def ship():
+                return (
+                    spark.readStream.schema("id long, v string")
+                    .parquet(str(src / "*"))
+                )
+
+        return reg
+
+    res = run_pipeline(spark, build_registry(), str(tmp_path / "store"))
+    assert res == {}  # external sink: not a pipeline-readable dataset
+    assert spark.read.parquet(dest).count() == 1
+    # incremental on re-run
+    spark.createDataFrame([(2, "b")], "id long, v string") \
+        .coalesce(1).write.parquet(str(src / "f2"))
+    run_pipeline(spark, build_registry(), str(tmp_path / "store"))
+    assert sorted(r.id for r in spark.read.parquet(dest).collect()) == [1, 2]
+
+    # two flows into one file-format sink: refused up front
+    reg2 = LocalGraphRegistry()
+    with graph_element_registration_context(reg2):
+        dp.create_sink("export2", format="parquet", options={"path": dest})
+
+        @dp.append_flow(target="export2")
+        def one():
+            return spark.readStream.schema("id long, v string").parquet(str(src / "*"))
+
+        @dp.append_flow(target="export2")
+        def two():
+            return spark.readStream.schema("id long, v string").parquet(str(src / "*"))
+
+    with pytest.raises(ValueError, match="one sink per flow"):
+        run_pipeline(spark, reg2, str(tmp_path / "store2"))
+
+
+def test_dp_table_materializes_with_format_and_partitions(spark, tmp_path):
+    """@dp.table: the batch-table decorator honors format and
+    partition_cols in the materialized layout."""
+    from pyspark import pipelines as dp
+
+    reg = LocalGraphRegistry()
+    with graph_element_registration_context(reg):
+
+        @dp.table(partition_cols=["k"], format="json")
+        def facts():
+            return spark.range(6).select(
+                (F.col("id") % 2).alias("k"), F.col("id").alias("v")
+            )
+
+    storage = tmp_path / "store"
+    res = run_pipeline(spark, reg, str(storage))
+    # @dp.table registers a StreamingTable with one batch flow; the flow
+    # slice lands under <table>/<flow>/ with the declared layout
+    slice_dir = storage / "facts" / "facts"
+    dirs = {p.name for p in slice_dir.iterdir() if p.is_dir()}
+    assert dirs == {"k=0", "k=1"}
+    assert any(p.suffix == ".json" for p in (slice_dir / "k=0").iterdir())
+    assert res["facts"].count() == 6
+    # rerun is a full refresh, not an append
+    res = run_pipeline(spark, reg, str(storage))
+    assert res["facts"].count() == 6
