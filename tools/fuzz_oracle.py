@@ -25,8 +25,15 @@ if violated):
   DOUBLE — so a projected floor is canonicalized CAST(floor(x) AS
   BIGINT) (found by this tool's first 300-seed run: seeds 43, 72,
   127, 185, 259, 269 all failed on exactly this dtype-kind mismatch);
-- LIMIT only ever appears under an ORDER BY on a unique key column,
-  projected, so the kept prefix is well-defined in both engines;
+- LIMIT only ever appears under an ORDER BY covering EVERY projected
+  column, so boundary ties are interchangeable rows and the kept
+  multiset is well-defined in both engines (the declared key alone is
+  NOT enough: the fixture's lineitem composite key is non-unique);
+- lag/lead sources are pure functions of the ORDER-BY key — seeds
+  5156/5214 of the 5000-range campaign caught lead(l_suppkey) flipping
+  between tie orders on lineitem's duplicate (orderkey, linenumber)
+  pairs; with a key-function source any tie resolution yields the same
+  row multiset;
 - timestamp columns are excluded from the column pool (pandas dtype
   normalization differs); numeric + varchar only;
 - ROLLUP on an EMPTY input diverges: DuckDB (like Postgres and the
@@ -306,19 +313,28 @@ def generate_query(seed: int) -> str:
         return f"SELECT {', '.join(proj)} FROM {t}{where}"
 
     if shape == "lag_lead":
-        # offset functions are well-defined only under a TOTAL order —
-        # the (composite) unique key, same rule as the limit shape
+        # offset functions: the led/lagged VALUE must be a pure function
+        # of the ORDER-BY key. The fixture's lineitem is TPC-H-ISH —
+        # (l_orderkey, l_linenumber) is NOT unique (seeds 5156/5214 of
+        # the 5000-range campaign caught lead(l_suppkey) flipping under
+        # tie reorders) — but with a key-function source, tied rows are
+        # identical in every projected column, so any tie resolution
+        # yields the same row MULTISET and the sorted compare is exact.
         part = (
             rng.choice(sch["s"])
             if sch["s"]
             else f"{sch['pk']} % {rng.randint(2, 5)}"
         )
         order = sch["pk"] if "pk2" not in sch else f"{sch['pk']}, {sch['pk2']}"
-        ic = rng.choice(sch["i"])
+        key_fn = (
+            f"{sch['pk']} % {rng.randint(7, 97)}"
+            if "pk2" not in sch
+            else f"({sch['pk']} * 8 + {sch['pk2']}) % {rng.randint(7, 97)}"
+        )
         fn = rng.choice(["lag", "lead"])
         proj = [
             f"{sch['pk']} AS pk",
-            f"{fn}({ic}, {rng.randint(1, 2)}) "
+            f"{fn}({key_fn}, {rng.randint(1, 2)}) "
             f"OVER (PARTITION BY {part} ORDER BY {order}) AS w_off",
         ]
         if "pk2" in sch:
@@ -545,16 +561,22 @@ def generate_query(seed: int) -> str:
         sel = f"SELECT {', '.join(proj)} FROM {t}"
         return f"{sel} WHERE {p1} UNION ALL {sel} WHERE {p2}"
 
-    # limit: only ever under a total order on the (composite) key
-    order = sch["pk"] if "pk2" not in sch else f"{sch['pk']}, {sch['pk2']}"
+    # limit: the kept prefix is well-defined iff the ORDER BY covers
+    # EVERY projected column — rows tied on all of them are
+    # interchangeable at the boundary (same multiset either way). An
+    # order on the declared key alone is not enough: lineitem's
+    # composite key is non-unique in the fixture (see lag_lead note).
     proj = [f"{sch['pk']} AS pk"]
+    order_cols = ["pk"]
     if "pk2" in sch:
         proj.append(f"{sch['pk2']} AS pk2")
+        order_cols.append("pk2")
     if sch["s"]:
         proj.append(f"{_str_expr(rng, rng.choice(sch['s']))} AS e_s")
+        order_cols.append("e_s")
     return (
         f"SELECT {', '.join(proj)} FROM {t} "
-        f"ORDER BY {order} LIMIT {rng.randint(1, 40)}"
+        f"ORDER BY {', '.join(order_cols)} LIMIT {rng.randint(1, 40)}"
     )
 
 
