@@ -221,3 +221,6 @@ def test_state_bench_smoke():
         assert r["state_read_sec"] > 0
     # dedup state is one row per distinct input row
     assert out["event_dedup"]["n_state_rows"] == 1000
+    # change feed: one insert mutation per distinct id
+    cf = out["dedup_change_feed"]
+    assert cf["exact"] is True and cf["n_change_rows"] == 1000

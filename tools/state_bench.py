@@ -104,6 +104,38 @@ def main() -> int:
     }
 
     out: dict = {"sf_dir": sf_dir, "factor": factor, "n_input_rows": n_input}
+
+    # change-feed regime: same dedup state built WITH changelog
+    # checkpointing, then the full mutation audit read back — the CDC
+    # cost is one changelog scan per batch per partition, input never
+    # replayed
+    from bigdatalab_spark.streaming.state_reader import read_state_changes
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled",
+        "true",
+    )
+    ckpt_cdc = os.path.join(scratch, "dedup_changelog")
+    build_s = _drain(
+        events.select("event_id").dropDuplicates(["event_id"]),
+        ckpt_cdc,
+        "state_bench_changelog",
+    )
+    spark.conf.unset(
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled"
+    )
+    t0 = time.time()
+    n_changes = read_state_changes(spark, ckpt_cdc, 0).count()
+    out["dedup_change_feed"] = {
+        "build_stream_sec": round(build_s, 3),
+        "change_feed_read_sec": round(time.time() - t0, 3),
+        "n_change_rows": n_changes,
+        # every distinct id was inserted exactly once
+        "exact": bool(n_changes == truth["event_dedup"]),
+    }
+
     for name, df in regimes.items():
         ckpt = os.path.join(scratch, name)
         build_s = _drain(df, ckpt, f"state_bench_{name}")
@@ -123,9 +155,8 @@ def main() -> int:
             "exact": bool(n_state == truth[name]),
         }
     print(json.dumps(out))
-    return 0 if all(
-        out[k]["exact"] for k in regimes
-    ) else 1
+    checked = list(regimes) + ["dedup_change_feed"]
+    return 0 if all(out[k]["exact"] for k in checked) else 1
 
 
 if __name__ == "__main__":
