@@ -142,6 +142,8 @@ _POST_WINDOW = (
     "statestore_user_counts",
     "sdp_quality_funnel",
     "sql_scripting_threshold",
+    "cogroup_click_attribution",
+    "histogram_value_quantiles",
 )
 
 

@@ -156,3 +156,118 @@ def approx_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n",
     ).orderBy("event_type")
+
+
+@query(
+    "cogroup_click_attribution",
+    ids=("SCALE-COGROUP", "UDF-COGROUP"),
+    oracle="""
+        WITH p AS (
+            SELECT event_id, user_id, ts,
+                   CAST(round(value * 100) AS BIGINT) AS purchase_cents
+            FROM events WHERE event_type = 'purchase'
+        ), c AS (
+            SELECT user_id, ts,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'click'
+        )
+        SELECT p.event_id, p.user_id, p.purchase_cents,
+               count(c.ts) AS clicks_before,
+               CAST(coalesce(sum(c.cents), 0) AS BIGINT)
+                   AS click_cents_before
+        FROM p LEFT JOIN c
+          ON c.user_id = p.user_id AND c.ts < p.ts
+        GROUP BY 1, 2, 3
+        ORDER BY p.event_id
+    """,
+)
+def cogroup_click_attribution_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-purchase attribution over the user's earlier clicks via the
+    cogrouped-``applyInPandas`` surface (operators/cogroup.py): both
+    event streams are hash-partitioned once on user_id, and a
+    ``searchsorted``/``cumsum`` pandas kernel answers every purchase in
+    O(log m) against that user's sorted click history — the per-key
+    ALGORITHMIC merge the cogroup API exists for. The oracle replays it
+    relationally (LEFT JOIN + GROUP BY, which materializes the
+    quadratic pairs the kernel never builds); integer-cents arithmetic
+    keeps both engines bit-identical."""
+    from bigdatalab_spark.operators.cogroup import cogroup_click_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    return cogroup_click_attribution(ev).orderBy("event_id")
+
+
+def _hist_oracle() -> str:
+    from bigdatalab_spark.scale.quantiles import _bin_expr, _mid_expr
+
+    b = _bin_expr("c", 16)
+    return f"""
+        WITH cents AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(round(value * 100) AS BIGINT) AS c
+            FROM events
+        ),
+        daily AS (
+            SELECT event_type, day, {b} AS bin, count(*) AS cnt
+            FROM cents GROUP BY 1, 2, 3
+        ),
+        merged AS (
+            SELECT event_type, bin, sum(cnt) AS cnt
+            FROM daily GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT event_type, bin,
+                   sum(cnt) OVER (PARTITION BY event_type
+                                  ORDER BY bin) AS cum,
+                   sum(cnt) OVER (PARTITION BY event_type) AS n
+            FROM merged
+        ),
+        picked AS (
+            SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+                   min(CASE WHEN cum * 100 >= 50 * n THEN bin END) AS b50,
+                   min(CASE WHEN cum * 100 >= 95 * n THEN bin END) AS b95,
+                   min(CASE WHEN cum * 100 >= 99 * n THEN bin END) AS b99
+            FROM cum GROUP BY event_type
+        )
+        SELECT event_type, n,
+               {_mid_expr("b50", 16)} AS p50_est,
+               {_mid_expr("b95", 16)} AS p95_est,
+               {_mid_expr("b99", 16)} AS p99_est
+        FROM picked
+        ORDER BY event_type
+    """
+
+
+@query(
+    "histogram_value_quantiles",
+    ids=("SCALE-SKETCH", "A12", "A5"),
+    oracle=_hist_oracle(),
+)
+def histogram_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles from the PERSISTABLE log-histogram pre-aggregate
+    (scale/quantiles.py) — the percentile twin of the bitmap
+    exact-distinct: daily ``(group, bin, cnt)`` histograms are plain
+    data, so they land in parquet and MERGE by summing counts; p50/p95/
+    p99 for any day range are then answered from a few hundred bin rows
+    per group, never re-reading raw values — which percentile_approx's
+    buffer-bound GK sketch cannot do. Exact integer binning (length of
+    the base-2 string, integer-safe sub-bin division) keeps the DuckDB
+    replay of the full pipeline — daily bins -> merge -> rank pick —
+    bit-identical, including the double midpoint arithmetic."""
+    from bigdatalab_spark.scale.quantiles import (
+        histogram_bins,
+        merge_histograms,
+        quantiles_from_histogram,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    daily = histogram_bins(ev, "value", ["event_type", "day"])
+    merged = merge_histograms(daily, ["event_type"])
+    res = quantiles_from_histogram(
+        merged, ["event_type"], [0.5, 0.95, 0.99]
+    )
+    return res.orderBy("event_type")

@@ -1,0 +1,170 @@
+"""File-level data-skipping index over plain parquet — the Delta/
+Iceberg ``add file stats`` contract, rebuilt from footers.
+
+Partition pruning (sinks.py partitionBy) skips directories; Z-order
+(operators/zorder.py) makes row-group stats selective INSIDE a file;
+this module closes the middle layer: a queryable index of per-file
+min/max statistics for chosen columns, so a point/range predicate on a
+NON-partition column selects the candidate file list before Spark ever
+plans the scan. On a 100 TB table that is the difference between
+listing+footer-probing a million files per query and one tiny index
+read.
+
+Scale design: the index BUILD distributes — the file list becomes a
+one-column DataFrame and each task opens only the parquet FOOTERS of
+its files (``pyarrow.parquet.ParquetFile.metadata``; kilobytes per
+file, the data pages are never touched). The index itself is plain
+data: one row per (file, column) with min/max/null-count/row-count —
+persistable, mergeable by union, and refreshable incrementally (index
+only the files added since the last build, union the frames).
+
+``pruned_read`` then answers a range predicate by filtering the index
+(a metadata-sized frame), collecting the CANDIDATE FILE LIST (the same
+driver-side object any table format's planner materializes), and
+handing exactly those files to ``spark.read.parquet``. The predicate is
+re-applied after the read — skipping is a performance contract, never a
+correctness one, so a stale index can only over-read, not corrupt
+(files missing from the index are treated as always-candidates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_INDEX_SCHEMA = (
+    "file string, col string, min_val double, max_val double, "
+    "n_nulls bigint, n_rows bigint"
+)
+
+
+def _list_parquet_files(spark: SparkSession, path: str) -> list[str]:
+    # the cheap way to an authoritative file list: a metadata-only scan
+    files = spark.read.parquet(path).inputFiles()
+    return sorted(f.removeprefix("file:") for f in files)
+
+
+def build_file_index(
+    spark: SparkSession, path: str, cols: list[str]
+) -> DataFrame:
+    """One row per (file, column): min/max/null-count/row-count, read
+    from parquet FOOTERS only, on executors (the file list is the
+    distributed input — a build over a million files fans out like any
+    other job). Numeric columns only (min/max land as doubles)."""
+    files = _list_parquet_files(spark, path)
+    paths = spark.createDataFrame([(f,) for f in files], "file string")
+    return _index_paths(spark, paths, len(files), cols)
+
+
+def _index_paths(
+    spark: SparkSession, paths: DataFrame, n_files: int, cols: list[str]
+) -> DataFrame:
+    want = list(cols)
+
+    def _footer_stats(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "file", "col", "min_val", "max_val", "n_nulls", "n_rows"
+            )}
+            for fname in pdf["file"]:
+                md = pq.ParquetFile(fname).metadata
+                idx = {
+                    md.schema.column(i).name: i
+                    for i in range(md.num_columns)
+                }
+                for col in want:
+                    i = idx[col]
+                    mn = mx = None
+                    nulls = 0
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(i).statistics
+                        if st is None or not st.has_min_max:
+                            mn = mx = None
+                            break
+                        mn = st.min if mn is None else min(mn, st.min)
+                        mx = st.max if mx is None else max(mx, st.max)
+                        nulls += st.null_count or 0
+                    out["file"].append(fname)
+                    out["col"].append(col)
+                    out["min_val"].append(
+                        None if mn is None else float(mn)
+                    )
+                    out["max_val"].append(
+                        None if mx is None else float(mx)
+                    )
+                    out["n_nulls"].append(nulls)
+                    out["n_rows"].append(md.num_rows)
+            yield pd.DataFrame(out)
+
+    # one footer probe per file; repartition so a huge file list fans out
+    n_tasks = max(1, min(n_files, spark.sparkContext.defaultParallelism))
+    return paths.repartition(n_tasks).mapInPandas(
+        _footer_stats, schema=_INDEX_SCHEMA
+    )
+
+
+def refresh_file_index(
+    spark: SparkSession,
+    path: str,
+    old_index: DataFrame,
+    cols: list[str],
+) -> DataFrame:
+    """Incremental maintenance: footer-probe ONLY files not yet in the
+    index, union with the still-valid rows. Appends to a 100 TB table
+    cost index work proportional to the new files; rows for deleted
+    files are dropped (a file gone from listing must not stay a
+    candidate path for the reader)."""
+    current = set(_list_parquet_files(spark, path))
+    known = {
+        r["file"] for r in old_index.select("file").distinct().collect()
+    }
+    fresh = sorted(current - known)
+    kept = old_index.filter(
+        F.col("file").isin([f for f in known if f in current])
+    )
+    if not fresh:
+        return kept
+    paths = spark.createDataFrame([(f,) for f in fresh], "file string")
+    new_rows = _index_paths(spark, paths, len(fresh), cols)
+    return kept.unionByName(new_rows)
+
+
+def candidate_files(
+    index: DataFrame, col: str, lo: float, hi: float
+) -> list[str]:
+    """Files whose [min, max] for ``col`` intersects [lo, hi] — plus
+    any file with unusable stats (NULL min/max), which must stay a
+    candidate: skipping may only ever over-read."""
+    rows = (
+        index.filter(F.col("col") == col)
+        .filter(
+            F.col("min_val").isNull()
+            | ~((F.col("max_val") < lo) | (F.col("min_val") > hi))
+        )
+        .select("file")
+        .collect()
+    )
+    return sorted(r["file"] for r in rows)
+
+
+def pruned_read(
+    spark: SparkSession,
+    path: str,
+    index: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+) -> DataFrame:
+    """Read only the files the index cannot rule out for
+    ``col BETWEEN lo AND hi``, then re-apply the predicate (the index
+    narrows the scan; the filter stays the source of truth)."""
+    cand = candidate_files(index, col, lo, hi)
+    if not cand:
+        return spark.read.parquet(path).filter(F.lit(False))
+    return (
+        spark.read.parquet(*cand)
+        .filter(F.col(col).between(lo, hi))
+    )

@@ -2691,3 +2691,114 @@ def test_ann_index_tombstone_delete_and_purge(spark, tmp_path):
     purge_ivf_pq_tombstones(spark, pq_idx)
     assert pq_serve_ids() == pq_after
     assert spark.read.parquet(f"{pq_idx}/tombstones").count() == 0
+
+
+def test_cogroup_attribution_arrow_twin_and_tie_semantics(spark):
+    """The cogrouped applyInArrow twin must answer byte-identically to
+    the pandas kernel, and clicks at EXACTLY the purchase timestamp are
+    excluded (strictly-before semantics) — the boundary a searchsorted
+    side flag silently decides."""
+    import datetime as dt
+
+    from bigdatalab_spark.operators.cogroup import (
+        cogroup_click_attribution,
+        cogroup_click_attribution_arrow,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: click before, click AT, click after the purchase
+        (1, t0 - dt.timedelta(hours=1), 1, "click", 2.00, ""),
+        (2, t0, 1, "click", 3.00, ""),
+        (3, t0 + dt.timedelta(hours=1), 1, "click", 5.00, ""),
+        (4, t0, 1, "purchase", 10.00, ""),
+        # user 2: purchases but no clicks at all
+        (5, t0, 2, "purchase", 7.50, ""),
+        # user 3: clicks only -> contributes no output rows
+        (6, t0, 3, "click", 1.00, ""),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    got = {r["event_id"]: r.asDict() for r in cogroup_click_attribution(ev).collect()}
+    assert set(got) == {4, 5}
+    # only the strictly-earlier click counts; the tie and the later one don't
+    assert got[4]["clicks_before"] == 1
+    assert got[4]["click_cents_before"] == 200
+    assert got[4]["purchase_cents"] == 1000
+    assert got[5]["clicks_before"] == 0
+    assert got[5]["click_cents_before"] == 0
+
+    a = sorted(map(tuple, cogroup_click_attribution_arrow(ev).collect()))
+    p = sorted(map(tuple, cogroup_click_attribution(ev).collect()))
+    assert a == p
+
+
+def test_histogram_quantiles_merge_persist_and_error_bound(spark, sf_dir, tmp_path):
+    """The log-histogram pre-aggregate must (a) survive a parquet
+    round-trip, (b) give IDENTICAL quantiles whether merged from daily
+    pieces or built in one pass (merge is lossless by construction),
+    and (c) land within one bin's relative width (1/16) of the exact
+    discrete percentile — the DDSketch accuracy contract."""
+    from pyspark.sql import functions as F
+
+    from bigdatalab_spark.scale.quantiles import (
+        histogram_bins,
+        merge_histograms,
+        quantiles_from_histogram,
+    )
+    from bigdatalab_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    daily = histogram_bins(ev, "value", ["event_type", "day"])
+    path = str(tmp_path / "hist")
+    daily.write.parquet(path)  # the persistable pre-aggregate
+    merged = merge_histograms(spark.read.parquet(path), ["event_type"])
+    direct = histogram_bins(ev, "value", ["event_type"])
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+    qs = [0.5, 0.95, 0.99]
+    est = {
+        r["event_type"]: r.asDict()
+        for r in quantiles_from_histogram(merged, ["event_type"], qs).collect()
+    }
+    # exact DISCRETE quantiles (rank = ceil(q*n)), the semantics the
+    # histogram pick implements — interpolating percentile() is a
+    # different estimator and legitimately disagrees on sparse tails
+    import math
+
+    vals = {}
+    for r in ev.select("event_type", "value").collect():
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    for et, row in est.items():
+        xs = sorted(vals[et])
+        for q in qs:
+            tag = int(q * 100)
+            got = row[f"p{tag}_est"]
+            want = xs[math.ceil(q * len(xs)) - 1]
+            assert abs(got - want) / want <= 1.0 / 16 + 0.01, (
+                et, tag, got, want
+            )
+
+
+def test_cogroup_kernel_survives_count_only_column_pruning(spark, sf_dir):
+    """Spark 4.1 column-prunes cogroup INPUTS by what the downstream
+    plan references: a count-only plan hands the kernel key-only
+    frames (and even full plans drop the non-initiating side's copy of
+    the grouping key). The kernels must not index pruned columns —
+    count() and collect() must agree on cardinality for both the
+    pandas and the Arrow path."""
+    from bigdatalab_spark.operators.cogroup import (
+        cogroup_click_attribution,
+        cogroup_click_attribution_arrow,
+    )
+    from bigdatalab_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    pandas_df = cogroup_click_attribution(ev)
+    assert pandas_df.count() == len(pandas_df.collect())
+    arrow_df = cogroup_click_attribution_arrow(ev)
+    assert arrow_df.count() == len(arrow_df.collect())

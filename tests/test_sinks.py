@@ -1245,3 +1245,97 @@ def test_rollback_existence_check_runs_under_lock(spark, tmp_path):
     assert not os.path.exists(lockfile_path(path))  # lock released
     rollback(path, v1)  # the real path still works after the failure
     assert latest_version(path) == v1
+
+
+def test_file_skipping_index_prunes_and_stays_correct(spark, tmp_path):
+    """The file-level min/max index must (a) cut the candidate file
+    list for a selective range on a clustered non-partition column,
+    (b) return exactly the full scan's rows, and (c) keep files with
+    unusable stats as candidates (skipping over-reads, never drops)."""
+    from pyspark.sql import functions as F
+
+    from bigdatalab_spark.sources import load_table
+    from bigdatalab_spark.sources.skipping import (
+        build_file_index,
+        candidate_files,
+        pruned_read,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    path = str(tmp_path / "events_clustered")
+    # range-cluster by user_id -> per-file min/max become selective
+    (
+        ev.repartitionByRange(8, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.parquet(path)
+    )
+    index = build_file_index(spark, path, ["user_id", "value"]).cache()
+    n_files = index.filter("col = 'user_id'").count()
+    assert n_files == 8
+
+    lo, hi = 10.0, 20.0
+    cand = candidate_files(index, "user_id", lo, hi)
+    assert 0 < len(cand) < n_files, (len(cand), n_files)
+
+    got = sorted(
+        map(tuple, pruned_read(spark, path, index, "user_id", lo, hi)
+            .select("event_id").collect())
+    )
+    want = sorted(
+        map(tuple, spark.read.parquet(path)
+            .filter(F.col("user_id").between(lo, hi))
+            .select("event_id").collect())
+    )
+    assert got == want and got
+    # the pruned plan really scans fewer files
+    pruned_files = pruned_read(spark, path, index, "user_id", lo, hi).inputFiles()
+    assert len(pruned_files) == len(cand) < n_files
+
+    # a column with NULL stats stays a candidate everywhere
+    null_stats = index.withColumn(
+        "min_val", F.lit(None).cast("double")
+    ).withColumn("max_val", F.lit(None).cast("double"))
+    assert len(candidate_files(null_stats, "user_id", lo, hi)) == n_files
+
+    # empty candidate set -> empty frame, schema intact
+    none = pruned_read(spark, path, index, "user_id", 1e9, 2e9)
+    assert none.count() == 0 and "event_id" in none.columns
+    index.unpersist()
+
+
+def test_file_skipping_index_incremental_refresh(spark, tmp_path):
+    """refresh_file_index probes only files the index doesn't know:
+    after an append, refreshed == full rebuild; after a file vanishes,
+    its rows leave the index."""
+    import os
+
+    from bigdatalab_spark.sources import load_table
+    from bigdatalab_spark.sources.skipping import (
+        build_file_index,
+        refresh_file_index,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    path = str(tmp_path / "events_inc")
+    ev.filter("user_id < 25").repartition(2).write.parquet(path)
+    # a real index is persisted data, not a lazy plan over a mutable
+    # listing — materialize like the parquet round-trip would
+    base = build_file_index(spark, path, ["user_id"]).localCheckpoint()
+
+    ev.filter("user_id >= 25").repartition(2).write.mode(
+        "append"
+    ).parquet(path)
+    refreshed = refresh_file_index(
+        spark, path, base, ["user_id"]
+    ).localCheckpoint()
+    rebuilt = build_file_index(spark, path, ["user_id"])
+    assert sorted(map(tuple, refreshed.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
+
+    victim = sorted(
+        f for f in os.listdir(path) if f.endswith(".parquet")
+    )[0]
+    os.remove(os.path.join(path, victim))
+    shrunk = refresh_file_index(spark, path, refreshed, ["user_id"])
+    assert victim not in {r["file"].rsplit("/", 1)[-1] for r in shrunk.collect()}

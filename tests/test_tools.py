@@ -224,3 +224,14 @@ def test_state_bench_smoke():
     # change feed: one insert mutation per distinct id
     cf = out["dedup_change_feed"]
     assert cf["exact"] is True and cf["n_change_rows"] == 1000
+
+
+def test_quantile_bench_smoke():
+    out = _run_tool("tools.quantile_bench", SF)
+    assert out["metric"] == "quantile_hist_bench"
+    assert out["raw_rows"] == 1000
+    assert 0 < out["hist_rows"] <= out["raw_rows"]
+    # the two estimators must stay within one bin's relative width
+    assert out["max_rel_diff_vs_approx"] <= 1.0 / 16 + 0.01
+    for k in ("build_s", "serve_s", "rescan_s"):
+        assert out[k] >= 0
