@@ -144,6 +144,7 @@ _POST_WINDOW = (
     "sql_scripting_threshold",
     "cogroup_click_attribution",
     "histogram_value_quantiles",
+    "hll_union_daily_users",
 )
 
 

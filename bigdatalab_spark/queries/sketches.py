@@ -169,3 +169,38 @@ def heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_heavy_hitters(words, "word", k=30).orderBy(
         F.desc("n"), F.asc("word")
     )
+
+
+@query(
+    "hll_union_daily_users",
+    ids=("A12", "SCALE-SKETCH"),
+    # no SQL oracle BY DESIGN: the Datasketches HLL binary encoding is
+    # engine-specific (DuckDB's approx_distinct is a different sketch).
+    # The gates live in pytest: union-of-dailies == direct-corpus
+    # estimate (sketch algebra is deterministic), parquet round-trip
+    # preserves the sketch, and the estimate lands within 5% of exact.
+)
+def hll_union_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type from UNIONED daily HLL sketches
+    (Spark 4 Datasketches surface: hll_sketch_agg / hll_union_agg /
+    hll_sketch_estimate) — the approximate member of the persistable
+    pre-aggregate trio beside the bitmap exact-distinct
+    (queries/spark4_sql.py) and the histogram quantiles
+    (scale/quantiles.py). Unlike approx_count_distinct's buffer-bound
+    HLL++ (hll_distinct_users), these sketches are a BINARY COLUMN:
+    daily sketches land in parquet, any day range unions in
+    aggregate-sized work, and the merged estimate is bit-deterministic
+    — re-aggregating raw ids is never needed again."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.expr("hll_sketch_agg(user_id, 14)").alias("sketch"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.expr(
+                "hll_sketch_estimate(hll_union_agg(sketch))"
+            ).alias("n_users_est")
+        )
+        .orderBy("event_type")
+    )

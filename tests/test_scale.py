@@ -2802,3 +2802,58 @@ def test_cogroup_kernel_survives_count_only_column_pruning(spark, sf_dir):
     assert pandas_df.count() == len(pandas_df.collect())
     arrow_df = cogroup_click_attribution_arrow(ev)
     assert arrow_df.count() == len(arrow_df.collect())
+
+
+def test_hll_sketch_union_is_lossless_and_persistable(spark, sf_dir, tmp_path):
+    """The Datasketches HLL pre-aggregate contract: unioning persisted
+    DAILY sketches must give exactly the estimate a direct whole-corpus
+    sketch gives (merge loses nothing), survive a parquet round-trip of
+    the binary sketch column, and land within 5% of the exact distinct
+    count."""
+    from pyspark.sql import functions as F
+
+    from bigdatalab_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.expr("hll_sketch_agg(user_id, 14)").alias("sketch")
+    )
+    path = str(tmp_path / "daily_sketches")
+    daily.write.parquet(path)
+
+    def union_est(df):
+        return {
+            r["event_type"]: r["est"]
+            for r in df.groupBy("event_type")
+            .agg(
+                F.expr(
+                    "hll_sketch_estimate(hll_union_agg(sketch))"
+                ).alias("est")
+            )
+            .collect()
+        }
+
+    from_disk = union_est(spark.read.parquet(path))
+    in_memory = union_est(daily)
+    assert from_disk == in_memory
+
+    direct = {
+        r["event_type"]: r["est"]
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").alias(
+                "est"
+            )
+        )
+        .collect()
+    }
+    assert from_disk == direct  # merge is lossless, not just close
+
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for et, est in from_disk.items():
+        assert abs(est - exact[et]) / exact[et] <= 0.05, (et, est, exact[et])

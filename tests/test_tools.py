@@ -235,3 +235,10 @@ def test_quantile_bench_smoke():
     assert out["max_rel_diff_vs_approx"] <= 1.0 / 16 + 0.01
     for k in ("build_s", "serve_s", "rescan_s"):
         assert out[k] >= 0
+
+
+def test_skipping_bench_smoke():
+    out = _run_tool("tools.skipping_bench", SF, "--files=8")
+    assert out["metric"] == "skipping_bench"
+    assert out["files_read"] <= out["files_total"] == 8
+    assert out["matched_rows"] > 0
