@@ -1339,3 +1339,33 @@ def test_file_skipping_index_incremental_refresh(spark, tmp_path):
     os.remove(os.path.join(path, victim))
     shrunk = refresh_file_index(spark, path, refreshed, ["user_id"])
     assert victim not in {r["file"].rsplit("/", 1)[-1] for r in shrunk.collect()}
+
+
+def test_dataframe_writer_v2_contract_on_session_catalog(spark):
+    """The modern DataFrameWriterV2 surface (`df.writeTo(...)`):
+    partitioned CREATE works against the session catalog, but the V2
+    write paths (append/replace) refuse V1 tables by design — pinned
+    here so the documented guidance stays true: on the built-in
+    catalog, use saveAsTable/insertInto (covered above, K3/K4); the
+    writeTo mutation paths need a V2 catalog (Iceberg/Delta), which
+    this sandbox doesn't ship."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    spark.sql("DROP TABLE IF EXISTS writer_v2_events")
+    df = spark.range(20).select(
+        (F.col("id") % 4).alias("bucket"), F.col("id").alias("v")
+    )
+    df.writeTo("writer_v2_events").using("parquet").partitionedBy(
+        "bucket"
+    ).create()
+    got = spark.table("writer_v2_events")
+    assert got.count() == 20
+    # the created table is a real partitioned catalog table
+    parts = spark.sql("SHOW PARTITIONS writer_v2_events").count()
+    assert parts == 4
+
+    with pytest.raises(AnalysisException, match="v1 table"):
+        df.writeTo("writer_v2_events").append()
+    spark.sql("DROP TABLE writer_v2_events")

@@ -1771,3 +1771,74 @@ def test_state_change_feed_is_the_mutation_audit_trail(spark, sf_dir, tmp_path):
         replayed[r.key.user_id] = r.value[0]
     final = {r.user_id: r.cnt for r in grouped_count_state(spark, ckpt).collect()}
     assert replayed == final
+
+
+def test_streaming_ingest_maintains_skipping_index(spark, tmp_path):
+    """Composition of the round's ingest and index stories: a streaming
+    writer lands parquet batches with foreachBatch and keeps the
+    file-skipping index CURRENT in the same hook — each batch probes
+    only its own new files (refresh_file_index), so index maintenance
+    rides the ingest instead of periodic full rebuilds. The maintained
+    index must equal a from-scratch rebuild, and pruned reads through
+    it must stay exact."""
+    from pyspark.sql import functions as F
+
+    from bigdatalab_spark.sources import load_table
+    from bigdatalab_spark.sources.skipping import (
+        build_file_index,
+        pruned_read,
+        refresh_file_index,
+    )
+    from bigdatalab_spark.streaming.jobs import stream_events
+
+    table_dir = str(tmp_path / "ingested")
+    index_dir = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _land_and_index(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(table_dir)
+        sess = batch_df.sparkSession
+        try:
+            old = sess.read.parquet(index_dir)
+            new = refresh_file_index(sess, table_dir, old, ["user_id"])
+        except Exception:
+            new = build_file_index(sess, table_dir, ["user_id"])
+        # materialize BEFORE overwriting the directory being read
+        new.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            index_dir
+        )
+
+    q = (
+        stream_events(spark, "/root/testdata/sf0.001")
+        .writeStream.foreachBatch(_land_and_index)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    maintained = spark.read.parquet(index_dir)
+    rebuilt = build_file_index(spark, table_dir, ["user_id"])
+    assert sorted(map(tuple, maintained.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
+
+    lo, hi = 10.0, 20.0
+    got = sorted(
+        map(
+            tuple,
+            pruned_read(spark, table_dir, maintained, "user_id", lo, hi)
+            .select("event_id")
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            spark.read.parquet(table_dir)
+            .filter(F.col("user_id").between(lo, hi))
+            .select("event_id")
+            .collect(),
+        )
+    )
+    assert got == want and got
