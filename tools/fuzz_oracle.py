@@ -209,7 +209,7 @@ def generate_query(seed: int) -> str:
          "having", "union", "window_agg", "lag_lead", "distinct",
          "in_subquery", "outer_join", "exists", "setop",
          "scalar_subquery", "rollup", "cte_chain", "derived_join",
-         "rank_ties"]
+         "rank_ties", "running_frame", "range_frame", "grouping_sets"]
     )
     t = rng.choice(sorted(SCHEMAS))
     sch = SCHEMAS[t]
@@ -463,6 +463,69 @@ def generate_query(seed: int) -> str:
             f"CAST(count(*) AS BIGINT) AS cnt, min({ic}) AS min_i "
             f"FROM {t}{where} GROUP BY ROLLUP (g0, g1) "
             f"HAVING count(*) > 0"
+        )
+
+    if shape == "running_frame":
+        # cumulative ROWS frame over the declared order. The summed
+        # expression is a PURE FUNCTION OF THE ORDER KEY (the lag_lead
+        # discipline): tied rows then contribute equal amounts, so the
+        # tie group's running sums form the same value multiset under
+        # any tie resolution, and every projected column is the key
+        # itself — the whole-row multiset is deterministic.
+        order = sch["pk"] if "pk2" not in sch else f"{sch['pk']}, {sch['pk2']}"
+        contrib = (
+            f"({sch['pk']} % 97)"
+            if "pk2" not in sch
+            else f"(({sch['pk']} * 7 + {sch['pk2']}) % 97)"
+        )
+        proj = [f"{sch['pk']} AS pk"]
+        if "pk2" in sch:
+            proj.append(f"{sch['pk2']} AS pk2")
+        proj.append(
+            f"CAST(sum({contrib}) OVER (ORDER BY {order} "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            f"AS BIGINT) AS run_sum"
+        )
+        where = f" WHERE {_predicate(rng, sch)}" if rng.random() < 0.5 else ""
+        return f"SELECT {', '.join(proj)} FROM {t}{where}"
+
+    if shape == "range_frame":
+        # value-based RANGE frame over an integer order column: frame
+        # membership is defined by VALUE distance, so all peers of a
+        # tie are in every frame that reaches them — the result is
+        # order-independent by construction for any summed column
+        # (kept integer-modular for exactness anyway).
+        oc = rng.choice(sch["i"])
+        ic = rng.choice(sch["i"])
+        k = rng.randint(2, 50)
+        proj = [f"{sch['pk']} AS pk", f"{oc} AS oc"]
+        if "pk2" in sch:
+            proj.insert(1, f"{sch['pk2']} AS pk2")
+        proj.append(
+            f"CAST(sum({ic} % 89) OVER (ORDER BY {oc} "
+            f"RANGE BETWEEN {k} PRECEDING AND CURRENT ROW) "
+            f"AS BIGINT) AS rng_sum"
+        )
+        where = f" WHERE {_predicate(rng, sch)}" if rng.random() < 0.5 else ""
+        return f"SELECT {', '.join(proj)} FROM {t}{where}"
+
+    if shape == "grouping_sets":
+        # explicit GROUPING SETS with grouping() disambiguation flags;
+        # the empty set () is deliberately excluded — the rollup shape
+        # documents the empty-input grand-total divergence it would
+        # reintroduce. Raw expressions are repeated (not aliases) so
+        # grouping(expr) resolves identically in both engines.
+        k1 = rng.choice(sch["s"]) if sch["s"] else f"{sch['pk']} % 5"
+        k2 = f"{rng.choice(sch['i'])} % {rng.randint(2, 4)}"
+        ic = rng.choice(sch["i"])
+        where = f" WHERE {_predicate(rng, sch)}" if rng.random() < 0.5 else ""
+        return (
+            f"SELECT {k1} AS g0, {k2} AS g1, "
+            f"CAST(grouping({k1}) AS BIGINT) AS gf0, "
+            f"CAST(grouping({k2}) AS BIGINT) AS gf1, "
+            f"CAST(count(*) AS BIGINT) AS cnt, min({ic}) AS min_i "
+            f"FROM {t}{where} "
+            f"GROUP BY GROUPING SETS (({k1}), ({k2}), ({k1}, {k2}))"
         )
 
     if shape == "cte_chain":
