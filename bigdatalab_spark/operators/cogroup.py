@@ -189,3 +189,51 @@ def cogroup_click_attribution_arrow(events: DataFrame) -> DataFrame:
         .cogroup(clicks.groupBy("user_id"))
         .applyInArrow(_arrow_kernel, schema=_OUT_SCHEMA)
     )
+
+
+def cogroup_click_attribution_window_twin(events: DataFrame) -> DataFrame:
+    """The pure-relational LINEAR twin: union both streams with a side
+    flag, one running window per user ordered by (ts, side) — purchases
+    sort before clicks at equal timestamps, so strictly-before
+    semantics fall out of the sort key — then keep the purchase rows.
+    Same one-shuffle budget as the cogroup kernel and no quadratic
+    intermediate (the LEFT JOIN + GROUP BY oracle builds p*c pairs per
+    user, which is already fatal at x100). The cogroup surface earns
+    its place for kernels a running window CANNOT express; this twin
+    exists to prove the engine picks the cheap plan when one exists,
+    and as the equality check on the kernel."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    purchases = _cents(events.filter("event_type = 'purchase'"), ["event_id"])
+    clicks = _cents(events.filter("event_type = 'click'"), [])
+    tagged = purchases.select(
+        "user_id", "ts", "cents",
+        F.lit(0).alias("side"),      # purchases first at equal ts
+        "event_id",
+    ).unionByName(
+        clicks.select(
+            "user_id", "ts", "cents",
+            F.lit(1).alias("side"),
+            F.lit(None).cast("bigint").alias("event_id"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    contrib_n = F.when(F.col("side") == 1, F.lit(1)).otherwise(F.lit(0))
+    contrib_c = F.when(F.col("side") == 1, F.col("cents")).otherwise(F.lit(0))
+    return (
+        tagged.withColumn("clicks_before", F.sum(contrib_n).over(w))
+        .withColumn("click_cents_before", F.sum(contrib_c).over(w))
+        .filter(F.col("side") == 0)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("cents").alias("purchase_cents"),
+            "clicks_before",
+            "click_cents_before",
+        )
+    )

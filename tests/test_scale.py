@@ -2857,3 +2857,21 @@ def test_hll_sketch_union_is_lossless_and_persistable(spark, sf_dir, tmp_path):
     }
     for et, est in from_disk.items():
         assert abs(est - exact[et]) / exact[et] <= 0.05, (et, est, exact[et])
+
+
+def test_cogroup_window_twin_matches_kernel(spark, sf_dir):
+    """The linear window formulation must agree with the cogroup kernel
+    row for row — including the equal-timestamp boundary, where the
+    (ts, side) sort key encodes strictly-before."""
+    from bigdatalab_spark.operators.cogroup import (
+        cogroup_click_attribution,
+        cogroup_click_attribution_window_twin,
+    )
+    from bigdatalab_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    a = sorted(map(tuple, cogroup_click_attribution(ev).collect()))
+    b = sorted(
+        map(tuple, cogroup_click_attribution_window_twin(ev).collect())
+    )
+    assert a == b and a

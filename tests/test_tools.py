@@ -242,3 +242,10 @@ def test_skipping_bench_smoke():
     assert out["metric"] == "skipping_bench"
     assert out["files_read"] <= out["files_total"] == 8
     assert out["matched_rows"] > 0
+
+
+def test_cogroup_bench_smoke():
+    out = _run_tool("tools.cogroup_bench", SF)
+    assert out["metric"] == "cogroup_bench"
+    assert out["purchases"] > 0
+    assert out["join_s"] is not None  # all three formulations agreed
