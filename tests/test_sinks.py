@@ -1369,3 +1369,67 @@ def test_dataframe_writer_v2_contract_on_session_catalog(spark):
     with pytest.raises(AnalysisException, match="v1 table"):
         df.writeTo("writer_v2_events").append()
     spark.sql("DROP TABLE writer_v2_events")
+
+
+def test_zorder_layout_gives_two_dimensional_file_skipping(spark, tmp_path):
+    """Composition: a Z-ordered layout makes the FILE-level min/max
+    index selective in BOTH dimensions at once — candidate lists from
+    each dimension intersect to a small 2-D candidate set, while a
+    1-D linear layout is selective only in its sort column. The pruned
+    2-D read must still be exact."""
+    from pyspark.sql import functions as F
+
+    from bigdatalab_spark.operators.zorder import write_zordered
+    from bigdatalab_spark.sources import load_table
+    from bigdatalab_spark.sources.skipping import (
+        build_file_index,
+        candidate_files,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    # zorder_key interleaves the LOW `bits` bits — quantize each raw
+    # domain into the 64-cell grid first (monotone, so raw-value
+    # min/max stats stay tight per file); unquantized inputs alias
+    ev = ev.withColumn(
+        "u_cell", F.floor(F.col("user_id") * 64 / 151).cast("int")
+    ).withColumn("v_cell", F.floor(F.col("value") * 64 / 491).cast("int"))
+    zpath = str(tmp_path / "z")
+    lpath = str(tmp_path / "linear")
+    write_zordered(ev, zpath, "u_cell", "v_cell", n_files=16)
+    (
+        ev.repartitionByRange(16, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.parquet(lpath)
+    )
+
+    def candidates(path):
+        idx = build_file_index(spark, path, ["user_id", "value"])
+        idx = idx.localCheckpoint(eager=True)
+        u = set(candidate_files(idx, "user_id", 40.0, 60.0))
+        v = set(candidate_files(idx, "value", 10.0, 60.0))
+        return u, v, sorted(u & v)
+
+    z_u, z_v, z_cand = candidates(zpath)
+    l_u, l_v, l_cand = candidates(lpath)
+    # the linear layout skips ONLY on its sort column: the value
+    # dimension cannot rule out a single file there, while the z-layout
+    # prunes on BOTH dimensions — that is the whole point of the
+    # interleaved key ("a single-column sort only skips on its leading
+    # column")
+    assert len(l_v) == 16 and len(l_u) < 16
+    assert len(z_v) < 16 and len(z_u) < 16
+    assert 0 < len(z_cand) < 16
+
+    got = (
+        spark.read.parquet(*z_cand)
+        .filter(F.col("user_id").between(40.0, 60.0))
+        .filter(F.col("value").between(10.0, 60.0))
+        .count()
+    )
+    want = (
+        spark.read.parquet(zpath)
+        .filter(F.col("user_id").between(40.0, 60.0))
+        .filter(F.col("value").between(10.0, 60.0))
+        .count()
+    )
+    assert got == want > 0
