@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 _INDEX_SCHEMA = (
     "file string, col string, min_val double, max_val double, "
-    "n_nulls bigint, n_rows bigint"
+    "min_str string, max_str string, n_nulls bigint, n_rows bigint"
 )
 
 
@@ -67,7 +67,8 @@ def _index_paths(
 
         for pdf in batches:
             out = {k: [] for k in (
-                "file", "col", "min_val", "max_val", "n_nulls", "n_rows"
+                "file", "col", "min_val", "max_val",
+                "min_str", "max_str", "n_nulls", "n_rows",
             )}
             for fname in pdf["file"]:
                 md = pq.ParquetFile(fname).metadata
@@ -87,14 +88,20 @@ def _index_paths(
                         mn = st.min if mn is None else min(mn, st.min)
                         mx = st.max if mx is None else max(mx, st.max)
                         nulls += st.null_count or 0
+                    is_str = isinstance(mn, (str, bytes))
+                    if isinstance(mn, bytes):
+                        mn = mn.decode("utf-8", "replace")
+                        mx = mx.decode("utf-8", "replace")
                     out["file"].append(fname)
                     out["col"].append(col)
                     out["min_val"].append(
-                        None if mn is None else float(mn)
+                        None if mn is None or is_str else float(mn)
                     )
                     out["max_val"].append(
-                        None if mx is None else float(mx)
+                        None if mx is None or is_str else float(mx)
                     )
+                    out["min_str"].append(mn if is_str else None)
+                    out["max_str"].append(mx if is_str else None)
                     out["n_nulls"].append(nulls)
                     out["n_rows"].append(md.num_rows)
             yield pd.DataFrame(out)
@@ -133,17 +140,20 @@ def refresh_file_index(
 
 
 def candidate_files(
-    index: DataFrame, col: str, lo: float, hi: float
+    index: DataFrame, col: str, lo, hi
 ) -> list[str]:
     """Files whose [min, max] for ``col`` intersects [lo, hi] — plus
     any file with unusable stats (NULL min/max), which must stay a
-    candidate: skipping may only ever over-read."""
+    candidate: skipping may only ever over-read. Pass string bounds
+    for string columns (binary collation order, matching parquet's
+    footer stats); numeric bounds for numeric columns."""
+    if isinstance(lo, str):
+        mn, mx = F.col("min_str"), F.col("max_str")
+    else:
+        mn, mx = F.col("min_val"), F.col("max_val")
     rows = (
         index.filter(F.col("col") == col)
-        .filter(
-            F.col("min_val").isNull()
-            | ~((F.col("max_val") < lo) | (F.col("min_val") > hi))
-        )
+        .filter(mn.isNull() | ~((mx < lo) | (mn > hi)))
         .select("file")
         .collect()
     )
@@ -155,8 +165,8 @@ def pruned_read(
     path: str,
     index: DataFrame,
     col: str,
-    lo: float,
-    hi: float,
+    lo,
+    hi,
 ) -> DataFrame:
     """Read only the files the index cannot rule out for
     ``col BETWEEN lo AND hi``, then re-apply the predicate (the index

@@ -1433,3 +1433,48 @@ def test_zorder_layout_gives_two_dimensional_file_skipping(spark, tmp_path):
         .count()
     )
     assert got == want > 0
+
+
+def test_file_skipping_index_on_string_columns(spark, tmp_path):
+    """String columns index their footer min/max too (binary collation,
+    matching parquet stats): a lang-clustered documents layout prunes
+    on a language range and the pruned read stays exact."""
+    from pyspark.sql import functions as F
+
+    from bigdatalab_spark.sources import load_table
+    from bigdatalab_spark.sources.skipping import (
+        build_file_index,
+        candidate_files,
+        pruned_read,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "docs_by_lang")
+    (
+        docs.repartitionByRange(6, "lang")
+        .sortWithinPartitions("lang")
+        .write.parquet(path)
+    )
+    index = build_file_index(spark, path, ["lang", "n_chars"]).localCheckpoint(
+        eager=True
+    )
+    langs = sorted(
+        r["lang"] for r in docs.select("lang").distinct().collect()
+    )
+    lo = hi = langs[0]
+    cand = candidate_files(index, "lang", lo, hi)
+    n_files = index.filter("col = 'lang'").count()
+    assert 0 < len(cand) < n_files, (len(cand), n_files)
+
+    got = sorted(
+        map(tuple, pruned_read(spark, path, index, "lang", lo, hi)
+            .select("doc_id").collect())
+    )
+    want = sorted(
+        map(tuple, spark.read.parquet(path)
+            .filter(F.col("lang").between(lo, hi))
+            .select("doc_id").collect())
+    )
+    assert got == want and got
+    # numeric pruning on the same index still works beside the strings
+    assert candidate_files(index, "n_chars", 0.0, 1e9)
