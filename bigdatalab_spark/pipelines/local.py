@@ -178,6 +178,18 @@ def run_pipeline(
                 f"declare one sink per flow for file formats"
             )
 
+    # Dependency order is discovered by probing: an output whose SQL/
+    # function references a not-yet-materialized sibling raises
+    # TABLE_OR_VIEW_NOT_FOUND and is retried next sweep. That probe is
+    # only sound if no STALE binding can answer for an upstream — a
+    # previous run in this same session left every output registered as
+    # a session temp view (with its parquet file listing snapshotted),
+    # so a re-run would silently resolve a downstream against last
+    # run's data instead of deferring. Drop all graph-owned temp views
+    # up front so unmaterialized upstreams always raise.
+    for name in registry.outputs:
+        spark.catalog.dropTempView(name)
+
     pending = set(registry.outputs)
     results: dict[str, DataFrame] = {}
     while pending:

@@ -52,6 +52,13 @@ def inverted_index(lines: DataFrame) -> DataFrame:
 
     Line index via row_number over the input order surrogate
     (zipWithIndex semantics, 301-solutions.scala:56; SURVEY §7.4.5).
+
+    LAB FIXTURE ONLY: the un-partitioned Window here is a single-task
+    global sort — correct and cheap on the 2-line golden text, wrong
+    at scale. Point real data at
+    ``operators.indexing.zip_with_index`` (distributed per-partition
+    offsets) or key postings by an existing doc_id column, as the
+    registered scale query does.
     """
     idx = F.row_number().over(
         Window.orderBy(F.monotonically_increasing_id())

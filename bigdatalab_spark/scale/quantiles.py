@@ -102,17 +102,24 @@ def quantiles_from_histogram(
         .withColumn("n", F.sum("cnt").over(wg))
     )
     # every quantile rides ONE aggregate pass: min(bin) over the rows at
-    # or past each rank — no per-quantile join, no second window
+    # or past each rank — no per-quantile join, no second window.
+    # tag = round(q*100) is computed ONCE and used for BOTH the rank
+    # arithmetic and the output column name (int(q*100) truncates, so
+    # 0.29 → 28.999… would label p28 while ranking at 29); qs that
+    # collide at 2-decimal precision are rejected up front.
+    tags = [round(q * 100) for q in qs]
+    if len(set(tags)) != len(tags):
+        raise ValueError(
+            f"quantiles must be distinct at 2-decimal precision: {qs}"
+        )
     aggs = [F.max("n").alias("n")]
-    for q in qs:
-        p = round(q * 100)
-        at_rank = F.col("cum") * 100 >= F.lit(p) * F.col("n")
+    for tag in tags:
+        at_rank = F.col("cum") * 100 >= F.lit(tag) * F.col("n")
         aggs.append(
-            F.min(F.when(at_rank, F.col("bin"))).alias(f"__b{int(q * 100)}")
+            F.min(F.when(at_rank, F.col("bin"))).alias(f"__b{tag}")
         )
     out = cum.groupBy(*group_cols).agg(*aggs)
-    for q in qs:
-        tag = int(q * 100)
+    for tag in tags:
         out = out.withColumn(
             f"p{tag}_est", F.expr(_mid_expr(f"__b{tag}", subbins))
         ).drop(f"__b{tag}")

@@ -181,6 +181,9 @@ def sign_bucket_near_dups(
 
 # backward-compatible name; the registered query now routes to
 # rhp_near_dups (see queries/similarity.py)
+# Exported alias: the engine's embedding near-dup entry point IS the
+# sign-bucket blocked implementation above (see its docstring for the
+# algorithm and scale contract).
 embedding_near_dups = sign_bucket_near_dups
 
 

@@ -338,7 +338,13 @@ class FixedWidthStreamReader(DataSourceStreamReader):
         import os
 
         if not os.path.isdir(self.path):
-            return [self.path] if os.path.exists(self.path) else []
+            # single-file mode: list the BASENAME so partitions() can
+            # rejoin it onto dirname(self.path) — returning the full
+            # path here would double the directory component for
+            # relative inputs (dir/dir/file)
+            if os.path.exists(self.path):
+                return [os.path.basename(self.path)]
+            return []
         return sorted(
             f for f in os.listdir(self.path) if not f.startswith(("_", "."))
         )

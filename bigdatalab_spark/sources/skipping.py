@@ -77,6 +77,20 @@ def _index_paths(
                     for i in range(md.num_columns)
                 }
                 for col in want:
+                    if col not in idx:
+                        # schema-evolution: this file predates the column.
+                        # Record NULL stats (with the footer row count) so
+                        # the file stays an always-candidate instead of
+                        # crashing the whole index build.
+                        out["file"].append(fname)
+                        out["col"].append(col)
+                        out["min_val"].append(None)
+                        out["max_val"].append(None)
+                        out["min_str"].append(None)
+                        out["max_str"].append(None)
+                        out["n_nulls"].append(md.num_rows)
+                        out["n_rows"].append(md.num_rows)
+                        continue
                     i = idx[col]
                     mn = mx = None
                     nulls = 0
@@ -167,14 +181,34 @@ def pruned_read(
     col: str,
     lo,
     hi,
+    merge_schema: bool = True,
 ) -> DataFrame:
     """Read only the files the index cannot rule out for
     ``col BETWEEN lo AND hi``, then re-apply the predicate (the index
-    narrows the scan; the filter stays the source of truth)."""
-    cand = candidate_files(index, col, lo, hi)
+    narrows the scan; the filter stays the source of truth).
+
+    Staleness contract, enforced here: the LIVE directory listing is
+    consulted on every read, and any current file the index has no row
+    for (under this column) is unioned into the candidate set. A stale
+    index therefore only ever over-reads — files written after the last
+    refresh are scanned in full, never silently dropped."""
+    current = set(_list_parquet_files(spark, path))
+    indexed = {
+        r["file"]
+        for r in index.filter(F.col("col") == col)
+        .select("file").distinct().collect()
+    }
+    cand = set(candidate_files(index, col, lo, hi)) & current
+    cand |= current - indexed  # unindexed live files: always-candidates
     if not cand:
         return spark.read.parquet(path).filter(F.lit(False))
+    # mergeSchema (default on): a schema-evolved table may have files
+    # that predate ``col`` — without merging, Spark resolves the read
+    # schema from ONE footer and the filter can fail to analyze. The
+    # cost is one footer read per candidate file, on executors; pass
+    # merge_schema=False on known-homogeneous layouts to skip it.
     return (
-        spark.read.parquet(*cand)
+        spark.read.option("mergeSchema", merge_schema)
+        .parquet(*sorted(cand))
         .filter(F.col(col).between(lo, hi))
     )

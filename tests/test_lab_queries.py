@@ -419,6 +419,32 @@ def test_bitmap_preaggregate_or_merges_across_days(spark, sf_dir):
     assert merged == exact
 
 
+def test_fixedwidth_stream_reader_single_file_relative_path(tmp_path, monkeypatch):
+    """Single-file mode path reconstruction: _listing returns the
+    BASENAME so partitions() can rejoin it onto dirname(path) — a
+    relative file path used to become dir/dir/file and read() opened a
+    nonexistent path. Driver-side unit test, no query needed."""
+    from bigdatalab_spark.sources.pyds import FixedWidthStreamReader, spec_option
+    from bigdatalab_spark.sources.readers import FixedWidthField
+
+    spec = [
+        FixedWidthField("station", 0, 6, "string", None),
+        FixedWidthField("temp", 6, 12, "double", 10.0),
+    ]
+    d = tmp_path / "one"
+    d.mkdir()
+    (d / "data.txt").write_text("AAA   " + "15".rjust(6) + "\n")
+
+    monkeypatch.chdir(tmp_path)
+    for path in ("one/data.txt", str(d / "data.txt")):  # relative + absolute
+        r = FixedWidthStreamReader({"path": path, "spec": spec_option(spec)})
+        assert r._listing() == ["data.txt"]
+        parts = r.partitions(r.initialOffset(), r.latestOffset())
+        assert len(parts) == 1
+        rows = [(st.rstrip(), t) for st, t in r.read(parts[0])]
+        assert rows == [("AAA", 1.5)], (path, rows)
+
+
 def test_python_datasource_fixedwidth_streams_with_exactly_once_restart(
     spark, tmp_path
 ):

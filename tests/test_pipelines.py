@@ -98,6 +98,47 @@ def test_streaming_table_is_incremental_across_runs(spark, tmp_path):
     assert sorted(r.id for r in res3["ingested"].collect()) == [1, 2, 3]
 
 
+def test_rerun_never_resolves_against_stale_temp_views(spark, tmp_path):
+    """A second run in the SAME session must not let a downstream MV
+    resolve against the previous run's leftover temp view of its
+    upstream. The trap: the downstream's name sorts BEFORE the
+    upstream's, so the probing executor visits it first — if the stale
+    view answers, the downstream silently materializes last run's data.
+    run_pipeline drops all graph-owned temp views up front, forcing the
+    downstream to defer until the upstream is rebuilt this run."""
+    from pyspark import pipelines as dp
+
+    src = tmp_path / "src"
+    spark.createDataFrame([(1,), (2,)], "id long").write.parquet(str(src))
+
+    def build_registry():
+        reg = LocalGraphRegistry()
+        with graph_element_registration_context(reg):
+
+            @dp.materialized_view
+            def zz_upstream():
+                return spark.read.parquet(str(src))
+
+            @dp.materialized_view
+            def aa_downstream():
+                return spark.read.table("zz_upstream").agg(
+                    F.count("*").alias("n")
+                )
+
+        return reg
+
+    storage = str(tmp_path / "store")
+    res1 = run_pipeline(spark, build_registry(), storage)
+    assert res1["aa_downstream"].collect()[0].n == 2
+
+    # input grows; the re-run must see 3 rows THROUGH the downstream
+    spark.createDataFrame([(3,)], "id long").write.mode("append").parquet(
+        str(src)
+    )
+    res2 = run_pipeline(spark, build_registry(), storage)
+    assert res2["aa_downstream"].collect()[0].n == 3
+
+
 def test_sql_definitions_register_and_run(spark, sf_dir, tmp_path):
     """register_sql: the SQL half of a pipeline (CREATE MATERIALIZED
     VIEW / TEMPORARY VIEW ... AS) joins the same graph and resolves

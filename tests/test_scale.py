@@ -2784,6 +2784,32 @@ def test_histogram_quantiles_merge_persist_and_error_bound(spark, sf_dir, tmp_pa
             )
 
 
+def test_quantile_tags_round_consistently_and_reject_collisions(spark):
+    """The rank arithmetic and the output column name must come from
+    the SAME tag = round(q*100): q=0.29 is 28.999… in float, so
+    int-truncation would label p28 while ranking at 29. And qs that
+    collide at 2-decimal precision are an error, not a silent
+    overwrite."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bigdatalab_spark.scale.quantiles import (
+        histogram_bins,
+        quantiles_from_histogram,
+    )
+
+    df = spark.range(1, 101).select((F.col("id") * 1.0).alias("v"))
+    hist = histogram_bins(df, "v", [])
+    out = quantiles_from_histogram(hist, [], [0.29, 0.5])
+    assert "p29_est" in out.columns and "p28_est" not in out.columns
+    row = out.collect()[0]
+    # rank ceil(0.29*100)=29 -> value 29, within one bin's width
+    assert abs(row["p29_est"] - 29.0) / 29.0 <= 1.0 / 16 + 0.01
+
+    with pytest.raises(ValueError, match="distinct"):
+        quantiles_from_histogram(hist, [], [0.290, 0.294])
+
+
 def test_cogroup_kernel_survives_count_only_column_pruning(spark, sf_dir):
     """Spark 4.1 column-prunes cogroup INPUTS by what the downstream
     plan references: a count-only plan hands the kernel key-only

@@ -1341,6 +1341,82 @@ def test_file_skipping_index_incremental_refresh(spark, tmp_path):
     assert victim not in {r["file"].rsplit("/", 1)[-1] for r in shrunk.collect()}
 
 
+def test_stale_skipping_index_over_reads_never_drops(spark, tmp_path):
+    """The staleness contract, end to end: files appended AFTER the
+    index was built must still be scanned by pruned_read (as
+    always-candidates from the live listing), so a stale index can
+    only over-read — never silently drop rows."""
+    from pyspark.sql import functions as F
+
+    from bigdatalab_spark.sources import load_table
+    from bigdatalab_spark.sources.skipping import (
+        build_file_index,
+        pruned_read,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    path = str(tmp_path / "events_stale")
+    ev.filter("user_id < 8").repartition(2).write.parquet(path)
+    stale = build_file_index(spark, path, ["user_id"]).localCheckpoint()
+
+    # append rows the stale index knows nothing about — including rows
+    # INSIDE the queried range
+    ev.filter("user_id >= 8").repartition(2).write.mode(
+        "append"
+    ).parquet(path)
+
+    lo, hi = 5.0, 12.0
+    got = sorted(
+        r["event_id"]
+        for r in pruned_read(spark, path, stale, "user_id", lo, hi)
+        .select("event_id").collect()
+    )
+    want = sorted(
+        r["event_id"]
+        for r in spark.read.parquet(path)
+        .filter(F.col("user_id").between(lo, hi))
+        .select("event_id").collect()
+    )
+    assert got == want and got, "stale index dropped appended rows"
+
+
+def test_skipping_index_survives_schema_evolution(spark, tmp_path):
+    """A file written BEFORE a column existed must not crash the index
+    build; it gets NULL stats and stays an always-candidate, and
+    pruned_read over the evolved table is exact."""
+    from pyspark.sql import functions as F
+
+    from bigdatalab_spark.sources.skipping import (
+        build_file_index,
+        candidate_files,
+        pruned_read,
+    )
+
+    path = str(tmp_path / "evolving")
+    spark.range(50).select(
+        F.col("id").alias("k")
+    ).coalesce(1).write.parquet(path)
+    spark.range(50, 100).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2.0).alias("score"),
+    ).coalesce(1).write.mode("append").parquet(path)
+
+    index = build_file_index(spark, path, ["score"]).localCheckpoint()
+    # both files indexed; the pre-evolution one carries NULL stats
+    rows = {r["file"]: r for r in index.collect()}
+    assert len(rows) == 2
+    assert sum(1 for r in rows.values() if r["min_val"] is None) == 1
+    # NULL-stats file stays a candidate for any range
+    assert len(candidate_files(index, "score", 100.0, 120.0)) == 2
+
+    got = sorted(
+        r["k"]
+        for r in pruned_read(spark, path, index, "score", 100.0, 120.0)
+        .select("k").collect()
+    )
+    assert got == list(range(50, 61))
+
+
 def test_dataframe_writer_v2_contract_on_session_catalog(spark):
     """The modern DataFrameWriterV2 surface (`df.writeTo(...)`):
     partitioned CREATE works against the session catalog, but the V2
