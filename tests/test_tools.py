@@ -249,3 +249,70 @@ def test_cogroup_bench_smoke():
     assert out["metric"] == "cogroup_bench"
     assert out["purchases"] > 0
     assert out["join_s"] is not None  # all three formulations agreed
+
+
+def test_bench_self_adjudication_unit(tmp_path):
+    """bench.py._adjudicate stamps polluted-ness from its own env block
+    and embeds the sentinel-normalized comparison against the latest
+    BENCH_r{N}.json — so the committed artifact carries its own verdict
+    and nobody re-litigates raw seconds by hand."""
+    sys.path.insert(0, str(ROOT))
+    try:
+        from bench import _adjudicate
+    finally:
+        sys.path.pop(0)
+
+    prev = {
+        "parsed": {
+            "metric": "headline_queries_total",
+            "value": 10.0,
+            "queries": {"q1": 4.0, "q2": 6.0},
+            "sf": "0.1",
+            "env": {"sentinel_nation_count_sec": 0.10},
+        }
+    }
+    (tmp_path / "BENCH_r03.json").write_text(json.dumps(prev))
+    # an older round must NOT be picked
+    (tmp_path / "BENCH_r02.json").write_text("not json")
+
+    # clean run, machine 2x slower (sentinel 0.20 -> flagged polluted,
+    # but the NORMALIZED ratios come out flat: raw 2x / env 2x = 1.0)
+    res = {
+        "value": 20.0,
+        "queries": {"q1": 8.0, "q2": 12.0},
+        "sf": "0.1",
+        "env": {
+            "loadavg_start": [0.2],
+            "sentinel_nation_count_sec": 0.20,
+        },
+    }
+    adj = _adjudicate(res, str(tmp_path))
+    assert adj["polluted"] is True  # sentinel over 0.11
+    assert adj["vs_prev"]["artifact"] == "BENCH_r03.json"
+    assert adj["vs_prev"]["env_ratio"] == 2.0
+    assert adj["vs_prev"]["new_total_normalized"] == 10.0
+    assert adj["vs_prev"]["normalized_ratios"] == {"q1": 1.0, "q2": 1.0}
+    assert adj["vs_prev"]["regressions"] == []
+
+    # solo run, same machine speed, q2 genuinely 2x slower -> regression
+    res2 = {
+        "value": 16.0,
+        "queries": {"q1": 4.0, "q2": 12.0},
+        "sf": "0.1",
+        "env": {
+            "loadavg_start": [0.3],
+            "sentinel_nation_count_sec": 0.10,
+        },
+    }
+    adj2 = _adjudicate(res2, str(tmp_path))
+    assert adj2["polluted"] is False
+    assert adj2["vs_prev"]["regressions"] == ["q2"]
+
+    # sf mismatch -> comparison explicitly skipped, never cross-scale
+    res3 = dict(res2, sf="0.001")
+    adj3 = _adjudicate(res3, str(tmp_path))
+    assert "skipped" in adj3["vs_prev"]
+
+    # no prior artifact -> vs_prev None, still a valid verdict
+    adj4 = _adjudicate(res2, str(tmp_path / "empty"))
+    assert adj4["vs_prev"] is None and adj4["polluted"] is False
