@@ -41,6 +41,7 @@ def write_zordered(
     y_col: str,
     n_files: int = 16,
     bits: int = Z_BITS,
+    writer_options: dict | None = None,
 ) -> None:
     """Write ``df`` clustered by the z-key of (x_col, y_col):
     range-repartition on the key so each output file owns a contiguous
@@ -48,15 +49,22 @@ def write_zordered(
     — ranges are sampled, files written in parallel), then sort within
     partitions so row groups inside a file are tight too. The z-key
     itself is not persisted (recomputable; layout metadata, not data).
+
+    ``writer_options`` pass through to the parquet writer — e.g.
+    ``{"parquet.block.size": 1 << 20}`` to force several row groups
+    per file (tests use this to make row-group pruning observable on
+    small fixtures; production defaults are fine at scale).
     """
     keyed = df.withColumn("__z", zorder_key(F.col(x_col), F.col(y_col), bits))
-    (
+    writer = (
         keyed.repartitionByRange(n_files, "__z")
         .sortWithinPartitions("__z")
         .drop("__z")
         .write.mode("overwrite")
-        .parquet(path)
     )
+    for k, v in (writer_options or {}).items():
+        writer = writer.option(k, v)
+    writer.parquet(path)
 
 
 def rowgroup_pruning_stats(

@@ -144,3 +144,63 @@ def streaming_cdc_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("day").cast("string").alias("day"), "last_value")
         .orderBy("user_id", "day")
     )
+
+
+@query(
+    "managed_table_pruned_read",
+    ids=("SCALE-STORAGE", "S9", "K6"),
+    oracle="""
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(CAST(sum(CAST(value AS DECIMAL(28,6))) AS STRING)
+                    AS DOUBLE) AS sum_value
+        FROM events
+        WHERE user_id BETWEEN 3 AND 9
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def managed_table_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The storage facade end to end (ManagedTable: versioned snapshots
+    + per-snapshot skipping index + atomic commit — sources/managed.py;
+    the reference's managed-table story, 303-spark-sql/README.md:66-73,
+    at table-format semantics): load events into the facade as a
+    clustered base snapshot plus an appended (hard-linked) delta, then
+    answer a range predicate THROUGH ``pruned_read`` — the stored
+    per-version index selects candidate files before Spark plans the
+    scan. The oracle is the same filter + aggregate over the raw
+    events table, certifying that a read through the version pointer +
+    index returns exactly the data's answer (skipping is a performance
+    contract, never a correctness one). Decimal-exact sum via the
+    engine's money_sum / DSUM oracle pair."""
+    import os
+    import shutil
+    import tempfile
+
+    from bigdatalab_spark.operators import money_sum
+    from bigdatalab_spark.sources.managed import ManagedTable
+
+    events = load_table(spark, sf_dir, "events")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "bigdatalab_managed_table",
+        os.path.basename(sf_dir.rstrip("/")) or "sf",
+    )
+    shutil.rmtree(root, ignore_errors=True)  # scratch: rebuild per run
+    t = ManagedTable(spark, root, index_cols=("user_id",))
+    base = (
+        events.filter("event_id % 2 = 0")
+        .repartitionByRange(4, "user_id")
+        .sortWithinPartitions("user_id")
+    )
+    t.write(base)
+    t.append(events.filter("event_id % 2 = 1").repartition(2))
+    return (
+        t.pruned_read("user_id", 3, 9)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum("value").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -37,6 +37,12 @@ _INDEX_SCHEMA = (
     "min_str string, max_str string, n_nulls bigint, n_rows bigint"
 )
 
+_RG_SCHEMA = (
+    "file string, rg int, col string, min_val double, max_val double, "
+    "min_str string, max_str string, n_nulls bigint, n_rows bigint, "
+    "n_bytes bigint"
+)
+
 
 def _list_parquet_files(spark: SparkSession, path: str) -> list[str]:
     # the cheap way to an authoritative file list: a metadata-only scan
@@ -212,3 +218,180 @@ def pruned_read(
         .parquet(*sorted(cand))
         .filter(F.col(col).between(lo, hi))
     )
+
+
+# ---- row-group-level skipping ------------------------------------------
+#
+# The file-level index above prunes whole files; parquet footers already
+# carry per-ROW-GROUP min/max, which is one granularity finer — on a
+# Z-ordered layout a 2-D rectangle keeps a handful of files but only a
+# fraction of each kept file's row groups intersects the rectangle.
+# These functions store that finer index and give an EXECUTABLE scan
+# that reads only the candidate row groups (pyarrow read_row_groups on
+# executors), not just a stats report.
+
+
+def build_rowgroup_index(
+    spark: SparkSession, path: str, cols: list[str]
+) -> DataFrame:
+    """One row per (file, row_group, column): min/max/null-count/
+    row-count/byte-size, from footers only, on executors — same fan-out
+    contract as :func:`build_file_index`, one granularity finer.
+    A column missing from a file (schema evolution) gets NULL stats so
+    its row groups stay always-candidates."""
+    files = _list_parquet_files(spark, path)
+    paths = spark.createDataFrame([(f,) for f in files], "file string")
+    want = list(cols)
+
+    def _rg_stats(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        names = [
+            "file", "rg", "col", "min_val", "max_val",
+            "min_str", "max_str", "n_nulls", "n_rows", "n_bytes",
+        ]
+        for pdf in batches:
+            rows = []
+            for fname in pdf["file"]:
+                md = pq.ParquetFile(fname).metadata
+                idx = {
+                    md.schema.column(i).name: i
+                    for i in range(md.num_columns)
+                }
+                for g in range(md.num_row_groups):
+                    rg = md.row_group(g)
+                    for col in want:
+                        if col not in idx:
+                            rows.append((
+                                fname, g, col, None, None, None, None,
+                                rg.num_rows, rg.num_rows,
+                                rg.total_byte_size,
+                            ))
+                            continue
+                        st = rg.column(idx[col]).statistics
+                        mn = mx = None
+                        nulls = 0
+                        if st is not None and st.has_min_max:
+                            mn, mx = st.min, st.max
+                            nulls = st.null_count or 0
+                        is_str = isinstance(mn, (str, bytes))
+                        if isinstance(mn, bytes):
+                            mn = mn.decode("utf-8", "replace")
+                            mx = mx.decode("utf-8", "replace")
+                        rows.append((
+                            fname, g, col,
+                            None if mn is None or is_str else float(mn),
+                            None if mx is None or is_str else float(mx),
+                            mn if is_str else None,
+                            mx if is_str else None,
+                            nulls, rg.num_rows, rg.total_byte_size,
+                        ))
+            yield pd.DataFrame(rows, columns=names)
+
+    n_tasks = max(
+        1, min(len(files), spark.sparkContext.defaultParallelism)
+    )
+    return paths.repartition(n_tasks).mapInPandas(
+        _rg_stats, schema=_RG_SCHEMA
+    )
+
+
+def candidate_rowgroups(
+    index: DataFrame, preds: list[tuple]
+) -> dict[str, list[int]]:
+    """Row groups whose stats rectangle intersects EVERY ``(col, lo,
+    hi)`` predicate — the conjunction a pushed-down reader evaluates.
+    NULL-stats entries stay candidates. Returns {file: sorted rg ids},
+    a metadata-sized driver object (the same thing a table format's
+    planner materializes as a split list)."""
+    keep = None
+    for col, lo, hi in preds:
+        if isinstance(lo, str):
+            mn, mx = F.col("min_str"), F.col("max_str")
+        else:
+            mn, mx = F.col("min_val"), F.col("max_val")
+        c = (
+            index.filter(F.col("col") == col)
+            .filter(mn.isNull() | ~((mx < lo) | (mn > hi)))
+            .select("file", "rg")
+        )
+        keep = c if keep is None else keep.join(c, ["file", "rg"])
+    out: dict[str, list[int]] = {}
+    for r in (keep or index.select("file", "rg")).distinct().collect():
+        out.setdefault(r["file"], []).append(r["rg"])
+    return {f: sorted(rgs) for f, rgs in sorted(out.items())}
+
+
+def rowgroup_pruned_read(
+    spark: SparkSession,
+    path: str,
+    index: DataFrame,
+    preds: list[tuple],
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Scan ONLY the candidate row groups (then re-apply the predicate
+    — pruning narrows I/O, the filter stays the source of truth).
+
+    Spark's parquet reader has no public "these row groups only" API,
+    so the scan is a distributed pyarrow kernel: one input row per
+    candidate file carries its row-group list; each task calls
+    ``read_row_groups`` (column-pruned) and emits Arrow batches
+    zero-copy via ``mapInArrow``. The kernel never opens a
+    non-candidate file and never decodes a non-candidate row group —
+    at 100 TB that is the I/O the file-level index leaves on the
+    table."""
+    import json
+
+    cand = candidate_rowgroups(index, preds)
+    full = spark.read.parquet(path)
+    out_cols = list(columns) if columns else full.columns
+    out_schema = full.select(*out_cols).schema
+    if not cand:
+        return full.select(*out_cols).filter(F.lit(False))
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = to_arrow_schema(out_schema)
+
+    def _read(batches):
+        import pyarrow.parquet as pq
+
+        for batch in batches:
+            files = batch.column("file").to_pylist()
+            lists = batch.column("rgs").to_pylist()
+            for fname, rgs_json in zip(files, lists):
+                pf = pq.ParquetFile(fname)
+                have = set(pf.schema_arrow.names)
+                want = [c for c in out_cols if c in have]
+                tbl = pf.read_row_groups(
+                    json.loads(rgs_json), columns=want
+                )
+                # align to the table schema: add schema-evolution NULL
+                # columns, fix order, cast arrow types to Spark's
+                import pyarrow as pa
+
+                arrays = []
+                for fld in target:
+                    if fld.name in tbl.column_names:
+                        arrays.append(
+                            tbl.column(fld.name).cast(fld.type)
+                        )
+                    else:
+                        arrays.append(pa.nulls(len(tbl), fld.type))
+                for b in pa.table(
+                    arrays, schema=target
+                ).to_batches(max_chunksize=1 << 16):
+                    yield b
+
+    pairs = spark.createDataFrame(
+        [(f, json.dumps(rgs)) for f, rgs in cand.items()],
+        "file string, rgs string",
+    )
+    n_tasks = max(
+        1, min(len(cand), spark.sparkContext.defaultParallelism)
+    )
+    df = pairs.repartition(n_tasks).mapInArrow(_read, schema=out_schema)
+    for col, lo, hi in preds:
+        df = df.filter(F.col(col).between(lo, hi))
+    return df

@@ -1417,6 +1417,85 @@ def test_skipping_index_survives_schema_evolution(spark, tmp_path):
     assert got == list(range(50, 61))
 
 
+def test_rowgroup_index_prunes_within_kept_files(spark, tmp_path):
+    """Row-group-level skipping (one granularity under the file index):
+    on a Z-ordered layout a 2-D rectangle keeps a few files, and WITHIN
+    those kept files only some row groups intersect — the row-group
+    index must capture that, and rowgroup_pruned_read (the executable
+    pyarrow scan) must return exactly the full scan's rows."""
+    from pyspark.sql import functions as F
+
+    from bigdatalab_spark.operators.zorder import write_zordered
+    from bigdatalab_spark.sources import load_table
+    from bigdatalab_spark.sources.skipping import (
+        build_file_index,
+        build_rowgroup_index,
+        candidate_files,
+        candidate_rowgroups,
+        rowgroup_pruned_read,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id",
+        (F.col("user_id") % 64).cast("bigint").alias("x"),
+        F.dayofmonth("ts").cast("bigint").alias("y"),
+    )
+    path = str(tmp_path / "z")
+    # tiny block size -> several row groups per file, so the row-group
+    # layer has something finer than files to prune
+    write_zordered(
+        ev, path, "x", "y", n_files=4,
+        writer_options={"parquet.block.size": 2048},
+    )
+
+    xr, yr = (8, 15), (8, 14)
+    findex = build_file_index(spark, path, ["x", "y"]).localCheckpoint()
+    fx = set(candidate_files(findex, "x", *xr))
+    fy = set(candidate_files(findex, "y", *yr))
+    kept_files = fx & fy
+    assert 0 < len(kept_files) <= 4
+
+    rgindex = build_rowgroup_index(spark, path, ["x", "y"]).localCheckpoint()
+    cand = candidate_rowgroups(rgindex, [("x", *xr), ("y", *yr)])
+    # row-group candidates live only inside file-level candidates...
+    assert set(cand) <= kept_files
+    # ...and prune FURTHER: fewer row groups than the kept files carry
+    rgs_in_kept = (
+        rgindex.filter(F.col("col") == "x")
+        .filter(F.col("file").isin(list(kept_files)))
+        .select("file", "rg").distinct().count()
+    )
+    n_cand_rgs = sum(len(v) for v in cand.values())
+    assert 0 < n_cand_rgs < rgs_in_kept, (n_cand_rgs, rgs_in_kept)
+
+    got = sorted(
+        r["event_id"]
+        for r in rowgroup_pruned_read(
+            spark, path, rgindex, [("x", *xr), ("y", *yr)]
+        ).select("event_id").collect()
+    )
+    want = sorted(
+        r["event_id"]
+        for r in spark.read.parquet(path)
+        .filter(F.col("x").between(*xr) & F.col("y").between(*yr))
+        .select("event_id").collect()
+    )
+    assert got == want and got
+
+    # column-pruned variant carries only the requested columns
+    slim = rowgroup_pruned_read(
+        spark, path, rgindex, [("x", *xr)], columns=["event_id", "x"]
+    )
+    assert slim.columns == ["event_id", "x"]
+    assert slim.count() == spark.read.parquet(path).filter(
+        F.col("x").between(*xr)
+    ).count()
+
+    # empty candidate set -> empty frame with the table schema
+    none = rowgroup_pruned_read(spark, path, rgindex, [("x", 1000, 2000)])
+    assert none.count() == 0 and "event_id" in none.columns
+
+
 def test_dataframe_writer_v2_contract_on_session_catalog(spark):
     """The modern DataFrameWriterV2 surface (`df.writeTo(...)`):
     partitioned CREATE works against the session catalog, but the V2

@@ -316,3 +316,27 @@ def test_bench_self_adjudication_unit(tmp_path):
     # no prior artifact -> vs_prev None, still a valid verdict
     adj4 = _adjudicate(res2, str(tmp_path / "empty"))
     assert adj4["vs_prev"] is None and adj4["polluted"] is False
+
+
+def test_managed_bench_smoke():
+    out = _run_tool("tools.managed_bench", SF, "--files=8")
+    assert out["metric"] == "managed_bench"
+    vs = out["versions"]
+    assert len(vs) == 3
+    # base snapshot prunes; compaction restores pruning after the
+    # unclustered append diluted it
+    v1, v2, v3 = (vs[k] for k in sorted(vs))
+    assert v1["files_read"] < v1["files_total"]
+    assert v3["files_read"] < v3["files_total"]
+    assert v3["matched_rows"] == v2["matched_rows"] > 0
+
+
+def test_rowgroup_bench_smoke():
+    out = _run_tool("tools.rowgroup_bench", SF, "--files=4", "--block=2048")
+    assert out["metric"] == "rowgroup_bench"
+    fl, rl = out["file_level"], out["rowgroup_level"]
+    assert fl["files_read"] <= fl["files_total"]
+    assert rl["rowgroups_read"] < rl["rowgroups_total"]
+    # the finer index never reads MORE than the file level
+    assert rl["bytes_read"] <= fl["bytes_read"]
+    assert out["matched_rows"] > 0
