@@ -2901,3 +2901,49 @@ def test_cogroup_window_twin_matches_kernel(spark, sf_dir):
         map(tuple, cogroup_click_attribution_window_twin(ev).collect())
     )
     assert a == b and a
+
+
+def test_jpeg_header_parse_roundtrip_and_poison_tolerance(spark):
+    """jpeg_features is a REAL header parser (stdlib struct): it must
+    read back exactly what make_jpeg_blobs encoded — dimensions,
+    component count, SOF0/SOF2 progressive flag, JFIF presence, EXIF
+    orientation in BOTH TIFF byte orders (the generator alternates
+    II/MM by parity) — and a malformed payload must yield NULL features
+    + an error string, never kill the batch."""
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from bigdatalab_spark.scale.multimodal import (
+        _jpeg_params,
+        jpeg_features,
+        make_jpeg_blobs,
+    )
+
+    ids = list(range(24))  # covers %2, %3, %4, %8 residue classes
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r["doc_id"]: r for r in jpeg_features(make_jpeg_blobs(docs)).collect()}
+    assert set(got) == set(ids)
+    for i in ids:
+        p, r = _jpeg_params(i), got[i]
+        assert r["decode_error"] is None
+        assert (r["width"], r["height"]) == (p["width"], p["height"]), i
+        assert r["n_components"] == p["n_components"]
+        assert r["bit_precision"] == 8
+        assert r["progressive"] == p["progressive"]
+        assert r["orientation"] == p["orientation"], i
+        assert r["jfif"] is True
+
+    # poison blobs: not-a-jpeg, truncated-after-SOI, SOS-before-SOF
+    bad = [
+        (100, b"not a jpeg at all"),
+        (101, b"\xff\xd8\xff\xe0\x00\x05JF"),  # truncated APP0
+        (102, b"\xff\xd8\xff\xd9"),  # SOI+EOI, no SOF
+    ]
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+    poisoned = spark.createDataFrame(bad, schema)
+    rows = {r["doc_id"]: r for r in jpeg_features(poisoned).collect()}
+    assert len(rows) == 3
+    for i, r in rows.items():
+        assert r["decode_error"] is not None, i
+        assert r["width"] is None and r["orientation"] is None
