@@ -340,3 +340,26 @@ def test_rowgroup_bench_smoke():
     # the finer index never reads MORE than the file level
     assert rl["bytes_read"] <= fl["bytes_read"]
     assert out["matched_rows"] > 0
+
+
+def test_fuzz_curation_smoke():
+    """25-seed metamorphic smoke over the curation operators (split/mix/
+    dedup/shuffle/pack/chunk invariances) — the pytest gate for the
+    larger seeded campaigns recorded in SCALE_NOTES."""
+    out = _run_tool("tools.fuzz_curation", "--seeds=25")
+    assert out["metric"] == "fuzz_curation"
+    assert out["ok"] is True, out["failures"]
+    assert out["properties"] == 6
+
+
+def test_soak_bench_smoke():
+    """Bounded 3-cycle variant of the ingest->forget->restart soak:
+    every cycle restarts the streaming queries on their checkpoints,
+    tombstones live docs, and asserts (a) no forgotten doc resurrects,
+    (b) index serve == from-scratch rebuild, (c) file drift bounded.
+    The 20-cycle campaign is recorded in SCALE_NOTES."""
+    out = _run_tool("tools.soak_bench", SF, "--cycles=3")
+    assert out["metric"] == "soak_bench"
+    assert out["ok"] is True, out["failures"]
+    assert len(out["table"]) == 3
+    assert out["table"][-1]["forgotten"] > 0
