@@ -889,8 +889,10 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH cuts AS (
             SELECT event_type,
-                   quantile_cont(value, 0.05) AS lo,
-                   quantile_cont(value, 0.95) AS hi
+                   CAST(CAST(CAST(quantile_cont(value, 0.05)
+                        AS DECIMAL(28,6)) AS STRING) AS DOUBLE) AS lo,
+                   CAST(CAST(CAST(quantile_cont(value, 0.95)
+                        AS DECIMAL(28,6)) AS STRING) AS DOUBLE) AS hi
             FROM events GROUP BY event_type
         )
         SELECT e.event_type, c.lo, c.hi,
@@ -905,13 +907,14 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def winsorized_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type winsorization of event values
     (:func:`bigdatalab_spark.scale.curation.winsorize`, P05/P95): exact
-    percentile cuts (same interpolation in both engines), broadcast
-    back, clip, and summarize — clip counts plus a decimal-accumulated
-    sum of the clipped values so the result replays bit-for-bit."""
+    percentile cuts quantized at 6 decimals (interpolation-ULP-proof
+    at any scale — see winsorize's quantize doc), broadcast back, clip,
+    and summarize — clip counts plus a decimal-accumulated sum of the
+    clipped values so the result replays bit-for-bit."""
     from bigdatalab_spark.scale.curation import winsorize
 
     ev = load_table(spark, sf_dir, "events")
-    clipped = winsorize(ev, "value", "event_type")
+    clipped = winsorize(ev, "value", "event_type", quantize=6)
     return (
         clipped.groupBy("event_type", "lo", "hi")
         .agg(

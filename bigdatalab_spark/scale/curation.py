@@ -373,6 +373,7 @@ def winsorize(
     group_col: str,
     lo_q: float = 0.05,
     hi_q: float = 0.95,
+    quantize: int | None = None,
 ) -> DataFrame:
     """Per-group percentile clipping (winsorization) — the standard
     outlier-taming step before a value feeds loss weighting, sampling
@@ -386,13 +387,29 @@ def winsorize(
     ``<value_col>_clipped``; original rows and columns pass through —
     including rows whose group is NULL (the join is null-safe, matching
     the NULL-group cuts row ``groupBy`` produced).
+
+    ``quantize=N`` rounds the cuts to N decimals through a
+    decimal-string render BEFORE any comparison. Both engines define
+    interpolated percentiles identically but order the interpolation
+    arithmetic differently, so at large n the raw cuts can differ by
+    1 ULP — which flips ``value < lo`` for values sitting exactly on a
+    cut (caught by the round-9 sf1 sweep: n_below off by 50 at 1M
+    rows). Quantized cuts are scale-independent and replayable; at
+    micro-precision they are also what a production clipping config
+    would pin anyway.
     """
+
+    def _cut(q: float):
+        c = F.percentile(value_col, F.lit(q))
+        if quantize is None:
+            return c
+        return (
+            c.cast(f"decimal(28,{quantize})").cast("string").cast("double")
+        )
+
     cuts = (
         df.groupBy(group_col)
-        .agg(
-            F.percentile(value_col, F.lit(lo_q)).alias("lo"),
-            F.percentile(value_col, F.lit(hi_q)).alias("hi"),
-        )
+        .agg(_cut(lo_q).alias("lo"), _cut(hi_q).alias("hi"))
         .withColumnRenamed(group_col, "__w_group")
     )
     return (
