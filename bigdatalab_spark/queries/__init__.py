@@ -145,6 +145,9 @@ _POST_WINDOW = (
     "cogroup_click_attribution",
     "histogram_value_quantiles",
     "hll_union_daily_users",
+    # round 9 (textqa registers inside the SURVEY-core import block, so
+    # the new query must be demoted past the pinned 50-entry window)
+    "jpeg_image_features",
 )
 
 
