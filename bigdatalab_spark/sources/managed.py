@@ -46,13 +46,29 @@ Scale design:
   at a time, readers never block (they follow the pointer to immutable
   directories), and a pointer CAS before each flip turns any lock
   bypass into a loud ConcurrentWriteError instead of a lost update.
+- ROW-LEVEL DML (delete_where/update_where/merge_into + the _range
+  variants) is copy-on-write file surgery: one attribution scan —
+  pruned through the stored index whenever the predicate/key bounds an
+  indexed column, which is sound because a file whose stats miss the
+  range cannot contain a match — finds the files containing matching
+  rows; ONLY those files are rewritten, every untouched file is
+  hard-linked and keeps its index rows verbatim. Cost is proportional
+  to the touched files, not the table — at 100 TB, deleting one
+  user's rows from a user-clustered table rewrites a handful of files.
+- CHANGE DATA FEED: DML versions record their changed rows under
+  ``v=N/_cdf`` (invisible to plain readers) before the marker lands —
+  the feed commits atomically with the data; ``changes(N)`` reads it,
+  derives append versions' inserts from the files new to the snapshot
+  (no write cost at append time), and is empty for compaction (a
+  physical-layout no-op). The marker file records each version's
+  operation kind so the derivation is explicit, never guessed.
 """
 
 from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdatalab_spark.sources.locks import (
@@ -71,6 +87,9 @@ from bigdatalab_spark.sources.versioned import rollback as _rollback
 from bigdatalab_spark.sources.versioned import vacuum as _vacuum
 
 _INDEX_DIR = "_index"
+_CDF_DIR = "_cdf"
+_CHANGE_TYPE = "_change_type"
+_COMMIT_VERSION = "_commit_version"
 
 
 def _data_files(vdir: str) -> list[str]:
@@ -145,7 +164,7 @@ class ManagedTable:
                 writer = writer.partitionBy(*partition_cols)
             writer.parquet(vdir)
             self._write_index(vdir, new_files=_data_files(vdir))
-            self._commit(version, vdir, expected=current)
+            self._commit(version, vdir, expected=current, op="write")
             return version
 
     def append(self, df: DataFrame) -> int:
@@ -162,7 +181,7 @@ class ManagedTable:
                 version, vdir = self._allocate()
                 df.write.mode("errorifexists").parquet(vdir)
                 self._write_index(vdir, new_files=_data_files(vdir))
-                self._commit(version, vdir, expected=current)
+                self._commit(version, vdir, expected=current, op="write")
                 return version
             prev = _version_dir(self.path, current)
             prev_files = _data_files(prev)
@@ -188,15 +207,25 @@ class ManagedTable:
                 new_files=sorted(new_files),
                 reuse_from=os.path.join(prev, _INDEX_DIR),
             )
-            self._commit(version, vdir, expected=current)
+            self._commit(version, vdir, expected=current, op="append")
             return version
 
-    def compact(self, target_file_rows: int = 1_000_000) -> int:
+    def compact(
+        self,
+        target_file_rows: int = 1_000_000,
+        zorder_by: tuple[str, str] | None = None,
+    ) -> int:
         """Small-file compaction as a NEW version: read the current
         snapshot, cluster into ~``target_file_rows``-row files, commit
         with a fresh index. Time travel to the pre-compaction layout
         keeps working (it is just version N-1); vacuum reclaims it.
-        Returns the new version number."""
+        Returns the new version number.
+
+        ``zorder_by=(x, y)`` re-clusters on the Morton interleave of
+        two non-negative integer columns (``OPTIMIZE ZORDER BY``):
+        each compacted file owns a tight rectangle in BOTH dimensions,
+        so the per-version index prunes range predicates on EITHER
+        column — a linear sort only skips on its leading column."""
         with dataset_write_lock(self.path, "managed_compact"):
             current = latest_version(self.path)
             if current is None:
@@ -208,10 +237,22 @@ class ManagedTable:
             n_rows = df.count()
             n_files = max(1, -(-n_rows // target_file_rows))
             version, vdir = self._allocate()
-            # sort by the first index column so the compacted files'
-            # min/max stats come out SELECTIVE, not random — compaction
-            # is the natural moment to (re)cluster for skipping
-            if self.index_cols:
+            # cluster so the compacted files' min/max stats come out
+            # SELECTIVE, not random — compaction is the natural moment
+            # to (re)cluster for skipping
+            if zorder_by is not None:
+                from bigdatalab_spark.operators.zorder import zorder_key
+
+                x, y = zorder_by
+                df = (
+                    df.withColumn(
+                        "__z", zorder_key(F.col(x), F.col(y))
+                    )
+                    .repartitionByRange(n_files, "__z")
+                    .sortWithinPartitions("__z")
+                    .drop("__z")
+                )
+            elif self.index_cols:
                 df = df.repartitionByRange(
                     n_files, *self.index_cols
                 ).sortWithinPartitions(*self.index_cols)
@@ -223,10 +264,369 @@ class ManagedTable:
                 .parquet(vdir)
             )
             self._write_index(vdir, new_files=_data_files(vdir))
-            self._commit(version, vdir, expected=current)
+            self._commit(version, vdir, expected=current, op="compact")
             return version
 
+    # ---- row-level DML (copy-on-write) -----------------------------------
+
+    def delete_where(self, condition: Column | str) -> int:
+        """Row-level DELETE as a copy-on-write version: one attribution
+        scan finds which files contain matching rows, ONLY those files
+        are rewritten without the matches, every untouched file is
+        hard-linked (zero copy) and keeps its index rows verbatim. The
+        deleted rows land in the version's change feed
+        (:meth:`changes`). Rows where ``condition`` is NULL are KEPT
+        (SQL DELETE semantics: only TRUE deletes). No matches → no new
+        version (returns the current one). Cost is proportional to the
+        TOUCHED files, not the table."""
+        return self._cow_rewrite("delete", condition, None, None)
+
+    def delete_range(self, col: str, lo, hi, extra: Column | str | None = None) -> int:
+        """DELETE WHERE ``col BETWEEN lo AND hi [AND extra]``, with the
+        attribution scan PRUNED through the stored skipping index —
+        sound by construction, because a file whose ``col`` stats miss
+        [lo, hi] cannot contain a matching row. At 100 TB this is the
+        difference between scanning the table to find 0.1% of files
+        and scanning 0.1% of files."""
+        cond = F.col(col).between(F.lit(lo), F.lit(hi))
+        if extra is not None:
+            cond = cond & (F.expr(extra) if isinstance(extra, str) else extra)
+        return self._cow_rewrite("delete", cond, None, (col, lo, hi))
+
+    def update_where(
+        self,
+        condition: Column | str,
+        assignments: dict[str, Column | str],
+    ) -> int:
+        """Row-level UPDATE as a copy-on-write version: matching rows
+        get ``assignments`` applied (values are Columns or SQL
+        expression strings, evaluated against the PRE-update row, as in
+        SQL UPDATE), non-matching rows in touched files are rewritten
+        unchanged, untouched files hard-link. The change feed records
+        update_preimage/update_postimage row pairs."""
+        return self._cow_rewrite("update", condition, assignments, None)
+
+    def update_range(
+        self,
+        col: str,
+        lo,
+        hi,
+        assignments: dict[str, Column | str],
+        extra: Column | str | None = None,
+    ) -> int:
+        """UPDATE over an indexed range — :meth:`update_where` with the
+        attribution scan pruned through the index (same soundness
+        argument as :meth:`delete_range`)."""
+        cond = F.col(col).between(F.lit(lo), F.lit(hi))
+        if extra is not None:
+            cond = cond & (F.expr(extra) if isinstance(extra, str) else extra)
+        return self._cow_rewrite("update", cond, assignments, (col, lo, hi))
+
+    def merge_into(self, source: DataFrame, keys: str | tuple[str, ...]) -> int:
+        """Upsert (MERGE): target rows whose key appears in ``source``
+        are replaced by the source row (all of them — duplicate target
+        keys collapse to the one source row), source rows with no
+        matching target key are inserted. ``source`` must carry the
+        target's exact column set and UNIQUE keys (checked loudly — a
+        duplicate source key would make the result order-dependent).
+
+        Copy-on-write file surgery: only files containing matched keys
+        are rewritten (their unmatched rows + ALL source rows become
+        the new files); everything else hard-links. When the leading
+        key column is indexed, the attribution scan is pruned to the
+        index candidates for the SOURCE's key min/max — sound, because
+        a file outside that range cannot contain a matching key. The
+        change feed records update_preimage/update_postimage pairs for
+        matches and insert rows for new keys."""
+        keys = (keys,) if isinstance(keys, str) else tuple(keys)
+        with dataset_write_lock(self.path, "managed_merge"):
+            current = latest_version(self.path)
+            if current is None:
+                raise FileNotFoundError(
+                    f"no committed versions under {self.path}"
+                )
+            prev = _version_dir(self.path, current)
+            all_files = self._flat_files(prev, "merge_into")
+            tgt_cols = [
+                f.name for f in self.spark.read.parquet(prev).schema.fields
+            ]
+            if set(source.columns) != set(tgt_cols):
+                raise ValueError(
+                    "merge_into source schema mismatch: target has "
+                    f"{sorted(tgt_cols)}, source has "
+                    f"{sorted(source.columns)}"
+                )
+            missing = [k for k in keys if k not in tgt_cols]
+            if missing:
+                raise ValueError(f"merge keys not in schema: {missing}")
+            source = source.select(*tgt_cols)
+            if (
+                source.groupBy(*keys)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .count()
+            ):
+                raise ValueError(
+                    "merge_into source has duplicate keys — the merge "
+                    "result would be nondeterministic; dedupe first "
+                    "(e.g. priority_dedup)"
+                )
+            # sound index pruning of the attribution scan: a file whose
+            # leading-key stats miss the source's key range cannot match
+            scan_files = all_files
+            if keys[0] in self.index_cols:
+                bounds = source.agg(
+                    F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
+                ).first()
+                if bounds["lo"] is not None:
+                    scan_files = self.candidate_files(
+                        keys[0], bounds["lo"], bounds["hi"], current
+                    )
+            src_keys = source.select(*keys).distinct()
+            scanned = self._with_file(prev, scan_files)
+            matched = scanned.join(src_keys, on=list(keys), how="leftsemi")
+            # metadata-sized collect: bounded by the snapshot file count
+            touched = sorted(
+                r["f"]
+                for r in matched.select(
+                    F.col("__file").alias("f")
+                ).distinct().collect()
+            )
+            insert_rows = source.join(
+                scanned.select(*keys), on=list(keys), how="leftanti"
+            )
+            if not touched and insert_rows.limit(1).count() == 0:
+                return current  # nothing matched, nothing to insert
+            touched_df = self._read_files(prev, touched)
+            keep = touched_df.join(src_keys, on=list(keys), how="leftanti")
+            # rows that replace matched keys + brand-new keys, one frame
+            new_df = keep.select(*tgt_cols).unionByName(
+                source.select(*tgt_cols)
+            )
+            matched_keys = touched_df.join(
+                src_keys, on=list(keys), how="leftsemi"
+            ).select(*keys).distinct()
+            pre = touched_df.join(
+                src_keys, on=list(keys), how="leftsemi"
+            ).withColumn(_CHANGE_TYPE, F.lit("update_preimage"))
+            post = source.join(
+                matched_keys, on=list(keys), how="leftsemi"
+            ).withColumn(_CHANGE_TYPE, F.lit("update_postimage"))
+            ins = insert_rows.withColumn(_CHANGE_TYPE, F.lit("insert"))
+            cdf = pre.select(*tgt_cols, _CHANGE_TYPE).unionByName(
+                post.select(*tgt_cols, _CHANGE_TYPE)
+            ).unionByName(ins.select(*tgt_cols, _CHANGE_TYPE))
+            return self._commit_cow(
+                current, prev, all_files, touched, new_df, cdf, "merge"
+            )
+
+    def _cow_rewrite(
+        self,
+        op: str,
+        condition: Column | str,
+        assignments: dict[str, Column | str] | None,
+        prune: tuple | None,
+    ) -> int:
+        """Shared delete/update machinery: attribute matches to files
+        (optionally index-pruned), rewrite only touched files, link the
+        rest, record the change feed, commit."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        with dataset_write_lock(self.path, f"managed_{op}"):
+            current = latest_version(self.path)
+            if current is None:
+                raise FileNotFoundError(
+                    f"no committed versions under {self.path}"
+                )
+            prev = _version_dir(self.path, current)
+            all_files = self._flat_files(prev, op)
+            scan_files = (
+                self.candidate_files(*prune, version=current)
+                if prune
+                else all_files
+            )
+            hit = F.coalesce(cond, F.lit(False))  # NULL never matches
+            # metadata-sized collect: bounded by the snapshot file count
+            touched = sorted(
+                r["f"]
+                for r in self._with_file(prev, scan_files)
+                .filter(hit)
+                .select(F.col("__file").alias("f"))
+                .distinct()
+                .collect()
+            )
+            if not touched:
+                return current  # no matches: the table is unchanged
+            touched_df = self._read_files(prev, touched)
+            cols = touched_df.columns
+            if op == "delete":
+                new_df = touched_df.filter(~hit)
+                cdf = touched_df.filter(hit).withColumn(
+                    _CHANGE_TYPE, F.lit("delete")
+                )
+            else:
+                bad = sorted(set(assignments) - set(cols))
+                if bad:
+                    raise ValueError(f"update of unknown columns: {bad}")
+                exprs = {
+                    c: (F.expr(v) if isinstance(v, str) else v)
+                    for c, v in assignments.items()
+                }
+                updated = [
+                    F.when(hit, exprs[c]).otherwise(F.col(c)).alias(c)
+                    if c in exprs
+                    else F.col(c)
+                    for c in cols
+                ]
+                new_df = touched_df.select(*updated)
+                pre = touched_df.filter(hit).withColumn(
+                    _CHANGE_TYPE, F.lit("update_preimage")
+                )
+                post = (
+                    touched_df.filter(hit)
+                    .select(
+                        *[
+                            exprs[c].alias(c) if c in exprs else F.col(c)
+                            for c in cols
+                        ]
+                    )
+                    .withColumn(_CHANGE_TYPE, F.lit("update_postimage"))
+                )
+                cdf = pre.unionByName(post)
+            return self._commit_cow(
+                current, prev, all_files, touched, new_df, cdf, op
+            )
+
+    def _commit_cow(
+        self,
+        current: int,
+        prev: str,
+        all_files: list[str],
+        touched: list[str],
+        new_df: DataFrame,
+        cdf: DataFrame,
+        op: str,
+    ) -> int:
+        """Land a copy-on-write version: write the rewritten rows,
+        hard-link every untouched file, reuse the linked files' index
+        rows + footer-probe only the new files, write the change feed,
+        commit (marker records ``op``)."""
+        version, vdir = self._allocate()
+        new_df.write.mode("errorifexists").parquet(vdir)
+        written = set(_data_files(vdir))
+        link = [rel for rel in all_files if rel not in touched]
+        for rel in link:
+            if rel in written:  # astronomically unlikely (UUIDs)
+                raise ConcurrentWriteError(
+                    f"{op} file-name collision on {rel}"
+                )
+            os.link(os.path.join(prev, rel), os.path.join(vdir, rel))
+        self._write_index(
+            vdir,
+            new_files=sorted(written),
+            reuse_from=os.path.join(prev, _INDEX_DIR),
+            reuse_files=set(link),
+        )
+        (
+            cdf.withColumn(_COMMIT_VERSION, F.lit(version))
+            .write.mode("errorifexists")
+            .parquet(os.path.join(vdir, _CDF_DIR))
+        )
+        self._commit(version, vdir, expected=current, op=op)
+        return version
+
+    def _flat_files(self, vdir: str, op: str) -> list[str]:
+        files = _data_files(vdir)
+        if any(os.sep in rel for rel in files):
+            raise ValueError(
+                f"{op} rewrites flat file layouts only; the current "
+                "snapshot is partitioned — use write() to produce the "
+                "next partitioned snapshot"
+            )
+        return files
+
+    def _with_file(self, vdir: str, files: list[str]) -> DataFrame:
+        """The given files' rows plus a ``__file`` column (relative
+        name) for match→file attribution. Flat layouts only (enforced
+        by the DML entry points), so the URI's basename IS the
+        relative name — immune to scheme/normalization differences."""
+        df = self._read_files(vdir, files)
+        if "__file" in df.columns:
+            raise ValueError(
+                "DML reserves the __file column for file attribution"
+            )
+        return df.withColumn(
+            "__file",
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ),
+        )
+
+    def _read_files(self, vdir: str, files: list[str]) -> DataFrame:
+        if not files:
+            return self.spark.read.parquet(vdir).filter(F.lit(False))
+        return self.spark.read.parquet(
+            *[os.path.join(vdir, rel) for rel in files]
+        )
+
     # ---- read surface ----------------------------------------------------
+
+    def changes(self, version: int) -> DataFrame:
+        """Change data feed of one committed version: the table's
+        columns plus ``_change_type`` (insert / delete /
+        update_preimage / update_postimage) and ``_commit_version``.
+        DML versions read their recorded ``_cdf`` store; append
+        versions DERIVE inserts from the files new to the version (no
+        extra write cost at append time — hard-linked names are
+        preserved, so new files identify the new rows); the first
+        snapshot is all-inserts; compaction is a logical no-op (empty
+        feed). A later full ``write()`` raises — a whole-snapshot
+        replace has no row-level derivation."""
+        v = self._resolve(version)
+        vdir = _version_dir(self.path, v)
+        cdf_dir = os.path.join(vdir, _CDF_DIR)
+        if os.path.isdir(cdf_dir):
+            return self.spark.read.parquet(cdf_dir)
+        op = self._op_of(v)
+        committed = self.versions()
+        first = committed[0]
+        if v == first and op in ("write", ""):
+            return (
+                self.read(v)
+                .withColumn(_CHANGE_TYPE, F.lit("insert"))
+                .withColumn(_COMMIT_VERSION, F.lit(v))
+            )
+        if op == "compact":
+            return (
+                self.read(v)
+                .filter(F.lit(False))
+                .withColumn(_CHANGE_TYPE, F.lit("insert"))
+                .withColumn(_COMMIT_VERSION, F.lit(v))
+            )
+        if op == "append":
+            prior = [c for c in committed if c < v]
+            if not prior:
+                raise FileNotFoundError(
+                    f"cannot derive changes for append v={v}: its "
+                    "predecessor snapshot was vacuumed"
+                )
+            prev_files = set(
+                _data_files(_version_dir(self.path, prior[-1]))
+            )
+            fresh = [
+                rel
+                for rel in _data_files(vdir)
+                if rel not in prev_files
+            ]
+            return (
+                self._read_files(vdir, fresh)
+                .withColumn(_CHANGE_TYPE, F.lit("insert"))
+                .withColumn(_COMMIT_VERSION, F.lit(v))
+            )
+        raise ValueError(
+            f"no change feed for v={v} (op={op or 'unknown'}): a full "
+            "snapshot replace has no row-level change derivation"
+        )
 
     def read(self, version: int | None = None) -> DataFrame:
         """Time-travel read: the pointer's target by default."""
@@ -253,6 +653,9 @@ class ManagedTable:
         all_files = set(_data_files(vdir))
         if col not in self.index_cols:
             return sorted(all_files)  # unindexed column: no pruning
+        if not os.path.isdir(os.path.join(vdir, _INDEX_DIR)):
+            # a fully-emptied snapshot has no files and no index
+            return sorted(all_files)
         idx = self.index(v).filter(F.col("col") == col)
         if isinstance(lo, str):
             mn, mx = F.col("min_str"), F.col("max_str")
@@ -315,11 +718,14 @@ class ManagedTable:
         vdir: str,
         new_files: list[str],
         reuse_from: str | None = None,
+        reuse_files: set[str] | None = None,
     ) -> None:
         """Build the snapshot's index BEFORE its marker: footer-probe
         the new files (distributed, metadata-only), relativize the file
         names, union with the reused previous-version rows (append
-        path), and land it at ``vdir/_index``."""
+        path — or, for copy-on-write DML, only the rows of the files
+        that were hard-linked unchanged: ``reuse_files``), and land it
+        at ``vdir/_index``."""
         if not self.index_cols:
             return
         frames = []
@@ -338,7 +744,18 @@ class ManagedTable:
                 )
             )
         if reuse_from is not None and os.path.isdir(reuse_from):
-            frames.append(self.spark.read.parquet(reuse_from))
+            prev_idx = self.spark.read.parquet(reuse_from)
+            if reuse_files is not None:
+                # keep only the linked (unchanged) files' rows; the
+                # name list is metadata-sized (bounded by file count)
+                keep = self.spark.createDataFrame(
+                    [(rel,) for rel in sorted(reuse_files)],
+                    "file string",
+                )
+                prev_idx = prev_idx.join(
+                    F.broadcast(keep), "file", "leftsemi"
+                )
+            frames.append(prev_idx)
         if not frames:
             return
         out = frames[0]
@@ -348,11 +765,17 @@ class ManagedTable:
             os.path.join(vdir, _INDEX_DIR)
         )
 
-    def _commit(self, version: int, vdir: str, expected: int | None) -> None:
+    def _commit(
+        self, version: int, vdir: str, expected: int | None, op: str = ""
+    ) -> None:
         """Marker + atomic pointer flip, with a pointer CAS: the write
         was computed while the pointer was at ``expected``; if it moved
         (a writer bypassing the lock), abort BEFORE the marker lands so
-        this snapshot stays invisible crash-debris for vacuum."""
+        this snapshot stays invisible crash-debris for vacuum. The
+        marker records the OPERATION KIND (write/append/compact/
+        delete/update/merge) so :meth:`changes` knows how each
+        version's change feed is derivable; existence checks elsewhere
+        ignore the content, so pre-DML snapshots stay readable."""
         if latest_version(self.path) != expected:
             raise ConcurrentWriteError(
                 f"managed commit on {self.path}: pointer moved from "
@@ -360,9 +783,18 @@ class ManagedTable:
                 "mid-write — a concurrent writer bypassed the writer "
                 "lock; this snapshot is aborted (uncommitted)."
             )
-        with open(os.path.join(vdir, _MARKER), "w", encoding="utf-8"):
-            pass
+        with open(os.path.join(vdir, _MARKER), "w", encoding="utf-8") as fh:
+            fh.write(op)
         tmp = os.path.join(self.path, f"{_POINTER}.tmp")
         with open(tmp, "w", encoding="utf-8") as fh:
             fh.write(str(version))
         os.replace(tmp, os.path.join(self.path, _POINTER))
+
+    def _op_of(self, version: int) -> str:
+        """Operation kind recorded in a committed version's marker
+        ("" for snapshots committed before op recording existed)."""
+        marker = os.path.join(
+            _version_dir(self.path, version), _MARKER
+        )
+        with open(marker, encoding="utf-8") as fh:
+            return fh.read().strip()

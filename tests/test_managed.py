@@ -251,3 +251,245 @@ def test_managed_commit_cas_detects_lock_bypass(spark, tmp_path):
         fh.write("1")
     assert t.versions() == [1]
     assert t.read().count() == 100
+
+
+# ---- row-level DML (copy-on-write) ---------------------------------------
+
+
+def test_managed_delete_range_touches_only_matching_files(spark, tmp_path):
+    """delete_range: matching rows gone (NULL-condition rows kept by
+    SQL semantics), only files containing matches were rewritten —
+    every other file is the SAME INODE as the previous version — and
+    the new version's index stays exact. Time travel still sees the
+    pre-delete rows; the change feed records exactly the deleted
+    rows."""
+    t = ManagedTable(spark, str(tmp_path / "t"), index_cols=("k",))
+    df = _mk(spark, 0, 1000).repartitionByRange(8, "k").sortWithinPartitions("k")
+    t.write(df)
+    f1 = _data_files(str(tmp_path / "t" / "v=1"))
+
+    v = t.delete_range("k", 100, 199)
+    assert v == 2 and t.latest() == 2
+    f2 = _data_files(str(tmp_path / "t" / "v=2"))
+
+    # rows: exactly the matches disappeared
+    assert _rows(t.read()) == _rows(
+        t.read(1).filter(~F.col("k").between(100, 199))
+    )
+    # copy-on-write: the untouched files are hard links (same inode)
+    shared = set(f1) & set(f2)
+    assert shared  # clustered layout => most files untouched
+    for rel in shared:
+        assert os.stat(os.path.join(str(tmp_path / "t" / "v=1"), rel)).st_ino == os.stat(
+            os.path.join(str(tmp_path / "t" / "v=2"), rel)
+        ).st_ino
+    # only candidate files were rewritten: rewritten count == touched
+    rewritten = set(f2) - set(f1)
+    assert len(rewritten) <= len(t.candidate_files("k", 100, 199, version=1))
+
+    # index coherence at the new version
+    assert {r["file"] for r in t.index(2).collect()} == set(f2)
+    got = _rows(t.pruned_read("k", 150, 250))
+    want = _rows(t.read().filter(F.col("k").between(150, 250)))
+    assert got == want and min(r[0] for r in got) == 200
+
+    # time travel: v1 unchanged
+    assert len(_rows(t.read(1))) == 1000
+
+    # change feed: exactly the deleted rows
+    cdf = t.changes(2)
+    assert set(cdf.columns) == {"k", "score", "tag", "_change_type", "_commit_version"}
+    rows = cdf.collect()
+    assert all(r["_change_type"] == "delete" and r["_commit_version"] == 2 for r in rows)
+    assert sorted(r["k"] for r in rows) == list(range(100, 200))
+
+    # no-match delete: no new version
+    assert t.delete_range("k", 5000, 6000) == 2
+
+
+def test_managed_delete_where_null_semantics_and_full_scan(spark, tmp_path):
+    """delete_where with an arbitrary predicate: NULL never matches
+    (rows with NULL condition survive), matches across any file are
+    found without an index hint."""
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id") % 3).alias("m"),
+    ).repartition(4)
+    t.write(df)
+    v = t.delete_where(F.col("m") == 0)
+    # kept: m NULL (ids %10==0) and m in (1,2)
+    kept = {r["k"] for r in t.read(v).collect()}
+    expect = {i for i in range(100) if i % 10 == 0 or i % 3 != 0}
+    assert kept == expect
+
+
+def test_managed_update_range_assignments_and_cdf(spark, tmp_path):
+    """update_range: assignments evaluate against the PRE-update row,
+    non-matching rows in touched files survive byte-identical, the
+    feed carries pre/post image pairs."""
+    t = ManagedTable(spark, str(tmp_path / "t"), index_cols=("k",))
+    t.write(_mk(spark, 0, 400).repartitionByRange(4, "k").sortWithinPartitions("k"))
+    v = t.update_range(
+        "k", 100, 149,
+        {"score": "score * 10", "tag": F.lit("boosted")},
+    )
+    assert v == 2
+    got = {r["k"]: (r["score"], r["tag"]) for r in t.read().collect()}
+    for k in range(400):
+        if 100 <= k <= 149:
+            assert got[k] == (k * 2.0 * 10, "boosted")
+        else:
+            assert got[k] == (k * 2.0, str(k % 7))
+    cdf = t.changes(2)
+    pre = {r["k"]: r["score"] for r in cdf.filter("_change_type = 'update_preimage'").collect()}
+    post = {r["k"]: r["score"] for r in cdf.filter("_change_type = 'update_postimage'").collect()}
+    assert set(pre) == set(post) == set(range(100, 150))
+    assert all(post[k] == pre[k] * 10 for k in pre)
+    # unknown column is refused loudly
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.update_where("k = 1", {"nope": F.lit(1)})
+
+
+def test_managed_merge_upserts_and_inserts(spark, tmp_path):
+    """merge_into: matched keys replaced, new keys inserted, untouched
+    files hard-linked, feed records pre/post/insert; duplicate source
+    keys and schema mismatches are refused loudly."""
+    t = ManagedTable(spark, str(tmp_path / "t"), index_cols=("k",))
+    t.write(_mk(spark, 0, 600).repartitionByRange(6, "k").sortWithinPartitions("k"))
+    f1 = _data_files(str(tmp_path / "t" / "v=1"))
+
+    src = spark.createDataFrame(
+        [(10, -1.0, "upd"), (20, -2.0, "upd"), (900, -9.0, "new")],
+        "k long, score double, tag string",
+    )
+    v = t.merge_into(src, "k")
+    assert v == 2
+    got = {r["k"]: (r["score"], r["tag"]) for r in t.read().collect()}
+    assert len(got) == 601
+    assert got[10] == (-1.0, "upd") and got[20] == (-2.0, "upd")
+    assert got[900] == (-9.0, "new")
+    assert got[11] == (22.0, str(11 % 7))
+
+    # index pruning bounded the rewrite: keys 10..20 live in one range
+    # file, so all other original files hard-link
+    f2 = _data_files(str(tmp_path / "t" / "v=2"))
+    shared = set(f1) & set(f2)
+    assert len(shared) >= len(f1) - len(t.candidate_files("k", 10, 900, version=1))
+    for rel in shared:
+        assert os.stat(os.path.join(str(tmp_path / "t" / "v=1"), rel)).st_ino == os.stat(
+            os.path.join(str(tmp_path / "t" / "v=2"), rel)
+        ).st_ino
+
+    cdf = t.changes(2)
+    by_type = {
+        ct: sorted(r["k"] for r in rows)
+        for ct, rows in (
+            (ct, [r for r in cdf.collect() if r["_change_type"] == ct])
+            for ct in ("update_preimage", "update_postimage", "insert")
+        )
+    }
+    assert by_type["update_preimage"] == [10, 20]
+    assert by_type["update_postimage"] == [10, 20]
+    assert by_type["insert"] == [900]
+
+    with pytest.raises(ValueError, match="duplicate keys"):
+        t.merge_into(src.unionAll(src), "k")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.merge_into(src.withColumnRenamed("tag", "t2"), "k")
+
+    # pruned read stays exact after the merge
+    got = _rows(t.pruned_read("k", 0, 30))
+    want = _rows(t.read().filter(F.col("k").between(0, 30)))
+    assert got == want
+
+
+def test_managed_changes_derivations(spark, tmp_path):
+    """changes(): v1 = all inserts, append = the appended rows (derived
+    from new files, no CDF write), compaction = empty feed, full
+    write() later = loud refusal."""
+    t = ManagedTable(spark, str(tmp_path / "t"), index_cols=("k",))
+    t.write(_mk(spark, 0, 100))
+    assert t.changes(1).count() == 100
+    assert t.changes(1).filter("_change_type <> 'insert'").count() == 0
+
+    t.append(_mk(spark, 100, 130))
+    ins = t.changes(2)
+    assert sorted(r["k"] for r in ins.collect()) == list(range(100, 130))
+    assert ins.filter("_change_type <> 'insert'").count() == 0
+    # derived, not recorded: no _cdf directory for an append
+    assert not os.path.isdir(str(tmp_path / "t" / "v=2" / "_cdf"))
+
+    t.compact(target_file_rows=200)
+    assert t.changes(3).count() == 0
+
+    t.write(_mk(spark, 0, 10))
+    with pytest.raises(ValueError, match="no change feed"):
+        t.changes(4)
+
+
+def test_managed_dml_crash_and_lock_discipline(spark, tmp_path):
+    """A DML crash after data/CDF writes but before the marker leaves
+    the table serving the old version, and vacuum reclaims the debris;
+    DML under a held writer lock is refused."""
+    t = ManagedTable(spark, str(tmp_path / "t"), index_cols=("k",))
+    t.write(_mk(spark, 0, 200).repartitionByRange(2, "k").sortWithinPartitions("k"))
+
+    # simulate the crash: do the rewrite by hand, never commit
+    real_commit = t._commit
+    try:
+        def boom(*a, **kw):
+            raise RuntimeError("crash before marker")
+        t._commit = boom
+        with pytest.raises(RuntimeError, match="crash before marker"):
+            t.delete_range("k", 0, 50)
+    finally:
+        t._commit = real_commit
+    assert t.latest() == 1 and t.versions() == [1]
+    assert len(_rows(t.read())) == 200  # old version fully intact
+    # debris directory exists but is invisible; vacuum reclaims it
+    debris = [e for e in os.listdir(str(tmp_path / "t")) if e.startswith("v=")]
+    assert len(debris) == 2
+    t.vacuum(keep_last=1)
+    assert not os.path.isdir(str(tmp_path / "t" / "v=2"))
+
+    # held lock => loud refusal, no version change
+    lock = lockfile_path(str(tmp_path / "t"))
+    os.makedirs(lock)
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            t.delete_range("k", 0, 10)
+    finally:
+        os.rmdir(lock)
+    assert t.latest() == 1
+
+
+def test_managed_compact_zorder_prunes_both_dimensions(spark, tmp_path):
+    """compact(zorder_by=(x, y)): after the z-clustered rewrite the
+    per-version index prunes range predicates on EITHER column; a
+    linear-sort compaction only prunes its leading column."""
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / F.lit(64)).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    ).repartition(8)
+    lin = ManagedTable(spark, str(tmp_path / "lin"), index_cols=("x", "y"))
+    lin.write(df)
+    lin.compact(target_file_rows=256)
+    zed = ManagedTable(spark, str(tmp_path / "zed"), index_cols=("x", "y"))
+    zed.write(df)
+    zed.compact(target_file_rows=256, zorder_by=("x", "y"))
+
+    n_files = len(_data_files(str(tmp_path / "zed" / "v=2")))
+    assert n_files >= 8
+    # z-layout prunes BOTH dims; linear layout cannot prune its trailing dim
+    zx = len(zed.candidate_files("x", 0, 7))
+    zy = len(zed.candidate_files("y", 0, 7))
+    ly = len(lin.candidate_files("y", 0, 7))
+    assert zx < n_files and zy < n_files
+    assert zy < ly  # strictly better than the linear layout on dim 2
+    # and the pruned reads stay exact
+    for tbl in (lin, zed):
+        got = _rows(tbl.pruned_read("y", 0, 7))
+        want = _rows(tbl.read().filter(F.col("y").between(0, 7)))
+        assert got == want and got
