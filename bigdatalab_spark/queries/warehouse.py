@@ -204,3 +204,163 @@ def managed_table_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def _dml_events_table(spark: SparkSession, sf_dir: str, name: str):
+    """Shared builder for the DML gate queries: load events into a
+    ManagedTable clustered on user_id, DELETE one user range through
+    the index, then MERGE a deterministic source (updates for users
+    0-4 keyed on event_id + brand-new inserted keys). Returns the
+    table and the two DML version numbers."""
+    import os
+    import shutil
+    import tempfile
+
+    from bigdatalab_spark.sources.managed import ManagedTable
+
+    base = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        name,
+        os.path.basename(sf_dir.rstrip("/")) or "sf",
+    )
+    shutil.rmtree(root, ignore_errors=True)  # scratch: rebuild per run
+    t = ManagedTable(spark, root, index_cols=("user_id",))
+    t.write(
+        base.repartitionByRange(4, "user_id").sortWithinPartitions("user_id")
+    )
+    v_del = t.delete_range("user_id", 10, 19)
+    upd = base.filter("user_id BETWEEN 0 AND 4").select(
+        "event_id",
+        "user_id",
+        F.lit("merged").alias("event_type"),
+        (F.col("value") * 2).alias("value"),
+    )
+    ins = base.filter("user_id BETWEEN 0 AND 4").select(
+        (F.col("event_id") + 100000000).alias("event_id"),
+        (F.col("user_id") + 1000).alias("user_id"),
+        F.lit("inserted").alias("event_type"),
+        F.col("value"),
+    )
+    v_merge = t.merge_into(upd.unionByName(ins), "event_id")
+    return t, v_del, v_merge
+
+
+@query(
+    "managed_table_dml_read",
+    ids=("SCALE-STORAGE", "K6"),
+    oracle="""
+        WITH base AS (
+            SELECT event_id, user_id, event_type, value FROM events
+        ),
+        after_del AS (
+            SELECT * FROM base WHERE user_id NOT BETWEEN 10 AND 19
+        ),
+        src AS (
+            SELECT event_id, user_id, 'merged' AS event_type,
+                   value * 2 AS value
+            FROM base WHERE user_id BETWEEN 0 AND 4
+            UNION ALL
+            SELECT event_id + 100000000, user_id + 1000, 'inserted', value
+            FROM base WHERE user_id BETWEEN 0 AND 4
+        ),
+        final AS (
+            SELECT * FROM after_del
+            WHERE event_id NOT IN (SELECT event_id FROM src)
+            UNION ALL
+            SELECT * FROM src
+        )
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(CAST(sum(CAST(value AS DECIMAL(28,6))) AS STRING)
+                    AS DOUBLE) AS sum_value
+        FROM final
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def managed_table_dml_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DML through the storage facade (sources/managed.py,
+    copy-on-write file surgery — the lakehouse DELETE/MERGE the
+    reference's full-recompute pipelines lack, 303-spark-sql/
+    README.md:66-73 carried to table-format semantics): DELETE a user
+    range (attribution scan pruned through the stored index), then
+    MERGE an upsert batch (updates keyed on event_id + fresh inserts),
+    and answer an aggregate from the final snapshot. The oracle
+    replays delete → anti-join → union in plain SQL over the raw
+    events table, certifying that two chained copy-on-write rewrites
+    (rewrite touched files + hard-link the rest) preserve exactly the
+    rows SQL says survive. Decimal-exact sums via money_sum/DSUM."""
+    from bigdatalab_spark.operators import money_sum
+
+    t, _, _ = _dml_events_table(spark, sf_dir, "bigdatalab_managed_dml")
+    return (
+        t.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum("value").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "managed_table_change_feed",
+    ids=("SCALE-STORAGE", "SCALE-CDC"),
+    oracle="""
+        WITH base AS (
+            SELECT event_id, user_id, event_type, value FROM events
+        ),
+        feed AS (
+            SELECT 'delete' AS change_type, value
+            FROM base WHERE user_id BETWEEN 10 AND 19
+            UNION ALL
+            SELECT 'update_preimage', value
+            FROM base WHERE user_id BETWEEN 0 AND 4
+            UNION ALL
+            SELECT 'update_postimage', value * 2
+            FROM base WHERE user_id BETWEEN 0 AND 4
+            UNION ALL
+            SELECT 'insert', value
+            FROM base WHERE user_id BETWEEN 0 AND 4
+        )
+        SELECT change_type,
+               count(*) AS n_rows,
+               CAST(CAST(sum(CAST(value AS DECIMAL(28,6))) AS STRING)
+                    AS DOUBLE) AS sum_value
+        FROM feed
+        GROUP BY change_type
+        ORDER BY change_type
+    """,
+)
+def managed_table_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed of the DML versions (sources/managed.py
+    changes()): the DELETE version's feed must carry exactly the
+    deleted rows, the MERGE version's feed exactly the
+    update_preimage/update_postimage pairs plus the inserts — read
+    back from the ``_cdf`` store that committed ATOMICALLY with each
+    snapshot, never recomputed from the data. The oracle derives the
+    same feed from the raw events table, so a wrong pre/post image, a
+    leaked unmatched row, or a lost insert breaks the hash. This is
+    the incremental-consumer contract (downstream jobs tail
+    changes(N) instead of diffing snapshots) at gate strictness."""
+    from bigdatalab_spark.operators import money_sum
+
+    t, v_del, v_merge = _dml_events_table(
+        spark, sf_dir, "bigdatalab_managed_cdf"
+    )
+    feed = t.changes(v_del).unionByName(t.changes(v_merge))
+    return (
+        feed.select(
+            F.col("_change_type").alias("change_type"), F.col("value")
+        )
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            money_sum("value").alias("sum_value"),
+        )
+        .orderBy("change_type")
+    )
