@@ -90,6 +90,7 @@ _INDEX_DIR = "_index"
 _CDF_DIR = "_cdf"
 _CHANGE_TYPE = "_change_type"
 _COMMIT_VERSION = "_commit_version"
+_STREAM_BATCH = "_STREAM_BATCH"
 
 
 def _data_files(vdir: str) -> list[str]:
@@ -151,11 +152,16 @@ class ManagedTable:
     # ---- commit protocol -------------------------------------------------
 
     def write(
-        self, df: DataFrame, partition_cols: tuple[str, ...] = ()
+        self,
+        df: DataFrame,
+        partition_cols: tuple[str, ...] = (),
+        stream_batch_id: int | None = None,
     ) -> int:
         """Full snapshot: ``df`` becomes the next version, with a fresh
         skipping index, in one atomic commit (data → index → marker →
-        pointer flip). Returns the new version number."""
+        pointer flip). Returns the new version number.
+        ``stream_batch_id`` records the creating micro-batch atomically
+        with the commit (first batch of a streaming merge loop)."""
         with dataset_write_lock(self.path, "managed_write"):
             current = latest_version(self.path)
             version, vdir = self._allocate()
@@ -164,6 +170,8 @@ class ManagedTable:
                 writer = writer.partitionBy(*partition_cols)
             writer.parquet(vdir)
             self._write_index(vdir, new_files=_data_files(vdir))
+            if stream_batch_id is not None:
+                self._write_stream_batch(vdir, stream_batch_id)
             self._commit(version, vdir, expected=current, op="write")
             return version
 
@@ -322,13 +330,34 @@ class ManagedTable:
             cond = cond & (F.expr(extra) if isinstance(extra, str) else extra)
         return self._cow_rewrite("update", cond, assignments, (col, lo, hi))
 
-    def merge_into(self, source: DataFrame, keys: str | tuple[str, ...]) -> int:
+    def merge_into(
+        self,
+        source: DataFrame,
+        keys: str | tuple[str, ...],
+        when_matched: Column | str | None = None,
+        stream_batch_id: int | None = None,
+    ) -> int:
         """Upsert (MERGE): target rows whose key appears in ``source``
         are replaced by the source row (all of them — duplicate target
         keys collapse to the one source row), source rows with no
         matching target key are inserted. ``source`` must carry the
         target's exact column set and UNIQUE keys (checked loudly — a
         duplicate source key would make the result order-dependent).
+
+        ``when_matched`` adds a MATCHED-clause condition (``MERGE ...
+        WHEN MATCHED AND <cond> THEN UPDATE``): a Column or SQL string
+        over ``t.*`` (stored row) and ``s.*`` (source row) — e.g.
+        ``"s.seq >= t.seq"`` so a late batch carrying older records
+        cannot regress state. Matched rows failing the condition are
+        rewritten UNCHANGED (and do not appear in the change feed);
+        with a condition, duplicate target keys are each decided
+        individually instead of collapsing. NULL condition = no update.
+
+        ``stream_batch_id`` records a streaming micro-batch id
+        atomically with the commit (see
+        :meth:`last_stream_batch` / streaming.jobs.managed_merge_stream
+        — the replay-skip handshake that makes at-least-once delivery
+        exactly-once).
 
         Copy-on-write file surgery: only files containing matched keys
         are rewritten (their unmatched rows + ALL source rows become
@@ -400,25 +429,76 @@ class ManagedTable:
                 return current  # nothing matched, nothing to insert
             touched_df = self._read_files(prev, touched)
             keep = touched_df.join(src_keys, on=list(keys), how="leftanti")
-            # rows that replace matched keys + brand-new keys, one frame
-            new_df = keep.select(*tgt_cols).unionByName(
-                source.select(*tgt_cols)
-            )
-            matched_keys = touched_df.join(
-                src_keys, on=list(keys), how="leftsemi"
-            ).select(*keys).distinct()
-            pre = touched_df.join(
-                src_keys, on=list(keys), how="leftsemi"
-            ).withColumn(_CHANGE_TYPE, F.lit("update_preimage"))
-            post = source.join(
-                matched_keys, on=list(keys), how="leftsemi"
-            ).withColumn(_CHANGE_TYPE, F.lit("update_postimage"))
+            if when_matched is None:
+                # rows that replace matched keys + brand-new keys
+                new_df = keep.select(*tgt_cols).unionByName(
+                    source.select(*tgt_cols)
+                )
+                matched_keys = touched_df.join(
+                    src_keys, on=list(keys), how="leftsemi"
+                ).select(*keys).distinct()
+                pre = touched_df.join(
+                    src_keys, on=list(keys), how="leftsemi"
+                ).withColumn(_CHANGE_TYPE, F.lit("update_preimage"))
+                post = source.join(
+                    matched_keys, on=list(keys), how="leftsemi"
+                ).withColumn(_CHANGE_TYPE, F.lit("update_postimage"))
+            else:
+                cond = (
+                    F.expr(when_matched)
+                    if isinstance(when_matched, str)
+                    else when_matched
+                )
+                take = F.coalesce(cond, F.lit(False))
+                joined = touched_df.alias("t").join(
+                    source.alias("s"),
+                    on=[
+                        F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+                        for k in keys
+                    ],
+                    how="inner",
+                )
+                # per matched TARGET row: take the source row iff the
+                # condition holds, else rewrite the stored row unchanged
+                replaced = joined.select(
+                    *[
+                        F.col(f"t.{c}").alias(c)
+                        if c in keys
+                        else F.when(take, F.col(f"s.{c}"))
+                        .otherwise(F.col(f"t.{c}"))
+                        .alias(c)
+                        for c in tgt_cols
+                    ]
+                )
+                new_df = (
+                    keep.select(*tgt_cols)
+                    .unionByName(replaced)
+                    .unionByName(insert_rows.select(*tgt_cols))
+                )
+                pre = joined.filter(take).select(
+                    *[F.col(f"t.{c}").alias(c) for c in tgt_cols]
+                ).withColumn(_CHANGE_TYPE, F.lit("update_preimage"))
+                post = joined.filter(take).select(
+                    *[
+                        F.col(f"t.{c}").alias(c)
+                        if c in keys
+                        else F.col(f"s.{c}").alias(c)
+                        for c in tgt_cols
+                    ]
+                ).withColumn(_CHANGE_TYPE, F.lit("update_postimage"))
             ins = insert_rows.withColumn(_CHANGE_TYPE, F.lit("insert"))
             cdf = pre.select(*tgt_cols, _CHANGE_TYPE).unionByName(
                 post.select(*tgt_cols, _CHANGE_TYPE)
             ).unionByName(ins.select(*tgt_cols, _CHANGE_TYPE))
             return self._commit_cow(
-                current, prev, all_files, touched, new_df, cdf, "merge"
+                current,
+                prev,
+                all_files,
+                touched,
+                new_df,
+                cdf,
+                "merge",
+                stream_batch_id=stream_batch_id,
             )
 
     def _cow_rewrite(
@@ -506,11 +586,13 @@ class ManagedTable:
         new_df: DataFrame,
         cdf: DataFrame,
         op: str,
+        stream_batch_id: int | None = None,
     ) -> int:
         """Land a copy-on-write version: write the rewritten rows,
         hard-link every untouched file, reuse the linked files' index
-        rows + footer-probe only the new files, write the change feed,
-        commit (marker records ``op``)."""
+        rows + footer-probe only the new files, write the change feed
+        (and the stream-batch marker, if any), commit (marker records
+        ``op``)."""
         version, vdir = self._allocate()
         new_df.write.mode("errorifexists").parquet(vdir)
         written = set(_data_files(vdir))
@@ -532,8 +614,33 @@ class ManagedTable:
             .write.mode("errorifexists")
             .parquet(os.path.join(vdir, _CDF_DIR))
         )
+        if stream_batch_id is not None:
+            self._write_stream_batch(vdir, stream_batch_id)
         self._commit(version, vdir, expected=current, op=op)
         return version
+
+    def _write_stream_batch(self, vdir: str, batch_id: int) -> None:
+        """Record the streaming micro-batch that produced this version,
+        INSIDE the version dir before its marker — so the fact 'batch N
+        was applied' becomes visible atomically with its data, and a
+        replay after a crash-between-commit-and-checkpoint can skip."""
+        with open(
+            os.path.join(vdir, _STREAM_BATCH), "w", encoding="utf-8"
+        ) as fh:
+            fh.write(str(batch_id))
+
+    def last_stream_batch(self) -> int | None:
+        """The newest committed version's recorded micro-batch id, or
+        None if no streaming writer has committed yet. One streaming
+        writer per table (the writer lock already serializes commits);
+        ids are the monotone foreachBatch batch ids of that writer's
+        checkpoint."""
+        for v in reversed(self.versions()):
+            p = os.path.join(_version_dir(self.path, v), _STREAM_BATCH)
+            if os.path.exists(p):
+                with open(p, encoding="utf-8") as fh:
+                    return int(fh.read().strip())
+        return None
 
     def _flat_files(self, vdir: str, op: str) -> list[str]:
         files = _data_files(vdir)

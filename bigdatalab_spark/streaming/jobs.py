@@ -386,6 +386,107 @@ def apply_cdc_stream(
     )
 
 
+def managed_merge_stream(
+    stream: DataFrame,
+    table,
+    key_cols: tuple[str, ...],
+    checkpoint_dir: str,
+    order_col: str | None = None,
+    index_cluster_files: int = 8,
+):
+    """Streaming MERGE into a :class:`~bigdatalab_spark.sources.managed.
+    ManagedTable` — the table-format twin of :func:`apply_cdc_stream`:
+    every micro-batch upserts through the facade's copy-on-write
+    ``merge_into``, so the continuously-maintained table ALSO gets
+    versioned snapshots, a per-version skipping index, and a change
+    data feed downstream jobs can tail (``table.changes(v)``).
+
+    Exactly-once story — stronger than idempotent-overwrite: the
+    facade records each micro-batch's id ATOMICALLY with its commit
+    (``_STREAM_BATCH`` lands before the version marker), so after a
+    crash between the table commit and the checkpoint commit, the
+    replayed batch sees ``batch_id <= table.last_stream_batch()`` and
+    SKIPS — no duplicate version, no duplicated change-feed rows (a
+    plain re-merge would be content-idempotent but would double-count
+    the feed). One streaming writer per table.
+
+    ``order_col`` does double duty, as in :func:`apply_cdc_stream`:
+    within a batch, duplicate keys collapse to the max-``order_col``
+    row (merge requires unique source keys); across batches it becomes
+    the merge's WHEN MATCHED condition (``s.order >= t.order``), so a
+    late batch carrying older records cannot regress committed state.
+
+    The FIRST batch creates the table (clustered on ``key_cols[0]``
+    across ``index_cluster_files`` files so later merges' attribution
+    scans prune); later batches merge. Returns the started
+    availableNow StreamingQuery.
+    """
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        managed_merge_batch(
+            table, batch_df, batch_id, key_cols, order_col,
+            index_cluster_files,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def managed_merge_batch(
+    table,
+    batch_df: DataFrame,
+    batch_id: int,
+    key_cols: tuple[str, ...],
+    order_col: str | None = None,
+    index_cluster_files: int = 8,
+) -> bool:
+    """One :func:`managed_merge_stream` micro-batch, exposed for direct
+    replay testing: skip if the table already committed this batch id,
+    else within-batch collapse + conditional merge (or first-snapshot
+    write). Returns True iff the batch was applied."""
+    last = table.last_stream_batch()
+    if last is not None and batch_id <= last:
+        return False  # replay of an already-committed batch
+    updates = batch_df
+    if order_col is not None:
+        keys = list(key_cols)
+        rest = [c for c in batch_df.columns if c not in keys]
+        packed = batch_df.groupBy(*keys).agg(
+            F.max(
+                F.struct(order_col, *[c for c in rest if c != order_col])
+            ).alias("_w")
+        )
+        updates = packed.select(
+            *keys, *[F.col(f"_w.{c}").alias(c) for c in rest]
+        ).select(*batch_df.columns)
+    if updates.isEmpty():
+        return False
+    if table.latest() is None:
+        lead = key_cols[0]
+        table.write(
+            updates.repartitionByRange(
+                index_cluster_files, lead
+            ).sortWithinPartitions(lead),
+            stream_batch_id=batch_id,
+        )
+        return True
+    table.merge_into(
+        updates,
+        tuple(key_cols),
+        when_matched=(
+            f"s.{order_col} >= t.{order_col}"
+            if order_col is not None
+            else None
+        ),
+        stream_batch_id=batch_id,
+    )
+    return True
+
+
 def embedding_ingest_stream(
     stream: DataFrame,
     index_path: str,

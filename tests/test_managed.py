@@ -493,3 +493,142 @@ def test_managed_compact_zorder_prunes_both_dimensions(spark, tmp_path):
         got = _rows(tbl.pruned_read("y", 0, 7))
         want = _rows(tbl.read().filter(F.col("y").between(0, 7)))
         assert got == want and got
+
+
+def test_managed_merge_when_matched_condition(spark, tmp_path):
+    """Conditional MERGE (WHEN MATCHED AND s.seq >= t.seq): newer
+    source rows replace, older ones leave the stored row untouched,
+    and the change feed records only the APPLIED updates."""
+    t = ManagedTable(spark, str(tmp_path / "t"), index_cols=("k",))
+    t.write(
+        spark.createDataFrame(
+            [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")],
+            "k long, seq long, val string",
+        ).repartition(2)
+    )
+    src = spark.createDataFrame(
+        [(1, 11, "newer"), (2, 5, "older"), (9, 1, "fresh")],
+        "k long, seq long, val string",
+    )
+    v = t.merge_into(src, "k", when_matched="s.seq >= t.seq")
+    got = {r["k"]: (r["seq"], r["val"]) for r in t.read(v).collect()}
+    assert got[1] == (11, "newer")   # applied: source seq newer
+    assert got[2] == (20, "b")       # skipped: source seq older
+    assert got[3] == (30, "c")       # untouched key
+    assert got[9] == (1, "fresh")    # inserted
+    cdf = {
+        (r["_change_type"], r["k"]) for r in t.changes(v).collect()
+    }
+    assert cdf == {
+        ("update_preimage", 1),
+        ("update_postimage", 1),
+        ("insert", 9),
+    }
+
+
+def test_managed_merge_stream_exactly_once(spark, tmp_path):
+    """Streaming MERGE into the facade: first batch creates the table,
+    the second merges incrementally (regress-guarded by order_col);
+    a forced REPLAY of the last batch (crash between table commit and
+    checkpoint commit, simulated by deleting the checkpoint's commit
+    marker) is skipped — versions and the change feed do not grow."""
+    from bigdatalab_spark.streaming.jobs import (
+        managed_merge_batch,
+        managed_merge_stream,
+    )
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    ckpt = str(tmp_path / "ckpt")
+    t = ManagedTable(spark, str(tmp_path / "t"), index_cols=("k",))
+
+    schema = "k long, seq long, val string"
+    spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "b"), (3, 10, "c")], schema
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    q = managed_merge_stream(stream, t, ("k",), ckpt, order_col="seq")
+    q.awaitTermination()
+    assert t.latest() == 1 and t.last_stream_batch() == 0
+    assert {r["k"] for r in t.read().collect()} == {1, 2, 3}
+
+    # batch 2: one newer update, one stale update, one insert — plus a
+    # within-batch duplicate that must collapse to the max-seq row
+    spark.createDataFrame(
+        [(1, 20, "new"), (1, 15, "mid"), (2, 5, "stale"), (4, 1, "ins")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+    q = managed_merge_stream(
+        spark.readStream.schema(schema).parquet(src_dir),
+        t, ("k",), ckpt, order_col="seq",
+    )
+    q.awaitTermination()
+    assert t.last_stream_batch() == 1
+    got = {r["k"]: (r["seq"], r["val"]) for r in t.read().collect()}
+    assert got[1] == (20, "new")   # newest within-batch row won
+    assert got[2] == (10, "b")     # stale update refused
+    assert got[4] == (1, "ins")
+    v_after = t.latest()
+    feed_rows = t.changes(v_after).count()
+
+    # crash-replay: the checkpoint forgot the last commit (crash landed
+    # between the TABLE commit and the CHECKPOINT commit), the table
+    # kept it. A FRESH process restarts from the checkpoint — Spark's
+    # own same-JVM safeguard (SparkConcurrentModificationException on a
+    # rewritten commit file) makes the in-process simulation illegal,
+    # which is exactly the real-world shape anyway: the replaying query
+    # lives in a new driver. The replayed batch must be SKIPPED.
+    import subprocess
+    import sys
+    import textwrap
+
+    commits = os.path.join(ckpt, "commits")
+    last_commit = sorted(os.listdir(commits))[-1]
+    os.remove(os.path.join(commits, last_commit))
+    # a real crash-before-commit wrote neither the entry NOR Hadoop's
+    # checksum shadow; a stale .crc makes the replay's rename collide
+    crc = os.path.join(commits, f".{last_commit}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    runner = tmp_path / "replay_runner.py"
+    runner.write_text(
+        textwrap.dedent(
+            """
+            import sys
+            from bigdatalab_spark.session import get_session
+            from bigdatalab_spark.sources.managed import ManagedTable
+            from bigdatalab_spark.streaming.jobs import managed_merge_stream
+
+            src, ckpt, troot = sys.argv[1:4]
+            spark = get_session(app_name="managed-merge-replay")
+            spark.sparkContext.setLogLevel("ERROR")
+            t = ManagedTable(spark, troot, index_cols=("k",))
+            schema = "k long, seq long, val string"
+            q = managed_merge_stream(
+                spark.readStream.schema(schema).parquet(src),
+                t, ("k",), ckpt, order_col="seq",
+            )
+            q.awaitTermination()
+            spark.stop()
+            """
+        )
+    )
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    proc = subprocess.run(
+        [sys.executable, str(runner), src_dir, ckpt, str(tmp_path / "t")],
+        cwd="/root/repo", env=env, capture_output=True, text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, f"replay process failed:\n{proc.stderr[-2000:]}"
+    assert t.latest() == v_after              # no duplicate version
+    assert t.changes(v_after).count() == feed_rows  # feed not doubled
+    assert t.last_stream_batch() == 1
+
+    # the helper refuses an already-applied id outright
+    assert managed_merge_batch(
+        t,
+        spark.createDataFrame([(9, 9, "x")], schema),
+        1,
+        ("k",),
+        order_col="seq",
+    ) is False
