@@ -364,3 +364,76 @@ def managed_table_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type")
     )
+
+
+@query(
+    "managed_table_stream_merge",
+    ids=("SCALE-STORAGE", "SCALE-CDC", "T2", "T5"),
+    oracle="""
+        WITH ranked AS (
+            SELECT user_id,
+                   CAST(date_trunc('day', ts) AS DATE) AS day,
+                   value,
+                   row_number() OVER (
+                       PARTITION BY user_id, date_trunc('day', ts)
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        )
+        SELECT user_id, CAST(day AS VARCHAR) AS day, value AS last_value
+        FROM ranked WHERE rn = 1
+        ORDER BY user_id, day
+    """,
+)
+def managed_table_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming upsert maintained as a TABLE-FORMAT table: the same
+    update stream as ``streaming_cdc_applied`` (last value per
+    user/day, late-proof via a total seq), but the foreachBatch sink is
+    :func:`~bigdatalab_spark.streaming.jobs.managed_merge_stream` —
+    every micro-batch lands as a copy-on-write MERGE version of a
+    :class:`~bigdatalab_spark.sources.managed.ManagedTable`, with the
+    batch id recorded atomically for exactly-once replay skip, a
+    per-version skipping index, and a tailable change feed. A REAL
+    readStream drains inside the gate; the oracle is the batch truth
+    (rank by ts DESC, event_id DESC), certifying stream → conditional
+    merge → versioned snapshot end to end."""
+    import os
+    import shutil
+    import tempfile
+
+    from bigdatalab_spark.sources.managed import ManagedTable
+    from bigdatalab_spark.streaming.jobs import (
+        managed_merge_stream,
+        stream_events,
+    )
+
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        "bigdatalab_managed_stream_merge",
+        os.path.basename(sf_dir.rstrip("/")) or "sf",
+    )
+    shutil.rmtree(scratch, ignore_errors=True)  # scratch: rebuild per run
+    updates = stream_events(spark, sf_dir).select(
+        "user_id",
+        F.to_date(F.date_trunc("day", "ts")).cast("string").alias("day"),
+        F.col("value").alias("last_value"),
+        F.concat(
+            F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        ).alias("seq"),
+    )
+    t = ManagedTable(
+        spark, os.path.join(scratch, "t"), index_cols=("user_id",)
+    )
+    q = managed_merge_stream(
+        updates,
+        t,
+        ("user_id", "day"),
+        os.path.join(scratch, "ckpt"),
+        order_col="seq",
+    )
+    q.awaitTermination(300)
+    return (
+        t.read()
+        .select("user_id", "day", "last_value")
+        .orderBy("user_id", "day")
+    )
