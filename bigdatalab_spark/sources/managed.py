@@ -87,6 +87,7 @@ from bigdatalab_spark.sources.versioned import rollback as _rollback
 from bigdatalab_spark.sources.versioned import vacuum as _vacuum
 
 _INDEX_DIR = "_index"
+_INDEX_RG_DIR = "_index_rg"
 _CDF_DIR = "_cdf"
 _CHANGE_TYPE = "_change_type"
 _COMMIT_VERSION = "_commit_version"
@@ -124,10 +125,15 @@ class ManagedTable:
         spark: SparkSession,
         path: str,
         index_cols: tuple[str, ...] = (),
+        rowgroup_index: bool = False,
     ) -> None:
         self.spark = spark
         self.path = path
         self.index_cols = tuple(index_cols)
+        # opt-in finer granularity: commit a per-(file, row group, col)
+        # stats index alongside the file-level one — same footer walk,
+        # more rows; reads can then skip row groups INSIDE kept files
+        self.rowgroup_index = bool(rowgroup_index and index_cols)
 
     # ---- version surface (delegated semantics) --------------------------
 
@@ -156,18 +162,23 @@ class ManagedTable:
         df: DataFrame,
         partition_cols: tuple[str, ...] = (),
         stream_batch_id: int | None = None,
+        writer_options: dict | None = None,
     ) -> int:
         """Full snapshot: ``df`` becomes the next version, with a fresh
         skipping index, in one atomic commit (data → index → marker →
         pointer flip). Returns the new version number.
         ``stream_batch_id`` records the creating micro-batch atomically
-        with the commit (first batch of a streaming merge loop)."""
+        with the commit (first batch of a streaming merge loop).
+        ``writer_options`` pass through to the parquet writer (e.g.
+        ``parquet.block.size`` to control row-group granularity)."""
         with dataset_write_lock(self.path, "managed_write"):
             current = latest_version(self.path)
             version, vdir = self._allocate()
             writer = df.write.mode("errorifexists")
             if partition_cols:
                 writer = writer.partitionBy(*partition_cols)
+            for k, v in (writer_options or {}).items():
+                writer = writer.option(k, v)
             writer.parquet(vdir)
             self._write_index(vdir, new_files=_data_files(vdir))
             if stream_batch_id is not None:
@@ -795,6 +806,46 @@ class ManagedTable:
             ).filter(F.col(col).between(lo, hi))
         )
 
+    def rowgroup_index_df(self, version: int | None = None) -> DataFrame:
+        """The stored row-group index of a committed version — one row
+        per (relative file, row group, column) with min/max/null/row/
+        byte counts. Raises if the version was committed without the
+        finer granularity."""
+        v = self._resolve(version)
+        d = os.path.join(_version_dir(self.path, v), _INDEX_RG_DIR)
+        if not os.path.isdir(d):
+            raise FileNotFoundError(
+                f"version {v} carries no row-group index — the table "
+                "must be written with rowgroup_index=True"
+            )
+        return self.spark.read.parquet(d)
+
+    def rowgroup_pruned_read(
+        self,
+        preds: list[tuple],
+        columns: list[str] | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Read only the row groups the version's stored row-group
+        index cannot rule out for the conjunction of ``(col, lo, hi)``
+        predicates, then re-apply the predicate — row-group skipping
+        INSIDE kept files, on top of what file-level pruning already
+        removed (sources/skipping.py rowgroup_pruned_read, bound to a
+        committed snapshot). The committed invariant guarantees the
+        index covers every file of the version, so the scan can trust
+        it outright — no live-listing reconciliation needed."""
+        from bigdatalab_spark.sources.skipping import (
+            rowgroup_pruned_read as _rg_read,
+        )
+
+        v = self._resolve(version)
+        vdir = _version_dir(self.path, v)
+        idx = self.rowgroup_index_df(v).withColumn(
+            "file",
+            F.concat(F.lit(vdir.rstrip("/") + "/"), F.col("file")),
+        )
+        return _rg_read(self.spark, vdir, idx, preds, columns)
+
     # ---- internals ---------------------------------------------------------
 
     def _resolve(self, version: int | None) -> int:
@@ -832,16 +883,54 @@ class ManagedTable:
         names, union with the reused previous-version rows (append
         path — or, for copy-on-write DML, only the rows of the files
         that were hard-linked unchanged: ``reuse_files``), and land it
-        at ``vdir/_index``."""
+        at ``vdir/_index`` (+ ``vdir/_index_rg`` when the finer
+        granularity is enabled — same commit discipline)."""
         if not self.index_cols:
             return
+        self._write_one_index(
+            vdir, new_files, reuse_from, reuse_files,
+            _index_paths, _INDEX_DIR,
+        )
+        if self.rowgroup_index:
+            from bigdatalab_spark.sources.skipping import (
+                _rowgroup_index_paths,
+            )
+
+            rg_reuse = (
+                os.path.join(os.path.dirname(reuse_from), _INDEX_RG_DIR)
+                if reuse_from is not None
+                else None
+            )
+            self._write_one_index(
+                vdir, new_files, rg_reuse, reuse_files,
+                _rowgroup_index_paths, _INDEX_RG_DIR,
+            )
+
+    def _write_one_index(
+        self,
+        vdir: str,
+        new_files: list[str],
+        reuse_from: str | None,
+        reuse_files: set[str] | None,
+        probe_fn,
+        out_dir: str,
+    ) -> None:
+        if reuse_from is not None and not os.path.isdir(reuse_from):
+            # the previous version predates this index granularity
+            # (e.g. rowgroup_index enabled on an existing table):
+            # probe the WHOLE snapshot fresh — a committed version's
+            # index must cover every one of its files, or reads
+            # through it would silently drop the uncovered ones
+            new_files = _data_files(vdir)
+            reuse_from = None
+            reuse_files = None
         frames = []
         if new_files:
             paths = self.spark.createDataFrame(
                 [(os.path.join(vdir, rel),) for rel in new_files],
                 "file string",
             )
-            fresh = _index_paths(
+            fresh = probe_fn(
                 self.spark, paths, len(new_files), list(self.index_cols)
             )
             prefix = vdir.rstrip("/") + "/"
@@ -869,7 +958,7 @@ class ManagedTable:
         for f in frames[1:]:
             out = out.unionByName(f)
         out.coalesce(1).write.mode("errorifexists").parquet(
-            os.path.join(vdir, _INDEX_DIR)
+            os.path.join(vdir, out_dir)
         )
 
     def _commit(

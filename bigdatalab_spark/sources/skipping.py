@@ -241,6 +241,15 @@ def build_rowgroup_index(
     its row groups stay always-candidates."""
     files = _list_parquet_files(spark, path)
     paths = spark.createDataFrame([(f,) for f in files], "file string")
+    return _rowgroup_index_paths(spark, paths, len(files), cols)
+
+
+def _rowgroup_index_paths(
+    spark: SparkSession, paths: DataFrame, n_files: int, cols: list[str]
+) -> DataFrame:
+    """Row-group footer probe over an explicit file-path frame — the
+    row-group twin of :func:`_index_paths` (ManagedTable probes only a
+    version's NEW files through this)."""
     want = list(cols)
 
     def _rg_stats(batches):
@@ -290,7 +299,7 @@ def build_rowgroup_index(
             yield pd.DataFrame(rows, columns=names)
 
     n_tasks = max(
-        1, min(len(files), spark.sparkContext.defaultParallelism)
+        1, min(n_files, spark.sparkContext.defaultParallelism)
     )
     return paths.repartition(n_tasks).mapInPandas(
         _rg_stats, schema=_RG_SCHEMA

@@ -632,3 +632,109 @@ def test_managed_merge_stream_exactly_once(spark, tmp_path):
         ("k",),
         order_col="seq",
     ) is False
+
+
+def test_managed_rowgroup_index_prunes_inside_kept_files(spark, tmp_path):
+    """rowgroup_index=True commits a per-(file, row group, col) index
+    with each snapshot: a 2-D predicate keeps fewer row groups than
+    the kept files contain (skipping INSIDE files), the executable
+    row-group scan returns exactly the full scan's filter, and a
+    copy-on-write DELETE keeps the finer index coherent (it covers
+    exactly the new version's files)."""
+    df = spark.range(0, 8192).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / F.lit(64)).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    t = ManagedTable(
+        spark, str(tmp_path / "t"), index_cols=("x", "y"),
+        rowgroup_index=True,
+    )
+    from bigdatalab_spark.operators.zorder import zorder_key
+
+    zed = (
+        df.withColumn("__z", zorder_key(F.col("x"), F.col("y")))
+        .repartitionByRange(8, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    t.write(zed, writer_options={"parquet.block.size": 4096})
+
+    idx = t.rowgroup_index_df()
+    n_groups = idx.select("file", "rg").distinct().count()
+    n_files = len(_data_files(str(tmp_path / "t" / "v=1")))
+    assert n_groups > n_files  # several row groups per file
+
+    preds = [("x", 0, 7), ("y", 0, 7)]
+    # finer than file-level: kept row groups < all row groups of kept files
+    kept_files = set(t.candidate_files("x", 0, 7)) & set(
+        t.candidate_files("y", 0, 7)
+    )
+    from bigdatalab_spark.sources.skipping import candidate_rowgroups
+
+    vdir = str(tmp_path / "t" / "v=1")
+    cand = candidate_rowgroups(
+        t.rowgroup_index_df().withColumn(
+            "file", F.concat(F.lit(vdir + "/"), F.col("file"))
+        ),
+        preds,
+    )
+    kept_groups = sum(len(v) for v in cand.values())
+    groups_in_kept_files = (
+        idx.filter(F.col("file").isin([f for f in kept_files]))
+        .select("file", "rg").distinct().count()
+    )
+    assert 0 < kept_groups < groups_in_kept_files
+
+    got = _rows(
+        t.rowgroup_pruned_read(preds).filter(
+            F.col("x").between(0, 7) & F.col("y").between(0, 7)
+        )
+    )
+    want = _rows(
+        t.read().filter(F.col("x").between(0, 7) & F.col("y").between(0, 7))
+    )
+    assert got == want and got
+
+    # DML keeps the finer index coherent: covers exactly the new files
+    v = t.delete_range("x", 10, 12)
+    files_v = set(_data_files(str(tmp_path / "t" / f"v={v}")))
+    assert {
+        r["file"] for r in t.rowgroup_index_df(v).select("file").distinct().collect()
+    } == files_v
+    got = _rows(
+        t.rowgroup_pruned_read([("x", 8, 15)], version=v).filter(
+            F.col("x").between(8, 15)
+        )
+    )
+    want = _rows(t.read(v).filter(F.col("x").between(8, 15)))
+    assert got == want and got
+    assert not any(10 <= r[0] <= 12 for r in got)
+
+
+def test_managed_rowgroup_index_upgrade_path(spark, tmp_path):
+    """Enabling rowgroup_index on an EXISTING table: the next commit
+    probes the whole snapshot fresh (a committed version's index must
+    cover every file), so reads through the finer index never drop
+    rows written before the upgrade."""
+    t0 = ManagedTable(spark, str(tmp_path / "t"), index_cols=("k",))
+    t0.write(_mk(spark, 0, 400).repartitionByRange(4, "k").sortWithinPartitions("k"))
+    with pytest.raises(FileNotFoundError, match="no row-group index"):
+        ManagedTable(
+            spark, str(tmp_path / "t"), index_cols=("k",),
+            rowgroup_index=True,
+        ).rowgroup_index_df()
+
+    t = ManagedTable(
+        spark, str(tmp_path / "t"), index_cols=("k",), rowgroup_index=True
+    )
+    v = t.append(_mk(spark, 400, 500, parts=1))
+    files_v = set(_data_files(str(tmp_path / "t" / f"v={v}")))
+    covered = {
+        r["file"]
+        for r in t.rowgroup_index_df(v).select("file").distinct().collect()
+    }
+    assert covered == files_v  # pre-upgrade files probed fresh, not lost
+    got = _rows(t.rowgroup_pruned_read([("k", 100, 450)], version=v))
+    want = _rows(t.read(v).filter(F.col("k").between(100, 450)))
+    assert sorted(got) == sorted(want) and got
