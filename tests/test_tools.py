@@ -363,3 +363,16 @@ def test_soak_bench_smoke():
     assert out["ok"] is True, out["failures"]
     assert len(out["table"]) == 3
     assert out["table"][-1]["forgotten"] > 0
+
+
+def test_dml_bench_smoke():
+    out = _run_tool("tools.dml_bench", SF, "--files=8")
+    assert out["metric"] == "dml_bench"
+    d, m = out["delete"], out["merge"]
+    # copy-on-write: the fixed-size ops rewrite a strict subset
+    assert 0 < d["files_rewritten"] < out["files_total"]
+    assert 0 < m["files_rewritten"] < out["files_total"]
+    assert m["files_linked"] == out["files_total"] - m["files_rewritten"]
+    assert d["rows_deleted"] > 0
+    assert m["cdf"]["insert"] == m["batch_rows"] // 2
+    assert m["cdf"]["update_preimage"] == m["cdf"]["update_postimage"]

@@ -80,9 +80,13 @@ def main() -> int:
     )
     files_total = len(_data_files(os.path.join(root, "v=1")))
 
-    # ---- fixed-size DELETE: 1000 contiguous keys in the middle ----------
+    # ---- fixed-size DELETE: contiguous keys in the middle ----------------
+    # spans scale-capped so the delete (at 50%) and the merge's update
+    # range (at 10%) never overlap, even on tiny fixtures
+    del_span = max(10, min(1000, max_key // 10))
+    upd_span = max(5, min(500, max_key // 20))
     lo = max_key // 2
-    hi = lo + 999
+    hi = lo + del_span - 1
     t0 = time.time()
     v_del = t.delete_range("event_id", lo, hi)
     delete_pruned_s = time.time() - t0
@@ -105,10 +109,10 @@ def main() -> int:
     t2.delete_where(F.col("event_id").between(lo, hi))
     delete_fullscan_s = time.time() - t0
 
-    # ---- fixed-size MERGE: 500 late corrections + 500 inserts -----------
-    m_lo = max_key // 4
+    # ---- fixed-size MERGE: late corrections + fresh inserts --------------
+    m_lo = max_key // 10
     src = (
-        ev.filter(F.col("event_id").between(m_lo, m_lo + 499))
+        ev.filter(F.col("event_id").between(m_lo, m_lo + upd_span - 1))
         .select(
             "event_id",
             "user_id",
@@ -116,7 +120,7 @@ def main() -> int:
             (F.col("value") * 2).alias("value"),
         )
         .unionByName(
-            spark.range(500).select(
+            spark.range(upd_span).select(
                 (F.col("id") + max_key + 1).alias("event_id"),
                 (F.col("id") % 100).alias("user_id"),
                 F.lit("fresh").alias("event_type"),
@@ -143,7 +147,7 @@ def main() -> int:
     assert t.read(v_del).filter(
         F.col("event_id").between(lo, hi)
     ).count() == 0
-    assert cdf_by_type.get("insert") == 500
+    assert cdf_by_type.get("insert") == upd_span
     assert cdf_by_type.get("update_postimage") == cdf_by_type.get(
         "update_preimage"
     )
@@ -164,6 +168,7 @@ def main() -> int:
                 },
                 "merge": {
                     "seconds": round(merge_s, 3),
+                    "batch_rows": 2 * upd_span,
                     "files_rewritten": merge_rewritten,
                     "files_linked": merge_linked,
                     "cdf": cdf_by_type,
