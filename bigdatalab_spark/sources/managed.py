@@ -92,6 +92,7 @@ _CDF_DIR = "_cdf"
 _CHANGE_TYPE = "_change_type"
 _COMMIT_VERSION = "_commit_version"
 _STREAM_BATCH = "_STREAM_BATCH"
+_SCHEMA_FILE = "_SCHEMA"
 
 
 def _data_files(vdir: str) -> list[str]:
@@ -181,6 +182,7 @@ class ManagedTable:
                 writer = writer.option(k, v)
             writer.parquet(vdir)
             self._write_index(vdir, new_files=_data_files(vdir))
+            self._write_schema(vdir, df.schema)
             if stream_batch_id is not None:
                 self._write_stream_batch(vdir, stream_batch_id)
             self._commit(version, vdir, expected=current, op="write")
@@ -192,7 +194,13 @@ class ManagedTable:
         only ``df``'s new files are written + footer-probed; the
         previous index rows are reused verbatim (file names are
         relative, and a linked file's stats are its stats). Cost is
-        proportional to the APPENDED data, not the table."""
+        proportional to the APPENDED data, not the table.
+
+        SCHEMA EVOLUTION: ``df`` may add brand-new columns (the stored
+        schema grows; linked pre-evolution files read back with NULLs
+        for them, and an indexed evolved column gives them NULL stats =
+        always-candidates). Dropping or re-typing existing columns is
+        refused loudly — see :meth:`_evolve_schema`."""
         with dataset_write_lock(self.path, "managed_append"):
             current = latest_version(self.path)
             if current is None:
@@ -200,6 +208,7 @@ class ManagedTable:
                 version, vdir = self._allocate()
                 df.write.mode("errorifexists").parquet(vdir)
                 self._write_index(vdir, new_files=_data_files(vdir))
+                self._write_schema(vdir, df.schema)
                 self._commit(version, vdir, expected=current, op="write")
                 return version
             prev = _version_dir(self.path, current)
@@ -210,6 +219,7 @@ class ManagedTable:
                     "snapshot is partitioned — use write() to produce "
                     "the next partitioned snapshot"
                 )
+            new_schema = self._evolve_schema(current, df)
             version, vdir = self._allocate()
             df.write.mode("errorifexists").parquet(vdir)
             new_files = set(_data_files(vdir))
@@ -226,6 +236,7 @@ class ManagedTable:
                 new_files=sorted(new_files),
                 reuse_from=os.path.join(prev, _INDEX_DIR),
             )
+            self._write_schema(vdir, new_schema)
             self._commit(version, vdir, expected=current, op="append")
             return version
 
@@ -252,7 +263,7 @@ class ManagedTable:
                     f"no committed versions under {self.path}"
                 )
             prev = _version_dir(self.path, current)
-            df = self.spark.read.parquet(prev)
+            df = self.read(current)
             n_rows = df.count()
             n_files = max(1, -(-n_rows // target_file_rows))
             version, vdir = self._allocate()
@@ -283,6 +294,7 @@ class ManagedTable:
                 .parquet(vdir)
             )
             self._write_index(vdir, new_files=_data_files(vdir))
+            self._write_schema(vdir, df.schema)
             self._commit(version, vdir, expected=current, op="compact")
             return version
 
@@ -387,9 +399,10 @@ class ManagedTable:
                 )
             prev = _version_dir(self.path, current)
             all_files = self._flat_files(prev, "merge_into")
-            tgt_cols = [
-                f.name for f in self.spark.read.parquet(prev).schema.fields
-            ]
+            tgt_schema = self.stored_schema(current)
+            if tgt_schema is None:
+                tgt_schema = self.spark.read.parquet(prev).schema
+            tgt_cols = [f.name for f in tgt_schema.fields]
             if set(source.columns) != set(tgt_cols):
                 raise ValueError(
                     "merge_into source schema mismatch: target has "
@@ -424,7 +437,7 @@ class ManagedTable:
                         keys[0], bounds["lo"], bounds["hi"], current
                     )
             src_keys = source.select(*keys).distinct()
-            scanned = self._with_file(prev, scan_files)
+            scanned = self._with_file(prev, scan_files, tgt_schema)
             matched = scanned.join(src_keys, on=list(keys), how="leftsemi")
             # metadata-sized collect: bounded by the snapshot file count
             touched = sorted(
@@ -438,7 +451,7 @@ class ManagedTable:
             )
             if not touched and insert_rows.limit(1).count() == 0:
                 return current  # nothing matched, nothing to insert
-            touched_df = self._read_files(prev, touched)
+            touched_df = self._read_files(prev, touched, tgt_schema)
             keep = touched_df.join(src_keys, on=list(keys), how="leftanti")
             if when_matched is None:
                 # rows that replace matched keys + brand-new keys
@@ -531,6 +544,7 @@ class ManagedTable:
                 )
             prev = _version_dir(self.path, current)
             all_files = self._flat_files(prev, op)
+            cur_schema = self.stored_schema(current)
             scan_files = (
                 self.candidate_files(*prune, version=current)
                 if prune
@@ -540,7 +554,7 @@ class ManagedTable:
             # metadata-sized collect: bounded by the snapshot file count
             touched = sorted(
                 r["f"]
-                for r in self._with_file(prev, scan_files)
+                for r in self._with_file(prev, scan_files, cur_schema)
                 .filter(hit)
                 .select(F.col("__file").alias("f"))
                 .distinct()
@@ -548,7 +562,7 @@ class ManagedTable:
             )
             if not touched:
                 return current  # no matches: the table is unchanged
-            touched_df = self._read_files(prev, touched)
+            touched_df = self._read_files(prev, touched, cur_schema)
             cols = touched_df.columns
             if op == "delete":
                 new_df = touched_df.filter(~hit)
@@ -625,10 +639,73 @@ class ManagedTable:
             .write.mode("errorifexists")
             .parquet(os.path.join(vdir, _CDF_DIR))
         )
+        schema = self.stored_schema(current)
+        if schema is None:
+            schema = new_df.schema
+        self._write_schema(vdir, schema)
         if stream_batch_id is not None:
             self._write_stream_batch(vdir, stream_batch_id)
         self._commit(version, vdir, expected=current, op=op)
         return version
+
+    def _evolve_schema(self, current: int, df: DataFrame):
+        """Schema evolution contract for append: every existing column
+        must be present with the IDENTICAL type (catches typos and
+        silent widenings loudly); brand-new columns are allowed and
+        land at the end of the stored order. Returns the new version's
+        logical schema."""
+        from pyspark.sql.types import StructType
+
+        stored = self.stored_schema(current)
+        if stored is None:
+            stored = self.read(current).schema
+        by_name = {f.name: f for f in df.schema.fields}
+        missing = [f.name for f in stored.fields if f.name not in by_name]
+        if missing:
+            raise ValueError(
+                f"append is missing existing columns {missing} — "
+                "appends must carry every current column (new columns "
+                "may be added, existing ones never dropped)"
+            )
+        clash = [
+            f.name
+            for f in stored.fields
+            if by_name[f.name].dataType != f.dataType
+        ]
+        if clash:
+            raise ValueError(
+                f"append changes the type of columns {clash} — type "
+                "evolution is refused; cast to the stored type first"
+            )
+        extras = [
+            f for f in df.schema.fields
+            if f.name not in {g.name for g in stored.fields}
+        ]
+        return StructType(list(stored.fields) + extras)
+
+    def _write_schema(self, vdir: str, schema) -> None:
+        """Persist the version's logical schema INSIDE the version dir
+        before its marker — the authority for reads, so hard-linked
+        files written before a column existed read back with NULLs for
+        it instead of deciding the table's shape by file order."""
+        with open(
+            os.path.join(vdir, _SCHEMA_FILE), "w", encoding="utf-8"
+        ) as fh:
+            fh.write(schema.json())
+
+    def stored_schema(self, version: int | None = None):
+        """The committed logical schema of a version, or None for
+        snapshots committed before schema tracking existed (their file
+        schemas are uniform by construction, so plain reads are
+        correct)."""
+        from pyspark.sql.types import StructType
+
+        v = self._resolve(version)
+        p = os.path.join(_version_dir(self.path, v), _SCHEMA_FILE)
+        if not os.path.exists(p):
+            return None
+        with open(p, encoding="utf-8") as fh:
+            return StructType.fromJson(__import__("json").loads(fh.read()))
 
     def _write_stream_batch(self, vdir: str, batch_id: int) -> None:
         """Record the streaming micro-batch that produced this version,
@@ -663,12 +740,14 @@ class ManagedTable:
             )
         return files
 
-    def _with_file(self, vdir: str, files: list[str]) -> DataFrame:
+    def _with_file(
+        self, vdir: str, files: list[str], schema=None
+    ) -> DataFrame:
         """The given files' rows plus a ``__file`` column (relative
         name) for match→file attribution. Flat layouts only (enforced
         by the DML entry points), so the URI's basename IS the
         relative name — immune to scheme/normalization differences."""
-        df = self._read_files(vdir, files)
+        df = self._read_files(vdir, files, schema)
         if "__file" in df.columns:
             raise ValueError(
                 "DML reserves the __file column for file attribution"
@@ -680,10 +759,15 @@ class ManagedTable:
             ),
         )
 
-    def _read_files(self, vdir: str, files: list[str]) -> DataFrame:
+    def _read_files(
+        self, vdir: str, files: list[str], schema=None
+    ) -> DataFrame:
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
         if not files:
-            return self.spark.read.parquet(vdir).filter(F.lit(False))
-        return self.spark.read.parquet(
+            return reader.parquet(vdir).filter(F.lit(False))
+        return reader.parquet(
             *[os.path.join(vdir, rel) for rel in files]
         )
 
@@ -737,7 +821,7 @@ class ManagedTable:
                 if rel not in prev_files
             ]
             return (
-                self._read_files(vdir, fresh)
+                self._read_files(vdir, fresh, self.stored_schema(v))
                 .withColumn(_CHANGE_TYPE, F.lit("insert"))
                 .withColumn(_COMMIT_VERSION, F.lit(v))
             )
@@ -747,9 +831,16 @@ class ManagedTable:
         )
 
     def read(self, version: int | None = None) -> DataFrame:
-        """Time-travel read: the pointer's target by default."""
+        """Time-travel read: the pointer's target by default. When the
+        version carries a stored schema, the read pins it — files
+        written before a column existed return NULL for it, and the
+        table's shape never depends on parquet file order."""
         v = self._resolve(version)
-        return self.spark.read.parquet(_version_dir(self.path, v))
+        vdir = _version_dir(self.path, v)
+        schema = self.stored_schema(v)
+        if schema is not None:
+            return self.spark.read.schema(schema).parquet(vdir)
+        return self.spark.read.parquet(vdir)
 
     def index(self, version: int | None = None) -> DataFrame:
         """The stored skipping index of a committed version — one row
@@ -800,11 +891,11 @@ class ManagedTable:
         cand = self.candidate_files(col, lo, hi, v)
         if not cand:
             return self.read(v).filter(F.lit(False))
-        return (
-            self.spark.read.parquet(
-                *[os.path.join(vdir, rel) for rel in cand]
-            ).filter(F.col(col).between(lo, hi))
-        )
+        # stored schema pins the shape: candidates may mix files written
+        # before and after a schema evolution
+        return self._read_files(
+            vdir, cand, self.stored_schema(v)
+        ).filter(F.col(col).between(lo, hi))
 
     def rowgroup_index_df(self, version: int | None = None) -> DataFrame:
         """The stored row-group index of a committed version — one row

@@ -738,3 +738,91 @@ def test_managed_rowgroup_index_upgrade_path(spark, tmp_path):
     got = _rows(t.rowgroup_pruned_read([("k", 100, 450)], version=v))
     want = _rows(t.read(v).filter(F.col("k").between(100, 450)))
     assert sorted(got) == sorted(want) and got
+
+
+def test_managed_schema_evolution_append(spark, tmp_path):
+    """Append with a brand-new column: the stored schema grows, linked
+    pre-evolution files read back with NULLs for it, time travel keeps
+    the old shape, pruned reads stay exact across the mixed-file
+    candidate set, and an indexed evolved column leaves old files as
+    always-candidates (NULL stats) instead of dropping them."""
+    t = ManagedTable(
+        spark, str(tmp_path / "t"), index_cols=("k", "extra")
+    )
+    t.write(_mk(spark, 0, 300).repartitionByRange(3, "k").sortWithinPartitions("k"))
+    evolved = _mk(spark, 300, 400, parts=1).withColumn(
+        "extra", (F.col("k") * 10).cast("long")
+    )
+    v2 = t.append(evolved)
+
+    # shape: new column present, old rows NULL, new rows populated
+    df2 = t.read(v2)
+    assert df2.columns == ["k", "score", "tag", "extra"]
+    assert df2.filter("k < 300 AND extra IS NOT NULL").count() == 0
+    assert df2.filter("k >= 300").filter("extra <> k * 10").count() == 0
+    assert df2.count() == 400
+    # time travel: v1 keeps its own (pre-evolution) shape
+    assert t.read(1).columns == ["k", "score", "tag"]
+
+    # pruned read over the MIXED candidate set (old files lack extra)
+    got = _rows(t.pruned_read("k", 250, 350, version=v2))
+    want = _rows(t.read(v2).filter(F.col("k").between(250, 350)))
+    assert got == want and got
+    # indexed evolved column: old files are NULL-stats always-candidates
+    cand = t.candidate_files("extra", 3000, 3500, version=v2)
+    old_files = set(_data_files(str(tmp_path / "t" / "v=1")))
+    assert old_files <= set(cand)
+    got = _rows(t.pruned_read("extra", 3000, 3500, version=v2))
+    want = _rows(t.read(v2).filter(F.col("extra").between(3000, 3500)))
+    assert got == want and got
+
+    # contract violations refuse loudly
+    with pytest.raises(ValueError, match="missing existing columns"):
+        t.append(spark.range(5).select(F.col("id").alias("k")))
+    with pytest.raises(ValueError, match="changes the type"):
+        t.append(
+            _mk(spark, 400, 410, parts=1)
+            .withColumn("score", F.col("score").cast("float"))
+            .withColumn("extra", F.lit(1).cast("long"))
+        )
+
+
+def test_managed_dml_after_schema_evolution(spark, tmp_path):
+    """Copy-on-write DML on an evolved table: the stored schema is the
+    authority for the rewrite, so touched pre-evolution files rewrite
+    with NULL-filled evolved columns and nothing depends on file
+    order; the change feed carries the evolved shape; deleting EVERY
+    row leaves a readable empty snapshot (stored schema, no files)."""
+    t = ManagedTable(spark, str(tmp_path / "t"), index_cols=("k",))
+    t.write(_mk(spark, 0, 200).repartitionByRange(2, "k").sortWithinPartitions("k"))
+    t.append(
+        _mk(spark, 200, 260, parts=1).withColumn(
+            "extra", (F.col("k") + 1).cast("long")
+        )
+    )
+    # delete spans an old file AND the new file
+    v = t.delete_range("k", 150, 220)
+    got = _rows(t.read(v))
+    assert len(got) == 189 and not any(150 <= r[0] <= 220 for r in got)
+    cdf = t.changes(v)
+    assert "extra" in cdf.columns
+    assert cdf.count() == 71
+    # pre-evolution deleted rows carry NULL extra; evolved ones keep it
+    assert cdf.filter("k < 200 AND extra IS NOT NULL").count() == 0
+    assert cdf.filter("k >= 200 AND extra IS NULL").count() == 0
+
+    # merge with the evolved schema updates both eras
+    src = spark.createDataFrame(
+        [(0, -1.0, "z", 99), (230, -2.0, "z", 98), (500, -3.0, "z", 97)],
+        "k long, score double, tag string, extra long",
+    )
+    vm = t.merge_into(src, "k")
+    got = {r["k"]: (r["score"], r["extra"]) for r in t.read(vm).collect()}
+    assert got[0] == (-1.0, 99) and got[230] == (-2.0, 98)
+    assert got[500] == (-3.0, 97)
+
+    # delete everything: empty but READABLE snapshot with the schema
+    v_empty = t.delete_where(F.lit(True))
+    assert t.read(v_empty).count() == 0
+    assert t.read(v_empty).columns == ["k", "score", "tag", "extra"]
+    assert t.pruned_read("k", 0, 10, version=v_empty).count() == 0
