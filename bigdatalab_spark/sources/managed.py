@@ -897,6 +897,37 @@ class ManagedTable:
             vdir, cand, self.stored_schema(v)
         ).filter(F.col(col).between(lo, hi))
 
+    def changes_between(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Union of :meth:`changes` over the committed versions in
+        ``[from_version, to_version]`` (both inclusive; ``to_version``
+        defaults to the latest) — what an incremental consumer replays
+        to catch up. Compaction versions contribute nothing; a full
+        ``write()`` replace inside the range raises, same as
+        :meth:`changes`; a vacuumed version inside the range raises
+        loudly rather than silently skipping history."""
+        hi = self._resolve(to_version)
+        committed = [
+            v for v in self.versions() if from_version <= v <= hi
+        ]
+        if not committed or committed[0] > from_version:
+            raise FileNotFoundError(
+                f"change feed from v={from_version} is gone (vacuumed "
+                "or never committed) — a consumer this far behind must "
+                "re-bootstrap from a snapshot read"
+            )
+        out = None
+        for v in committed:
+            ch = self.changes(v)
+            out = ch if out is None else out.unionByName(ch)
+        return out
+
+    def cursor(self, cursor_path: str) -> "ChangeFeedCursor":
+        """A durable consumer position over this table's change feed —
+        see :class:`ChangeFeedCursor`."""
+        return ChangeFeedCursor(self, cursor_path)
+
     def rowgroup_index_df(self, version: int | None = None) -> DataFrame:
         """The stored row-group index of a committed version — one row
         per (relative file, row group, column) with min/max/null/row/
@@ -1085,3 +1116,64 @@ class ManagedTable:
         )
         with open(marker, encoding="utf-8") as fh:
             return fh.read().strip()
+
+
+class ChangeFeedCursor:
+    """Durable incremental consumption of a :class:`ManagedTable`'s
+    change feed: ``pending()`` returns everything committed after the
+    last acknowledged version, the consumer processes it, then
+    ``ack()`` advances the position (write-temp + atomic rename, the
+    same durability idiom as the table's own pointer). Delivery is
+    at-least-once — a consumer that crashes between processing and
+    ack sees the same changes again — so downstream application must
+    be idempotent (e.g. keyed upserts), exactly the contract streaming
+    sinks already satisfy here.
+
+    The cursor starts at the table's FIRST committed version (the
+    initial snapshot arrives as all-inserts), so a fresh consumer
+    bootstraps and tails with one loop."""
+
+    def __init__(self, table: ManagedTable, cursor_path: str) -> None:
+        self.table = table
+        self.cursor_path = cursor_path
+
+    def position(self) -> int | None:
+        """Last acknowledged version, or None for a fresh consumer."""
+        try:
+            with open(self.cursor_path, encoding="utf-8") as fh:
+                return int(fh.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def pending(self) -> tuple[DataFrame | None, int | None]:
+        """(changes committed after the position, the version an
+        ``ack`` should record once they are processed) — or
+        ``(None, None)`` when the consumer is caught up."""
+        latest = self.table.latest()
+        pos = self.position()
+        if latest is None or (pos is not None and latest <= pos):
+            return None, None
+        start = (
+            self.table.versions()[0]
+            if pos is None
+            else min(
+                (v for v in self.table.versions() if v > pos),
+                default=None,
+            )
+        )
+        if start is None:
+            return None, None
+        return self.table.changes_between(start, latest), latest
+
+    def ack(self, version: int) -> None:
+        """Durably record that everything up to ``version`` was
+        processed (atomic replace — a crash mid-ack leaves the old
+        position, never a torn file)."""
+        os.makedirs(
+            os.path.dirname(os.path.abspath(self.cursor_path)),
+            exist_ok=True,
+        )
+        tmp = self.cursor_path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(str(version))
+        os.replace(tmp, self.cursor_path)

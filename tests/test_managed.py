@@ -826,3 +826,49 @@ def test_managed_dml_after_schema_evolution(spark, tmp_path):
     assert t.read(v_empty).count() == 0
     assert t.read(v_empty).columns == ["k", "score", "tag", "extra"]
     assert t.pruned_read("k", 0, 10, version=v_empty).count() == 0
+
+
+def test_managed_change_feed_cursor(spark, tmp_path):
+    """Incremental consumption: a fresh cursor bootstraps from the
+    first snapshot (all-inserts), pending() returns exactly the
+    unacknowledged versions' changes, ack() advances durably, a
+    caught-up consumer sees nothing, and an un-acked crash replays the
+    same changes (at-least-once)."""
+    t = ManagedTable(spark, str(tmp_path / "t"), index_cols=("k",))
+    cur = t.cursor(str(tmp_path / "cursor" / "pos"))
+    assert cur.pending() == (None, None)  # no table yet
+
+    t.write(_mk(spark, 0, 100).repartitionByRange(2, "k").sortWithinPartitions("k"))
+    df, upto = cur.pending()
+    assert upto == 1 and df.count() == 100
+    assert df.filter("_change_type <> 'insert'").count() == 0
+    # crash before ack: same changes again (at-least-once)
+    df2, upto2 = cur.pending()
+    assert upto2 == 1 and df2.count() == 100
+    cur.ack(upto2)
+    assert cur.pending() == (None, None)
+
+    t.append(_mk(spark, 100, 120, parts=1))
+    t.delete_range("k", 0, 9)
+    df, upto = cur.pending()
+    assert upto == 3
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in df.groupBy("_change_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_type == {"insert": 20, "delete": 10}
+    # per-version attribution travels with the rows
+    assert df.filter("_commit_version = 2 AND _change_type = 'insert'").count() == 20
+    cur.ack(upto)
+
+    # compaction: a physical no-op contributes an empty feed
+    t.compact(target_file_rows=500)
+    df, upto = cur.pending()
+    assert upto == 4 and df.count() == 0
+    cur.ack(upto)
+
+    # changes_between bounds are loud when history is gone
+    t.append(_mk(spark, 120, 130, parts=1))
+    t.vacuum(keep_last=1)
+    with pytest.raises(FileNotFoundError, match="re-bootstrap"):
+        t.changes_between(2)
