@@ -474,10 +474,12 @@ class ManagedTable:
                     else when_matched
                 )
                 take = F.coalesce(cond, F.lit(False))
+                # plain equality, matching the unconditional path and
+                # SQL MERGE: NULL keys never match anything
                 joined = touched_df.alias("t").join(
                     source.alias("s"),
                     on=[
-                        F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+                        F.col(f"t.{k}") == F.col(f"s.{k}")
                         for k in keys
                     ],
                     how="inner",
