@@ -689,11 +689,25 @@ class ManagedTable:
         """Persist the version's logical schema INSIDE the version dir
         before its marker — the authority for reads, so hard-linked
         files written before a column existed read back with NULLs for
-        it instead of deciding the table's shape by file order."""
+        it instead of deciding the table's shape by file order.
+
+        Every field is stored NULLABLE: schema evolution means any
+        file may simply lack a column, so a non-nullable input field
+        (e.g. a literal) must not poison the table's contract — a
+        declared-non-null column padded with NULLs would crash codegen
+        downstream."""
+        from pyspark.sql.types import StructField, StructType
+
+        nullable = StructType(
+            [
+                StructField(f.name, f.dataType, True, f.metadata)
+                for f in schema.fields
+            ]
+        )
         with open(
             os.path.join(vdir, _SCHEMA_FILE), "w", encoding="utf-8"
         ) as fh:
-            fh.write(schema.json())
+            fh.write(nullable.json())
 
     def stored_schema(self, version: int | None = None):
         """The committed logical schema of a version, or None for
@@ -922,7 +936,13 @@ class ManagedTable:
         out = None
         for v in committed:
             ch = self.changes(v)
-            out = ch if out is None else out.unionByName(ch)
+            # versions straddling a schema evolution differ in shape;
+            # NULL-pad the missing columns, same as evolved reads
+            out = (
+                ch
+                if out is None
+                else out.unionByName(ch, allowMissingColumns=True)
+            )
         return out
 
     def cursor(self, cursor_path: str) -> "ChangeFeedCursor":

@@ -1,0 +1,303 @@
+"""``managed_changes`` — the ManagedTable change feed as a registered
+Spark data source (Spark 4 Python DataSource extension point, the same
+surface as sources/pyds.py's ``fixedwidth``).
+
+Batch::
+
+    df = (spark.read.format("managed_changes")
+          .option("startingVersion", 1)     # default: first committed
+          .option("endingVersion", 4)       # default: latest
+          .load(table_path))
+
+Streaming (Delta's ``readChangeFeed`` shape)::
+
+    q = (spark.readStream.format("managed_changes").load(table_path)
+         .writeStream...)
+
+The stream bootstraps from the initial snapshot (all-inserts) and then
+tails every committed version's feed: recorded ``_cdf`` rows for DML
+versions, inserts DERIVED from the files new to an append (no extra
+write cost), nothing for compaction. Offsets are versions — committed
+versions are immutable, so a restarted query replays its uncommitted
+range bit-identically (exactly-once through the checkpoint, the same
+argument as the fixed-width tail source). Vacuumed history and full
+``write()`` replaces inside a requested range fail LOUDLY instead of
+silently skipping changes.
+
+Scale/role: one InputPartition per (version, parquet file), so a
+backlog of many versions drains with file-granular executor
+parallelism; each task reads its parquet file with pyarrow and ships
+Arrow RecordBatches zero-copy back to the JVM — no row-at-a-time
+Python in the data plane. Old files that predate a schema evolution
+are padded with typed NULL columns to the stream's schema (the
+table's stored schema at plan time).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+_CDF_DIR = "_cdf"
+_SCHEMA_FILE = "_SCHEMA"
+_MARKER = "_COMMITTED"
+_POINTER = "_latest"
+
+
+# ---- driver-side catalog helpers (plain filesystem, no Spark) -----------
+
+
+def _vdir(path: str, v: int) -> str:
+    return os.path.join(path, f"v={v}")
+
+
+def _versions(path: str) -> list[int]:
+    try:
+        entries = os.listdir(path)
+    except FileNotFoundError:
+        return []
+    return sorted(
+        int(e[2:])
+        for e in entries
+        if e.startswith("v=")
+        and os.path.exists(os.path.join(path, e, _MARKER))
+    )
+
+
+def _latest(path: str) -> int | None:
+    try:
+        with open(os.path.join(path, _POINTER), encoding="utf-8") as fh:
+            return int(fh.read().strip())
+    except FileNotFoundError:
+        return None
+
+
+def _op_of(path: str, v: int) -> str:
+    with open(os.path.join(_vdir(path, v), _MARKER), encoding="utf-8") as fh:
+        return fh.read().strip()
+
+
+def _files_of(vdir: str) -> list[str]:
+    return sorted(
+        f
+        for f in os.listdir(vdir)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+
+
+def _stored_schema_json(path: str, v: int) -> dict:
+    p = os.path.join(_vdir(path, v), _SCHEMA_FILE)
+    if not os.path.exists(p):
+        raise ValueError(
+            "managed_changes requires a table with stored schemas "
+            f"(no {_SCHEMA_FILE} in v={v} — commit once with the "
+            "current engine to upgrade)"
+        )
+    with open(p, encoding="utf-8") as fh:
+        return json.loads(fh.read())
+
+
+class _ChangePartition(InputPartition):
+    """One parquet file of one version's feed. ``change_type`` is None
+    when the file already carries the feed columns (a ``_cdf`` store);
+    otherwise the constant to stamp (derived inserts)."""
+
+    def __init__(self, path: str, version: int, change_type: str | None):
+        self.path = path
+        self.version = version
+        self.change_type = change_type
+
+
+def _plan_partitions(path: str, lo: int, hi: int) -> list[_ChangePartition]:
+    """Partitions for every committed version in (lo, hi] — the shared
+    planner of the batch and streaming readers. Raises on vacuumed
+    history and on non-initial full replaces (same contract as
+    ManagedTable.changes)."""
+    committed = set(_versions(path))
+    out: list[_ChangePartition] = []
+    first = min(committed) if committed else None
+    for v in range(lo + 1, hi + 1):
+        if v not in committed:
+            raise ValueError(
+                f"managed_changes: version {v} of {path} is gone "
+                "(vacuumed or never committed) — a consumer this far "
+                "behind must re-bootstrap from a snapshot read"
+            )
+        vdir = _vdir(path, v)
+        cdf = os.path.join(vdir, _CDF_DIR)
+        if os.path.isdir(cdf):
+            out.extend(
+                _ChangePartition(os.path.join(cdf, f), v, None)
+                for f in _files_of(cdf)
+            )
+            continue
+        op = _op_of(path, v)
+        if v == first and op in ("write", ""):
+            out.extend(
+                _ChangePartition(os.path.join(vdir, f), v, "insert")
+                for f in _files_of(vdir)
+            )
+        elif op == "append":
+            prior = [c for c in sorted(committed) if c < v]
+            if not prior:
+                raise ValueError(
+                    f"managed_changes: cannot derive v={v} inserts — "
+                    "its predecessor snapshot was vacuumed"
+                )
+            prev_files = set(_files_of(_vdir(path, prior[-1])))
+            out.extend(
+                _ChangePartition(os.path.join(vdir, f), v, "insert")
+                for f in _files_of(vdir)
+                if f not in prev_files
+            )
+        elif op == "compact":
+            continue  # physical-layout no-op: empty feed
+        else:
+            raise ValueError(
+                f"managed_changes: no change feed for v={v} "
+                f"(op={op or 'unknown'}) — a full snapshot replace has "
+                "no row-level change derivation"
+            )
+    return out
+
+
+def _read_partition(part: _ChangePartition, arrow_schema) -> Iterator:
+    """Arrow-native task body: read the parquet file, align to the
+    stream schema (typed NULL padding for pre-evolution files, cast on
+    width mismatches), stamp derived feed columns, yield RecordBatches
+    zero-copy."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(part.path)
+    n = tbl.num_rows
+    cols = []
+    for field in arrow_schema:
+        if field.name == "_change_type" and part.change_type is not None:
+            cols.append(pa.array([part.change_type] * n, type=field.type))
+        elif field.name == "_commit_version" and part.change_type is not None:
+            cols.append(pa.array([part.version] * n, type=field.type))
+        elif field.name in tbl.column_names:
+            col = tbl.column(field.name)
+            if col.type != field.type:
+                col = col.cast(field.type)
+            cols.append(col)
+        else:
+            cols.append(pa.nulls(n, type=field.type))
+    aligned = pa.table(cols, schema=arrow_schema)
+    yield from aligned.to_batches()
+
+
+def _feed_schema(path: str):
+    """The stream's schema: the table's CURRENT stored schema plus the
+    feed columns (matching ManagedTable.changes)."""
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    latest = _latest(path)
+    if latest is None:
+        raise ValueError(f"no committed versions under {path}")
+    data = StructType.fromJson(_stored_schema_json(path, latest))
+    return StructType(
+        list(data.fields)
+        + [
+            StructField("_change_type", StringType()),
+            StructField("_commit_version", IntegerType()),
+        ]
+    )
+
+
+class ManagedChangesReader(DataSourceReader):
+    """Batch read of a version range's feed (Delta ``table_changes``)."""
+
+    def __init__(self, options: dict, schema) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("managed_changes requires .load(table_path)")
+        self.path = path
+        self.schema = schema
+        committed = _versions(path)
+        if not committed:
+            raise ValueError(f"no committed versions under {path}")
+        self.lo = int(options.get("startingversion", committed[0]))
+        self.hi = int(options.get("endingversion", _latest(path)))
+
+    def partitions(self) -> list[InputPartition]:
+        return _plan_partitions(self.path, self.lo - 1, self.hi)
+
+    def read(self, partition: _ChangePartition) -> Iterator:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        yield from _read_partition(partition, to_arrow_schema(self.schema))
+
+
+class ManagedChangesStreamReader(DataSourceStreamReader):
+    """Streaming tail of the feed. Offset model: ``{"v": N}`` = every
+    version <= N is fully delivered. initialOffset bootstraps from the
+    initial snapshot (or ``startingVersion - 1``); committed versions
+    are immutable, so replaying an uncommitted offset range after a
+    restart yields bit-identical batches (exactly-once through the
+    query checkpoint)."""
+
+    def __init__(self, options: dict, schema) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("managed_changes requires .load(table_path)")
+        self.path = path
+        self.schema = schema
+        committed = _versions(path)
+        if not committed:
+            raise ValueError(f"no committed versions under {path}")
+        self.start = int(options.get("startingversion", committed[0]))
+
+    def initialOffset(self) -> dict:
+        return {"v": self.start - 1}
+
+    def latestOffset(self) -> dict:
+        latest = _latest(self.path)
+        return {"v": latest if latest is not None else self.start - 1}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        return _plan_partitions(self.path, start["v"], end["v"])
+
+    def read(self, partition: _ChangePartition) -> Iterator:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        yield from _read_partition(partition, to_arrow_schema(self.schema))
+
+    def commit(self, end: dict) -> None:
+        # offsets live in the query checkpoint; retention is vacuum's
+        # job (and a vacuumed-but-unstreamed version fails loudly)
+        pass
+
+
+class ManagedChangesDataSource(DataSource):
+    """spark.read / spark.readStream ``format("managed_changes")``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "managed_changes"
+
+    def schema(self):
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("managed_changes requires .load(table_path)")
+        return _feed_schema(path)
+
+    def reader(self, schema) -> ManagedChangesReader:
+        return ManagedChangesReader(self.options, schema)
+
+    def streamReader(self, schema) -> ManagedChangesStreamReader:
+        return ManagedChangesStreamReader(self.options, schema)

@@ -168,7 +168,12 @@ class FixedWidthDataSource(DataSource):
 def register_python_sources(spark) -> None:
     """Register every Python DataSource this engine ships (idempotent —
     re-registration replaces the entry)."""
+    from bigdatalab_spark.sources.managed_stream import (
+        ManagedChangesDataSource,
+    )
+
     spark.dataSource.register(FixedWidthDataSource)
+    spark.dataSource.register(ManagedChangesDataSource)
 
 
 def _render_line(row, spec: list[FixedWidthField]) -> str:

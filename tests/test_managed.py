@@ -872,3 +872,76 @@ def test_managed_change_feed_cursor(spark, tmp_path):
     t.vacuum(keep_last=1)
     with pytest.raises(FileNotFoundError, match="re-bootstrap"):
         t.changes_between(2)
+
+
+def test_managed_changes_data_source(spark, tmp_path):
+    """The change feed as a registered Spark data source
+    (format 'managed_changes', batch + streaming): the batch read of a
+    version range equals changes_between row-for-row; the stream
+    bootstraps from the initial snapshot and a checkpointed restart
+    delivers ONLY new versions (exactly-once); pre-evolution rows are
+    NULL-padded to the stream schema; vacuumed history and full
+    replaces fail loudly."""
+    from bigdatalab_spark.sources.pyds import register_python_sources
+
+    register_python_sources(spark)
+    root = str(tmp_path / "t")
+    t = ManagedTable(spark, root, index_cols=("k",))
+    t.write(_mk(spark, 0, 100).repartitionByRange(2, "k").sortWithinPartitions("k"))
+    t.delete_range("k", 10, 19)
+    t.append(
+        _mk(spark, 100, 120, parts=1).withColumn(
+            "extra", (F.col("k") * 3).cast("long")
+        )
+    )
+
+    # batch: whole feed == changes_between(first, latest)
+    got = spark.read.format("managed_changes").load(root)
+    want = t.changes_between(1).select(*got.columns)
+    assert _rows(got) == _rows(want)
+    # evolved column: NULL for pre-evolution feed rows, real after
+    assert got.filter("_commit_version < 3 AND extra IS NOT NULL").count() == 0
+    assert got.filter("_commit_version = 3 AND extra IS NULL").count() == 0
+    # startingVersion narrows the range
+    part = spark.read.format("managed_changes").option(
+        "startingVersion", 2
+    ).load(root)
+    assert part.count() == 30 and part.filter("_commit_version = 1").count() == 0
+
+    # streaming: bootstrap then incremental restart
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format("managed_changes").load(root)
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert spark.read.parquet(out).count() == 130  # 100 ins + 10 del + 20 ins
+    t.update_range("k", 30, 34, {"score": "score + 1000"})
+    t.compact(target_file_rows=500)  # contributes nothing to the feed
+    drain()
+    after = spark.read.parquet(out)
+    assert after.count() == 140  # exactly the 5 pre + 5 post images more
+    assert after.filter("_commit_version = 4").count() == 10
+    assert after.filter("_commit_version = 5").count() == 0
+    # no duplicates across the restart
+    assert after.filter("_change_type = 'insert'").count() == 120
+
+    # full replace: the feed is underivable and must fail loudly
+    t.write(_mk(spark, 0, 10))
+    with pytest.raises(Exception, match="no change feed"):
+        spark.read.format("managed_changes").option(
+            "startingVersion", 6
+        ).load(root).collect()
+
+    # vacuumed history fails loudly rather than skipping
+    t.vacuum(keep_last=1)
+    with pytest.raises(Exception, match="vacuumed|gone"):
+        spark.read.format("managed_changes").option(
+            "startingVersion", 2
+        ).option("endingVersion", 4).load(root).collect()
