@@ -437,3 +437,68 @@ def managed_table_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "day", "last_value")
         .orderBy("user_id", "day")
     )
+
+
+@query(
+    "managed_table_changes_source",
+    ids=("SCALE-STORAGE", "SCALE-CDC", "S13"),
+    oracle="""
+        WITH base AS (
+            SELECT event_id, user_id, event_type, value FROM events
+        ),
+        feed AS (
+            SELECT 'delete' AS change_type, value
+            FROM base WHERE user_id BETWEEN 10 AND 19
+            UNION ALL
+            SELECT 'update_preimage', value
+            FROM base WHERE user_id BETWEEN 0 AND 4
+            UNION ALL
+            SELECT 'update_postimage', value * 2
+            FROM base WHERE user_id BETWEEN 0 AND 4
+            UNION ALL
+            SELECT 'insert', value
+            FROM base WHERE user_id BETWEEN 0 AND 4
+        )
+        SELECT change_type,
+               count(*) AS n_rows,
+               CAST(CAST(sum(CAST(value AS DECIMAL(28,6))) AS STRING)
+                    AS DOUBLE) AS sum_value
+        FROM feed
+        GROUP BY change_type
+        ORDER BY change_type
+    """,
+)
+def managed_table_changes_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change feed consumed through the REGISTERED DATA SOURCE
+    (``spark.read.format("managed_changes")`` — sources/
+    managed_stream.py, the Spark 4 Python DataSource twin of Delta's
+    table_changes): same derivation as ``managed_table_change_feed``,
+    but the bytes travel the Arrow alignment kernel (pyarrow file
+    reads, typed NULL padding, RecordBatch hand-off) instead of
+    Spark's parquet reader — so the oracle gates the connector's data
+    plane, not just the stored rows. startingVersion skips the
+    bootstrap inserts (the oracle models only the DML versions)."""
+    from bigdatalab_spark.operators import money_sum
+    from bigdatalab_spark.sources.pyds import register_python_sources
+
+    t, v_del, v_merge = _dml_events_table(
+        spark, sf_dir, "bigdatalab_managed_cdf_source"
+    )
+    register_python_sources(spark)
+    feed = (
+        spark.read.format("managed_changes")
+        .option("startingVersion", v_del)
+        .option("endingVersion", v_merge)
+        .load(t.path)
+    )
+    return (
+        feed.select(
+            F.col("_change_type").alias("change_type"), F.col("value")
+        )
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            money_sum("value").alias("sum_value"),
+        )
+        .orderBy("change_type")
+    )
