@@ -621,6 +621,21 @@ class ManagedTable:
         (and the stream-batch marker, if any), commit (marker records
         ``op``)."""
         version, vdir = self._allocate()
+        # optimized write: the rewrite is delta-sized (touched files'
+        # rows + the merge batch), but it arrives on shuffle-partition
+        # parallelism — written raw, every DML would scatter ~32 small
+        # files and destroy the rewritten rows' clustering, bloating
+        # both the file count and the index's selectivity (the soak
+        # bench caught exactly this drift). Re-range on the index
+        # columns into ~one file per touched input file instead; the
+        # small extra shuffle is delta-sized by construction.
+        n_out = max(1, len(touched) + (1 if op == "merge" else 0))
+        if self.index_cols:
+            new_df = new_df.repartitionByRange(
+                n_out, *self.index_cols
+            ).sortWithinPartitions(*self.index_cols)
+        else:
+            new_df = new_df.repartition(n_out)
         new_df.write.mode("errorifexists").parquet(vdir)
         written = set(_data_files(vdir))
         link = [rel for rel in all_files if rel not in touched]
