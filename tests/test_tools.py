@@ -376,3 +376,12 @@ def test_dml_bench_smoke():
     assert d["rows_deleted"] > 0
     assert m["cdf"]["insert"] == m["batch_rows"] // 2
     assert m["cdf"]["update_preimage"] == m["cdf"]["update_postimage"]
+
+
+def test_managed_soak_smoke():
+    out = _run_tool("tools.managed_soak", SF, "--cycles=3")
+    assert out["metric"] == "managed_soak"
+    assert out["cycles"] == 3
+    # bounded drift even in the short run
+    assert out["max_files"] <= 16
+    assert out["final_live_keys"] > 0
