@@ -928,6 +928,85 @@ class ManagedTable:
             vdir, cand, self.stored_schema(v)
         ).filter(F.col(col).between(lo, hi))
 
+    def history(self) -> DataFrame:
+        """The table's version log (DESCRIBE HISTORY): one row per
+        committed version with the operation kind, file/byte counts,
+        the streaming batch id (if any), whether a change feed store
+        was recorded, and whether the version is the current pointer
+        target. Driver-side metadata walk — file counts come from the
+        directory listing, never a data scan."""
+        rows = []
+        current = self.latest()
+        for v in self.versions():
+            vdir = _version_dir(self.path, v)
+            files = _data_files(vdir)
+            n_bytes = sum(
+                os.path.getsize(os.path.join(vdir, rel)) for rel in files
+            )
+            batch = None
+            bpath = os.path.join(vdir, _STREAM_BATCH)
+            if os.path.exists(bpath):
+                with open(bpath, encoding="utf-8") as fh:
+                    batch = int(fh.read().strip())
+            rows.append(
+                (
+                    v,
+                    self._op_of(v) or None,
+                    len(files),
+                    n_bytes,
+                    batch,
+                    os.path.isdir(os.path.join(vdir, _CDF_DIR)),
+                    v == current,
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "version int, op string, n_files int, n_bytes long, "
+            "stream_batch_id long, has_cdf boolean, is_current boolean",
+        )
+
+    def clone(self, dst_path: str, version: int | None = None) -> "ManagedTable":
+        """Zero-copy shallow clone: hard-link one committed snapshot's
+        data files (plus its index and schema) into ``dst_path`` as the
+        new table's v=1 — Delta's SHALLOW CLONE on local filesystems.
+        The clone is a fully independent table (its own pointer, lock,
+        versions); shared files are immutable by construction, and
+        either table's vacuum only drops ITS directory entries, never
+        the shared inodes. Change-feed history does not travel (the
+        clone's v=1 is a fresh initial snapshot: all-inserts)."""
+        import shutil
+
+        v = self._resolve(version)
+        src = _version_dir(self.path, v)
+        dst = ManagedTable(
+            self.spark,
+            dst_path,
+            index_cols=self.index_cols,
+            rowgroup_index=self.rowgroup_index,
+        )
+        with dataset_write_lock(dst_path, "managed_clone"):
+            if latest_version(dst_path) is not None:
+                raise ValueError(
+                    f"clone target {dst_path} already has committed "
+                    "versions — clone only creates brand-new tables"
+                )
+            version_no, vdir = dst._allocate()
+            os.makedirs(vdir, exist_ok=True)
+            for rel in _data_files(src):
+                target = os.path.join(vdir, rel)
+                os.makedirs(os.path.dirname(target), exist_ok=True)
+                os.link(os.path.join(src, rel), target)
+            for aux in (_INDEX_DIR, _INDEX_RG_DIR):
+                if os.path.isdir(os.path.join(src, aux)):
+                    shutil.copytree(
+                        os.path.join(src, aux), os.path.join(vdir, aux)
+                    )
+            schema = self.stored_schema(v)
+            if schema is not None:
+                dst._write_schema(vdir, schema)
+            dst._commit(version_no, vdir, expected=None, op="write")
+        return dst
+
     def changes_between(
         self, from_version: int, to_version: int | None = None
     ) -> DataFrame:

@@ -945,3 +945,54 @@ def test_managed_changes_data_source(spark, tmp_path):
         spark.read.format("managed_changes").option(
             "startingVersion", 2
         ).option("endingVersion", 4).load(root).collect()
+
+
+def test_managed_history_and_clone(spark, tmp_path):
+    """history(): one metadata row per version with op kind, file/byte
+    counts, stream batch, CDF presence, pointer flag. clone(): a
+    zero-copy shallow clone is an independent table over hard-linked
+    files; mutating the clone never touches the source, and the
+    source's vacuum never breaks the clone."""
+    t = ManagedTable(spark, str(tmp_path / "t"), index_cols=("k",))
+    t.write(_mk(spark, 0, 200).repartitionByRange(2, "k").sortWithinPartitions("k"))
+    t.append(_mk(spark, 200, 240, parts=1))
+    t.delete_range("k", 0, 9)
+
+    h = {r["version"]: r for r in t.history().collect()}
+    assert set(h) == {1, 2, 3}
+    assert h[1]["op"] == "write" and h[2]["op"] == "append"
+    assert h[3]["op"] == "delete" and h[3]["has_cdf"]
+    assert not h[1]["has_cdf"] and not h[2]["has_cdf"]
+    assert h[3]["is_current"] and not h[1]["is_current"]
+    assert all(r["n_files"] > 0 and r["n_bytes"] > 0 for r in h.values())
+
+    # clone at the current version
+    c = t.clone(str(tmp_path / "c"))
+    assert c.versions() == [1]
+    assert _rows(c.read()) == _rows(t.read())
+    # linked, not copied
+    src_files = _data_files(str(tmp_path / "t" / "v=3"))
+    for rel in _data_files(str(tmp_path / "c" / "v=1")):
+        assert rel in src_files
+        assert os.stat(os.path.join(str(tmp_path / "t" / "v=3"), rel)).st_ino == os.stat(
+            os.path.join(str(tmp_path / "c" / "v=1"), rel)
+        ).st_ino
+    # index travels: pruning works immediately on the clone
+    got = _rows(c.pruned_read("k", 50, 80))
+    assert got == _rows(c.read().filter(F.col("k").between(50, 80)))
+    # clone's v=1 is a fresh initial snapshot: all-inserts feed
+    assert c.changes(1).filter("_change_type <> 'insert'").count() == 0
+
+    # independence: DML on the clone leaves the source untouched
+    c.delete_range("k", 100, 239)
+    assert c.read().count() == 90 and t.read().count() == 230
+    # and the source's vacuum never breaks the clone (shared inodes)
+    t.compact(target_file_rows=1000)
+    t.vacuum(keep_last=1)
+    assert c.read(1).count() == 230
+
+    # time-travel clone + refusal to clone onto an existing table
+    c2 = t.clone(str(tmp_path / "c2"))
+    with pytest.raises(ValueError, match="brand-new"):
+        t.clone(str(tmp_path / "c2"))
+    assert c2.read().count() == 230
