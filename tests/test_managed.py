@@ -996,3 +996,26 @@ def test_managed_history_and_clone(spark, tmp_path):
     with pytest.raises(ValueError, match="brand-new"):
         t.clone(str(tmp_path / "c2"))
     assert c2.read().count() == 230
+
+
+def test_managed_dml_refuses_partitioned_layouts(spark, tmp_path):
+    """Copy-on-write DML hard-links flat layouts only; a partitioned
+    snapshot refuses loudly (use write() for the next partitioned
+    snapshot) — and clone carries the row-group index when present."""
+    t = ManagedTable(spark, str(tmp_path / "t"), index_cols=("k",))
+    t.write(_mk(spark, 0, 50), partition_cols=("tag",))
+    with pytest.raises(ValueError, match="flat file layouts"):
+        t.delete_range("k", 0, 5)
+    with pytest.raises(ValueError, match="flat file layouts"):
+        t.merge_into(_mk(spark, 0, 5, parts=1), "k")
+
+    # clone with a row-group index: the finer index travels too
+    tz = ManagedTable(
+        spark, str(tmp_path / "tz"), index_cols=("k",), rowgroup_index=True
+    )
+    tz.write(_mk(spark, 0, 100).repartitionByRange(2, "k").sortWithinPartitions("k"))
+    cz = tz.clone(str(tmp_path / "cz"))
+    assert cz.rowgroup_index_df().count() > 0
+    got = _rows(cz.rowgroup_pruned_read([("k", 10, 20)]))
+    want = _rows(cz.read().filter(F.col("k").between(10, 20)))
+    assert sorted(got) == sorted(want) and got
