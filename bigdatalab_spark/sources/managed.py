@@ -837,14 +837,17 @@ class ManagedTable:
                 .withColumn(_COMMIT_VERSION, F.lit(v))
             )
         if op == "append":
-            prior = [c for c in committed if c < v]
-            if not prior:
+            # diff against the RECORDED parent, not the numerically
+            # previous version — after a rollback the previous number
+            # is an orphaned branch and would mis-derive the inserts
+            parent = self._parent_of(v)
+            if parent is None or parent not in committed:
                 raise FileNotFoundError(
                     f"cannot derive changes for append v={v}: its "
-                    "predecessor snapshot was vacuumed"
+                    "parent snapshot was vacuumed"
                 )
             prev_files = set(
-                _data_files(_version_dir(self.path, prior[-1]))
+                _data_files(_version_dir(self.path, parent))
             )
             fresh = [
                 rel
@@ -937,6 +940,7 @@ class ManagedTable:
         directory listing, never a data scan."""
         rows = []
         current = self.latest()
+        chain = set(self.lineage()) if current is not None else set()
         for v in self.versions():
             vdir = _version_dir(self.path, v)
             files = _data_files(vdir)
@@ -952,17 +956,20 @@ class ManagedTable:
                 (
                     v,
                     self._op_of(v) or None,
+                    self._parent_of(v),
                     len(files),
                     n_bytes,
                     batch,
                     os.path.isdir(os.path.join(vdir, _CDF_DIR)),
                     v == current,
+                    v in chain,
                 )
             )
         return self.spark.createDataFrame(
             rows,
-            "version int, op string, n_files int, n_bytes long, "
-            "stream_batch_id long, has_cdf boolean, is_current boolean",
+            "version int, op string, parent int, n_files int, "
+            "n_bytes long, stream_batch_id long, has_cdf boolean, "
+            "is_current boolean, on_lineage boolean",
         )
 
     def clone(self, dst_path: str, version: int | None = None) -> "ManagedTable":
@@ -1010,25 +1017,27 @@ class ManagedTable:
     def changes_between(
         self, from_version: int, to_version: int | None = None
     ) -> DataFrame:
-        """Union of :meth:`changes` over the committed versions in
-        ``[from_version, to_version]`` (both inclusive; ``to_version``
-        defaults to the latest) — what an incremental consumer replays
-        to catch up. Compaction versions contribute nothing; a full
+        """Union of :meth:`changes` over the POINTER LINEAGE versions
+        in ``[from_version, to_version]`` (both inclusive;
+        ``to_version`` defaults to the latest) — what an incremental
+        consumer replays to catch up. The walk follows each commit's
+        recorded parent, so versions orphaned by a rollback — still
+        committed and time-travelable — are correctly NOT part of this
+        history. Compaction versions contribute nothing; a full
         ``write()`` replace inside the range raises, same as
-        :meth:`changes`; a vacuumed version inside the range raises
-        loudly rather than silently skipping history."""
+        :meth:`changes`; vacuumed lineage raises loudly rather than
+        silently skipping history."""
         hi = self._resolve(to_version)
-        committed = [
-            v for v in self.versions() if from_version <= v <= hi
-        ]
-        if not committed or committed[0] > from_version:
+        chain = [v for v in self.lineage(hi) if from_version <= v <= hi]
+        if not chain or chain[0] != from_version:
             raise FileNotFoundError(
-                f"change feed from v={from_version} is gone (vacuumed "
-                "or never committed) — a consumer this far behind must "
-                "re-bootstrap from a snapshot read"
+                f"change feed from v={from_version} is gone (vacuumed, "
+                "never committed, or on an orphaned branch) — a "
+                "consumer this far behind must re-bootstrap from a "
+                "snapshot read"
             )
         out = None
-        for v in committed:
+        for v in chain:
             ch = self.changes(v)
             # versions straddling a schema evolution differ in shape;
             # NULL-pad the missing columns, same as evolved reads
@@ -1207,9 +1216,12 @@ class ManagedTable:
         (a writer bypassing the lock), abort BEFORE the marker lands so
         this snapshot stays invisible crash-debris for vacuum. The
         marker records the OPERATION KIND (write/append/compact/
-        delete/update/merge) so :meth:`changes` knows how each
-        version's change feed is derivable; existence checks elsewhere
-        ignore the content, so pre-DML snapshots stay readable."""
+        delete/update/merge) plus the PARENT version the commit was
+        computed against — rollback forks the history, and the feed
+        must follow the pointer's lineage, not version-number order
+        (orphaned branch versions are committed, time-travelable, but
+        not this history's changes). Existence checks elsewhere ignore
+        the content, so pre-DML snapshots stay readable."""
         if latest_version(self.path) != expected:
             raise ConcurrentWriteError(
                 f"managed commit on {self.path}: pointer moved from "
@@ -1219,19 +1231,55 @@ class ManagedTable:
             )
         with open(os.path.join(vdir, _MARKER), "w", encoding="utf-8") as fh:
             fh.write(op)
+            if expected is not None:
+                fh.write(f"\nparent={expected}")
         tmp = os.path.join(self.path, f"{_POINTER}.tmp")
         with open(tmp, "w", encoding="utf-8") as fh:
             fh.write(str(version))
         os.replace(tmp, os.path.join(self.path, _POINTER))
 
-    def _op_of(self, version: int) -> str:
-        """Operation kind recorded in a committed version's marker
-        ("" for snapshots committed before op recording existed)."""
+    def _marker_lines(self, version: int) -> list[str]:
         marker = os.path.join(
             _version_dir(self.path, version), _MARKER
         )
         with open(marker, encoding="utf-8") as fh:
-            return fh.read().strip()
+            return fh.read().strip().splitlines()
+
+    def _op_of(self, version: int) -> str:
+        """Operation kind recorded in a committed version's marker
+        ("" for snapshots committed before op recording existed)."""
+        lines = self._marker_lines(version)
+        return lines[0].strip() if lines else ""
+
+    def _parent_of(self, version: int) -> int | None:
+        """The version this commit was computed against (None for an
+        initial snapshot). Markers from before parent recording fall
+        back to the previous committed version — correct for every
+        linear history, which is all that could exist then."""
+        for line in self._marker_lines(version)[1:]:
+            if line.startswith("parent="):
+                return int(line.split("=", 1)[1])
+        prior = [c for c in self.versions() if c < version]
+        return prior[-1] if prior else None
+
+    def lineage(self, version: int | None = None) -> list[int]:
+        """The pointer lineage ending at ``version`` (default: the
+        current pointer target), oldest first — exactly the versions
+        whose change feeds compose into this history. Orphaned
+        branches left behind by a rollback are committed and
+        time-travelable but are NOT part of this list."""
+        v = self._resolve(version)
+        chain = [v]
+        committed = set(self.versions())
+        while True:
+            parent = self._parent_of(chain[-1])
+            if parent is None:
+                break
+            if parent not in committed:
+                break  # vacuumed ancestry: chain ends here, loudness
+                # is the range-readers' job (they know their bounds)
+            chain.append(parent)
+        return list(reversed(chain))
 
 
 class ChangeFeedCursor:
@@ -1269,17 +1317,13 @@ class ChangeFeedCursor:
         pos = self.position()
         if latest is None or (pos is not None and latest <= pos):
             return None, None
-        start = (
-            self.table.versions()[0]
-            if pos is None
-            else min(
-                (v for v in self.table.versions() if v > pos),
-                default=None,
-            )
-        )
-        if start is None:
+        # follow the pointer lineage (a rollback orphans branch
+        # versions — they are not this history's changes)
+        chain = self.table.lineage(latest)
+        todo = [v for v in chain if pos is None or v > pos]
+        if not todo:
             return None, None
-        return self.table.changes_between(start, latest), latest
+        return self.table.changes_between(todo[0], latest), latest
 
     def ack(self, version: int) -> None:
         """Durably record that everything up to ``version`` was

@@ -80,9 +80,38 @@ def _latest(path: str) -> int | None:
         return None
 
 
-def _op_of(path: str, v: int) -> str:
+def _marker_lines(path: str, v: int) -> list[str]:
     with open(os.path.join(_vdir(path, v), _MARKER), encoding="utf-8") as fh:
-        return fh.read().strip()
+        return fh.read().strip().splitlines()
+
+
+def _op_of(path: str, v: int) -> str:
+    lines = _marker_lines(path, v)
+    return lines[0].strip() if lines else ""
+
+
+def _parent_of(path: str, v: int) -> int | None:
+    """Recorded parent version (None for initial snapshots; legacy
+    markers fall back to the previous committed version — correct for
+    the only histories that could exist then: linear ones)."""
+    for line in _marker_lines(path, v)[1:]:
+        if line.startswith("parent="):
+            return int(line.split("=", 1)[1])
+    prior = [c for c in _versions(path) if c < v]
+    return prior[-1] if prior else None
+
+
+def _lineage(path: str, hi: int) -> list[int]:
+    """Pointer lineage ending at hi, oldest first (stops at a vacuumed
+    ancestor; gap loudness is the planner's job)."""
+    committed = set(_versions(path))
+    chain = [hi]
+    while True:
+        p = _parent_of(path, chain[-1])
+        if p is None or p not in committed:
+            break
+        chain.append(p)
+    return list(reversed(chain))
 
 
 def _files_of(vdir: str) -> list[str]:
@@ -117,20 +146,34 @@ class _ChangePartition(InputPartition):
 
 
 def _plan_partitions(path: str, lo: int, hi: int) -> list[_ChangePartition]:
-    """Partitions for every committed version in (lo, hi] — the shared
-    planner of the batch and streaming readers. Raises on vacuumed
-    history and on non-initial full replaces (same contract as
-    ManagedTable.changes)."""
-    committed = set(_versions(path))
+    """Partitions for every POINTER-LINEAGE version in (lo, hi] — the
+    shared planner of the batch and streaming readers. The walk
+    follows each commit's recorded parent, so versions orphaned by a
+    rollback (committed, time-travelable, but not this history) are
+    correctly excluded, and an append's inserts are diffed against
+    its RECORDED parent, never the numerically previous version.
+    Raises on vacuumed/off-lineage history and on non-initial full
+    replaces (same contract as ManagedTable.changes)."""
+    if hi <= lo:
+        return []
+    if hi not in _versions(path):
+        raise ValueError(
+            f"managed_changes: version {hi} of {path} is gone "
+            "(vacuumed or never committed) — re-bootstrap from a "
+            "snapshot read"
+        )
+    vers = [v for v in _lineage(path, hi) if lo < v <= hi]
+    if not vers:
+        return []
+    first_parent = _parent_of(path, vers[0])
+    if first_parent is not None and first_parent != lo:
+        raise ValueError(
+            f"managed_changes: the feed from v={lo} is gone (vacuumed "
+            "lineage, or the offset is on an orphaned branch after a "
+            "rollback) — re-bootstrap from a snapshot read"
+        )
     out: list[_ChangePartition] = []
-    first = min(committed) if committed else None
-    for v in range(lo + 1, hi + 1):
-        if v not in committed:
-            raise ValueError(
-                f"managed_changes: version {v} of {path} is gone "
-                "(vacuumed or never committed) — a consumer this far "
-                "behind must re-bootstrap from a snapshot read"
-            )
+    for v in vers:
         vdir = _vdir(path, v)
         cdf = os.path.join(vdir, _CDF_DIR)
         if os.path.isdir(cdf):
@@ -140,19 +183,14 @@ def _plan_partitions(path: str, lo: int, hi: int) -> list[_ChangePartition]:
             )
             continue
         op = _op_of(path, v)
-        if v == first and op in ("write", ""):
+        if _parent_of(path, v) is None and op in ("write", ""):
             out.extend(
                 _ChangePartition(os.path.join(vdir, f), v, "insert")
                 for f in _files_of(vdir)
             )
         elif op == "append":
-            prior = [c for c in sorted(committed) if c < v]
-            if not prior:
-                raise ValueError(
-                    f"managed_changes: cannot derive v={v} inserts — "
-                    "its predecessor snapshot was vacuumed"
-                )
-            prev_files = set(_files_of(_vdir(path, prior[-1])))
+            parent = _parent_of(path, v)
+            prev_files = set(_files_of(_vdir(path, parent)))
             out.extend(
                 _ChangePartition(os.path.join(vdir, f), v, "insert")
                 for f in _files_of(vdir)

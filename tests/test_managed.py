@@ -1019,3 +1019,58 @@ def test_managed_dml_refuses_partitioned_layouts(spark, tmp_path):
     got = _rows(cz.rowgroup_pruned_read([("k", 10, 20)]))
     want = _rows(cz.read().filter(F.col("k").between(10, 20)))
     assert sorted(got) == sorted(want) and got
+
+
+def test_managed_change_feed_follows_pointer_lineage(spark, tmp_path):
+    """A rollback forks history: versions committed after the rollback
+    target become ORPHANS — still committed and time-travelable, but
+    NOT this history's changes. The feed (changes_between, the cursor,
+    the managed_changes source) must follow the recorded parent chain,
+    and an append AFTER the rollback must derive its inserts against
+    its recorded parent, never the numerically previous (orphan)
+    version — the two bugs a version-number walk would have."""
+    from bigdatalab_spark.sources.pyds import register_python_sources
+
+    register_python_sources(spark)
+    root = str(tmp_path / "t")
+    t = ManagedTable(spark, root, index_cols=("k",))
+    t.write(_mk(spark, 0, 100, parts=1))            # v1
+    t.append(_mk(spark, 100, 130, parts=1))          # v2 (orphaned soon)
+    t.delete_range("k", 0, 4)                        # v3 (orphaned soon)
+    t.rollback(1)
+    v4 = t.append(_mk(spark, 500, 520, parts=1))     # v4, parent = v1
+
+    # lineage: v1 -> v4; orphans recorded but off-lineage
+    assert t.lineage() == [1, 4]
+    h = {r["version"]: r for r in t.history().collect()}
+    assert h[4]["parent"] == 1 and h[2]["parent"] == 1 and h[3]["parent"] == 2
+    assert h[1]["on_lineage"] and h[4]["on_lineage"]
+    assert not h[2]["on_lineage"] and not h[3]["on_lineage"]
+
+    # append-after-rollback derives against v1, not orphan v3: the
+    # inserts are EXACTLY the 20 new rows (a v3-diff would also claim
+    # v1 files v3 rewrote)
+    ins = t.changes(v4)
+    assert sorted(r["k"] for r in ins.collect()) == list(range(500, 520))
+
+    # changes_between walks the chain: orphan deletes never appear
+    feed = t.changes_between(1)
+    assert feed.filter("_change_type = 'delete'").count() == 0
+    assert feed.count() == 120  # 100 bootstrap + 20 post-rollback
+
+    # cursor: same story end to end
+    cur = t.cursor(str(tmp_path / "pos"))
+    df, upto = cur.pending()
+    assert upto == 4 and df.count() == 120
+    cur.ack(upto)
+
+    # the registered source excludes orphans too
+    src = spark.read.format("managed_changes").load(root)
+    assert src.count() == 120
+    assert src.filter("_commit_version IN (2, 3)").count() == 0
+
+    # an offset stranded on the orphan branch refuses loudly
+    with pytest.raises(Exception, match="orphan|re-bootstrap"):
+        spark.read.format("managed_changes").option(
+            "startingVersion", 3
+        ).load(root).collect()

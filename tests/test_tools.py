@@ -385,3 +385,9 @@ def test_managed_soak_smoke():
     # bounded drift even in the short run
     assert out["max_files"] <= 16
     assert out["final_live_keys"] > 0
+
+
+def test_fuzz_managed_smoke():
+    out = _run_tool("tools.fuzz_managed", "--seeds=2", "--ops=8")
+    assert out["metric"] == "fuzz_managed"
+    assert out["n_fail"] == 0 and out["n_pass"] == 2

@@ -1,0 +1,253 @@
+"""Randomized state-machine fuzz for ManagedTable: per seed, a random
+sequence of table operations is applied to BOTH the table and a plain
+Python model; after EVERY op the table must equal the model, and at
+the end a shadow state rebuilt ONLY from the change feed (cursor
+consumption at random points) must equal the model too.
+
+Ops drawn per step (seeded PRNG — deterministic, replayable):
+  append        new keys (sometimes adding a brand-new column)
+  delete_range  an indexed key stripe
+  update_range  score bump over a stripe (pre-update semantics)
+  merge         updates + inserts, sometimes with a stale-guard clause
+  compact       physical-layout no-op
+  rollback      pointer move to a random earlier live version (model
+                restored from a snapshot journal)
+  vacuum        keep_last=2 (feed consumption happens first)
+  restart       re-instantiate the facade from the path
+
+This is the metamorphic complement of tests/test_managed.py's
+scenario tests: those pin designed edges; the fuzzer searches the op
+lattice for sequencing bugs (index staleness after rollback+DML,
+feed/vacuum races, schema-evolution interactions) the designed
+scenarios didn't think of.
+
+Usage: python -m tools.fuzz_managed [--seeds=N] [--start=N] [--ops=N]
+Output: one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+import shutil
+import sys
+import tempfile
+
+
+def run_seed(spark, seed: int, n_ops: int) -> None:
+    from pyspark.sql import functions as F
+
+    from bigdatalab_spark.sources.managed import ManagedTable
+
+    rng = random.Random(seed)
+    scratch = tempfile.mkdtemp(prefix=f"fuzz_managed_{seed}_")
+    root = scratch + "/t"
+    t = ManagedTable(spark, root, index_cols=("k",))
+    cursor = t.cursor(scratch + "/pos")
+
+    has_extra = False
+
+    def mk(rows):
+        if has_extra:
+            return spark.createDataFrame(
+                [(k, v, e) for k, v, e in rows],
+                "k long, v double, extra long",
+            )
+        return spark.createDataFrame(
+            [(k, v) for k, v, _ in rows], "k long, v double"
+        )
+
+    # model: key -> (v, extra); journal of model snapshots per version
+    model: dict[int, tuple] = {}
+    next_key = 0
+
+    def fresh(n):
+        nonlocal next_key
+        out = [(next_key + i, float(seed + next_key + i), None) for i in range(n)]
+        next_key += n
+        return out
+
+    rows = fresh(rng.randint(20, 60))
+    v = t.write(
+        mk(rows).repartitionByRange(2, "k").sortWithinPartitions("k")
+    )
+    for k, val, e in rows:
+        model[k] = (val, e)
+    journal = {v: dict(model)}
+    shadow: dict[int, tuple] = {}
+
+    def drain_feed():
+        pending, upto = cursor.pending()
+        if pending is None:
+            return
+        cols = pending.columns
+        for r in pending.collect():  # delta-sized by construction
+            ct = r["_change_type"]
+            if ct == "delete":
+                shadow.pop(r["k"], None)
+            elif ct in ("insert", "update_postimage"):
+                shadow[r["k"]] = (
+                    r["v"],
+                    r["extra"] if "extra" in cols else None,
+                )
+        cursor.ack(upto)
+
+    def check(tag):
+        df = t.read()
+        with_extra = "extra" in df.columns
+        got = {
+            r["k"]: (r["v"], r["extra"] if with_extra else None)
+            for r in df.collect()
+        }
+        want = {
+            k: (val, e if with_extra else None)
+            for k, (val, e) in model.items()
+        }
+        assert got == want, (
+            f"seed {seed} after {tag}: table != model "
+            f"(|got|={len(got)} |want|={len(want)})"
+        )
+
+    for step in range(n_ops):
+        op = rng.choice(
+            [
+                "append", "append",
+                "delete_range", "update_range",
+                "merge", "merge",
+                "compact", "rollback", "vacuum", "restart",
+            ]
+        )
+        if op == "append":
+            if not has_extra and rng.random() < 0.25:
+                has_extra = True  # schema evolution moment
+            rows = [
+                (k, val, rng.randint(0, 9) if has_extra else None)
+                for k, val, _ in fresh(rng.randint(5, 25))
+            ]
+            v = t.append(mk(rows).repartition(1))
+            for k, val, e in rows:
+                model[k] = (val, e if has_extra else None)
+            journal[v] = dict(model)
+        elif op == "delete_range":
+            if not model:
+                continue
+            lo = rng.randrange(max(next_key, 1))
+            hi = lo + rng.randint(0, 40)
+            v2 = t.delete_range("k", lo, hi)
+            for k in [k for k in model if lo <= k <= hi]:
+                del model[k]
+            journal[v2] = dict(model)
+        elif op == "update_range":
+            if not model:
+                continue
+            lo = rng.randrange(max(next_key, 1))
+            hi = lo + rng.randint(0, 30)
+            v2 = t.update_range("k", lo, hi, {"v": "v + 1000"})
+            for k in model:
+                if lo <= k <= hi:
+                    val, e = model[k]
+                    model[k] = (val + 1000, e)
+            journal[v2] = dict(model)
+        elif op == "merge":
+            live = sorted(model)
+            upd = rng.sample(live, min(len(live), rng.randint(1, 8))) if live else []
+            ins = fresh(rng.randint(1, 6))
+            rows = [
+                (k, model[k][0] * 2, model[k][1] if has_extra else None)
+                for k in upd
+            ] + ins
+            guarded = rng.random() < 0.3
+            v2 = t.merge_into(
+                mk(rows),
+                "k",
+                when_matched="s.v >= t.v" if guarded else None,
+            )
+            for k, val, e in rows:
+                if k in model and guarded and not (val >= model[k][0]):
+                    continue  # stale update refused by the clause
+                model[k] = (val, e if has_extra else None)
+            journal[v2] = dict(model)
+        elif op == "compact":
+            v2 = t.compact(target_file_rows=10_000)
+            journal[v2] = dict(model)
+        elif op == "rollback":
+            live = [x for x in t.versions() if x in journal]
+            if len(live) < 2:
+                continue
+            target = rng.choice(live[:-1])
+            # the feed beyond the rollback target describes undone
+            # history; consume up to date FIRST, then resync shadow
+            drain_feed()
+            t.rollback(target)
+            model = dict(journal[target])
+            shadow = dict(model)
+            cursor.ack(target)
+            # journal entries after target describe orphan versions;
+            # keep them (time travel still works) but model follows
+            # the pointer
+        elif op == "vacuum":
+            drain_feed()  # never let vacuum outrun the consumer
+            t.vacuum(keep_last=2)
+        elif op == "restart":
+            t = ManagedTable(spark, root, index_cols=("k",))
+            cursor = t.cursor(scratch + "/pos")
+        check(f"{step}:{op}")
+
+    drain_feed()
+    want = {k: (val, e if has_extra else None) for k, (val, e) in model.items()}
+    assert shadow == want, f"seed {seed}: feed replay diverged"
+    # index coherence at the end: pruned read == filter
+    if model:
+        lo = min(model)
+        hi = lo + 50
+        got = sorted(r["k"] for r in t.pruned_read("k", lo, hi).collect())
+        ref = sorted(
+            r["k"]
+            for r in t.read().filter(F.col("k").between(lo, hi)).collect()
+        )
+        assert got == ref, f"seed {seed}: pruned read diverged"
+    shutil.rmtree(scratch, ignore_errors=True)
+
+
+def main() -> int:
+    from bigdatalab_spark.session import get_session
+
+    seeds, start, n_ops = 10, 0, 12
+    for arg in sys.argv[1:]:
+        if arg.startswith("--seeds="):
+            seeds = int(arg.split("=", 1)[1])
+        elif arg.startswith("--start="):
+            start = int(arg.split("=", 1)[1])
+        elif arg.startswith("--ops="):
+            n_ops = int(arg.split("=", 1)[1])
+
+    spark = get_session(app_name="fuzz-managed")
+    spark.sparkContext.setLogLevel("ERROR")
+    failed = []
+    for seed in range(start, start + seeds):
+        try:
+            run_seed(spark, seed, n_ops)
+        except AssertionError as exc:
+            failed.append({"seed": seed, "err": str(exc)[:300]})
+        print(
+            f"[{'FAIL' if failed and failed[-1]['seed'] == seed else 'OK '}] seed {seed}",
+            flush=True,
+        )
+    print(
+        json.dumps(
+            {
+                "metric": "fuzz_managed",
+                "seeds": list(range(start, start + seeds)),
+                "ops_per_seed": n_ops,
+                "n_pass": seeds - len(failed),
+                "n_fail": len(failed),
+                "failures": failed,
+            }
+        )
+    )
+    spark.stop()
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
