@@ -73,7 +73,9 @@ def run_seed(spark, seed: int, n_ops: int) -> None:
     )
     for k, val, e in rows:
         model[k] = (val, e)
-    journal = {v: dict(model)}
+    # journal: version -> (model snapshot, schema flag) — rollback
+    # restores BOTH (the table's schema travels with the snapshot)
+    journal = {v: (dict(model), has_extra)}
     shadow: dict[int, tuple] = {}
 
     def drain_feed():
@@ -127,7 +129,7 @@ def run_seed(spark, seed: int, n_ops: int) -> None:
             v = t.append(mk(rows).repartition(1))
             for k, val, e in rows:
                 model[k] = (val, e if has_extra else None)
-            journal[v] = dict(model)
+            journal[v] = (dict(model), has_extra)
         elif op == "delete_range":
             if not model:
                 continue
@@ -136,7 +138,7 @@ def run_seed(spark, seed: int, n_ops: int) -> None:
             v2 = t.delete_range("k", lo, hi)
             for k in [k for k in model if lo <= k <= hi]:
                 del model[k]
-            journal[v2] = dict(model)
+            journal[v2] = (dict(model), has_extra)
         elif op == "update_range":
             if not model:
                 continue
@@ -147,7 +149,7 @@ def run_seed(spark, seed: int, n_ops: int) -> None:
                 if lo <= k <= hi:
                     val, e = model[k]
                     model[k] = (val + 1000, e)
-            journal[v2] = dict(model)
+            journal[v2] = (dict(model), has_extra)
         elif op == "merge":
             live = sorted(model)
             upd = rng.sample(live, min(len(live), rng.randint(1, 8))) if live else []
@@ -166,10 +168,10 @@ def run_seed(spark, seed: int, n_ops: int) -> None:
                 if k in model and guarded and not (val >= model[k][0]):
                     continue  # stale update refused by the clause
                 model[k] = (val, e if has_extra else None)
-            journal[v2] = dict(model)
+            journal[v2] = (dict(model), has_extra)
         elif op == "compact":
             v2 = t.compact(target_file_rows=10_000)
-            journal[v2] = dict(model)
+            journal[v2] = (dict(model), has_extra)
         elif op == "rollback":
             live = [x for x in t.versions() if x in journal]
             if len(live) < 2:
@@ -179,7 +181,7 @@ def run_seed(spark, seed: int, n_ops: int) -> None:
             # history; consume up to date FIRST, then resync shadow
             drain_feed()
             t.rollback(target)
-            model = dict(journal[target])
+            model, has_extra = dict(journal[target][0]), journal[target][1]
             shadow = dict(model)
             cursor.ack(target)
             # journal entries after target describe orphan versions;
