@@ -753,8 +753,15 @@ class ManagedTable:
         None if no streaming writer has committed yet. One streaming
         writer per table (the writer lock already serializes commits);
         ids are the monotone foreachBatch batch ids of that writer's
-        checkpoint."""
-        for v in reversed(self.versions()):
+        checkpoint.
+
+        Walks the POINTER LINEAGE, not version-number order: a rollback
+        orphans any streaming commits above the restore point, and an
+        orphaned batch id must NOT suppress the replay that re-applies
+        those batches to the restored branch."""
+        if self.latest() is None:
+            return None
+        for v in reversed(self.lineage()):
             p = os.path.join(_version_dir(self.path, v), _STREAM_BATCH)
             if os.path.exists(p):
                 with open(p, encoding="utf-8") as fh:
@@ -822,8 +829,12 @@ class ManagedTable:
             return self.spark.read.parquet(cdf_dir)
         op = self._op_of(v)
         committed = self.versions()
-        first = committed[0]
-        if v == first and op in ("write", ""):
+        # a TRUE initial snapshot (no recorded parent) bootstraps as
+        # all-inserts; gating on "first remaining committed version"
+        # would let a full replace whose ancestors were vacuumed
+        # masquerade as a bootstrap and silently drop its implicit
+        # deletes — _plan_partitions makes the same parent-based call
+        if self._parent_of(v) is None and op in ("write", ""):
             return (
                 self.read(v)
                 .withColumn(_CHANGE_TYPE, F.lit("insert"))
@@ -1323,6 +1334,20 @@ class ChangeFeedCursor:
         todo = [v for v in chain if pos is None or v > pos]
         if not todo:
             return None, None
+        if pos is not None and pos not in chain:
+            # the ack position must sit ON the lineage (or be the
+            # vacuumed recorded parent of the first pending version) —
+            # a position stranded on a rollback-orphaned branch means
+            # the consumer applied changes this history never had, and
+            # silently resuming would leave them uncompensated
+            if self.table._parent_of(todo[0]) != pos:
+                raise ValueError(
+                    f"cursor position v={pos} is not on the current "
+                    "pointer lineage (a rollback orphaned it) — the "
+                    "consumer applied changes that are no longer this "
+                    "history's; re-bootstrap from a snapshot read and "
+                    "reset the cursor"
+                )
         return self.table.changes_between(todo[0], latest), latest
 
     def ack(self, version: int) -> None:

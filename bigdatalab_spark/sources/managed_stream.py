@@ -122,6 +122,26 @@ def _files_of(vdir: str) -> list[str]:
     )
 
 
+def _assert_flat(vdir: str, v: int) -> None:
+    """Refuse partitioned snapshots LOUDLY: their data files live in
+    ``col=val/`` subdirectories and omit the partition-column values,
+    so deriving per-file inserts would silently return an empty (or
+    value-stripped) feed — the same refusal DML makes at write time."""
+    for dirpath, dirnames, filenames in os.walk(vdir):
+        dirnames[:] = [d for d in dirnames if not d.startswith(("_", "."))]
+        if dirpath != vdir and any(
+            f.endswith(".parquet") and not f.startswith(("_", "."))
+            for f in filenames
+        ):
+            raise ValueError(
+                f"managed_changes: v={v} is a partitioned snapshot "
+                "(data files under partition subdirectories) — per-file "
+                "insert derivation would drop the partition-column "
+                "values; read it via ManagedTable.read()/changes() "
+                "instead"
+            )
+
+
 def _stored_schema_json(path: str, v: int) -> dict:
     p = os.path.join(_vdir(path, v), _SCHEMA_FILE)
     if not os.path.exists(p):
@@ -145,7 +165,9 @@ class _ChangePartition(InputPartition):
         self.change_type = change_type
 
 
-def _plan_partitions(path: str, lo: int, hi: int) -> list[_ChangePartition]:
+def _plan_partitions(
+    path: str, lo: int, hi: int, start_version: int | None = None
+) -> list[_ChangePartition]:
     """Partitions for every POINTER-LINEAGE version in (lo, hi] — the
     shared planner of the batch and streaming readers. The walk
     follows each commit's recorded parent, so versions orphaned by a
@@ -153,7 +175,17 @@ def _plan_partitions(path: str, lo: int, hi: int) -> list[_ChangePartition]:
     correctly excluded, and an append's inserts are diffed against
     its RECORDED parent, never the numerically previous version.
     Raises on vacuumed/off-lineage history and on non-initial full
-    replaces (same contract as ManagedTable.changes)."""
+    replaces (same contract as ManagedTable.changes).
+
+    ``start_version`` is the USER-REQUESTED first version (the reader's
+    startingVersion): when the first planned version IS that request,
+    the range is valid even if version numbers are not consecutive
+    along the lineage (a rollback from v1 straight to v4 makes
+    ``startingVersion=4`` compute lo=3 with parent(4)=1 — a legitimate
+    explicit range, exactly what ManagedTable.changes_between(4)
+    serves). Offsets the STREAM generated are lineage versions, so a
+    non-matching gap there still means vacuumed/orphaned history and
+    still refuses."""
     if hi <= lo:
         return []
     if hi not in _versions(path):
@@ -166,7 +198,11 @@ def _plan_partitions(path: str, lo: int, hi: int) -> list[_ChangePartition]:
     if not vers:
         return []
     first_parent = _parent_of(path, vers[0])
-    if first_parent is not None and first_parent != lo:
+    if (
+        first_parent is not None
+        and first_parent != lo
+        and vers[0] != start_version
+    ):
         raise ValueError(
             f"managed_changes: the feed from v={lo} is gone (vacuumed "
             "lineage, or the offset is on an orphaned branch after a "
@@ -184,11 +220,13 @@ def _plan_partitions(path: str, lo: int, hi: int) -> list[_ChangePartition]:
             continue
         op = _op_of(path, v)
         if _parent_of(path, v) is None and op in ("write", ""):
+            _assert_flat(vdir, v)
             out.extend(
                 _ChangePartition(os.path.join(vdir, f), v, "insert")
                 for f in _files_of(vdir)
             )
         elif op == "append":
+            _assert_flat(vdir, v)
             parent = _parent_of(path, v)
             prev_files = set(_files_of(_vdir(path, parent)))
             out.extend(
@@ -273,7 +311,9 @@ class ManagedChangesReader(DataSourceReader):
         self.hi = int(options.get("endingversion", _latest(path)))
 
     def partitions(self) -> list[InputPartition]:
-        return _plan_partitions(self.path, self.lo - 1, self.hi)
+        return _plan_partitions(
+            self.path, self.lo - 1, self.hi, start_version=self.lo
+        )
 
     def read(self, partition: _ChangePartition) -> Iterator:
         from pyspark.sql.pandas.types import to_arrow_schema
@@ -308,7 +348,9 @@ class ManagedChangesStreamReader(DataSourceStreamReader):
         return {"v": latest if latest is not None else self.start - 1}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
-        return _plan_partitions(self.path, start["v"], end["v"])
+        return _plan_partitions(
+            self.path, start["v"], end["v"], start_version=self.start
+        )
 
     def read(self, partition: _ChangePartition) -> Iterator:
         from pyspark.sql.pandas.types import to_arrow_schema

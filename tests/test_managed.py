@@ -1074,3 +1074,127 @@ def test_managed_change_feed_follows_pointer_lineage(spark, tmp_path):
         spark.read.format("managed_changes").option(
             "startingVersion", 3
         ).load(root).collect()
+
+
+def test_managed_replace_after_vacuum_is_not_a_bootstrap(spark, tmp_path):
+    """A full write() replace whose ancestors were vacuumed becomes the
+    first REMAINING committed version — it must still refuse row-level
+    change derivation (it carries implicit deletes no file diff can
+    reconstruct), not masquerade as an all-inserts bootstrap.
+    (ADVICE r9: changes() gated on v == first instead of parent-of.)"""
+    from bigdatalab_spark.sources.pyds import register_python_sources
+
+    register_python_sources(spark)
+    root = str(tmp_path / "t")
+    t = ManagedTable(spark, root, index_cols=("k",))
+    t.write(_mk(spark, 0, 100, parts=1))     # v1
+    t.write(_mk(spark, 50, 80, parts=1))     # v2: REPLACE (implicit deletes)
+    assert t.vacuum(keep_last=1) == [1]
+    assert t.versions() == [2]
+
+    with pytest.raises(ValueError, match="full snapshot replace"):
+        t.changes(2)
+    with pytest.raises(Exception, match="replace|re-bootstrap"):
+        t.changes_between(2)
+    with pytest.raises(Exception, match="replace|re-bootstrap"):
+        spark.read.format("managed_changes").load(root).collect()
+    # a TRUE initial snapshot still bootstraps as all-inserts
+    t2 = ManagedTable(spark, str(tmp_path / "t2"))
+    t2.write(_mk(spark, 0, 10, parts=1))
+    assert t2.changes(1).count() == 10
+
+
+def test_managed_changes_source_refuses_partitioned_snapshots(spark, tmp_path):
+    """The managed_changes source derives bootstrap/append inserts from
+    top-level files; a partitioned snapshot (files in col=val/ subdirs,
+    values stripped from the files) must refuse LOUDLY instead of
+    returning an empty feed. (ADVICE r9: silent zero-partition plan.)"""
+    from bigdatalab_spark.sources.pyds import register_python_sources
+
+    register_python_sources(spark)
+    root = str(tmp_path / "t")
+    t = ManagedTable(spark, root)
+    t.write(_mk(spark, 0, 40, parts=1), partition_cols=("tag",))
+    with pytest.raises(Exception, match="partitioned"):
+        spark.read.format("managed_changes").load(root).collect()
+    # the facade's own changes() handles partitioned bootstraps fine
+    assert t.changes(1).count() == 40
+
+
+def test_managed_cursor_refuses_orphaned_position(spark, tmp_path):
+    """A cursor acked on a version a later rollback orphaned has
+    applied changes this history never had — pending() must force a
+    re-bootstrap, not silently resume on the new branch. A position
+    equal to a VACUUMED lineage ancestor stays valid (continuity is
+    provable from the recorded parent). (ADVICE r9.)"""
+    root = str(tmp_path / "t")
+    t = ManagedTable(spark, root, index_cols=("k",))
+    t.write(_mk(spark, 0, 100, parts=1))           # v1
+    t.append(_mk(spark, 100, 130, parts=1))        # v2 (orphaned below)
+    cur = t.cursor(str(tmp_path / "pos"))
+    df, upto = cur.pending()
+    assert upto == 2 and df.count() == 130
+    cur.ack(upto)
+    t.rollback(1)
+    t.append(_mk(spark, 500, 520, parts=1))        # v3, parent = v1
+    with pytest.raises(ValueError, match="not on the current pointer lineage"):
+        cur.pending()
+
+    # vacuumed-ancestor continuity: pos = recorded parent of the first
+    # pending version is still a valid resume point
+    root2 = str(tmp_path / "t2")
+    t2 = ManagedTable(spark, root2, index_cols=("k",))
+    t2.write(_mk(spark, 0, 100, parts=1))          # v1
+    cur2 = t2.cursor(str(tmp_path / "pos2"))
+    _, upto2 = cur2.pending()
+    cur2.ack(upto2)                                # pos = 1
+    t2.delete_range("k", 0, 9)                     # v2 (_cdf recorded)
+    t2.delete_range("k", 10, 19)                   # v3 (_cdf recorded)
+    assert t2.vacuum(keep_last=2) == [1]
+    df2, upto3 = cur2.pending()
+    assert upto3 == 3
+    assert df2.filter("_change_type = 'delete'").count() == 20
+
+
+def test_managed_changes_explicit_start_after_rollback_gap(spark, tmp_path):
+    """startingVersion pointing AT an on-lineage version whose parent
+    is not startingVersion-1 (a rollback skipped numbers) is a valid
+    explicit range — ManagedTable.changes_between serves it, and the
+    registered source must too. Orphaned starts still refuse (pinned
+    by test_managed_change_feed_follows_pointer_lineage). (ADVICE r9.)"""
+    from bigdatalab_spark.sources.pyds import register_python_sources
+
+    register_python_sources(spark)
+    root = str(tmp_path / "t")
+    t = ManagedTable(spark, root, index_cols=("k",))
+    t.write(_mk(spark, 0, 100, parts=1))           # v1
+    t.append(_mk(spark, 100, 130, parts=1))        # v2 (orphaned below)
+    t.append(_mk(spark, 130, 160, parts=1))        # v3 (orphaned below)
+    t.rollback(1)
+    v4 = t.append(_mk(spark, 500, 520, parts=1))   # v4, parent = v1
+    assert v4 == 4
+
+    got = (
+        spark.read.format("managed_changes")
+        .option("startingVersion", 4)
+        .load(root)
+    )
+    assert sorted(r["k"] for r in got.collect()) == list(range(500, 520))
+    # parity with the facade's own range read
+    assert got.count() == t.changes_between(4).count()
+
+
+def test_managed_last_stream_batch_follows_lineage(spark, tmp_path):
+    """A rollback that orphans streaming commits must also roll the
+    replay-skip watermark back: last_stream_batch() walks the pointer
+    lineage, so the orphaned batches' ids no longer suppress their
+    replay onto the restored branch. (ADVICE r9.)"""
+    root = str(tmp_path / "t")
+    t = ManagedTable(spark, root, index_cols=("k",))
+    t.write(_mk(spark, 0, 50, parts=1), stream_batch_id=5)   # v1, batch 5
+    t.merge_into(
+        _mk(spark, 40, 60, parts=1), keys="k", stream_batch_id=7
+    )                                                        # v2, batch 7
+    assert t.last_stream_batch() == 7
+    t.rollback(1)
+    assert t.last_stream_batch() == 5  # batch 7 is orphaned history
