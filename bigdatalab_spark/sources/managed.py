@@ -14,6 +14,9 @@ snapshot:
     path/v=1/_index/*.parquet        (skipping index FOR v=1 — relative
                                       file names, so hard-linked files
                                       keep their index rows)
+    path/v=1/_manifest/*.parquet     (file manifest FOR v=1: relative
+                                      name + size per data file — the
+                                      planning source of truth)
     path/v=1/_COMMITTED              (marker: data AND index complete)
     path/v=2/...
     path/_latest                     (atomic pointer: "2")
@@ -55,6 +58,23 @@ Scale design:
   hard-linked and keeps its index rows verbatim. Cost is proportional
   to the touched files, not the table — at 100 TB, deleting one
   user's rows from a user-clustered table rewrites a handful of files.
+- METADATA PLANE: every committed version carries a ``_manifest``
+  (one row per data file: relative name + size, landed before the
+  marker like the index). Reads, DML attribution, and history() plan
+  from the manifest — one metadata-sized parquet read — and each
+  commit COMPOSES its child manifest from the parent's rows plus its
+  own delta, so no commit ever walks or re-stats the live file set:
+  metadata cost is proportional to the files the commit touches, not
+  the table (at ~10⁶ files/version, the difference between a million
+  driver stat calls per commit and a few dozen).
+  PORTABILITY: the manifest is the source of truth; the hard links
+  that carry untouched files between version directories are a LOCAL
+  FILESYSTEM data-plane optimization (zero-copy, shared inodes). An
+  object-store port keeps the manifest/commit protocol unchanged and
+  replaces the link loop with manifest rows pointing at the files'
+  original version directories (absolute keys instead of relative
+  names) — the planning surfaces already read the manifest, so only
+  the link loop and ``_read_files``'s path join would change.
 - CHANGE DATA FEED: DML versions record their changed rows under
   ``v=N/_cdf`` (invisible to plain readers) before the marker lands —
   the feed commits atomically with the data; ``changes(N)`` reads it,
@@ -88,6 +108,7 @@ from bigdatalab_spark.sources.versioned import vacuum as _vacuum
 
 _INDEX_DIR = "_index"
 _INDEX_RG_DIR = "_index_rg"
+_MANIFEST_DIR = "_manifest"
 _CDF_DIR = "_cdf"
 _CHANGE_TYPE = "_change_type"
 _COMMIT_VERSION = "_commit_version"
@@ -95,10 +116,13 @@ _STREAM_BATCH = "_STREAM_BATCH"
 _SCHEMA_FILE = "_SCHEMA"
 
 
-def _data_files(vdir: str) -> list[str]:
-    """Relative paths of the snapshot's parquet data files (walk, so
-    partitioned layouts work); ``_index`` and other _-prefixed entries
-    are excluded the same way Spark's reader excludes them."""
+def _walk_data_files(vdir: str) -> list[str]:
+    """Relative paths of a directory's parquet data files by LISTING
+    (walk, so partitioned layouts work); ``_index`` and other
+    _-prefixed entries are excluded the same way Spark's reader
+    excludes them. Used for the delta (freshly-written files, no
+    manifest yet) and as the legacy fallback — committed versions are
+    planned from their manifest instead."""
     out = []
     for dirpath, dirnames, filenames in os.walk(vdir):
         dirnames[:] = [
@@ -110,6 +134,76 @@ def _data_files(vdir: str) -> list[str]:
                     os.path.relpath(os.path.join(dirpath, f), vdir)
                 )
     return sorted(out)
+
+
+def _manifest_entries(vdir: str) -> list[tuple[str, int]] | None:
+    """The version's committed ``_manifest`` as sorted
+    ``(relative file, size_bytes)`` rows, or None for versions
+    committed before manifests existed (fall back to listing). Read
+    driver-side with pyarrow — metadata-sized, no Spark job."""
+    import pyarrow.parquet as pq
+
+    d = os.path.join(vdir, _MANIFEST_DIR)
+    if not os.path.isdir(d):
+        return None
+    out: list[tuple[str, int]] = []
+    for part in sorted(os.listdir(d)):
+        if not part.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(d, part))
+        out.extend(
+            zip(
+                t.column("file").to_pylist(),
+                t.column("size_bytes").to_pylist(),
+            )
+        )
+    return sorted(out)
+
+
+def _write_manifest(vdir: str, entries: list[tuple[str, int]]) -> None:
+    """Land the version's file manifest BEFORE its marker (same commit
+    discipline as ``_index``): one row per data file with its size.
+    The manifest — not a directory listing — is the planning source of
+    truth for every read/DML of a committed version, so planning cost
+    is one metadata-sized parquet read instead of an O(file-count)
+    filesystem walk, and works identically on object stores that have
+    no cheap recursive listing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    entries = sorted(entries)
+    tbl = pa.table(
+        {
+            "file": [f for f, _ in entries],
+            "size_bytes": [s for _, s in entries],
+        },
+        schema=pa.schema(
+            [("file", pa.string()), ("size_bytes", pa.int64())]
+        ),
+    )
+    d = os.path.join(vdir, _MANIFEST_DIR)
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(tbl, os.path.join(d, "part-0.parquet"))
+
+
+def _sized(vdir: str, rels: list[str]) -> list[tuple[str, int]]:
+    """Stat the given files into manifest rows — called only on the
+    DELTA (files this commit wrote), never the whole snapshot."""
+    return [
+        (rel, os.path.getsize(os.path.join(vdir, rel))) for rel in rels
+    ]
+
+
+def _data_files(vdir: str) -> list[str]:
+    """Relative paths of the snapshot's parquet data files: from the
+    committed ``_manifest`` when the version has one (metadata-sized
+    parquet read — the source of truth), else by walking (legacy
+    versions, and mid-commit directories whose manifest has not landed
+    yet — exactly the delta the commit is discovering)."""
+    m = _manifest_entries(vdir)
+    if m is not None:
+        return [f for f, _ in m]
+    return _walk_data_files(vdir)
 
 
 class ManagedTable:
@@ -181,7 +275,9 @@ class ManagedTable:
             for k, v in (writer_options or {}).items():
                 writer = writer.option(k, v)
             writer.parquet(vdir)
-            self._write_index(vdir, new_files=_data_files(vdir))
+            files = _walk_data_files(vdir)
+            self._write_index(vdir, new_files=files)
+            _write_manifest(vdir, _sized(vdir, files))
             self._write_schema(vdir, df.schema)
             if stream_batch_id is not None:
                 self._write_stream_batch(vdir, stream_batch_id)
@@ -207,7 +303,9 @@ class ManagedTable:
                 # first append = first snapshot; same commit protocol
                 version, vdir = self._allocate()
                 df.write.mode("errorifexists").parquet(vdir)
-                self._write_index(vdir, new_files=_data_files(vdir))
+                files = _walk_data_files(vdir)
+                self._write_index(vdir, new_files=files)
+                _write_manifest(vdir, _sized(vdir, files))
                 self._write_schema(vdir, df.schema)
                 self._commit(version, vdir, expected=current, op="write")
                 return version
@@ -222,7 +320,7 @@ class ManagedTable:
             new_schema = self._evolve_schema(current, df)
             version, vdir = self._allocate()
             df.write.mode("errorifexists").parquet(vdir)
-            new_files = set(_data_files(vdir))
+            new_files = set(_walk_data_files(vdir))
             for rel in prev_files:
                 if rel in new_files:  # astronomically unlikely (UUIDs)
                     raise ConcurrentWriteError(
@@ -235,6 +333,12 @@ class ManagedTable:
                 vdir,
                 new_files=sorted(new_files),
                 reuse_from=os.path.join(prev, _INDEX_DIR),
+            )
+            # manifest composes from the PARENT's rows + the delta —
+            # no walk of the snapshot, no re-stat of carried files
+            prev_sized = _manifest_entries(prev) or _sized(prev, prev_files)
+            _write_manifest(
+                vdir, prev_sized + _sized(vdir, sorted(new_files))
             )
             self._write_schema(vdir, new_schema)
             self._commit(version, vdir, expected=current, op="append")
@@ -293,7 +397,9 @@ class ManagedTable:
                 .option("maxRecordsPerFile", target_file_rows)
                 .parquet(vdir)
             )
-            self._write_index(vdir, new_files=_data_files(vdir))
+            files = _walk_data_files(vdir)
+            self._write_index(vdir, new_files=files)
+            _write_manifest(vdir, _sized(vdir, files))
             self._write_schema(vdir, df.schema)
             self._commit(version, vdir, expected=current, op="compact")
             return version
@@ -637,7 +743,7 @@ class ManagedTable:
         else:
             new_df = new_df.repartition(n_out)
         new_df.write.mode("errorifexists").parquet(vdir)
-        written = set(_data_files(vdir))
+        written = set(_walk_data_files(vdir))
         link = [rel for rel in all_files if rel not in touched]
         for rel in link:
             if rel in written:  # astronomically unlikely (UUIDs)
@@ -650,6 +756,18 @@ class ManagedTable:
             new_files=sorted(written),
             reuse_from=os.path.join(prev, _INDEX_DIR),
             reuse_files=set(link),
+        )
+        # manifest = parent rows minus the rewritten files + the delta;
+        # planning the NEXT commit then never walks or re-stats the
+        # carried files (cost stays proportional to this commit's delta)
+        link_set = set(link)
+        prev_sized = _manifest_entries(prev)
+        if prev_sized is None:
+            prev_sized = _sized(prev, link)
+        _write_manifest(
+            vdir,
+            [(f, s) for f, s in prev_sized if f in link_set]
+            + _sized(vdir, sorted(written)),
         )
         (
             cdf.withColumn(_COMMIT_VERSION, F.lit(version))
@@ -954,10 +1072,12 @@ class ManagedTable:
         chain = set(self.lineage()) if current is not None else set()
         for v in self.versions():
             vdir = _version_dir(self.path, v)
-            files = _data_files(vdir)
-            n_bytes = sum(
-                os.path.getsize(os.path.join(vdir, rel)) for rel in files
-            )
+            sized = _manifest_entries(vdir)
+            if sized is None:  # pre-manifest version: list + stat
+                files = _walk_data_files(vdir)
+                sized = _sized(vdir, files)
+            files = [f for f, _ in sized]
+            n_bytes = sum(s for _, s in sized)
             batch = None
             bpath = os.path.join(vdir, _STREAM_BATCH)
             if os.path.exists(bpath):
@@ -1010,10 +1130,17 @@ class ManagedTable:
                 )
             version_no, vdir = dst._allocate()
             os.makedirs(vdir, exist_ok=True)
-            for rel in _data_files(src):
+            src_files = _data_files(src)
+            for rel in src_files:
                 target = os.path.join(vdir, rel)
                 os.makedirs(os.path.dirname(target), exist_ok=True)
                 os.link(os.path.join(src, rel), target)
+            # relative names are preserved, so the source's manifest
+            # rows are the clone's manifest rows verbatim
+            _write_manifest(
+                vdir,
+                _manifest_entries(src) or _sized(src, src_files),
+            )
             for aux in (_INDEX_DIR, _INDEX_RG_DIR):
                 if os.path.isdir(os.path.join(src, aux)):
                     shutil.copytree(

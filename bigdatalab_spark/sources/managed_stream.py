@@ -114,7 +114,31 @@ def _lineage(path: str, hi: int) -> list[int]:
     return list(reversed(chain))
 
 
+def _manifest_files(vdir: str) -> list[str] | None:
+    """Relative data-file names from the version's committed
+    ``_manifest`` (the planning source of truth — one metadata-sized
+    parquet read, no directory listing), or None for versions
+    committed before manifests existed."""
+    import pyarrow.parquet as pq
+
+    mdir = os.path.join(vdir, "_manifest")
+    if not os.path.isdir(mdir):
+        return None
+    names: list[str] = []
+    for part in sorted(os.listdir(mdir)):
+        if part.endswith(".parquet"):
+            names.extend(
+                pq.read_table(os.path.join(mdir, part))
+                .column("file")
+                .to_pylist()
+            )
+    return sorted(names)
+
+
 def _files_of(vdir: str) -> list[str]:
+    names = _manifest_files(vdir)
+    if names is not None:
+        return names
     return sorted(
         f
         for f in os.listdir(vdir)
@@ -127,19 +151,26 @@ def _assert_flat(vdir: str, v: int) -> None:
     ``col=val/`` subdirectories and omit the partition-column values,
     so deriving per-file inserts would silently return an empty (or
     value-stripped) feed — the same refusal DML makes at write time."""
-    for dirpath, dirnames, filenames in os.walk(vdir):
-        dirnames[:] = [d for d in dirnames if not d.startswith(("_", "."))]
-        if dirpath != vdir and any(
-            f.endswith(".parquet") and not f.startswith(("_", "."))
-            for f in filenames
-        ):
-            raise ValueError(
-                f"managed_changes: v={v} is a partitioned snapshot "
-                "(data files under partition subdirectories) — per-file "
-                "insert derivation would drop the partition-column "
-                "values; read it via ManagedTable.read()/changes() "
-                "instead"
+    names = _manifest_files(vdir)
+    if names is None:
+        names = []
+        for dirpath, dirnames, filenames in os.walk(vdir):
+            dirnames[:] = [
+                d for d in dirnames if not d.startswith(("_", "."))
+            ]
+            names.extend(
+                os.path.relpath(os.path.join(dirpath, f), vdir)
+                for f in filenames
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
             )
+    if any(os.sep in n or "/" in n for n in names):
+        raise ValueError(
+            f"managed_changes: v={v} is a partitioned snapshot "
+            "(data files under partition subdirectories) — per-file "
+            "insert derivation would drop the partition-column "
+            "values; read it via ManagedTable.read()/changes() "
+            "instead"
+        )
 
 
 def _stored_schema_json(path: str, v: int) -> dict:

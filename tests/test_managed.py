@@ -1198,3 +1198,58 @@ def test_managed_last_stream_batch_follows_lineage(spark, tmp_path):
     assert t.last_stream_batch() == 7
     t.rollback(1)
     assert t.last_stream_batch() == 5  # batch 7 is orphaned history
+
+
+def test_managed_manifest_metadata_plane(spark, tmp_path):
+    """Every commit kind lands a ``_manifest`` (file + size) that
+    matches the physical layout exactly; committed versions are
+    PLANNED from it (file lists, history sizes), composed parent+delta
+    — and a legacy version without one still works via the listing
+    fallback, with the next commit writing a full manifest again."""
+    import shutil
+
+    from bigdatalab_spark.sources.managed import (
+        _manifest_entries,
+        _walk_data_files,
+    )
+
+    root = str(tmp_path / "t")
+    t = ManagedTable(spark, root, index_cols=("k",))
+    t.write(_mk(spark, 0, 400, parts=4))                    # v1 write
+    t.append(_mk(spark, 400, 500, parts=1))                 # v2 append
+    t.delete_range("k", 0, 49)                              # v3 delete
+    t.merge_into(_mk(spark, 480, 520, parts=1), keys="k")   # v4 merge
+    t.compact(target_file_rows=200)                         # v5 compact
+
+    for v in t.versions():
+        vdir = os.path.join(root, f"v={v}")
+        m = _manifest_entries(vdir)
+        assert m is not None, f"v={v} has no manifest"
+        assert [f for f, _ in m] == _walk_data_files(vdir)
+        for f, s in m:
+            assert s == os.path.getsize(os.path.join(vdir, f))
+
+    # history() bytes come straight from the manifest rows
+    h = {r["version"]: r for r in t.history().collect()}
+    for v in t.versions():
+        m = _manifest_entries(os.path.join(root, f"v={v}"))
+        assert h[v]["n_files"] == len(m)
+        assert h[v]["n_bytes"] == sum(s for _, s in m)
+
+    # clone carries the manifest verbatim (relative names preserved)
+    c = t.clone(str(tmp_path / "c"))
+    cm = _manifest_entries(str(tmp_path / "c" / "v=1"))
+    assert cm == _manifest_entries(os.path.join(root, "v=5"))
+
+    # legacy fallback: a pre-manifest version still reads, DMLs, and
+    # the NEXT commit re-materializes a complete manifest
+    before = _rows(t.read())
+    shutil.rmtree(os.path.join(root, "v=5", "_manifest"))
+    assert _rows(t.read()) == before
+    v6 = t.delete_range("k", 100, 109)
+    m6 = _manifest_entries(os.path.join(root, f"v={v6}"))
+    assert m6 is not None
+    assert [f for f, _ in m6] == _walk_data_files(
+        os.path.join(root, f"v={v6}")
+    )
+    assert t.read(v6).filter("k between 100 and 109").count() == 0
