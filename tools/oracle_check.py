@@ -105,19 +105,137 @@ def compare_frames(spark_pdf, duck_pdf) -> list[str]:
     return problems
 
 
-def check_query(spark, con, name: str, sf_dir: str) -> list[str]:
+def _spark_kind(dt) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "i"
+    if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+        return "f"
+    if isinstance(dt, T.BooleanType):
+        return "b"
+    if isinstance(dt, (T.TimestampType, T.DateType)):
+        return "M"
+    return "O"
+
+
+def _duck_kind(typ: str) -> str:
+    t = typ.upper()
+    if t.startswith("DECIMAL") or t in ("DOUBLE", "FLOAT", "REAL"):
+        return "f"
+    if t in (
+        "TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+        "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+    ):
+        return "i"
+    if t == "BOOLEAN":
+        return "b"
+    if t.startswith("TIMESTAMP") or t == "DATE":
+        return "M"
+    return "O"
+
+
+def compare_distributed(spark, con, sdf_df, oracle: str, name: str) -> list[str]:
+    """Compare without EVER materializing either side on the driver:
+    the Spark result lands in temp parquet (distributed write), then
+    BOTH sides run through the SAME DuckDB hashing SQL — column-wise
+    canonical casts by dtype kind, then an order-insensitive
+    ``sum(hash(row))`` content digest computed out-of-core. One engine
+    renders both sides, so cross-engine float-formatting differences
+    cannot fake a mismatch; int-vs-float still fails loudly via the
+    kind check (the driver-hash failure mode). Used automatically when
+    the oracle's row count exceeds the collect budget — e.g. the
+    243M-pair simhash output at sf1 that no driver-side pandas compare
+    can hold."""
+    import os
+    import shutil
+    import tempfile
+
+    spark_kinds = {
+        f.name: _spark_kind(f.dataType) for f in sdf_df.schema.fields
+    }
+    desc = con.execute(f"DESCRIBE SELECT * FROM ({oracle})").fetchall()
+    duck_kinds = {r[0]: _duck_kind(r[1]) for r in desc}
+    sc, dc = sorted(spark_kinds), sorted(duck_kinds)
+    if sc != dc:
+        return [f"schema mismatch: spark={sc} oracle={dc}"]
+    problems = [
+        f"dtype kind mismatch col {c}: spark kind={spark_kinds[c]} "
+        f"oracle kind={duck_kinds[c]}"
+        for c in sc
+        if spark_kinds[c] != duck_kinds[c]
+    ]
+    if problems:
+        return problems
+    exprs = []
+    for c in sc:
+        k, q = spark_kinds[c], f'"{c}"'
+        if k == "i":
+            exprs.append(f"CAST({q} AS BIGINT)")
+        elif k == "f":
+            exprs.append(
+                f"(CASE WHEN isnan(CAST({q} AS DOUBLE)) THEN NULL "
+                f"ELSE CAST({q} AS DOUBLE) END)"
+            )
+        elif k == "b":
+            exprs.append(f"CAST({q} AS BOOLEAN)")
+        elif k == "M":
+            exprs.append(f"CAST({q} AS TIMESTAMP)")
+        else:
+            exprs.append(f"CAST({q} AS VARCHAR)")
+    digest = (
+        "count(*) AS n, "
+        f"COALESCE(SUM(CAST(hash({', '.join(exprs)}) AS HUGEINT)), 0) AS h"
+    )
+    tmp = tempfile.mkdtemp(prefix=f"oracle_dist_{name}_")
+    try:
+        out = os.path.join(tmp, "spark_result")
+        sdf_df.write.mode("overwrite").parquet(out)
+        ns, hs = con.execute(
+            f"SELECT {digest} FROM read_parquet('{out}/*.parquet')"
+        ).fetchone()
+        no, ho = con.execute(f"SELECT {digest} FROM ({oracle})").fetchone()
+        if ns != no:
+            problems.append(f"row count: spark={ns} oracle={no}")
+        elif hs != ho:
+            problems.append(
+                f"content digest mismatch over {ns} rows "
+                "(order-insensitive sum of per-row hashes, both sides "
+                "rendered by DuckDB)"
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return problems
+
+
+def check_query(
+    spark, con, name: str, sf_dir: str, max_collect: int = 2_000_000
+) -> tuple[list[str], str]:
+    """Returns (problems, mode). Mode ``strict`` collects both sides to
+    pandas and compares exact canonical renderings cell by cell;
+    ``strict-distributed`` kicks in when the oracle's row count exceeds
+    ``max_collect`` and compares counts + an in-engine content digest
+    instead (same strictness on schema/kind, no driver materialization)."""
     # go through the driver contract (__spark_entry__), not the registry
     # directly, so wrappers (UTC pinning) are under test too
     import __spark_entry__ as entry_mod
 
     fn = entry_mod.queries()[name]
     oracle = entry_mod.oracle_sql().get(name)
-    sdf = fn(spark, sf_dir).toPandas()
+    sdf_df = fn(spark, sf_dir)
     if oracle is None:
         # rows-only gate: the driver requires rows > 0, so do we
-        return [] if len(sdf) > 0 else ["rows-only query returned 0 rows"]
+        n = sdf_df.limit(1).count()
+        return ([] if n > 0 else ["rows-only query returned 0 rows"], "rows-only")
+    n_oracle = con.execute(f"SELECT count(*) FROM ({oracle})").fetchone()[0]
+    if n_oracle > max_collect:
+        return (
+            compare_distributed(spark, con, sdf_df, oracle, name),
+            "strict-distributed",
+        )
+    sdf = sdf_df.toPandas()
     ddf = con.execute(oracle).fetchdf()
-    return compare_frames(sdf, ddf)
+    return compare_frames(sdf, ddf), "strict"
 
 
 def main() -> int:
@@ -126,6 +244,7 @@ def main() -> int:
 
     argv = list(sys.argv[1:])
     json_path = None
+    max_collect = 2_000_000
     if "--json" in argv:
         i = argv.index("--json")
         if i + 1 >= len(argv):
@@ -133,6 +252,10 @@ def main() -> int:
             return 2
         json_path = argv[i + 1]
         del argv[i : i + 2]
+    for a in list(argv):
+        if a.startswith("--max-collect="):
+            max_collect = int(a.split("=", 1)[1])
+            argv.remove(a)
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     names = argv[1:] or list(REGISTRY)
     unknown = [n for n in names if n not in REGISTRY]
@@ -145,17 +268,20 @@ def main() -> int:
     results: dict[str, dict] = {}
     for name in names:
         try:
-            problems = check_query(spark, con, name, sf_dir)
+            problems, mode = check_query(
+                spark, con, name, sf_dir, max_collect=max_collect
+            )
         except Exception as exc:  # noqa: BLE001 — report and keep going
             problems = [f"exception: {exc}"]
+            mode = "strict" if REGISTRY[name].oracle else "rows-only"
         status = "OK " if not problems else "FAIL"
-        oracle_tag = "" if REGISTRY[name].oracle else " (rows-only)"
+        oracle_tag = "" if mode == "strict" else f" ({mode})"
         print(f"[{status}] {name}{oracle_tag}")
         for p in problems:
             print(f"       {p}")
         results[name] = {
             "ok": not problems,
-            "mode": "strict" if REGISTRY[name].oracle else "rows-only",
+            "mode": mode,
             "problems": problems,
         }
         failed += bool(problems)
