@@ -961,13 +961,25 @@ def _candidate_mass_guard(
     sh: DataFrame,
     budget_per_doc: float,
     algo: str,
-) -> None:
+    on_over_budget: str = "raise",
+) -> bool:
     """Shared regime guard for exact-join candidate generators: one
     aggregate over the candidate-key frame computes the join's output
     mass (sum over key buckets of C(c,2)); if it exceeds
-    ``budget_per_doc * n_docs``, fail loudly instead of launching a
-    silent near-quadratic job. See prefix_filter_jaccard_pairs for the
-    regime analysis and the measured x100 numbers."""
+    ``budget_per_doc * n_docs``, refuse instead of launching a silent
+    near-quadratic job. See prefix_filter_jaccard_pairs for the
+    regime analysis and the measured x100 numbers.
+
+    ``on_over_budget`` picks the refusal mode: ``'raise'`` (default)
+    fails loudly; ``'lsh'`` returns True so the caller degrades to the
+    banded-LSH candidate generator — a 100 TB pipeline usually wants
+    graceful degradation with a stamped decision, not a dead job — and
+    the decision is announced via a RuntimeWarning carrying the
+    measured mass. Returns False when the corpus is within budget."""
+    if on_over_budget not in ("raise", "lsh"):
+        raise ValueError(
+            f"on_over_budget must be 'raise' or 'lsh', got {on_over_budget!r}"
+        )
     stats = (
         keyed.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -978,20 +990,38 @@ def _candidate_mass_guard(
         .collect()[0]
     )
     mass, n_docs = stats["mass"] or 0.0, stats["n_docs"]
-    if mass > budget_per_doc * n_docs:
-        raise RuntimeError(
-            f"{algo}: candidate mass {mass:.3g} pairs for {n_docs} docs "
-            f"({mass / max(n_docs, 1):.0f}x/doc) exceeds the budget of "
-            f"{budget_per_doc:g}x/doc — this generator's candidate keys "
-            "have no usable frequency tail on this corpus (low-entropy "
-            "or heavily-duplicated text; for the shared-shingle "
-            "generator, hot COMMON shingles alone cause this even when "
-            "rare shingles exist — prefix_filter_jaccard_pairs exploits "
-            "the tail if there is one), so candidate generation degrades "
-            "toward all-pairs. Use minhash_near_dups (banded LSH, "
-            "output-bound on any corpus shape), or raise/disable the "
-            "budget to force the exact join."
+    if mass <= budget_per_doc * n_docs:
+        return False
+    diagnosis = (
+        f"{algo}: candidate mass {mass:.3g} pairs for {n_docs} docs "
+        f"({mass / max(n_docs, 1):.0f}x/doc) exceeds the budget of "
+        f"{budget_per_doc:g}x/doc — this generator's candidate keys "
+        "have no usable frequency tail on this corpus (low-entropy "
+        "or heavily-duplicated text; for the shared-shingle "
+        "generator, hot COMMON shingles alone cause this even when "
+        "rare shingles exist — prefix_filter_jaccard_pairs exploits "
+        "the tail if there is one), so candidate generation degrades "
+        "toward all-pairs."
+    )
+    if on_over_budget == "lsh":
+        import warnings
+
+        warnings.warn(
+            diagnosis
+            + " DEGRADING to banded-LSH candidate generation "
+            "(on_over_budget='lsh'): emitted pairs keep the exact "
+            "Jaccard verify, recall becomes LSH-bound.",
+            RuntimeWarning,
+            stacklevel=3,
         )
+        return True
+    raise RuntimeError(
+        diagnosis
+        + " Use minhash_near_dups (banded LSH, output-bound on any "
+        "corpus shape), pass on_over_budget='lsh' to degrade to its "
+        "candidate generator automatically, or raise/disable the "
+        "budget to force the exact join."
+    )
 
 
 def ngram_jaccard_pairs(
@@ -999,6 +1029,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     n: int = 3,
     candidate_budget_per_doc: float | None = 2000.0,
+    on_over_budget: str = "raise",
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dups WITHOUT LSH: candidates = pairs
     sharing at least one shingle (inverted-index join). The exact
@@ -1006,22 +1037,38 @@ def ngram_jaccard_pairs(
     in the worst case, so gate-scale and test use only. Carries the
     same regime guard as :func:`prefix_filter_jaccard_pairs` (budget
     2000x/doc: sf0.01 = 28x, sf0.1 = 253x, the shared-marker x100
-    replica = ~20,000x and a measured DNF at 2400 s)."""
+    replica = ~20,000x and a measured DNF at 2400 s).
+
+    ``on_over_budget='lsh'`` degrades an over-budget corpus to the
+    banded-LSH candidate generator instead of raising: the emitted
+    pairs keep the exact-Jaccard verify (no false positives), recall
+    becomes LSH-bound, and the decision is announced as a
+    RuntimeWarning with the measured candidate mass."""
     sh = doc_shingles(docs, n=n).cache()
+    over = False
     if candidate_budget_per_doc is not None:
-        _candidate_mass_guard(
-            sh, sh, candidate_budget_per_doc, "ngram_jaccard_pairs"
+        over = _candidate_mass_guard(
+            sh, sh, candidate_budget_per_doc, "ngram_jaccard_pairs",
+            on_over_budget,
         )
-    cands = (
-        sh.alias("a")
-        .join(
-            sh.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    if over:
+        cands = lsh_candidate_pairs(
+            minhash_signatures(sh), max_bucket_size=500
         )
-        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
-        .distinct()
-    )
+    else:
+        cands = (
+            sh.alias("a")
+            .join(
+                sh.alias("b"),
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc1"),
+                F.col("b.doc_id").alias("doc2"),
+            )
+            .distinct()
+        )
     return jaccard_verify(cands, sh).filter(F.col("jaccard") >= threshold)
 
 
@@ -1030,6 +1077,7 @@ def prefix_filter_jaccard_pairs(
     threshold: float = 0.5,
     n: int = 3,
     candidate_budget_per_doc: float | None = 500.0,
+    on_over_budget: str = "raise",
 ) -> DataFrame:
     """Exact Jaccard threshold self-join with PREFIX FILTERING — the
     scale answer to :func:`ngram_jaccard_pairs`'s quadratic caveat.
@@ -1098,20 +1146,33 @@ def prefix_filter_jaccard_pairs(
         )
         .select("doc_id", "shingle")
     )
+    over = False
     if candidate_budget_per_doc is not None:
-        _candidate_mass_guard(
-            prefixes, sh, candidate_budget_per_doc, "prefix_filter_jaccard_pairs"
+        over = _candidate_mass_guard(
+            prefixes, sh, candidate_budget_per_doc,
+            "prefix_filter_jaccard_pairs", on_over_budget,
         )
-    cands = (
-        prefixes.alias("a")
-        .join(
-            prefixes.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    if over:
+        # degraded mode (on_over_budget='lsh'): the prefix tail is hot,
+        # so candidates come from banded LSH instead — exact verify
+        # kept, recall becomes LSH-bound (announced via RuntimeWarning)
+        cands = lsh_candidate_pairs(
+            minhash_signatures(sh), max_bucket_size=500
         )
-        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
-        .distinct()
-    )
+    else:
+        cands = (
+            prefixes.alias("a")
+            .join(
+                prefixes.alias("b"),
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc1"),
+                F.col("b.doc_id").alias("doc2"),
+            )
+            .distinct()
+        )
     return jaccard_verify(cands, sh).filter(F.col("jaccard") >= threshold)
 
 

@@ -1688,6 +1688,68 @@ def test_prefix_filter_regime_guard_fires_on_low_entropy_corpus(spark, sf_dir):
         ).count()
 
 
+def test_exact_similarity_over_budget_lsh_fallback(spark, sf_dir):
+    """on_over_budget='lsh': an over-budget corpus DEGRADES to the
+    banded-LSH candidate generator instead of dying — output identical
+    to the sanctioned minhash_near_dups pipeline (same bands, same
+    exact verify), a subset of the exact join's truth (no false
+    positives), and the decision announced as a RuntimeWarning with
+    the measured mass. The loud default stays pinned by
+    test_prefix_filter_regime_guard_fires_on_low_entropy_corpus."""
+    import warnings
+
+    import pytest
+
+    from bigdatalab_spark.scale.dedup import (
+        minhash_near_dups,
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+    from bigdatalab_spark.sources import load_table
+
+    docs = load_table(spark, str(sf_dir), "documents")
+    key = lambda r: (r["doc1"], r["doc2"])  # noqa: E731
+    exact = {key(r) for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    lsh = {key(r) for r in minhash_near_dups(docs, threshold=0.5).collect()}
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = {
+            key(r)
+            for r in ngram_jaccard_pairs(
+                docs,
+                threshold=0.5,
+                candidate_budget_per_doc=0.001,
+                on_over_budget="lsh",
+            ).collect()
+        }
+    assert any("DEGRADING" in str(x.message) for x in w)
+    assert got == lsh
+    assert got <= exact
+
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        got2 = {
+            key(r)
+            for r in prefix_filter_jaccard_pairs(
+                docs,
+                threshold=0.5,
+                candidate_budget_per_doc=0.001,
+                on_over_budget="lsh",
+            ).collect()
+        }
+    assert any("DEGRADING" in str(x.message) for x in w2)
+    assert got2 == lsh
+
+    with pytest.raises(ValueError, match="on_over_budget"):
+        ngram_jaccard_pairs(
+            docs,
+            threshold=0.5,
+            candidate_budget_per_doc=0.001,
+            on_over_budget="bogus",
+        )
+
+
 def test_pq_fit_serve_split_matches_end_to_end(spark, sf_dir, tmp_path):
     """Round-7: the PQ family gets the same fit/serve split as IVF —
     serving over a PREBUILT codes frame with codebooks LOADED from the
