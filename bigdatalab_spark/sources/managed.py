@@ -86,6 +86,7 @@ Scale design:
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -114,6 +115,7 @@ _CHANGE_TYPE = "_change_type"
 _COMMIT_VERSION = "_commit_version"
 _STREAM_BATCH = "_STREAM_BATCH"
 _SCHEMA_FILE = "_SCHEMA"
+_RESERVED = "_RESERVED"
 
 
 def _walk_data_files(vdir: str) -> list[str]:
@@ -206,6 +208,13 @@ def _data_files(vdir: str) -> list[str]:
     return _walk_data_files(vdir)
 
 
+class CommitConflictError(ConcurrentWriteError):
+    """An optimistic transaction lost its race: a commit that landed
+    after the transaction's base version touched files the transaction
+    read. The work is rolled back (the reserved version directory is
+    removed); re-run against the new current version."""
+
+
 class ManagedTable:
     """Facade over one versioned, indexed, compactable parquet table.
 
@@ -213,6 +222,29 @@ class ManagedTable:
     every committed version carries an index for exactly these columns
     (possibly with NULL stats for files that predate a column — such
     files are always-candidates, never dropped).
+
+    ``concurrency`` picks the writer protocol:
+
+    - ``"exclusive"`` (default): every mutation holds the table's
+      writer lock across its whole read-modify-write — one writer at a
+      time, concurrent writers fail fast. Simple, serializable.
+    - ``"optimistic"``: mutations COMPUTE against a pinned base
+      snapshot with NO lock held (the expensive Spark work runs
+      concurrently), then take a short commit critical section that
+      validates the transaction against every commit that landed since
+      the base and REBASES it onto the current snapshot. Validation is
+      file-level, derived entirely from the committed manifests (each
+      intervening commit's removed set = parent manifest − child
+      manifest, no extra txn log): a winner that removed files this
+      transaction READ aborts it loudly (:class:`CommitConflictError`);
+      disjoint-file transactions — two appends, two index-pruned DMLs
+      on different key ranges — all commit. Isolation is
+      WriteSerializable (Delta's default): a concurrent blind append's
+      rows are not retro-filtered by an in-flight DELETE/UPDATE
+      predicate; MERGE is stricter — files added since the base whose
+      indexed key stats overlap the source's key range abort the merge
+      (a missed match would silently duplicate keys, which is
+      corruption, not an isolation choice).
     """
 
     def __init__(
@@ -221,6 +253,7 @@ class ManagedTable:
         path: str,
         index_cols: tuple[str, ...] = (),
         rowgroup_index: bool = False,
+        concurrency: str = "exclusive",
     ) -> None:
         self.spark = spark
         self.path = path
@@ -229,6 +262,12 @@ class ManagedTable:
         # stats index alongside the file-level one — same footer walk,
         # more rows; reads can then skip row groups INSIDE kept files
         self.rowgroup_index = bool(rowgroup_index and index_cols)
+        if concurrency not in ("exclusive", "optimistic"):
+            raise ValueError(
+                "concurrency must be 'exclusive' or 'optimistic', "
+                f"got {concurrency!r}"
+            )
+        self.concurrency = concurrency
 
     # ---- version surface (delegated semantics) --------------------------
 
@@ -297,6 +336,8 @@ class ManagedTable:
         for them, and an indexed evolved column gives them NULL stats =
         always-candidates). Dropping or re-typing existing columns is
         refused loudly — see :meth:`_evolve_schema`."""
+        if self.concurrency == "optimistic":
+            return self._append_optimistic(df)
         with dataset_write_lock(self.path, "managed_append"):
             current = latest_version(self.path)
             if current is None:
@@ -497,131 +538,40 @@ class ManagedTable:
         change feed records update_preimage/update_postimage pairs for
         matches and insert rows for new keys."""
         keys = (keys,) if isinstance(keys, str) else tuple(keys)
+        if self.concurrency == "optimistic":
+            # compute against a pinned base with NO lock held; the
+            # short commit section validates + rebases (class docstring)
+            current = latest_version(self.path)
+            if current is None:
+                raise FileNotFoundError(
+                    f"no committed versions under {self.path}"
+                )
+            plan = self._merge_plan(current, source, keys, when_matched)
+            if plan is None:
+                return current
+            scan_files, touched, new_df, cdf, bounds = plan
+            return self._commit_cow_optimistic(
+                current,
+                scan_files,
+                touched,
+                new_df,
+                cdf,
+                "merge",
+                stream_batch_id=stream_batch_id,
+                merge_bounds=bounds,
+            )
         with dataset_write_lock(self.path, "managed_merge"):
             current = latest_version(self.path)
             if current is None:
                 raise FileNotFoundError(
                     f"no committed versions under {self.path}"
                 )
+            plan = self._merge_plan(current, source, keys, when_matched)
+            if plan is None:
+                return current
+            _scan_files, touched, new_df, cdf, _bounds = plan
             prev = _version_dir(self.path, current)
             all_files = self._flat_files(prev, "merge_into")
-            tgt_schema = self.stored_schema(current)
-            if tgt_schema is None:
-                tgt_schema = self.spark.read.parquet(prev).schema
-            tgt_cols = [f.name for f in tgt_schema.fields]
-            if set(source.columns) != set(tgt_cols):
-                raise ValueError(
-                    "merge_into source schema mismatch: target has "
-                    f"{sorted(tgt_cols)}, source has "
-                    f"{sorted(source.columns)}"
-                )
-            missing = [k for k in keys if k not in tgt_cols]
-            if missing:
-                raise ValueError(f"merge keys not in schema: {missing}")
-            source = source.select(*tgt_cols)
-            if (
-                source.groupBy(*keys)
-                .count()
-                .filter(F.col("count") > 1)
-                .limit(1)
-                .count()
-            ):
-                raise ValueError(
-                    "merge_into source has duplicate keys — the merge "
-                    "result would be nondeterministic; dedupe first "
-                    "(e.g. priority_dedup)"
-                )
-            # sound index pruning of the attribution scan: a file whose
-            # leading-key stats miss the source's key range cannot match
-            scan_files = all_files
-            if keys[0] in self.index_cols:
-                bounds = source.agg(
-                    F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
-                ).first()
-                if bounds["lo"] is not None:
-                    scan_files = self.candidate_files(
-                        keys[0], bounds["lo"], bounds["hi"], current
-                    )
-            src_keys = source.select(*keys).distinct()
-            scanned = self._with_file(prev, scan_files, tgt_schema)
-            matched = scanned.join(src_keys, on=list(keys), how="leftsemi")
-            # metadata-sized collect: bounded by the snapshot file count
-            touched = sorted(
-                r["f"]
-                for r in matched.select(
-                    F.col("__file").alias("f")
-                ).distinct().collect()
-            )
-            insert_rows = source.join(
-                scanned.select(*keys), on=list(keys), how="leftanti"
-            )
-            if not touched and insert_rows.limit(1).count() == 0:
-                return current  # nothing matched, nothing to insert
-            touched_df = self._read_files(prev, touched, tgt_schema)
-            keep = touched_df.join(src_keys, on=list(keys), how="leftanti")
-            if when_matched is None:
-                # rows that replace matched keys + brand-new keys
-                new_df = keep.select(*tgt_cols).unionByName(
-                    source.select(*tgt_cols)
-                )
-                matched_keys = touched_df.join(
-                    src_keys, on=list(keys), how="leftsemi"
-                ).select(*keys).distinct()
-                pre = touched_df.join(
-                    src_keys, on=list(keys), how="leftsemi"
-                ).withColumn(_CHANGE_TYPE, F.lit("update_preimage"))
-                post = source.join(
-                    matched_keys, on=list(keys), how="leftsemi"
-                ).withColumn(_CHANGE_TYPE, F.lit("update_postimage"))
-            else:
-                cond = (
-                    F.expr(when_matched)
-                    if isinstance(when_matched, str)
-                    else when_matched
-                )
-                take = F.coalesce(cond, F.lit(False))
-                # plain equality, matching the unconditional path and
-                # SQL MERGE: NULL keys never match anything
-                joined = touched_df.alias("t").join(
-                    source.alias("s"),
-                    on=[
-                        F.col(f"t.{k}") == F.col(f"s.{k}")
-                        for k in keys
-                    ],
-                    how="inner",
-                )
-                # per matched TARGET row: take the source row iff the
-                # condition holds, else rewrite the stored row unchanged
-                replaced = joined.select(
-                    *[
-                        F.col(f"t.{c}").alias(c)
-                        if c in keys
-                        else F.when(take, F.col(f"s.{c}"))
-                        .otherwise(F.col(f"t.{c}"))
-                        .alias(c)
-                        for c in tgt_cols
-                    ]
-                )
-                new_df = (
-                    keep.select(*tgt_cols)
-                    .unionByName(replaced)
-                    .unionByName(insert_rows.select(*tgt_cols))
-                )
-                pre = joined.filter(take).select(
-                    *[F.col(f"t.{c}").alias(c) for c in tgt_cols]
-                ).withColumn(_CHANGE_TYPE, F.lit("update_preimage"))
-                post = joined.filter(take).select(
-                    *[
-                        F.col(f"t.{c}").alias(c)
-                        if c in keys
-                        else F.col(f"s.{c}").alias(c)
-                        for c in tgt_cols
-                    ]
-                ).withColumn(_CHANGE_TYPE, F.lit("update_postimage"))
-            ins = insert_rows.withColumn(_CHANGE_TYPE, F.lit("insert"))
-            cdf = pre.select(*tgt_cols, _CHANGE_TYPE).unionByName(
-                post.select(*tgt_cols, _CHANGE_TYPE)
-            ).unionByName(ins.select(*tgt_cols, _CHANGE_TYPE))
             return self._commit_cow(
                 current,
                 prev,
@@ -632,6 +582,144 @@ class ManagedTable:
                 "merge",
                 stream_batch_id=stream_batch_id,
             )
+
+    def _merge_plan(
+        self,
+        current: int,
+        source: DataFrame,
+        keys: tuple[str, ...],
+        when_matched: Column | str | None,
+    ):
+        """MERGE compute phase against the pinned ``current`` snapshot
+        (no commit work): validates the source, attributes matches to
+        files, and builds the rewrite + change-feed plans. Returns
+        ``(scan_files, touched, new_df, cdf, key_bounds)`` — or None
+        when the merge is a no-op. ``key_bounds`` is ``(col, lo, hi)``
+        of the source's leading key when it is indexed (the optimistic
+        validator uses it to detect concurrently-added files that could
+        hide a match), else None (validator is then conservative)."""
+        prev = _version_dir(self.path, current)
+        all_files = self._flat_files(prev, "merge_into")
+        tgt_schema = self.stored_schema(current)
+        if tgt_schema is None:
+            tgt_schema = self.spark.read.parquet(prev).schema
+        tgt_cols = [f.name for f in tgt_schema.fields]
+        if set(source.columns) != set(tgt_cols):
+            raise ValueError(
+                "merge_into source schema mismatch: target has "
+                f"{sorted(tgt_cols)}, source has "
+                f"{sorted(source.columns)}"
+            )
+        missing = [k for k in keys if k not in tgt_cols]
+        if missing:
+            raise ValueError(f"merge keys not in schema: {missing}")
+        source = source.select(*tgt_cols)
+        if (
+            source.groupBy(*keys)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        ):
+            raise ValueError(
+                "merge_into source has duplicate keys — the merge "
+                "result would be nondeterministic; dedupe first "
+                "(e.g. priority_dedup)"
+            )
+        # sound index pruning of the attribution scan: a file whose
+        # leading-key stats miss the source's key range cannot match
+        scan_files = all_files
+        key_bounds = None
+        if keys[0] in self.index_cols:
+            kb = source.agg(
+                F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
+            ).first()
+            if kb["lo"] is not None:
+                key_bounds = (keys[0], kb["lo"], kb["hi"])
+                scan_files = self.candidate_files(
+                    keys[0], kb["lo"], kb["hi"], current
+                )
+        src_keys = source.select(*keys).distinct()
+        scanned = self._with_file(prev, scan_files, tgt_schema)
+        matched = scanned.join(src_keys, on=list(keys), how="leftsemi")
+        # metadata-sized collect: bounded by the snapshot file count
+        touched = sorted(
+            r["f"]
+            for r in matched.select(
+                F.col("__file").alias("f")
+            ).distinct().collect()
+        )
+        insert_rows = source.join(
+            scanned.select(*keys), on=list(keys), how="leftanti"
+        )
+        if not touched and insert_rows.limit(1).count() == 0:
+            return None  # nothing matched, nothing to insert
+        touched_df = self._read_files(prev, touched, tgt_schema)
+        keep = touched_df.join(src_keys, on=list(keys), how="leftanti")
+        if when_matched is None:
+            # rows that replace matched keys + brand-new keys
+            new_df = keep.select(*tgt_cols).unionByName(
+                source.select(*tgt_cols)
+            )
+            matched_keys = touched_df.join(
+                src_keys, on=list(keys), how="leftsemi"
+            ).select(*keys).distinct()
+            pre = touched_df.join(
+                src_keys, on=list(keys), how="leftsemi"
+            ).withColumn(_CHANGE_TYPE, F.lit("update_preimage"))
+            post = source.join(
+                matched_keys, on=list(keys), how="leftsemi"
+            ).withColumn(_CHANGE_TYPE, F.lit("update_postimage"))
+        else:
+            cond = (
+                F.expr(when_matched)
+                if isinstance(when_matched, str)
+                else when_matched
+            )
+            take = F.coalesce(cond, F.lit(False))
+            # plain equality, matching the unconditional path and
+            # SQL MERGE: NULL keys never match anything
+            joined = touched_df.alias("t").join(
+                source.alias("s"),
+                on=[
+                    F.col(f"t.{k}") == F.col(f"s.{k}")
+                    for k in keys
+                ],
+                how="inner",
+            )
+            # per matched TARGET row: take the source row iff the
+            # condition holds, else rewrite the stored row unchanged
+            replaced = joined.select(
+                *[
+                    F.col(f"t.{c}").alias(c)
+                    if c in keys
+                    else F.when(take, F.col(f"s.{c}"))
+                    .otherwise(F.col(f"t.{c}"))
+                    .alias(c)
+                    for c in tgt_cols
+                ]
+            )
+            new_df = (
+                keep.select(*tgt_cols)
+                .unionByName(replaced)
+                .unionByName(insert_rows.select(*tgt_cols))
+            )
+            pre = joined.filter(take).select(
+                *[F.col(f"t.{c}").alias(c) for c in tgt_cols]
+            ).withColumn(_CHANGE_TYPE, F.lit("update_preimage"))
+            post = joined.filter(take).select(
+                *[
+                    F.col(f"t.{c}").alias(c)
+                    if c in keys
+                    else F.col(f"s.{c}").alias(c)
+                    for c in tgt_cols
+                ]
+            ).withColumn(_CHANGE_TYPE, F.lit("update_postimage"))
+        ins = insert_rows.withColumn(_CHANGE_TYPE, F.lit("insert"))
+        cdf = pre.select(*tgt_cols, _CHANGE_TYPE).unionByName(
+            post.select(*tgt_cols, _CHANGE_TYPE)
+        ).unionByName(ins.select(*tgt_cols, _CHANGE_TYPE))
+        return scan_files, touched, new_df, cdf, key_bounds
 
     def _cow_rewrite(
         self,
@@ -644,71 +732,108 @@ class ManagedTable:
         (optionally index-pruned), rewrite only touched files, link the
         rest, record the change feed, commit."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
+        if self.concurrency == "optimistic":
+            # compute against a pinned base with NO lock held; the
+            # short commit section validates + rebases (class docstring)
+            current = latest_version(self.path)
+            if current is None:
+                raise FileNotFoundError(
+                    f"no committed versions under {self.path}"
+                )
+            plan = self._dml_plan(current, op, cond, assignments, prune)
+            if plan is None:
+                return current
+            scan_files, touched, new_df, cdf = plan
+            return self._commit_cow_optimistic(
+                current, scan_files, touched, new_df, cdf, op
+            )
         with dataset_write_lock(self.path, f"managed_{op}"):
             current = latest_version(self.path)
             if current is None:
                 raise FileNotFoundError(
                     f"no committed versions under {self.path}"
                 )
+            plan = self._dml_plan(current, op, cond, assignments, prune)
+            if plan is None:
+                return current  # no matches: the table is unchanged
+            _scan_files, touched, new_df, cdf = plan
             prev = _version_dir(self.path, current)
             all_files = self._flat_files(prev, op)
-            cur_schema = self.stored_schema(current)
-            scan_files = (
-                self.candidate_files(*prune, version=current)
-                if prune
-                else all_files
-            )
-            hit = F.coalesce(cond, F.lit(False))  # NULL never matches
-            # metadata-sized collect: bounded by the snapshot file count
-            touched = sorted(
-                r["f"]
-                for r in self._with_file(prev, scan_files, cur_schema)
-                .filter(hit)
-                .select(F.col("__file").alias("f"))
-                .distinct()
-                .collect()
-            )
-            if not touched:
-                return current  # no matches: the table is unchanged
-            touched_df = self._read_files(prev, touched, cur_schema)
-            cols = touched_df.columns
-            if op == "delete":
-                new_df = touched_df.filter(~hit)
-                cdf = touched_df.filter(hit).withColumn(
-                    _CHANGE_TYPE, F.lit("delete")
-                )
-            else:
-                bad = sorted(set(assignments) - set(cols))
-                if bad:
-                    raise ValueError(f"update of unknown columns: {bad}")
-                exprs = {
-                    c: (F.expr(v) if isinstance(v, str) else v)
-                    for c, v in assignments.items()
-                }
-                updated = [
-                    F.when(hit, exprs[c]).otherwise(F.col(c)).alias(c)
-                    if c in exprs
-                    else F.col(c)
-                    for c in cols
-                ]
-                new_df = touched_df.select(*updated)
-                pre = touched_df.filter(hit).withColumn(
-                    _CHANGE_TYPE, F.lit("update_preimage")
-                )
-                post = (
-                    touched_df.filter(hit)
-                    .select(
-                        *[
-                            exprs[c].alias(c) if c in exprs else F.col(c)
-                            for c in cols
-                        ]
-                    )
-                    .withColumn(_CHANGE_TYPE, F.lit("update_postimage"))
-                )
-                cdf = pre.unionByName(post)
             return self._commit_cow(
                 current, prev, all_files, touched, new_df, cdf, op
             )
+
+    def _dml_plan(
+        self,
+        current: int,
+        op: str,
+        cond: Column,
+        assignments: dict[str, Column | str] | None,
+        prune: tuple | None,
+    ):
+        """DELETE/UPDATE compute phase against the pinned ``current``
+        snapshot (no commit work): attribute matches to files
+        (index-pruned when the predicate bounds an indexed column) and
+        build the rewrite + change-feed plans. Returns
+        ``(scan_files, touched, new_df, cdf)`` or None when nothing
+        matches."""
+        prev = _version_dir(self.path, current)
+        all_files = self._flat_files(prev, op)
+        cur_schema = self.stored_schema(current)
+        scan_files = (
+            self.candidate_files(*prune, version=current)
+            if prune
+            else all_files
+        )
+        hit = F.coalesce(cond, F.lit(False))  # NULL never matches
+        # metadata-sized collect: bounded by the snapshot file count
+        touched = sorted(
+            r["f"]
+            for r in self._with_file(prev, scan_files, cur_schema)
+            .filter(hit)
+            .select(F.col("__file").alias("f"))
+            .distinct()
+            .collect()
+        )
+        if not touched:
+            return None
+        touched_df = self._read_files(prev, touched, cur_schema)
+        cols = touched_df.columns
+        if op == "delete":
+            new_df = touched_df.filter(~hit)
+            cdf = touched_df.filter(hit).withColumn(
+                _CHANGE_TYPE, F.lit("delete")
+            )
+        else:
+            bad = sorted(set(assignments) - set(cols))
+            if bad:
+                raise ValueError(f"update of unknown columns: {bad}")
+            exprs = {
+                c: (F.expr(v) if isinstance(v, str) else v)
+                for c, v in assignments.items()
+            }
+            updated = [
+                F.when(hit, exprs[c]).otherwise(F.col(c)).alias(c)
+                if c in exprs
+                else F.col(c)
+                for c in cols
+            ]
+            new_df = touched_df.select(*updated)
+            pre = touched_df.filter(hit).withColumn(
+                _CHANGE_TYPE, F.lit("update_preimage")
+            )
+            post = (
+                touched_df.filter(hit)
+                .select(
+                    *[
+                        exprs[c].alias(c) if c in exprs else F.col(c)
+                        for c in cols
+                    ]
+                )
+                .withColumn(_CHANGE_TYPE, F.lit("update_postimage"))
+            )
+            cdf = pre.unionByName(post)
+        return scan_files, touched, new_df, cdf
 
     def _commit_cow(
         self,
@@ -782,6 +907,287 @@ class ManagedTable:
             self._write_stream_batch(vdir, stream_batch_id)
         self._commit(version, vdir, expected=current, op=op)
         return version
+
+    @contextlib.contextmanager
+    def _commit_section(self, what: str, timeout: float = 60.0):
+        """The optimistic protocol's SHORT commit critical section:
+        unlike the exclusive paths (which fail fast — their planned
+        input is stale by the time a held lock frees), an optimistic
+        commit revalidates and rebases inside the section, so waiting
+        is correct: retry acquisition with a small sleep until
+        ``timeout``. Only ACQUISITION is retried — conflicts raised
+        inside the section (CommitConflictError, CAS) propagate."""
+        import sys
+        import time
+
+        deadline = time.monotonic() + timeout
+        while True:
+            cm = dataset_write_lock(self.path, what)
+            try:
+                cm.__enter__()
+            except ConcurrentWriteError:
+                if time.monotonic() >= deadline:
+                    raise
+                time.sleep(0.05)
+                continue
+            try:
+                yield
+            except BaseException:
+                if not cm.__exit__(*sys.exc_info()):
+                    raise
+            else:
+                cm.__exit__(None, None, None)
+            return
+
+    def _allocate_staging(self) -> str:
+        """A private SCRATCH directory for an optimistic transaction's
+        unlocked writes (``_txn_<uuid>`` — invisible to readers and to
+        version numbering). The FINAL version number is allocated
+        inside the commit section and the staging dir renamed into
+        place there: numbering at reservation time would let a
+        later-committing transaction carry a SMALLER number, moving
+        the pointer backwards and breaking every "versions <= N are
+        delivered" feed offset. A ``_RESERVED`` stamp (pid + host,
+        writer-lock format) marks the dir as a LIVE transaction so
+        vacuum does not mistake it for crash debris."""
+        import uuid
+
+        from bigdatalab_spark.sources.locks import _stamp
+
+        os.makedirs(self.path, exist_ok=True)
+        sdir = os.path.join(self.path, f"_txn_{uuid.uuid4().hex}")
+        os.mkdir(sdir)
+        with open(os.path.join(sdir, _RESERVED), "wb") as fh:
+            fh.write(_stamp())
+        return sdir
+
+    def _removed_between(self, parent: int, child: int) -> set[str]:
+        """Files a commit removed (rewrote or dropped), derived from
+        the two versions' manifests — the manifests ARE the conflict
+        log; no extra transaction records exist or are needed."""
+        return set(
+            _data_files(_version_dir(self.path, parent))
+        ) - set(_data_files(_version_dir(self.path, child)))
+
+    def _validate_rebase(
+        self,
+        base: int,
+        current: int,
+        read_set: list[str],
+        op: str,
+        merge_bounds: tuple | None = None,
+    ) -> None:
+        """File-level conflict detection for an optimistic transaction
+        computed against ``base`` trying to commit on top of
+        ``current`` (class docstring): every intervening lineage
+        commit must not have REMOVED files the transaction read; for
+        MERGE, files those commits ADDED must not overlap the source's
+        indexed key range (a missed match would silently duplicate
+        keys). Raises :class:`CommitConflictError` on conflict."""
+        chain = self.lineage(current)
+        if base not in chain:
+            raise CommitConflictError(
+                f"optimistic {op} on {self.path}: base v={base} is no "
+                "longer on the pointer lineage (a rollback or vacuum "
+                "intervened) — recompute against the current version"
+            )
+        rs = set(read_set)
+        for v in chain[chain.index(base) + 1 :]:
+            parent = self._parent_of(v)
+            v_files = set(_data_files(_version_dir(self.path, v)))
+            p_files = set(_data_files(_version_dir(self.path, parent)))
+            clash = (p_files - v_files) & rs
+            if clash:
+                raise CommitConflictError(
+                    f"optimistic {op} on {self.path}: concurrent commit "
+                    f"v={v} (op={self._op_of(v)}) removed "
+                    f"{len(clash)} file(s) this transaction read "
+                    f"(e.g. {sorted(clash)[0]}) — overlapping "
+                    "transactions cannot both commit; recompute against "
+                    "the current version"
+                )
+            if op != "merge":
+                continue
+            added = v_files - p_files
+            if not added:
+                continue
+            if merge_bounds is None:
+                raise CommitConflictError(
+                    f"optimistic merge on {self.path}: concurrent "
+                    f"commit v={v} added files and the merge key is "
+                    "not indexed, so a hidden match cannot be ruled "
+                    "out (it would silently duplicate keys) — "
+                    "recompute against the current version"
+                )
+            col, lo, hi = merge_bounds
+            overlap = set(self.candidate_files(col, lo, hi, v)) & added
+            if overlap:
+                raise CommitConflictError(
+                    f"optimistic merge on {self.path}: concurrent "
+                    f"commit v={v} added file(s) whose {col} stats "
+                    f"overlap the merge source's key range "
+                    f"[{lo}, {hi}] (e.g. {sorted(overlap)[0]}) — a "
+                    "hidden match would silently duplicate keys; "
+                    "recompute against the current version"
+                )
+
+    def _commit_cow_optimistic(
+        self,
+        base: int,
+        read_set: list[str],
+        touched: list[str],
+        new_df: DataFrame,
+        cdf: DataFrame,
+        op: str,
+        stream_batch_id: int | None = None,
+        merge_bounds: tuple | None = None,
+    ) -> int:
+        """Optimistic tail of the copy-on-write commit: the delta (the
+        rewritten rows + the change feed) is WRITTEN with no lock held
+        — the expensive Spark work runs concurrently with other
+        writers — then a short critical section validates against
+        every commit since ``base`` (:meth:`_validate_rebase`),
+        REBASES by hard-linking the untouched files of the CURRENT
+        snapshot (which may include files concurrent commits added),
+        and lands index/manifest/schema/marker. On conflict or error
+        the reserved version dir is removed — nothing of the
+        transaction ever becomes visible."""
+        import shutil
+
+        work = self._allocate_staging()
+        try:
+            # same optimized-write clustering as the exclusive path
+            n_out = max(1, len(touched) + (1 if op == "merge" else 0))
+            if self.index_cols:
+                new_df = new_df.repartitionByRange(
+                    n_out, *self.index_cols
+                ).sortWithinPartitions(*self.index_cols)
+            else:
+                new_df = new_df.repartition(n_out)
+            # append mode: the staging dir exists (and is ours alone);
+            # the change feed is written UNSTAMPED — the commit version
+            # is unknown until the commit section allocates it, and
+            # changes() stamps it from the directory at read time
+            new_df.write.mode("append").parquet(work)
+            written = set(_walk_data_files(work))
+            cdf.write.mode("append").parquet(os.path.join(work, _CDF_DIR))
+            with self._commit_section(f"managed_{op}_commit"):
+                current = latest_version(self.path)
+                if current is None:
+                    raise CommitConflictError(
+                        f"optimistic {op} on {self.path}: the table's "
+                        "versions disappeared mid-transaction"
+                    )
+                if current != base:
+                    self._validate_rebase(
+                        base, current, read_set, op, merge_bounds
+                    )
+                prev = _version_dir(self.path, current)
+                cur_files = self._flat_files(prev, op)
+                not_ours = set(touched)
+                link = [rel for rel in cur_files if rel not in not_ours]
+                for rel in link:
+                    if rel in written:  # astronomically unlikely
+                        raise ConcurrentWriteError(
+                            f"{op} file-name collision on {rel}"
+                        )
+                # version number allocated UNDER the lock: commit order
+                # and version order coincide, the pointer only advances
+                version, vdir = self._allocate()
+                os.remove(os.path.join(work, _RESERVED))
+                os.rename(work, vdir)
+                work = vdir
+                for rel in link:
+                    os.link(
+                        os.path.join(prev, rel), os.path.join(vdir, rel)
+                    )
+                self._write_index(
+                    vdir,
+                    new_files=sorted(written),
+                    reuse_from=os.path.join(prev, _INDEX_DIR),
+                    reuse_files=set(link),
+                )
+                link_set = set(link)
+                prev_sized = _manifest_entries(prev)
+                if prev_sized is None:
+                    prev_sized = _sized(prev, link)
+                _write_manifest(
+                    vdir,
+                    [(f, s) for f, s in prev_sized if f in link_set]
+                    + _sized(vdir, sorted(written)),
+                )
+                schema = self.stored_schema(current)
+                if schema is None:
+                    schema = new_df.schema
+                self._write_schema(vdir, schema)
+                if stream_batch_id is not None:
+                    self._write_stream_batch(vdir, stream_batch_id)
+                self._commit(version, vdir, expected=current, op=op)
+                return version
+        except BaseException:
+            shutil.rmtree(work, ignore_errors=True)
+            raise
+
+    def _append_optimistic(self, df: DataFrame) -> int:
+        """Append under the optimistic protocol: the new files are
+        written with no lock held; the short commit section links
+        whatever the CURRENT snapshot holds (appends read no rows, so
+        they rebase onto any flat snapshot) and commits. Two
+        concurrent appends both land, as consecutive versions."""
+        import shutil
+
+        if latest_version(self.path) is None:
+            # initial snapshot: take the exclusive path (rare, and a
+            # lost race simply falls through to a normal append)
+            with dataset_write_lock(self.path, "managed_append"):
+                if latest_version(self.path) is None:
+                    version, vdir = self._allocate()
+                    df.write.mode("errorifexists").parquet(vdir)
+                    files = _walk_data_files(vdir)
+                    self._write_index(vdir, new_files=files)
+                    _write_manifest(vdir, _sized(vdir, files))
+                    self._write_schema(vdir, df.schema)
+                    self._commit(version, vdir, expected=None, op="write")
+                    return version
+        work = self._allocate_staging()
+        try:
+            df.write.mode("append").parquet(work)
+            new_files = set(_walk_data_files(work))
+            with self._commit_section("managed_append_commit"):
+                current = latest_version(self.path)
+                prev = _version_dir(self.path, current)
+                prev_files = self._flat_files(prev, "append")
+                new_schema = self._evolve_schema(current, df)
+                if new_files & set(prev_files):  # astronomically unlikely
+                    raise ConcurrentWriteError(
+                        "append file-name collision on "
+                        f"{sorted(new_files & set(prev_files))[0]}"
+                    )
+                version, vdir = self._allocate()
+                os.remove(os.path.join(work, _RESERVED))
+                os.rename(work, vdir)
+                work = vdir
+                for rel in prev_files:
+                    os.link(
+                        os.path.join(prev, rel), os.path.join(vdir, rel)
+                    )
+                self._write_index(
+                    vdir,
+                    new_files=sorted(new_files),
+                    reuse_from=os.path.join(prev, _INDEX_DIR),
+                )
+                prev_sized = _manifest_entries(prev) or _sized(
+                    prev, prev_files
+                )
+                _write_manifest(
+                    vdir, prev_sized + _sized(vdir, sorted(new_files))
+                )
+                self._write_schema(vdir, new_schema)
+                self._commit(version, vdir, expected=current, op="append")
+                return version
+        except BaseException:
+            shutil.rmtree(work, ignore_errors=True)
+            raise
 
     def _evolve_schema(self, current: int, df: DataFrame):
         """Schema evolution contract for append: every existing column
@@ -944,7 +1350,13 @@ class ManagedTable:
         vdir = _version_dir(self.path, v)
         cdf_dir = os.path.join(vdir, _CDF_DIR)
         if os.path.isdir(cdf_dir):
-            return self.spark.read.parquet(cdf_dir)
+            # the commit version is stamped from the DIRECTORY, the one
+            # authority: optimistic commits write their feed before
+            # their number exists (exclusive commits store the same
+            # value; withColumn replaces it identically)
+            return self.spark.read.parquet(cdf_dir).withColumn(
+                _COMMIT_VERSION, F.lit(v)
+            )
         op = self._op_of(v)
         committed = self.versions()
         # a TRUE initial snapshot (no recorded parent) bootstraps as

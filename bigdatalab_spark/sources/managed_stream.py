@@ -290,7 +290,11 @@ def _read_partition(part: _ChangePartition, arrow_schema) -> Iterator:
     for field in arrow_schema:
         if field.name == "_change_type" and part.change_type is not None:
             cols.append(pa.array([part.change_type] * n, type=field.type))
-        elif field.name == "_commit_version" and part.change_type is not None:
+        elif field.name == "_commit_version":
+            # always stamped from the partition (the version DIRECTORY
+            # is the authority): optimistic commits write their _cdf
+            # before the version number exists, so the stored column
+            # may be absent — and when present it carries this value
             cols.append(pa.array([part.version] * n, type=field.type))
         elif field.name in tbl.column_names:
             col = tbl.column(field.name)

@@ -151,6 +151,25 @@ def vacuum(path: str, keep_last: int = 2) -> list[int]:
         return _vacuum_locked(path, keep_last)
 
 
+def _reserved_live(vdir: str) -> bool:
+    """True when a marker-less dir carries a ``_RESERVED`` stamp from
+    a LIVE same-host writer (an optimistic transaction mid-flight, not
+    crash debris) or from a writer we cannot attribute (another host —
+    conservative). Dead same-host stamps are debris: clean."""
+    from bigdatalab_spark.sources.locks import _holder, _pid_gone
+    import socket
+
+    stamp = os.path.join(vdir, "_RESERVED")
+    if not os.path.exists(stamp):
+        return False
+    pid, host = _holder(stamp)
+    if pid is None:
+        return True  # unreadable stamp: never delete what we can't attribute
+    if host and host != socket.gethostname():
+        return True  # cross-host liveness is unknowable here
+    return not _pid_gone(pid)
+
+
 def _vacuum_locked(path: str, keep_last: int) -> list[int]:
     import shutil
 
@@ -160,6 +179,13 @@ def _vacuum_locked(path: str, keep_last: int) -> list[int]:
         keep.add(current)
     removed = []
     for e in list(os.listdir(path)):
+        if e.startswith("_txn_"):
+            # an OPTIMISTIC transaction's staging dir: its writer is
+            # alive and holds no lock during compute — not debris
+            # unless its _RESERVED stamp names a dead same-host pid
+            if not _reserved_live(os.path.join(path, e)):
+                shutil.rmtree(os.path.join(path, e))
+            continue
         if not e.startswith("v="):
             continue
         v = int(e[2:])

@@ -1253,3 +1253,205 @@ def test_managed_manifest_metadata_plane(spark, tmp_path):
         os.path.join(root, f"v={v6}")
     )
     assert t.read(v6).filter("k between 100 and 109").count() == 0
+
+
+def test_managed_optimistic_disjoint_dml_rebases(spark, tmp_path):
+    """Optimistic concurrency, happy path: a DML computed against base
+    v=1 commits AFTER another disjoint-file DML landed — validation
+    (removed-files vs read-set, both derived from the manifests)
+    passes and the transaction REBASES onto the current snapshot.
+    Both effects survive; history is linear."""
+    root = str(tmp_path / "t")
+    t = ManagedTable(
+        spark, root, index_cols=("k",), concurrency="optimistic"
+    )
+    df = _mk(spark, 0, 1000).repartitionByRange(8, "k").sortWithinPartitions("k")
+    t.write(df)
+
+    # T1 computes its plan against v=1 (index-pruned read-set)...
+    from pyspark.sql import functions as SF
+
+    cond1 = SF.col("k").between(SF.lit(0), SF.lit(9))
+    plan1 = t._dml_plan(1, "delete", cond1, None, ("k", 0, 9))
+    assert plan1 is not None
+    scan1, touched1, new_df1, cdf1 = plan1
+    assert len(scan1) < 8  # really pruned
+
+    # ...meanwhile T2 (disjoint key range -> disjoint files) lands v=2
+    v2 = t.delete_range("k", 900, 909)
+    assert v2 == 2
+
+    # T1 commits: validates v=2's removals against its read-set, rebases
+    v3 = t._commit_cow_optimistic(1, scan1, touched1, new_df1, cdf1, "delete")
+    assert v3 == 3
+    assert t.lineage() == [1, 2, 3]
+    got = t.read()
+    assert got.filter("k between 0 and 9").count() == 0
+    assert got.filter("k between 900 and 909").count() == 0
+    assert got.count() == 980
+    # both deletes are in the feed, attributed to their own commits
+    feed = t.changes_between(1)
+    assert feed.filter("_change_type = 'delete'").count() == 20
+
+
+def test_managed_optimistic_overlapping_dml_aborts(spark, tmp_path):
+    """Optimistic concurrency, conflict path: a DML whose read-set
+    intersects a winner's removed files aborts loudly and leaves NO
+    debris (the reserved version dir is rolled back); a MERGE aborts
+    when a concurrent commit ADDED files overlapping its source key
+    range (a hidden match would duplicate keys) and rebases when the
+    addition is outside the range."""
+    from bigdatalab_spark.sources.managed import CommitConflictError
+
+    root = str(tmp_path / "t")
+    t = ManagedTable(
+        spark, root, index_cols=("k",), concurrency="optimistic"
+    )
+    df = _mk(spark, 0, 1000).repartitionByRange(8, "k").sortWithinPartitions("k")
+    t.write(df)
+
+    from pyspark.sql import functions as SF
+
+    # T1 plans a delete of k 0..9 against v=1; T2 deletes the SAME range
+    cond = SF.col("k").between(SF.lit(0), SF.lit(9))
+    plan1 = t._dml_plan(1, "delete", cond, None, ("k", 0, 9))
+    scan1, touched1, new_df1, cdf1 = plan1
+    assert t.delete_range("k", 0, 9) == 2
+    with pytest.raises(CommitConflictError, match="removed"):
+        t._commit_cow_optimistic(1, scan1, touched1, new_df1, cdf1, "delete")
+    # no half-committed version, no staging debris
+    assert t.versions() == [1, 2]
+    assert not [
+        e for e in os.listdir(root)
+        if e.startswith("_txn_") or (e.startswith("v=") and int(e[2:]) > 2)
+    ]
+    assert t.read().count() == 990
+
+    # MERGE vs concurrent append: overlap in the source key range aborts
+    src_overlap = _mk(spark, 1500, 1510, parts=1)
+    plan_m = t._merge_plan(2, src_overlap, ("k",), None)
+    scan_m, touched_m, new_dfm, cdfm, bounds = plan_m
+    assert bounds == ("k", 1500, 1509)
+    t.append(_mk(spark, 1505, 1520, parts=1))  # v3 adds keys IN range
+    with pytest.raises(CommitConflictError, match="overlap"):
+        t._commit_cow_optimistic(
+            2, scan_m, touched_m, new_dfm, cdfm, "merge",
+            merge_bounds=bounds,
+        )
+
+    # MERGE vs concurrent append OUTSIDE the range: rebases and commits
+    src_safe = _mk(spark, 5000, 5005, parts=1)
+    plan_s = t._merge_plan(3, src_safe, ("k",), None)
+    scan_s, touched_s, new_dfs, cdfs, bounds_s = plan_s
+    t.append(_mk(spark, 9000, 9010, parts=1))  # v4, far away
+    v5 = t._commit_cow_optimistic(
+        3, scan_s, touched_s, new_dfs, cdfs, "merge",
+        merge_bounds=bounds_s,
+    )
+    got = t.read(v5)
+    assert got.filter("k between 5000 and 5004").count() == 5
+    assert got.filter("k between 9000 and 9009").count() == 10
+
+
+def test_managed_optimistic_concurrent_appends(spark, tmp_path):
+    """Two appends running CONCURRENTLY (threads sharing the session)
+    both commit — the commit section waits instead of failing fast,
+    and each rebase links whatever the other landed. No lost update."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    root = str(tmp_path / "t")
+    t = ManagedTable(
+        spark, root, index_cols=("k",), concurrency="optimistic"
+    )
+    t.write(_mk(spark, 0, 100, parts=1))
+
+    def appender(lo: int) -> int:
+        h = ManagedTable(
+            spark, root, index_cols=("k",), concurrency="optimistic"
+        )
+        return h.append(_mk(spark, lo, lo + 50, parts=1))
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        va, vb = list(pool.map(appender, [1000, 2000]))
+    assert sorted((va, vb)) == [2, 3]
+    assert t.latest() == 3 and t.lineage() == [1, 2, 3]
+    got = t.read()
+    assert got.count() == 200
+    assert got.filter("k between 1000 and 1049").count() == 50
+    assert got.filter("k between 2000 and 2049").count() == 50
+    # manifest/index cover every file of the rebased snapshot
+    from bigdatalab_spark.sources.managed import (
+        _manifest_entries,
+        _walk_data_files,
+    )
+
+    vdir = os.path.join(root, "v=3")
+    assert [f for f, _ in _manifest_entries(vdir)] == _walk_data_files(vdir)
+    idx_files = {r["file"] for r in t.index(3).collect()}
+    assert idx_files == set(_walk_data_files(vdir))
+
+
+def test_managed_optimistic_cross_process_appends(spark, tmp_path):
+    """A SECOND PROCESS (its own SparkSession) appends to the same
+    optimistic table while this process appends — both land, nothing
+    is lost. The cross-process twin of the threaded test."""
+    import subprocess
+    import sys
+    import textwrap
+
+    root = str(tmp_path / "t")
+    t = ManagedTable(
+        spark, root, index_cols=("k",), concurrency="optimistic"
+    )
+    t.write(_mk(spark, 0, 100, parts=1))
+
+    runner = tmp_path / "appender.py"
+    runner.write_text(
+        textwrap.dedent(
+            """
+            import sys
+            from pyspark.sql import functions as F
+            from bigdatalab_spark.session import get_session
+            from bigdatalab_spark.sources.managed import ManagedTable
+
+            root = sys.argv[1]
+            spark = get_session(app_name="optimistic-appender")
+            spark.sparkContext.setLogLevel("ERROR")
+            t = ManagedTable(
+                spark, root, index_cols=("k",), concurrency="optimistic"
+            )
+            df = spark.range(5000, 5080).select(
+                F.col("id").alias("k"),
+                (F.col("id") * 2.0).alias("score"),
+                (F.col("id") % 7).cast("string").alias("tag"),
+            ).coalesce(1)
+            t.append(df)
+            spark.stop()
+            """
+        )
+    )
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    proc = subprocess.Popen(
+        [sys.executable, str(runner), root],
+        cwd="/root/repo", env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    )
+    # append from THIS process while the child starts up / appends;
+    # keep appending until the child exits so the windows overlap
+    import time
+
+    lo = 10_000
+    appended = 0
+    while proc.poll() is None and appended < 40:
+        t.append(_mk(spark, lo, lo + 10, parts=1))
+        appended += 1
+        lo += 10
+        time.sleep(0.2)
+    out, err = proc.communicate(timeout=300)
+    assert proc.returncode == 0, f"child append failed:\n{err[-2000:]}"
+    got = t.read()
+    assert got.filter("k between 5000 and 5079").count() == 80
+    assert got.filter("k >= 10000").count() == appended * 10
+    assert got.count() == 100 + 80 + appended * 10
+    # linear lineage: every version chains to its predecessor
+    assert t.lineage() == t.versions()

@@ -14,6 +14,12 @@ Ops drawn per step (seeded PRNG — deterministic, replayable):
                 restored from a snapshot journal)
   vacuum        keep_last=2 (feed consumption happens first)
   restart       re-instantiate the facade from the path
+  concurrent    TWO optimistic writers (threads) mutate disjoint key
+                ranges at once — both must commit unless their
+                touched FILES overlap, in which case exactly one may
+                abort with CommitConflictError (file-level validation
+                is coarser than key ranges); the model applies only
+                the committed outcomes
 
 This is the metamorphic complement of tests/test_managed.py's
 scenario tests: those pin designed edges; the fuzzer searches the op
@@ -117,6 +123,7 @@ def run_seed(spark, seed: int, n_ops: int) -> None:
                 "delete_range", "update_range",
                 "merge", "merge",
                 "compact", "rollback", "vacuum", "restart",
+                "concurrent",
             ]
         )
         if op == "append":
@@ -193,6 +200,85 @@ def run_seed(spark, seed: int, n_ops: int) -> None:
         elif op == "restart":
             t = ManagedTable(spark, root, index_cols=("k",))
             cursor = t.cursor(scratch + "/pos")
+        elif op == "concurrent":
+            from concurrent.futures import ThreadPoolExecutor
+
+            from bigdatalab_spark.sources.managed import (
+                CommitConflictError,
+            )
+
+            kinds = rng.choice(
+                [
+                    ("append", "append"),
+                    ("append", "delete"),
+                    ("delete", "delete"),
+                ]
+            )
+            cap = next_key  # key space that exists BEFORE this arm
+            plans = []
+            used: list[tuple[int, int]] = []
+            for kind in kinds:
+                if kind == "append":
+                    rows = [
+                        (k, val, rng.randint(0, 9) if has_extra else None)
+                        for k, val, _ in fresh(rng.randint(3, 10))
+                    ]
+                    plans.append(("append", rows))
+                else:
+                    if cap < 1:
+                        continue
+                    for _ in range(10):  # find a disjoint stripe
+                        lo = rng.randrange(cap)
+                        # hi capped INSIDE the pre-arm key space: a
+                        # stripe reaching into the concurrently
+                        # appended fresh keys is exactly the
+                        # WriteSerializable anomaly (the delete's base
+                        # predates the append, so the engine correctly
+                        # keeps those rows) — the sequential model
+                        # can't express it, so the arm avoids it
+                        hi = min(lo + rng.randint(0, 20), cap - 1)
+                        if all(hi < a or lo > b for a, b in used):
+                            used.append((lo, hi))
+                            plans.append(("delete", (lo, hi)))
+                            break
+            if not plans:
+                continue
+
+            def run_one(plan):
+                kind, payload = plan
+                h = ManagedTable(
+                    spark,
+                    root,
+                    index_cols=("k",),
+                    concurrency="optimistic",
+                )
+                try:
+                    if kind == "append":
+                        return h.append(mk(payload).repartition(1)), None
+                    lo, hi = payload
+                    return h.delete_range("k", lo, hi), None
+                except CommitConflictError:
+                    return None, "conflict"
+
+            with ThreadPoolExecutor(max_workers=len(plans)) as pool:
+                outcomes = list(pool.map(run_one, plans))
+            for plan, (_ver, err) in zip(plans, outcomes):
+                kind, payload = plan
+                if err == "conflict":
+                    # legal only for deletes whose touched FILES overlap
+                    # despite disjoint key ranges (file-level validation)
+                    assert kind == "delete", (
+                        f"seed {seed}: optimistic append conflicted"
+                    )
+                    continue
+                if kind == "append":
+                    for k, val, e in payload:
+                        model[k] = (val, e if has_extra else None)
+                else:
+                    lo, hi = payload
+                    for k in [k for k in model if lo <= k <= hi]:
+                        del model[k]
+            journal[t.latest()] = (dict(model), has_extra)
         check(f"{step}:{op}")
 
     drain_feed()
