@@ -206,6 +206,66 @@ def managed_table_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "managed_snapshot_sql",
+    ids=("SCALE-STORAGE", "S10", "J4"),
+    oracle="""
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(CAST(sum(CAST(value AS DECIMAL(28,6))) AS STRING)
+                    AS DOUBLE) AS sum_value
+        FROM events
+        WHERE user_id BETWEEN 3 AND 9
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def managed_snapshot_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinned-snapshot SQL through the registered ``managed`` batch
+    source (sources/managed_snapshot.py): the reference's catalog read
+    (``spark.sql("select * from geo")``, 303-spark-sql/README.md:46-48)
+    with versioned semantics. Builds the same clustered-base +
+    hard-linked-append table as ``managed_table_pruned_read``,
+    registers the snapshot as a temp view via ``create_view``, and
+    answers the range predicate with PLAIN SQL — pushFilters folds the
+    WHERE into [lo, hi] bounds and the committed index prunes the file
+    list at plan time, before any task launches; Spark re-applies the
+    predicate, so skipping stays a performance contract only."""
+    import os
+    import shutil
+    import tempfile
+
+    from bigdatalab_spark.sources.managed import ManagedTable
+
+    events = load_table(spark, sf_dir, "events")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "bigdatalab_managed_snapshot_sql",
+        os.path.basename(sf_dir.rstrip("/")) or "sf",
+    )
+    shutil.rmtree(root, ignore_errors=True)  # scratch: rebuild per run
+    t = ManagedTable(spark, root, index_cols=("user_id",))
+    t.write(
+        events.filter("event_id % 2 = 0")
+        .repartitionByRange(4, "user_id")
+        .sortWithinPartitions("user_id")
+    )
+    t.append(events.filter("event_id % 2 = 1").repartition(2))
+    t.create_view("bigdatalab_managed_snap")
+    return spark.sql(
+        """
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(CAST(sum(CAST(value AS DECIMAL(28,6))) AS STRING)
+                    AS DOUBLE) AS sum_value
+        FROM bigdatalab_managed_snap
+        WHERE user_id BETWEEN 3 AND 9
+        GROUP BY event_type
+        ORDER BY event_type
+        """
+    )
+
+
 def _dml_events_table(spark: SparkSession, sf_dir: str, name: str):
     """Shared builder for the DML gate queries: load events into a
     ManagedTable clustered on user_id, DELETE one user range through

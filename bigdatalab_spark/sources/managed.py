@@ -1598,6 +1598,26 @@ class ManagedTable:
             )
         return out
 
+    def create_view(self, name: str, version: int | None = None) -> str:
+        """Register a pinned snapshot as a temp view read THROUGH the
+        ``managed`` connector (sources/managed_snapshot.py), so plain
+        ``spark.sql`` queries it with plan-time index pruning — the
+        reference's catalog read (``select * from geo``,
+        303-spark-sql/README.md:46-48) upgraded to versioned
+        semantics. The view stays pinned to the resolved version even
+        if the pointer moves later."""
+        from bigdatalab_spark.sources.pyds import register_python_sources
+
+        register_python_sources(self.spark)
+        v = self._resolve(version)
+        (
+            self.spark.read.format("managed")
+            .option("versionAsOf", v)
+            .load(self.path)
+            .createOrReplaceTempView(name)
+        )
+        return name
+
     def cursor(self, cursor_path: str) -> "ChangeFeedCursor":
         """A durable consumer position over this table's change feed —
         see :class:`ChangeFeedCursor`."""

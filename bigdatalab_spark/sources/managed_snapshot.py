@@ -1,0 +1,240 @@
+"""``managed`` — ManagedTable snapshots as a registered batch Spark
+data source with PLAN-TIME index pruning, plus a temp-view helper so
+plain ``spark.sql`` reads a pinned snapshot (the reference's catalog
+read — ``spark.sql("select * from geo")``,
+303-spark-sql/README.md:46-48 — upgraded to versioned semantics).
+
+    df = (spark.read.format("managed")
+          .option("versionAsOf", 3)        # default: the pointer
+          .load(table_path)
+          .filter("k BETWEEN 100 AND 200"))
+
+Filter pushdown (Spark 4 Python DataSource ``pushFilters``):
+comparison/equality/IN filters on single columns fold into per-column
+[lo, hi] bounds; the planner consults the snapshot's committed
+``_index`` parquet DRIVER-SIDE (pyarrow, metadata-sized — no Spark
+job) and keeps only the files whose min/max stats cannot rule the
+bounds out: one InputPartition per kept file. EVERY filter is
+reported back to Spark as unhandled, so Spark re-applies it after the
+scan — skipping is a performance contract, never a correctness one
+(the same rule as ManagedTable.pruned_read). At 100 TB this is the
+difference between planning a scan over ~10⁶ files and over the
+handful a selective predicate touches, decided before any task
+launches.
+
+Data plane: each task reads its parquet file with pyarrow and ships
+Arrow RecordBatches zero-copy to the JVM (no row-at-a-time Python);
+files that predate a schema evolution are padded with typed NULL
+columns to the snapshot's stored schema, exactly like the facade's
+own reads. Partitioned snapshots refuse loudly (their files omit the
+partition-column values — same contract as DML and managed_changes).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+from bigdatalab_spark.sources.managed_stream import (
+    _assert_flat,
+    _files_of,
+    _latest,
+    _stored_schema_json,
+    _vdir,
+    _versions,
+)
+
+_INDEX_DIR = "_index"
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+def _fold_bounds(filters: list[Filter]) -> dict[str, tuple]:
+    """Per-column [lo, hi] bounds from the pushable subset of the
+    pushed filters (single-part column references only). Unbounded
+    sides stay None; columns only touched by un-foldable filters
+    (IsNull, Not, string matches, ...) contribute nothing — they are
+    simply not pruned on, which is always sound."""
+    bounds: dict[str, tuple] = {}
+
+    def tighten(col: str, lo, hi) -> None:
+        cur_lo, cur_hi = bounds.get(col, (None, None))
+        if lo is not None and (cur_lo is None or lo > cur_lo):
+            cur_lo = lo
+        if hi is not None and (cur_hi is None or hi < cur_hi):
+            cur_hi = hi
+        bounds[col] = (cur_lo, cur_hi)
+
+    for f in filters:
+        attr = getattr(f, "attribute", None)
+        if attr is None or len(attr) != 1:
+            continue
+        col = attr[0]
+        if isinstance(f, EqualTo):
+            tighten(col, f.value, f.value)
+        elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+            tighten(col, f.value, None)
+        elif isinstance(f, (LessThan, LessThanOrEqual)):
+            tighten(col, None, f.value)
+        elif isinstance(f, In) and f.values:
+            try:
+                tighten(col, min(f.values), max(f.values))
+            except TypeError:
+                pass  # mixed/unorderable values: no pruning
+    return bounds
+
+
+def _index_rows(vdir: str) -> list[dict] | None:
+    """The snapshot's committed file-level index as plain dicts
+    (driver-side pyarrow read), or None when the table was built
+    without index columns."""
+    import pyarrow.parquet as pq
+
+    d = os.path.join(vdir, _INDEX_DIR)
+    if not os.path.isdir(d):
+        return None
+    rows: list[dict] = []
+    for part in sorted(os.listdir(d)):
+        if part.endswith(".parquet"):
+            rows.extend(pq.read_table(os.path.join(d, part)).to_pylist())
+    return rows
+
+
+def _prune(vdir: str, files: list[str], bounds: dict[str, tuple]) -> list[str]:
+    """Index-pruned file subset: a file is dropped only when, for some
+    bounded column, its recorded stats PROVE no row can satisfy the
+    bounds (max < lo or min > hi). NULL stats and files absent from
+    the index stay candidates — same soundness argument as
+    ManagedTable.candidate_files."""
+    idx = _index_rows(vdir)
+    if idx is None or not bounds:
+        return files
+    by_col: dict[str, dict[str, dict]] = {}
+    for r in idx:
+        by_col.setdefault(r["col"], {})[r["file"]] = r
+    keep = []
+    for rel in files:
+        dropped = False
+        for col, (lo, hi) in bounds.items():
+            stats = by_col.get(col, {}).get(rel)
+            if stats is None:
+                continue  # unindexed column or uncovered file: keep
+            if isinstance(lo if lo is not None else hi, str):
+                mn, mx = stats.get("min_str"), stats.get("max_str")
+            else:
+                mn, mx = stats.get("min_val"), stats.get("max_val")
+            if mn is None:
+                continue  # NULL stats: always a candidate
+            if (hi is not None and mn > hi) or (lo is not None and mx < lo):
+                dropped = True
+                break
+        if not dropped:
+            keep.append(rel)
+    return keep
+
+
+class ManagedSnapshotReader(DataSourceReader):
+    def __init__(self, options: dict, schema) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("managed requires .load(table_path)")
+        self.path = path
+        self.schema = schema
+        committed = _versions(path)
+        if not committed:
+            raise ValueError(f"no committed versions under {path}")
+        v = options.get("versionasof")
+        self.version = int(v) if v is not None else _latest(path)
+        if self.version not in committed:
+            raise ValueError(
+                f"managed: version {self.version} of {path} is not "
+                "committed (vacuumed, rolled-back debris, or never "
+                "existed) — pick one of the committed versions"
+            )
+        self.bounds: dict[str, tuple] = {}
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        self.bounds = _fold_bounds(filters)
+        # every filter is re-applied by Spark: index pruning narrows
+        # the scan but never substitutes for the predicate
+        yield from filters
+
+    def pruned_files(self) -> list[str]:
+        """The plan-time candidate list (exposed for plan assertions
+        in tests and tooling)."""
+        vdir = _vdir(self.path, self.version)
+        _assert_flat(vdir, self.version)
+        return _prune(vdir, _files_of(vdir), self.bounds)
+
+    def partitions(self) -> list[InputPartition]:
+        vdir = _vdir(self.path, self.version)
+        return [
+            _FilePartition(os.path.join(vdir, rel))
+            for rel in self.pruned_files()
+        ]
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(self.schema)
+        tbl = pq.read_table(partition.path)
+        cols = []
+        for field in arrow_schema:
+            if field.name in tbl.column_names:
+                col = tbl.column(field.name)
+                if col.type != field.type:
+                    col = col.cast(field.type)
+                cols.append(col)
+            else:  # pre-evolution file: typed NULL padding
+                cols.append(pa.nulls(tbl.num_rows, type=field.type))
+        yield from pa.table(cols, schema=arrow_schema).to_batches()
+
+
+class ManagedSnapshotDataSource(DataSource):
+    """spark.read ``format("managed")`` — pinned-snapshot batch reads
+    with plan-time index pruning."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "managed"
+
+    def schema(self):
+        from pyspark.sql.types import StructType
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("managed requires .load(table_path)")
+        committed = _versions(path)
+        if not committed:
+            raise ValueError(f"no committed versions under {path}")
+        v = self.options.get("versionasof")
+        version = int(v) if v is not None else _latest(path)
+        if version not in committed:
+            raise ValueError(
+                f"managed: version {version} of {path} is not "
+                "committed (vacuumed, rolled-back debris, or never "
+                "existed) — pick one of the committed versions"
+            )
+        return StructType.fromJson(_stored_schema_json(path, version))
+
+    def reader(self, schema) -> ManagedSnapshotReader:
+        return ManagedSnapshotReader(self.options, schema)

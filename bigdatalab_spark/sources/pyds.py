@@ -168,12 +168,19 @@ class FixedWidthDataSource(DataSource):
 def register_python_sources(spark) -> None:
     """Register every Python DataSource this engine ships (idempotent —
     re-registration replaces the entry)."""
+    from bigdatalab_spark.sources.managed_snapshot import (
+        ManagedSnapshotDataSource,
+    )
     from bigdatalab_spark.sources.managed_stream import (
         ManagedChangesDataSource,
     )
 
     spark.dataSource.register(FixedWidthDataSource)
     spark.dataSource.register(ManagedChangesDataSource)
+    spark.dataSource.register(ManagedSnapshotDataSource)
+    # the managed snapshot source prunes via pushFilters; the capability
+    # is gated behind this conf (runtime-settable, checked at plan time)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
 
 
 def _render_line(row, spec: list[FixedWidthField]) -> str:

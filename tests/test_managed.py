@@ -1455,3 +1455,76 @@ def test_managed_optimistic_cross_process_appends(spark, tmp_path):
     assert got.count() == 100 + 80 + appended * 10
     # linear lineage: every version chains to its predecessor
     assert t.lineage() == t.versions()
+
+
+def test_managed_snapshot_source_prunes_at_plan_time(spark, tmp_path):
+    """format('managed'): a pinned snapshot reads through the
+    registered batch source; predicates on indexed columns prune the
+    FILE LIST at plan time (asserted against the facade's own
+    candidate_files), every filter is still re-applied (results match
+    the facade read exactly), versionAsOf time-travels, and plain
+    spark.sql works through the temp-view helper. Evolved columns
+    NULL-pad for pre-evolution files, and partitioned snapshots
+    refuse."""
+    from bigdatalab_spark.sources.managed_snapshot import (
+        ManagedSnapshotReader,
+    )
+    from bigdatalab_spark.sources.pyds import register_python_sources
+
+    register_python_sources(spark)
+    root = str(tmp_path / "t")
+    t = ManagedTable(spark, root, index_cols=("k",))
+    df = _mk(spark, 0, 1000).repartitionByRange(8, "k").sortWithinPartitions("k")
+    t.write(df)                                       # v1
+    t.delete_range("k", 100, 199)                     # v2
+
+    # plan-time pruning == the facade's own candidate list
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThanOrEqual
+
+    rdr = ManagedSnapshotReader({"path": root}, t.stored_schema())
+    kept_all = rdr.pruned_files()
+    list(rdr.pushFilters([
+        GreaterThanOrEqual(("k",), 300), LessThanOrEqual(("k",), 350),
+    ]))
+    kept = rdr.pruned_files()
+    assert kept == t.candidate_files("k", 300, 350)
+    assert 0 < len(kept) < len(kept_all)
+
+    # end-to-end read parity (filter re-applied after the pruned scan)
+    got = (
+        spark.read.format("managed").load(root)
+        .filter("k between 300 and 350")
+    )
+    want = t.read().filter("k between 300 and 350")
+    assert _rows(got) == _rows(want)
+
+    # versionAsOf pins time travel
+    v1 = spark.read.format("managed").option("versionAsOf", 1).load(root)
+    assert v1.count() == 1000
+    assert spark.read.format("managed").load(root).count() == 900
+
+    # plain SQL through the view helper (pinned even if pointer moves)
+    t.create_view("snap_v2")
+    n = spark.sql(
+        "SELECT count(*) AS n FROM snap_v2 WHERE k BETWEEN 0 AND 250"
+    ).first()["n"]
+    assert n == 151  # 0..250 minus deleted 100..199
+
+    # schema evolution: pre-evolution files NULL-pad through the source
+    evolved = spark.createDataFrame(
+        [(5000, 1.0, "x", 7)], "k long, score double, tag string, extra long"
+    )
+    t.append(evolved)
+    src = spark.read.format("managed").load(root)
+    assert src.filter("extra IS NOT NULL").count() == 1
+    assert src.filter("k < 5000").filter("extra IS NULL").count() == 900
+
+    # partitioned snapshots refuse loudly
+    t2 = ManagedTable(spark, str(tmp_path / "p"))
+    t2.write(_mk(spark, 0, 40, parts=1), partition_cols=("tag",))
+    with pytest.raises(Exception, match="partitioned"):
+        spark.read.format("managed").load(str(tmp_path / "p")).collect()
+
+    # uncommitted version refuses
+    with pytest.raises(Exception, match="not\\s+committed|not .*committed"):
+        spark.read.format("managed").option("versionAsOf", 99).load(root).collect()
