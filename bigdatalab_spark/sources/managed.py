@@ -389,6 +389,7 @@ class ManagedTable:
         self,
         target_file_rows: int = 1_000_000,
         zorder_by: tuple[str, str] | None = None,
+        writer_options: dict | None = None,
     ) -> int:
         """Small-file compaction as a NEW version: read the current
         snapshot, cluster into ~``target_file_rows``-row files, commit
@@ -400,7 +401,11 @@ class ManagedTable:
         two non-negative integer columns (``OPTIMIZE ZORDER BY``):
         each compacted file owns a tight rectangle in BOTH dimensions,
         so the per-version index prunes range predicates on EITHER
-        column — a linear sort only skips on its leading column."""
+        column — a linear sort only skips on its leading column. With
+        ``rowgroup_index=True`` the same compaction commits the finer
+        per-row-group stats too, so 2-D predicates skip rectangles
+        INSIDE kept files; pass ``writer_options`` (e.g.
+        ``parquet.block.size``) to control row-group granularity."""
         with dataset_write_lock(self.path, "managed_compact"):
             current = latest_version(self.path)
             if current is None:
@@ -433,11 +438,12 @@ class ManagedTable:
                 ).sortWithinPartitions(*self.index_cols)
             else:
                 df = df.coalesce(n_files)
-            (
-                df.write.mode("errorifexists")
-                .option("maxRecordsPerFile", target_file_rows)
-                .parquet(vdir)
+            writer = df.write.mode("errorifexists").option(
+                "maxRecordsPerFile", target_file_rows
             )
+            for k, v in (writer_options or {}).items():
+                writer = writer.option(k, v)
+            writer.parquet(vdir)
             files = _walk_data_files(vdir)
             self._write_index(vdir, new_files=files)
             _write_manifest(vdir, _sized(vdir, files))

@@ -1528,3 +1528,73 @@ def test_managed_snapshot_source_prunes_at_plan_time(spark, tmp_path):
     # uncommitted version refuses
     with pytest.raises(Exception, match="not\\s+committed|not .*committed"):
         spark.read.format("managed").option("versionAsOf", 99).load(root).collect()
+
+
+def test_managed_zorder_compaction_rowgroup_rectangle(spark, tmp_path):
+    """OPTIMIZE ZORDER through the facade in ONE call:
+    ``compact(zorder_by=(x, y), writer_options=...)`` on a
+    rowgroup-indexed table writes the Morton-ordered layout AND the
+    per-row-group stats index in one committed version — a 2-D
+    predicate then keeps a small RECTANGLE of row groups (inside kept
+    files, on top of file-level pruning), and the executable
+    row-group scan equals the full filter exactly."""
+    df = spark.range(0, 16384).select(
+        (F.col("id") % 128).alias("x"),
+        (F.col("id") / F.lit(128)).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    ).repartition(8)  # deliberately unclustered base layout
+    t = ManagedTable(
+        spark, str(tmp_path / "t"), index_cols=("x", "y"),
+        rowgroup_index=True,
+    )
+    t.write(df, writer_options={"parquet.block.size": 4096})
+    v2 = t.compact(
+        target_file_rows=2048,
+        zorder_by=("x", "y"),
+        writer_options={"parquet.block.size": 4096},
+    )
+    assert v2 == 2
+
+    idx = t.rowgroup_index_df(v2)
+    total_groups = idx.select("file", "rg").distinct().count()
+    n_files = len(_data_files(str(tmp_path / "t" / "v=2")))
+    assert total_groups > n_files  # several row groups per file
+
+    from bigdatalab_spark.sources.skipping import candidate_rowgroups
+
+    vdir = str(tmp_path / "t" / "v=2")
+    preds = [("x", 0, 15), ("y", 0, 15)]
+    kept = candidate_rowgroups(
+        idx.withColumn(
+            "file", F.concat(F.lit(vdir + "/"), F.col("file"))
+        ),
+        preds,
+    )
+    n_kept = sum(len(rgs) for rgs in kept.values())
+    # the z-layout keeps a small rectangle: far fewer groups than the
+    # unclustered base would (the 2-D predicate selects ~1.5% of rows)
+    assert n_kept / total_groups < 0.25, (n_kept, total_groups)
+
+    got = _rows(
+        t.rowgroup_pruned_read(preds, columns=["x", "y", "payload"])
+    )
+    want = _rows(
+        t.read(v2)
+        .filter("x between 0 and 15 and y between 0 and 15")
+        .select("x", "y", "payload")
+    )
+    assert got == want and got
+    # the BASE layout (v1, unclustered) cannot isolate the rectangle
+    base_idx = t.rowgroup_index_df(1)
+    base_total = base_idx.select("file", "rg").distinct().count()
+    base_vdir = str(tmp_path / "t" / "v=1")
+    base_kept = sum(
+        len(rgs)
+        for rgs in candidate_rowgroups(
+            base_idx.withColumn(
+                "file", F.concat(F.lit(base_vdir + "/"), F.col("file"))
+            ),
+            preds,
+        ).values()
+    )
+    assert n_kept / total_groups < base_kept / base_total

@@ -100,7 +100,17 @@ def main() -> int:
                 if stripe_lo <= k <= stripe_lo + 49:
                     del expected[k]
         if i % 3 == 2:
-            table.compact(target_file_rows=100_000)
+            if i % 6 == 5:
+                # every other compaction is OPTIMIZE ZORDER: the
+                # Morton layout must keep the same truth/feed/drift
+                # invariants as a plain compaction (both are
+                # physical-layout no-ops to the feed)
+                table.compact(
+                    target_file_rows=100_000,
+                    zorder_by=("event_id", "user_id"),
+                )
+            else:
+                table.compact(target_file_rows=100_000)
         # drain the feed BEFORE vacuum may reclaim consumed history
         pending, upto = cursor.pending()
         if pending is not None:
