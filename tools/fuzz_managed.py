@@ -20,6 +20,15 @@ Ops drawn per step (seeded PRNG — deterministic, replayable):
                 abort with CommitConflictError (file-level validation
                 is coarser than key ranges); the model applies only
                 the committed outcomes
+  history       invariant probe: exactly one is_current row, the
+                on_lineage flags equal lineage(), per-version file
+                counts match the manifests
+  replay        full-feed replay: changes_between(lineage[0]) applied
+                to an empty dict (in commit-version order) must
+                rebuild the model exactly; vacuumed ancestry raising
+                loudly is the accepted alternative
+  clone         zero-copy shallow clone reads back the model and
+                bootstraps its own feed as all-inserts
 
 This is the metamorphic complement of tests/test_managed.py's
 scenario tests: those pin designed edges; the fuzzer searches the op
@@ -124,6 +133,7 @@ def run_seed(spark, seed: int, n_ops: int) -> None:
                 "merge", "merge",
                 "compact", "rollback", "vacuum", "restart",
                 "concurrent",
+                "history", "replay", "clone",
             ]
         )
         if op == "append":
@@ -279,6 +289,77 @@ def run_seed(spark, seed: int, n_ops: int) -> None:
                     for k in [k for k in model if lo <= k <= hi]:
                         del model[k]
             journal[t.latest()] = (dict(model), has_extra)
+        elif op == "history":
+            hrows = t.history().collect()
+            current = [r for r in hrows if r["is_current"]]
+            assert len(current) == 1 and current[0]["version"] == t.latest()
+            on_lineage = {r["version"] for r in hrows if r["on_lineage"]}
+            assert on_lineage == set(t.lineage()), (
+                f"seed {seed}: history on_lineage != lineage()"
+            )
+            from bigdatalab_spark.sources.managed import _data_files
+            from bigdatalab_spark.sources.versioned import _version_dir
+
+            for r in hrows:
+                assert r["n_files"] == len(
+                    _data_files(_version_dir(root, r["version"]))
+                )
+        elif op == "replay":
+            first = t.lineage()[0]
+            parent = t._parent_of(first)
+            if parent is None:
+                # true initial snapshot on-lineage: the feed alone
+                # rebuilds the table from empty
+                start: dict[int, tuple] = {}
+            elif parent in journal:
+                # bootstrap vacuumed: the feed is a SUFFIX — replay it
+                # on top of the journaled state at the recorded parent
+                # (a real consumer re-bootstraps from a snapshot read,
+                # which is exactly what the journal models)
+                start = dict(journal[parent][0])
+            else:
+                continue
+            try:
+                feed = t.changes_between(first)
+            except (FileNotFoundError, ValueError):
+                continue  # vacuumed mid-lineage: the designed refusal
+            cols = feed.columns
+            replayed: dict[int, tuple] = start
+            rows_sorted = sorted(
+                feed.collect(), key=lambda r: r["_commit_version"]
+            )
+            for r in rows_sorted:
+                ct = r["_change_type"]
+                if ct == "delete":
+                    replayed.pop(r["k"], None)
+                elif ct in ("insert", "update_postimage"):
+                    replayed[r["k"]] = (
+                        r["v"], r["extra"] if "extra" in cols else None
+                    )
+            want = {
+                k: (val, e) for k, (val, e) in model.items()
+            }
+            assert replayed == want, (
+                f"seed {seed}: full-feed replay != model"
+            )
+        elif op == "clone":
+            import shutil as _sh
+
+            cdir = scratch + f"/clone_{step}"
+            c = t.clone(cdir)
+            got_c = {
+                r["k"]: (
+                    r["v"],
+                    r["extra"] if "extra" in c.read().columns else None,
+                )
+                for r in c.read().collect()
+            }
+            assert got_c == {
+                k: (val, e) for k, (val, e) in model.items()
+            }, f"seed {seed}: clone != model"
+            assert c.changes(1).count() == len(model)
+            _sh.rmtree(cdir, ignore_errors=True)
+            _sh.rmtree(cdir + "__writer.lock", ignore_errors=True)
         check(f"{step}:{op}")
 
     drain_feed()
