@@ -1891,7 +1891,17 @@ class ChangeFeedCursor:
         ``(None, None)`` when the consumer is caught up."""
         latest = self.table.latest()
         pos = self.position()
-        if latest is None or (pos is not None and latest <= pos):
+        if pos is not None and latest is not None and pos > latest:
+            # the pointer moved BELOW the acked position (rollback):
+            # the consumer applied changes that are no longer this
+            # history's — saying "caught up" here would silently
+            # strand it until the next commit trips the lineage check
+            raise ValueError(
+                f"cursor position v={pos} is ahead of the pointer "
+                f"(v={latest}) — a rollback orphaned acked history; "
+                "re-bootstrap from a snapshot read and reset the cursor"
+            )
+        if latest is None or pos == latest:
             return None, None
         # follow the pointer lineage (a rollback orphans branch
         # versions — they are not this history's changes)

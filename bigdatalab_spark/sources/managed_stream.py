@@ -344,6 +344,16 @@ class ManagedChangesReader(DataSourceReader):
             raise ValueError(f"no committed versions under {path}")
         self.lo = int(options.get("startingversion", committed[0]))
         self.hi = int(options.get("endingversion", _latest(path)))
+        if self.lo > self.hi:
+            # an explicit start beyond the range's end would plan zero
+            # partitions and return an empty feed — silent data "loss"
+            # from the consumer's perspective; refuse instead
+            raise ValueError(
+                f"managed_changes: startingVersion {self.lo} is after "
+                f"the range end {self.hi} (the pointer, or the "
+                "requested endingVersion) — nothing to read yet, or a "
+                "rollback moved the pointer below the request"
+            )
 
     def partitions(self) -> list[InputPartition]:
         return _plan_partitions(

@@ -1598,3 +1598,29 @@ def test_managed_zorder_compaction_rowgroup_rectangle(spark, tmp_path):
         ).values()
     )
     assert n_kept / total_groups < base_kept / base_total
+
+
+def test_managed_cursor_and_batch_range_refuse_stranded_positions(spark, tmp_path):
+    """Self-review r10: (a) a cursor whose acked position is ABOVE the
+    pointer (rollback, no new commits yet) must raise immediately, not
+    report 'caught up' until the next commit trips the lineage check;
+    (b) a managed_changes batch read whose startingVersion is beyond
+    the range end refuses instead of planning an empty feed."""
+    from bigdatalab_spark.sources.pyds import register_python_sources
+
+    register_python_sources(spark)
+    root = str(tmp_path / "t")
+    t = ManagedTable(spark, root, index_cols=("k",))
+    t.write(_mk(spark, 0, 50, parts=1))           # v1
+    t.append(_mk(spark, 50, 80, parts=1))         # v2
+    cur = t.cursor(str(tmp_path / "pos"))
+    _, upto = cur.pending()
+    cur.ack(upto)                                 # pos = 2
+    t.rollback(1)                                 # pointer below pos
+    with pytest.raises(ValueError, match="ahead of the pointer"):
+        cur.pending()
+
+    with pytest.raises(Exception, match="after|nothing to read"):
+        spark.read.format("managed_changes").option(
+            "startingVersion", 9
+        ).load(root).collect()
