@@ -22,12 +22,20 @@ difference between planning a scan over ~10⁶ files and over the
 handful a selective predicate touches, decided before any task
 launches.
 
-Data plane: each task reads its parquet file with pyarrow and ships
-Arrow RecordBatches zero-copy to the JVM (no row-at-a-time Python);
-files that predate a schema evolution are padded with typed NULL
-columns to the snapshot's stored schema, exactly like the facade's
-own reads. Partitioned snapshots refuse loudly (their files omit the
+Data plane: each task STREAMS its parquet file with pyarrow
+(iter_batches — bounded memory at real file sizes) and ships Arrow
+RecordBatches zero-copy to the JVM (no row-at-a-time Python); files
+that predate a schema evolution are padded with typed NULL columns to
+the snapshot's stored schema, exactly like the facade's own reads.
+Partitioned snapshots refuse loudly (their files omit the
 partition-column values — same contract as DML and managed_changes).
+
+Known limit: the Python DataSource API pushes FILTERS but not
+projections, so a narrow SELECT still reads every column of the kept
+files through this connector. For projection-heavy scans use the
+facade's native reads (``ManagedTable.read`` / ``pruned_read`` go
+through Spark's parquet source, which prunes columns); the connector
+is the SQL/time-travel surface, not the widest-scan hot path.
 """
 
 from __future__ import annotations
@@ -190,23 +198,28 @@ class ManagedSnapshotReader(DataSourceReader):
         ]
 
     def read(self, partition: _FilePartition) -> Iterator:
+        # STREAM batch by batch (bounded task memory at real file
+        # sizes); align each batch to the snapshot's stored schema
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         from pyspark.sql.pandas.types import to_arrow_schema
 
         arrow_schema = to_arrow_schema(self.schema)
-        tbl = pq.read_table(partition.path)
-        cols = []
-        for field in arrow_schema:
-            if field.name in tbl.column_names:
-                col = tbl.column(field.name)
-                if col.type != field.type:
-                    col = col.cast(field.type)
-                cols.append(col)
-            else:  # pre-evolution file: typed NULL padding
-                cols.append(pa.nulls(tbl.num_rows, type=field.type))
-        yield from pa.table(cols, schema=arrow_schema).to_batches()
+        pf = pq.ParquetFile(partition.path)
+        present = set(pf.schema_arrow.names)
+        needed = [f.name for f in arrow_schema if f.name in present]
+        for batch in pf.iter_batches(columns=needed):
+            cols = []
+            for field in arrow_schema:
+                if field.name in present:
+                    col = batch.column(field.name)
+                    if col.type != field.type:
+                        col = col.cast(field.type)
+                    cols.append(col)
+                else:  # pre-evolution file: typed NULL padding
+                    cols.append(pa.nulls(batch.num_rows, type=field.type))
+            yield pa.RecordBatch.from_arrays(cols, schema=arrow_schema)
 
 
 class ManagedSnapshotDataSource(DataSource):

@@ -277,34 +277,48 @@ def _plan_partitions(
 
 
 def _read_partition(part: _ChangePartition, arrow_schema) -> Iterator:
-    """Arrow-native task body: read the parquet file, align to the
+    """Arrow-native task body: STREAM the parquet file batch by batch
+    (bounded task memory — a whole-file read_table would materialize
+    multi-GB files per task at real scale), align each batch to the
     stream schema (typed NULL padding for pre-evolution files, cast on
     width mismatches), stamp derived feed columns, yield RecordBatches
     zero-copy."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(part.path)
-    n = tbl.num_rows
-    cols = []
-    for field in arrow_schema:
-        if field.name == "_change_type" and part.change_type is not None:
-            cols.append(pa.array([part.change_type] * n, type=field.type))
-        elif field.name == "_commit_version":
-            # always stamped from the partition (the version DIRECTORY
-            # is the authority): optimistic commits write their _cdf
-            # before the version number exists, so the stored column
-            # may be absent — and when present it carries this value
-            cols.append(pa.array([part.version] * n, type=field.type))
-        elif field.name in tbl.column_names:
-            col = tbl.column(field.name)
-            if col.type != field.type:
-                col = col.cast(field.type)
-            cols.append(col)
-        else:
-            cols.append(pa.nulls(n, type=field.type))
-    aligned = pa.table(cols, schema=arrow_schema)
-    yield from aligned.to_batches()
+    pf = pq.ParquetFile(part.path)
+    present = set(pf.schema_arrow.names)
+    synthesized = {"_commit_version"}
+    if part.change_type is not None:
+        synthesized.add("_change_type")
+    needed = [
+        f.name
+        for f in arrow_schema
+        if f.name in present and f.name not in synthesized
+    ]
+    for batch in pf.iter_batches(columns=needed):
+        n = batch.num_rows
+        cols = []
+        for field in arrow_schema:
+            if field.name == "_change_type" and part.change_type is not None:
+                cols.append(
+                    pa.array([part.change_type] * n, type=field.type)
+                )
+            elif field.name == "_commit_version":
+                # always stamped from the partition (the version
+                # DIRECTORY is the authority): optimistic commits write
+                # their _cdf before the version number exists, so the
+                # stored column may be absent — and when present it
+                # carries this value
+                cols.append(pa.array([part.version] * n, type=field.type))
+            elif field.name in present:
+                col = batch.column(field.name)
+                if col.type != field.type:
+                    col = col.cast(field.type)
+                cols.append(col)
+            else:
+                cols.append(pa.nulls(n, type=field.type))
+        yield pa.RecordBatch.from_arrays(cols, schema=arrow_schema)
 
 
 def _feed_schema(path: str):
