@@ -105,7 +105,6 @@ from bigdatalab_spark.sources.versioned import (
     list_versions,
 )
 from bigdatalab_spark.sources.versioned import rollback as _rollback
-from bigdatalab_spark.sources.versioned import vacuum as _vacuum
 
 _INDEX_DIR = "_index"
 _INDEX_RG_DIR = "_index_rg"
@@ -116,6 +115,22 @@ _COMMIT_VERSION = "_commit_version"
 _STREAM_BATCH = "_STREAM_BATCH"
 _SCHEMA_FILE = "_SCHEMA"
 _RESERVED = "_RESERVED"
+_PARTCOLS_FILE = "_PARTITION_COLS"
+
+
+def _partition_values(rel: str) -> dict[str, str | None]:
+    """Partition-column values encoded in a relative file path's
+    directory segments (``k=3/tag=a/part-....parquet`` →
+    ``{"k": "3", "tag": "a"}``), URL-decoded the way Spark encodes
+    them; Hive's NULL sentinel decodes to None. Flat paths → {}."""
+    from urllib.parse import unquote
+
+    out: dict[str, str | None] = {}
+    for seg in rel.replace(os.sep, "/").split("/")[:-1]:
+        k, _, v = seg.partition("=")
+        v = unquote(v)
+        out[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+    return out
 
 
 def _walk_data_files(vdir: str) -> list[str]:
@@ -138,34 +153,61 @@ def _walk_data_files(vdir: str) -> list[str]:
     return sorted(out)
 
 
-def _manifest_entries(vdir: str) -> list[tuple[str, int]] | None:
-    """The version's committed ``_manifest`` as sorted
-    ``(relative file, size_bytes)`` rows, or None for versions
-    committed before manifests existed (fall back to listing). Read
-    driver-side with pyarrow — metadata-sized, no Spark job."""
+def _own_version(vdir: str) -> int:
+    return int(os.path.basename(vdir.rstrip("/"))[2:])
+
+
+def _manifest_rows(vdir: str) -> list[dict] | None:
+    """The version's committed ``_manifest`` as sorted dict rows
+    ``{"file", "size_bytes", "home"}``, or None for versions committed
+    before manifests existed (fall back to listing). ``home`` is the
+    version whose DIRECTORY physically stores the file — the data
+    plane's source of truth: hard-link commits self-home every row
+    (the file was linked into this very directory), reference commits
+    (``link_mode="reference"``) carry untouched files as rows pointing
+    at the file's ORIGINAL version directory, the object-store data
+    plane (no link syscall exists there). Manifests written before the
+    column existed are self-homed by construction. Read driver-side
+    with pyarrow — metadata-sized, no Spark job."""
     import pyarrow.parquet as pq
 
     d = os.path.join(vdir, _MANIFEST_DIR)
     if not os.path.isdir(d):
         return None
-    out: list[tuple[str, int]] = []
+    own = _own_version(vdir)
+    out: list[dict] = []
     for part in sorted(os.listdir(d)):
         if not part.endswith(".parquet"):
             continue
         t = pq.read_table(os.path.join(d, part))
-        out.extend(
-            zip(
-                t.column("file").to_pylist(),
-                t.column("size_bytes").to_pylist(),
-            )
+        files = t.column("file").to_pylist()
+        sizes = t.column("size_bytes").to_pylist()
+        homes = (
+            t.column("home").to_pylist()
+            if "home" in t.column_names
+            else [own] * len(files)
         )
-    return sorted(out)
+        out.extend(
+            {"file": f, "size_bytes": s, "home": h if h is not None else own}
+            for f, s, h in zip(files, sizes, homes)
+        )
+    return sorted(out, key=lambda r: r["file"])
 
 
-def _write_manifest(vdir: str, entries: list[tuple[str, int]]) -> None:
+def _manifest_entries(vdir: str) -> list[tuple[str, int]] | None:
+    """Compatibility view of :func:`_manifest_rows`: sorted
+    ``(relative file, size_bytes)`` tuples (tooling + tests)."""
+    rows = _manifest_rows(vdir)
+    if rows is None:
+        return None
+    return [(r["file"], r["size_bytes"]) for r in rows]
+
+
+def _write_manifest(vdir: str, rows: list[dict]) -> None:
     """Land the version's file manifest BEFORE its marker (same commit
-    discipline as ``_index``): one row per data file with its size.
-    The manifest — not a directory listing — is the planning source of
+    discipline as ``_index``): one row per data file with its size and
+    its HOME version (the directory that physically stores it). The
+    manifest — not a directory listing — is the planning source of
     truth for every read/DML of a committed version, so planning cost
     is one metadata-sized parquet read instead of an O(file-count)
     filesystem walk, and works identically on object stores that have
@@ -173,14 +215,19 @@ def _write_manifest(vdir: str, entries: list[tuple[str, int]]) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    entries = sorted(entries)
+    rows = sorted(rows, key=lambda r: r["file"])
     tbl = pa.table(
         {
-            "file": [f for f, _ in entries],
-            "size_bytes": [s for _, s in entries],
+            "file": [r["file"] for r in rows],
+            "size_bytes": [r["size_bytes"] for r in rows],
+            "home": [r["home"] for r in rows],
         },
         schema=pa.schema(
-            [("file", pa.string()), ("size_bytes", pa.int64())]
+            [
+                ("file", pa.string()),
+                ("size_bytes", pa.int64()),
+                ("home", pa.int64()),
+            ]
         ),
     )
     d = os.path.join(vdir, _MANIFEST_DIR)
@@ -188,11 +235,18 @@ def _write_manifest(vdir: str, entries: list[tuple[str, int]]) -> None:
     pq.write_table(tbl, os.path.join(d, "part-0.parquet"))
 
 
-def _sized(vdir: str, rels: list[str]) -> list[tuple[str, int]]:
-    """Stat the given files into manifest rows — called only on the
-    DELTA (files this commit wrote), never the whole snapshot."""
+def _sized(vdir: str, rels: list[str]) -> list[dict]:
+    """Stat the given files into self-homed manifest rows — called
+    only on the DELTA (files this commit wrote into ``vdir``), never
+    the whole snapshot."""
+    own = _own_version(vdir)
     return [
-        (rel, os.path.getsize(os.path.join(vdir, rel))) for rel in rels
+        {
+            "file": rel,
+            "size_bytes": os.path.getsize(os.path.join(vdir, rel)),
+            "home": own,
+        }
+        for rel in rels
     ]
 
 
@@ -202,9 +256,9 @@ def _data_files(vdir: str) -> list[str]:
     parquet read — the source of truth), else by walking (legacy
     versions, and mid-commit directories whose manifest has not landed
     yet — exactly the delta the commit is discovering)."""
-    m = _manifest_entries(vdir)
+    m = _manifest_rows(vdir)
     if m is not None:
-        return [f for f, _ in m]
+        return [r["file"] for r in m]
     return _walk_data_files(vdir)
 
 
@@ -254,10 +308,58 @@ class ManagedTable:
         index_cols: tuple[str, ...] = (),
         rowgroup_index: bool = False,
         concurrency: str = "exclusive",
+        commit_timeout: float = 60.0,
+        link_mode: str = "hardlink",
+        isolation: str = "write_serializable",
     ) -> None:
         self.spark = spark
         self.path = path
         self.index_cols = tuple(index_cols)
+        # how long an optimistic commit waits for the writer lock
+        # before giving up (the critical section is metadata-sized by
+        # construction; raise this only for pathological contention)
+        self.commit_timeout = float(commit_timeout)
+        if link_mode not in ("hardlink", "reference"):
+            raise ValueError(
+                "link_mode must be 'hardlink' or 'reference', "
+                f"got {link_mode!r}"
+            )
+        if isolation not in ("write_serializable", "serializable"):
+            raise ValueError(
+                "isolation must be 'write_serializable' or "
+                f"'serializable', got {isolation!r}"
+            )
+        # optimistic-commit isolation level (exclusive mode is always
+        # serializable — one writer at a time):
+        # - "write_serializable" (Delta's default): file-level
+        #   validation only. A concurrent blind append's rows are NOT
+        #   retro-filtered by an in-flight DELETE/UPDATE predicate —
+        #   the documented anomaly.
+        # - "serializable": a DELETE/UPDATE additionally records its
+        #   predicate READ-SET (the index bounds it scanned) and
+        #   aborts when an intervening commit ADDED files whose stats
+        #   overlap those bounds — the rows it should have seen under
+        #   a serial order. Unbounded predicates (delete_where with no
+        #   indexed range) conservatively conflict with ANY added
+        #   file. MERGE already enforces this (key correctness, not an
+        #   isolation choice).
+        self.isolation = isolation
+        # how a commit CARRIES the untouched files of its parent:
+        # - "hardlink": link them into the new version directory
+        #   (local-FS data plane — zero copy, shared inodes; plain
+        #   spark.read.parquet(path/v=N) of any version stays correct)
+        # - "reference": write NO per-file syscalls at all — the new
+        #   manifest's rows keep pointing at each file's HOME version
+        #   directory (the object-store data plane: commit cost is
+        #   O(delta), and the optimistic commit critical section does
+        #   zero per-file work). Reads resolve paths through the
+        #   manifest; vacuum protects version directories that still
+        #   home files referenced by surviving manifests.
+        # The MANIFEST is the source of truth either way: readers
+        # follow the stored homes, so tables with mixed-mode histories
+        # (some versions linked, some referenced) read correctly
+        # regardless of this instance's setting.
+        self.link_mode = link_mode
         # opt-in finer granularity: commit a per-(file, row group, col)
         # stats index alongside the file-level one — same footer walk,
         # more rows; reads can then skip row groups INSIDE kept files
@@ -286,8 +388,36 @@ class ManagedTable:
     def vacuum(self, keep_last: int = 2) -> list[int]:
         """Reclaim old snapshots (and crash debris). Hard-linked data
         files shared with surviving versions survive — the filesystem
-        drops the directory entry, not the inode."""
-        return _vacuum(self.path, keep_last)
+        drops the directory entry, not the inode.
+
+        Reference data plane: a retained version's manifest may point
+        at files physically HOMED in an older version's directory, so
+        vacuum first collects every home the retained manifests
+        reference and DEMOTES those directories instead of deleting
+        them — the ``_COMMITTED`` marker becomes a ``_HOMEONLY``
+        tombstone, the version disappears from :meth:`versions` (no
+        time travel, no rollback target: it IS vacuumed, and appears
+        in the returned list), and the bytes stay on disk until the
+        last referencing manifest is itself vacuumed."""
+        from bigdatalab_spark.sources.versioned import _vacuum_locked
+
+        with dataset_write_lock(self.path, "managed_vacuum"):
+            retained = (
+                set(list_versions(self.path)[-keep_last:])
+                if keep_last > 0
+                else set()
+            )
+            current = latest_version(self.path)
+            if current is not None:
+                retained.add(current)
+            protect: set[int] = set()
+            for v in retained:
+                rows = _manifest_rows(_version_dir(self.path, v))
+                if rows:
+                    protect |= {r["home"] for r in rows}
+            return _vacuum_locked(
+                self.path, keep_last, protect=protect - retained
+            )
 
     # ---- commit protocol -------------------------------------------------
 
@@ -318,6 +448,7 @@ class ManagedTable:
             self._write_index(vdir, new_files=files)
             _write_manifest(vdir, _sized(vdir, files))
             self._write_schema(vdir, df.schema)
+            self._write_partition_cols(vdir, tuple(partition_cols))
             if stream_batch_id is not None:
                 self._write_stream_batch(vdir, stream_batch_id)
             self._commit(version, vdir, expected=current, op="write")
@@ -362,14 +493,12 @@ class ManagedTable:
             version, vdir = self._allocate()
             df.write.mode("errorifexists").parquet(vdir)
             new_files = set(_walk_data_files(vdir))
-            for rel in prev_files:
-                if rel in new_files:  # astronomically unlikely (UUIDs)
-                    raise ConcurrentWriteError(
-                        f"append file-name collision on {rel}"
-                    )
-                dst = os.path.join(vdir, rel)
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                os.link(os.path.join(prev, rel), dst)
+            clash = new_files & set(prev_files)
+            if clash:  # astronomically unlikely (UUIDs)
+                raise ConcurrentWriteError(
+                    f"append file-name collision on {sorted(clash)[0]}"
+                )
+            carried = self._carry(current, None, vdir)
             self._write_index(
                 vdir,
                 new_files=sorted(new_files),
@@ -377,9 +506,8 @@ class ManagedTable:
             )
             # manifest composes from the PARENT's rows + the delta —
             # no walk of the snapshot, no re-stat of carried files
-            prev_sized = _manifest_entries(prev) or _sized(prev, prev_files)
             _write_manifest(
-                vdir, prev_sized + _sized(vdir, sorted(new_files))
+                vdir, carried + _sized(vdir, sorted(new_files))
             )
             self._write_schema(vdir, new_schema)
             self._commit(version, vdir, expected=current, op="append")
@@ -441,6 +569,12 @@ class ManagedTable:
             writer = df.write.mode("errorifexists").option(
                 "maxRecordsPerFile", target_file_rows
             )
+            # a partitioned table stays partitioned through compaction
+            # (Delta's OPTIMIZE contract): clustering happens WITHIN
+            # the preserved directory layout
+            pcols = self.partition_cols_of(current)
+            if pcols:
+                writer = writer.partitionBy(*pcols)
             for k, v in (writer_options or {}).items():
                 writer = writer.option(k, v)
             writer.parquet(vdir)
@@ -448,6 +582,7 @@ class ManagedTable:
             self._write_index(vdir, new_files=files)
             _write_manifest(vdir, _sized(vdir, files))
             self._write_schema(vdir, df.schema)
+            self._write_partition_cols(vdir, pcols)
             self._commit(version, vdir, expected=current, op="compact")
             return version
 
@@ -577,7 +712,7 @@ class ManagedTable:
                 return current
             _scan_files, touched, new_df, cdf, _bounds = plan
             prev = _version_dir(self.path, current)
-            all_files = self._flat_files(prev, "merge_into")
+            all_files = _data_files(prev)
             return self._commit_cow(
                 current,
                 prev,
@@ -605,7 +740,7 @@ class ManagedTable:
         validator uses it to detect concurrently-added files that could
         hide a match), else None (validator is then conservative)."""
         prev = _version_dir(self.path, current)
-        all_files = self._flat_files(prev, "merge_into")
+        all_files = _data_files(prev)
         tgt_schema = self.stored_schema(current)
         if tgt_schema is None:
             tgt_schema = self.spark.read.parquet(prev).schema
@@ -646,11 +781,14 @@ class ManagedTable:
                     keys[0], kb["lo"], kb["hi"], current
                 )
         src_keys = source.select(*keys).distinct()
-        scanned = self._with_file(prev, scan_files, tgt_schema)
+        scanned = self._with_file(current, scan_files, tgt_schema)
         matched = scanned.join(src_keys, on=list(keys), how="leftsemi")
-        # metadata-sized collect: bounded by the snapshot file count
+        # metadata-sized collect: bounded by the snapshot file count;
+        # __file is the basename (unique UUID part names) — map it
+        # back to the relative path for partitioned layouts
+        base_to_rel = {os.path.basename(rel): rel for rel in all_files}
         touched = sorted(
-            r["f"]
+            base_to_rel[r["f"]]
             for r in matched.select(
                 F.col("__file").alias("f")
             ).distinct().collect()
@@ -660,7 +798,7 @@ class ManagedTable:
         )
         if not touched and insert_rows.limit(1).count() == 0:
             return None  # nothing matched, nothing to insert
-        touched_df = self._read_files(prev, touched, tgt_schema)
+        touched_df = self._read_files(current, touched, tgt_schema)
         keep = touched_df.join(src_keys, on=list(keys), how="leftanti")
         if when_matched is None:
             # rows that replace matched keys + brand-new keys
@@ -751,7 +889,16 @@ class ManagedTable:
                 return current
             scan_files, touched, new_df, cdf = plan
             return self._commit_cow_optimistic(
-                current, scan_files, touched, new_df, cdf, op
+                current,
+                scan_files,
+                touched,
+                new_df,
+                cdf,
+                op,
+                # serializable isolation validates concurrently-ADDED
+                # files against the predicate's indexed range (None =
+                # unbounded predicate: any added file conflicts)
+                pred_bounds=tuple(prune[:3]) if prune else None,
             )
         with dataset_write_lock(self.path, f"managed_{op}"):
             current = latest_version(self.path)
@@ -764,7 +911,7 @@ class ManagedTable:
                 return current  # no matches: the table is unchanged
             _scan_files, touched, new_df, cdf = plan
             prev = _version_dir(self.path, current)
-            all_files = self._flat_files(prev, op)
+            all_files = _data_files(prev)
             return self._commit_cow(
                 current, prev, all_files, touched, new_df, cdf, op
             )
@@ -784,7 +931,7 @@ class ManagedTable:
         ``(scan_files, touched, new_df, cdf)`` or None when nothing
         matches."""
         prev = _version_dir(self.path, current)
-        all_files = self._flat_files(prev, op)
+        all_files = _data_files(prev)
         cur_schema = self.stored_schema(current)
         scan_files = (
             self.candidate_files(*prune, version=current)
@@ -792,10 +939,12 @@ class ManagedTable:
             else all_files
         )
         hit = F.coalesce(cond, F.lit(False))  # NULL never matches
-        # metadata-sized collect: bounded by the snapshot file count
+        # metadata-sized collect: bounded by the snapshot file count;
+        # basename -> relative path for partitioned layouts
+        base_to_rel = {os.path.basename(rel): rel for rel in all_files}
         touched = sorted(
-            r["f"]
-            for r in self._with_file(prev, scan_files, cur_schema)
+            base_to_rel[r["f"]]
+            for r in self._with_file(current, scan_files, cur_schema)
             .filter(hit)
             .select(F.col("__file").alias("f"))
             .distinct()
@@ -803,7 +952,7 @@ class ManagedTable:
         )
         if not touched:
             return None
-        touched_df = self._read_files(prev, touched, cur_schema)
+        touched_df = self._read_files(current, touched, cur_schema)
         cols = touched_df.columns
         if op == "delete":
             new_df = touched_df.filter(~hit)
@@ -876,12 +1025,12 @@ class ManagedTable:
         new_df.write.mode("errorifexists").parquet(vdir)
         written = set(_walk_data_files(vdir))
         link = [rel for rel in all_files if rel not in touched]
-        for rel in link:
-            if rel in written:  # astronomically unlikely (UUIDs)
-                raise ConcurrentWriteError(
-                    f"{op} file-name collision on {rel}"
-                )
-            os.link(os.path.join(prev, rel), os.path.join(vdir, rel))
+        clash = written & set(link)
+        if clash:  # astronomically unlikely (UUIDs)
+            raise ConcurrentWriteError(
+                f"{op} file-name collision on {sorted(clash)[0]}"
+            )
+        carried = self._carry(current, link, vdir)
         self._write_index(
             vdir,
             new_files=sorted(written),
@@ -891,14 +1040,8 @@ class ManagedTable:
         # manifest = parent rows minus the rewritten files + the delta;
         # planning the NEXT commit then never walks or re-stats the
         # carried files (cost stays proportional to this commit's delta)
-        link_set = set(link)
-        prev_sized = _manifest_entries(prev)
-        if prev_sized is None:
-            prev_sized = _sized(prev, link)
         _write_manifest(
-            vdir,
-            [(f, s) for f, s in prev_sized if f in link_set]
-            + _sized(vdir, sorted(written)),
+            vdir, carried + _sized(vdir, sorted(written))
         )
         (
             cdf.withColumn(_COMMIT_VERSION, F.lit(version))
@@ -915,7 +1058,7 @@ class ManagedTable:
         return version
 
     @contextlib.contextmanager
-    def _commit_section(self, what: str, timeout: float = 60.0):
+    def _commit_section(self, what: str, timeout: float | None = None):
         """The optimistic protocol's SHORT commit critical section:
         unlike the exclusive paths (which fail fast — their planned
         input is stale by the time a held lock frees), an optimistic
@@ -926,6 +1069,8 @@ class ManagedTable:
         import sys
         import time
 
+        if timeout is None:
+            timeout = self.commit_timeout
         deadline = time.monotonic() + timeout
         while True:
             cm = dataset_write_lock(self.path, what)
@@ -945,6 +1090,69 @@ class ManagedTable:
                 cm.__exit__(None, None, None)
             return
 
+    def _carry(
+        self, parent: int, keep: list[str] | None, vdir: str
+    ) -> list[dict]:
+        """Carry the parent snapshot's untouched files into the new
+        version and return their manifest rows. ``keep=None`` carries
+        everything; otherwise only the named relative files.
+
+        - ``link_mode="hardlink"``: one ``os.link`` per carried file
+          (zero-copy local-FS data plane), rows self-homed — the new
+          directory physically holds every file.
+        - ``link_mode="reference"``: NO per-file syscalls — rows keep
+          their stored homes, so commit cost is O(delta) no matter how
+          many files the snapshot carries (the object-store data
+          plane; on S3-alikes a link does not exist and a copy is a
+          full data transfer)."""
+        rows = self._rows_of(parent)
+        if keep is not None:
+            keep_set = set(keep)
+            rows = [r for r in rows if r["file"] in keep_set]
+        version = _own_version(vdir)
+        out = []
+        for r in rows:
+            size = r["size_bytes"]
+            if size is None:  # legacy no-manifest parent: one-time stat
+                size = os.path.getsize(r["abs"])
+            if self.link_mode == "hardlink":
+                dst = os.path.join(vdir, r["file"])
+                parent_dir = os.path.dirname(dst)
+                if parent_dir != vdir.rstrip("/"):
+                    os.makedirs(parent_dir, exist_ok=True)
+                os.link(r["abs"], dst)
+                out.append(
+                    {"file": r["file"], "size_bytes": size, "home": version}
+                )
+            else:
+                out.append(
+                    {"file": r["file"], "size_bytes": size, "home": r["home"]}
+                )
+        return out
+
+    def _guard_granularity_upgrade(self, base: int | None, op: str) -> None:
+        """Refuse an optimistic commit that would trigger the index
+        granularity-upgrade fallback INSIDE the commit critical
+        section: when ``rowgroup_index`` was just enabled on a table
+        whose snapshots lack ``_index_rg``, ``_write_one_index`` must
+        re-probe the WHOLE snapshot — a table-sized Spark job that
+        would run while holding the writer lock, starving every other
+        optimistic committer past its timeout. Detected here, with no
+        lock held; an exclusive-mode ``compact()`` establishes the
+        finer granularity once, after which optimistic commits reuse
+        it incrementally."""
+        if not (self.rowgroup_index and self.index_cols) or base is None:
+            return
+        d = os.path.join(_version_dir(self.path, base), _INDEX_RG_DIR)
+        if not os.path.isdir(d):
+            raise ValueError(
+                f"optimistic {op} on {self.path}: the base snapshot "
+                f"v={base} has no row-group index, so committing would "
+                "re-probe the whole table inside the commit critical "
+                "section — run compact() (exclusive) once to establish "
+                "rowgroup_index granularity, then retry"
+            )
+
     def _allocate_staging(self) -> str:
         """A private SCRATCH directory for an optimistic transaction's
         unlocked writes (``_txn_<uuid>`` — invisible to readers and to
@@ -955,25 +1163,40 @@ class ManagedTable:
         the pointer backwards and breaking every "versions <= N are
         delivered" feed offset. A ``_RESERVED`` stamp (pid + host,
         writer-lock format) marks the dir as a LIVE transaction so
-        vacuum does not mistake it for crash debris."""
+        vacuum does not mistake it for crash debris.
+
+        The stamp must exist from the directory's FIRST visible
+        instant: a vacuum landing between mkdir and the stamp write
+        would see a stamp-less ``_txn_`` dir and rmtree a live
+        transaction. So the dir is built under a dot-prefixed scratch
+        name (invisible to vacuum and every reader), stamped, and
+        RENAMED into the ``_txn_`` namespace — atomic, so vacuum only
+        ever sees fully-stamped transaction dirs. Dot-prefixed debris
+        from a crash mid-setup is cleaned by vacuum via the same
+        dead-pid stamp check."""
         import uuid
 
         from bigdatalab_spark.sources.locks import _stamp
 
         os.makedirs(self.path, exist_ok=True)
-        sdir = os.path.join(self.path, f"_txn_{uuid.uuid4().hex}")
-        os.mkdir(sdir)
-        with open(os.path.join(sdir, _RESERVED), "wb") as fh:
+        token = uuid.uuid4().hex
+        scratch = os.path.join(self.path, f".txn_setup_{token}")
+        os.mkdir(scratch)
+        with open(os.path.join(scratch, _RESERVED), "wb") as fh:
             fh.write(_stamp())
+        sdir = os.path.join(self.path, f"_txn_{token}")
+        os.rename(scratch, sdir)
         return sdir
 
-    def _removed_between(self, parent: int, child: int) -> set[str]:
-        """Files a commit removed (rewrote or dropped), derived from
-        the two versions' manifests — the manifests ARE the conflict
-        log; no extra transaction records exist or are needed."""
-        return set(
-            _data_files(_version_dir(self.path, parent))
-        ) - set(_data_files(_version_dir(self.path, child)))
+    def _manifest_diff(
+        self, parent: int, child: int
+    ) -> tuple[set[str], set[str]]:
+        """(removed, added) file sets of one commit, derived from the
+        two versions' manifests — the manifests ARE the conflict log;
+        no extra transaction records exist or are needed."""
+        p = set(_data_files(_version_dir(self.path, parent)))
+        c = set(_data_files(_version_dir(self.path, child)))
+        return p - c, c - p
 
     def _validate_rebase(
         self,
@@ -982,6 +1205,7 @@ class ManagedTable:
         read_set: list[str],
         op: str,
         merge_bounds: tuple | None = None,
+        pred_bounds: tuple | None = None,
     ) -> None:
         """File-level conflict detection for an optimistic transaction
         computed against ``base`` trying to commit on top of
@@ -989,7 +1213,13 @@ class ManagedTable:
         commit must not have REMOVED files the transaction read; for
         MERGE, files those commits ADDED must not overlap the source's
         indexed key range (a missed match would silently duplicate
-        keys). Raises :class:`CommitConflictError` on conflict."""
+        keys). Under ``isolation='serializable'`` DELETE/UPDATE get
+        the same added-file check against their predicate read-set
+        ``pred_bounds`` — an added file whose stats overlap the
+        predicate holds rows the transaction would have seen under a
+        serial order, so it aborts instead of committing the
+        write-serializable anomaly. Raises
+        :class:`CommitConflictError` on conflict."""
         chain = self.lineage(current)
         if base not in chain:
             raise CommitConflictError(
@@ -1000,9 +1230,8 @@ class ManagedTable:
         rs = set(read_set)
         for v in chain[chain.index(base) + 1 :]:
             parent = self._parent_of(v)
-            v_files = set(_data_files(_version_dir(self.path, v)))
-            p_files = set(_data_files(_version_dir(self.path, parent)))
-            clash = (p_files - v_files) & rs
+            removed, added = self._manifest_diff(parent, v)
+            clash = removed & rs
             if clash:
                 raise CommitConflictError(
                     f"optimistic {op} on {self.path}: concurrent commit "
@@ -1012,30 +1241,53 @@ class ManagedTable:
                     "transactions cannot both commit; recompute against "
                     "the current version"
                 )
-            if op != "merge":
-                continue
-            added = v_files - p_files
             if not added:
                 continue
-            if merge_bounds is None:
-                raise CommitConflictError(
-                    f"optimistic merge on {self.path}: concurrent "
-                    f"commit v={v} added files and the merge key is "
-                    "not indexed, so a hidden match cannot be ruled "
-                    "out (it would silently duplicate keys) — "
-                    "recompute against the current version"
-                )
-            col, lo, hi = merge_bounds
-            overlap = set(self.candidate_files(col, lo, hi, v)) & added
-            if overlap:
-                raise CommitConflictError(
-                    f"optimistic merge on {self.path}: concurrent "
-                    f"commit v={v} added file(s) whose {col} stats "
-                    f"overlap the merge source's key range "
-                    f"[{lo}, {hi}] (e.g. {sorted(overlap)[0]}) — a "
-                    "hidden match would silently duplicate keys; "
-                    "recompute against the current version"
-                )
+            if op == "merge":
+                if merge_bounds is None:
+                    raise CommitConflictError(
+                        f"optimistic merge on {self.path}: concurrent "
+                        f"commit v={v} added files and the merge key is "
+                        "not indexed, so a hidden match cannot be ruled "
+                        "out (it would silently duplicate keys) — "
+                        "recompute against the current version"
+                    )
+                col, lo, hi = merge_bounds
+                overlap = set(self.candidate_files(col, lo, hi, v)) & added
+                if overlap:
+                    raise CommitConflictError(
+                        f"optimistic merge on {self.path}: concurrent "
+                        f"commit v={v} added file(s) whose {col} stats "
+                        f"overlap the merge source's key range "
+                        f"[{lo}, {hi}] (e.g. {sorted(overlap)[0]}) — a "
+                        "hidden match would silently duplicate keys; "
+                        "recompute against the current version"
+                    )
+            elif (
+                self.isolation == "serializable"
+                and op in ("delete", "update")
+            ):
+                if pred_bounds is None:
+                    raise CommitConflictError(
+                        f"serializable {op} on {self.path}: concurrent "
+                        f"commit v={v} added files and the {op}'s "
+                        "predicate is not an indexed range, so rows it "
+                        "should have seen under a serial order cannot "
+                        "be ruled out — recompute against the current "
+                        "version (or use write_serializable)"
+                    )
+                col, lo, hi = pred_bounds
+                overlap = set(self.candidate_files(col, lo, hi, v)) & added
+                if overlap:
+                    raise CommitConflictError(
+                        f"serializable {op} on {self.path}: concurrent "
+                        f"commit v={v} added file(s) whose {col} stats "
+                        f"overlap the {op} predicate's range "
+                        f"[{lo}, {hi}] (e.g. {sorted(overlap)[0]}) — "
+                        "under a serial order the predicate would have "
+                        "applied to those rows; recompute against the "
+                        "current version"
+                    )
 
     def _commit_cow_optimistic(
         self,
@@ -1047,6 +1299,7 @@ class ManagedTable:
         op: str,
         stream_batch_id: int | None = None,
         merge_bounds: tuple | None = None,
+        pred_bounds: tuple | None = None,
     ) -> int:
         """Optimistic tail of the copy-on-write commit: the delta (the
         rewritten rows + the change feed) is WRITTEN with no lock held
@@ -1060,6 +1313,7 @@ class ManagedTable:
         transaction ever becomes visible."""
         import shutil
 
+        self._guard_granularity_upgrade(base, op)
         work = self._allocate_staging()
         try:
             # same optimized-write clustering as the exclusive path
@@ -1086,41 +1340,36 @@ class ManagedTable:
                     )
                 if current != base:
                     self._validate_rebase(
-                        base, current, read_set, op, merge_bounds
+                        base, current, read_set, op, merge_bounds,
+                        pred_bounds,
                     )
                 prev = _version_dir(self.path, current)
-                cur_files = self._flat_files(prev, op)
+                cur_files = _data_files(prev)
                 not_ours = set(touched)
                 link = [rel for rel in cur_files if rel not in not_ours]
-                for rel in link:
-                    if rel in written:  # astronomically unlikely
-                        raise ConcurrentWriteError(
-                            f"{op} file-name collision on {rel}"
-                        )
+                clash = written & set(link)
+                if clash:  # astronomically unlikely
+                    raise ConcurrentWriteError(
+                        f"{op} file-name collision on {sorted(clash)[0]}"
+                    )
                 # version number allocated UNDER the lock: commit order
                 # and version order coincide, the pointer only advances
                 version, vdir = self._allocate()
                 os.remove(os.path.join(work, _RESERVED))
                 os.rename(work, vdir)
                 work = vdir
-                for rel in link:
-                    os.link(
-                        os.path.join(prev, rel), os.path.join(vdir, rel)
-                    )
+                # under link_mode="reference" this writes NO per-file
+                # syscalls — the critical section's cost is O(delta),
+                # not O(live files), no matter how large the snapshot
+                carried = self._carry(current, link, vdir)
                 self._write_index(
                     vdir,
                     new_files=sorted(written),
                     reuse_from=os.path.join(prev, _INDEX_DIR),
                     reuse_files=set(link),
                 )
-                link_set = set(link)
-                prev_sized = _manifest_entries(prev)
-                if prev_sized is None:
-                    prev_sized = _sized(prev, link)
                 _write_manifest(
-                    vdir,
-                    [(f, s) for f, s in prev_sized if f in link_set]
-                    + _sized(vdir, sorted(written)),
+                    vdir, carried + _sized(vdir, sorted(written))
                 )
                 schema = self.stored_schema(current)
                 if schema is None:
@@ -1143,9 +1392,13 @@ class ManagedTable:
         import shutil
 
         if latest_version(self.path) is None:
-            # initial snapshot: take the exclusive path (rare, and a
-            # lost race simply falls through to a normal append)
-            with dataset_write_lock(self.path, "managed_append"):
+            # initial snapshot: acquire through the optimistic
+            # protocol's retrying section — a concurrent first-append
+            # QUEUES briefly instead of failing fast (the optimistic
+            # contract), then either bootstraps (it won) or falls
+            # through to the normal staging append (the winner's
+            # snapshot is its base)
+            with self._commit_section("managed_append"):
                 if latest_version(self.path) is None:
                     version, vdir = self._allocate()
                     df.write.mode("errorifexists").parquet(vdir)
@@ -1155,6 +1408,7 @@ class ManagedTable:
                     self._write_schema(vdir, df.schema)
                     self._commit(version, vdir, expected=None, op="write")
                     return version
+        self._guard_granularity_upgrade(latest_version(self.path), "append")
         work = self._allocate_staging()
         try:
             df.write.mode("append").parquet(work)
@@ -1173,20 +1427,15 @@ class ManagedTable:
                 os.remove(os.path.join(work, _RESERVED))
                 os.rename(work, vdir)
                 work = vdir
-                for rel in prev_files:
-                    os.link(
-                        os.path.join(prev, rel), os.path.join(vdir, rel)
-                    )
+                # reference mode: zero per-file syscalls in the section
+                carried = self._carry(current, None, vdir)
                 self._write_index(
                     vdir,
                     new_files=sorted(new_files),
                     reuse_from=os.path.join(prev, _INDEX_DIR),
                 )
-                prev_sized = _manifest_entries(prev) or _sized(
-                    prev, prev_files
-                )
                 _write_manifest(
-                    vdir, prev_sized + _sized(vdir, sorted(new_files))
+                    vdir, carried + _sized(vdir, sorted(new_files))
                 )
                 self._write_schema(vdir, new_schema)
                 self._commit(version, vdir, expected=current, op="append")
@@ -1229,6 +1478,40 @@ class ManagedTable:
             if f.name not in {g.name for g in stored.fields}
         ]
         return StructType(list(stored.fields) + extras)
+
+    def _write_partition_cols(
+        self, vdir: str, cols: tuple[str, ...]
+    ) -> None:
+        """Record the snapshot's partition columns INSIDE the version
+        dir before its marker (same discipline as ``_SCHEMA``) — the
+        authority DML/append/compact consult to preserve the layout.
+        Nothing is written for flat snapshots."""
+        import json
+
+        if not cols:
+            return
+        with open(
+            os.path.join(vdir, _PARTCOLS_FILE), "w", encoding="utf-8"
+        ) as fh:
+            fh.write(json.dumps(list(cols)))
+
+    def partition_cols_of(self, version: int | None = None) -> tuple[str, ...]:
+        """The committed partition columns of a version: the recorded
+        ``_PARTITION_COLS`` when present, else derived from the first
+        partitioned relative path (legacy partitioned snapshots), else
+        () for flat layouts."""
+        import json
+
+        v = self._resolve(version)
+        vdir = _version_dir(self.path, v)
+        p = os.path.join(vdir, _PARTCOLS_FILE)
+        if os.path.exists(p):
+            with open(p, encoding="utf-8") as fh:
+                return tuple(json.loads(fh.read()))
+        for rel in _data_files(vdir):
+            if os.sep in rel or "/" in rel:
+                return tuple(_partition_values(rel).keys())
+        return ()
 
     def _write_schema(self, vdir: str, schema) -> None:
         """Persist the version's logical schema INSIDE the version dir
@@ -1308,18 +1591,71 @@ class ManagedTable:
             )
         return files
 
+    def _rows_of(self, version: int) -> list[dict]:
+        """The version's manifest rows with an ``abs`` key resolved
+        through each row's HOME version directory — the one place the
+        logical file set becomes physical paths. Legacy versions
+        without a manifest are self-homed by construction (every file
+        was written or linked into their own directory)."""
+        vdir = _version_dir(self.path, version)
+        rows = _manifest_rows(vdir)
+        if rows is None:
+            rows = [
+                {"file": f, "size_bytes": None, "home": version}
+                for f in _walk_data_files(vdir)
+            ]
+        for r in rows:
+            r["abs"] = os.path.join(
+                _version_dir(self.path, r["home"]), r["file"]
+            )
+        return rows
+
+    def _read_rows(self, rows: list[dict], schema) -> DataFrame:
+        """DataFrame over resolved manifest rows. Flat layouts read as
+        one multi-path scan; partitioned layouts group by home version
+        (one ``basePath`` per group, so partition-column values are
+        parsed from the directory names) and union — the group count
+        is bounded by the lineage length, never the file count."""
+        if not rows:
+            if schema is None:
+                raise FileNotFoundError(
+                    "empty snapshot with no stored schema"
+                )
+            return self.spark.createDataFrame([], schema)
+        if not any(os.sep in r["file"] for r in rows):
+            reader = self.spark.read
+            if schema is not None:
+                reader = reader.schema(schema)
+            return reader.parquet(*[r["abs"] for r in rows])
+        out = None
+        for home in sorted({r["home"] for r in rows}):
+            reader = self.spark.read
+            if schema is not None:
+                reader = reader.schema(schema)
+            part = reader.option(
+                "basePath", _version_dir(self.path, home)
+            ).parquet(*[r["abs"] for r in rows if r["home"] == home])
+            out = part if out is None else out.unionByName(part)
+        return out
+
     def _with_file(
-        self, vdir: str, files: list[str], schema=None
+        self, version: int, files: list[str], schema=None
     ) -> DataFrame:
         """The given files' rows plus a ``__file`` column (relative
         name) for match→file attribution. Flat layouts only (enforced
         by the DML entry points), so the URI's basename IS the
-        relative name — immune to scheme/normalization differences."""
-        df = self._read_files(vdir, files, schema)
+        relative name — immune to scheme/normalization differences
+        AND to which home directory a referenced file resolves to."""
+        df = self._read_files(version, files, schema)
         if "__file" in df.columns:
             raise ValueError(
                 "DML reserves the __file column for file attribution"
             )
+        if not files:
+            # empty scan: no file-source _metadata exists on an empty
+            # local relation — a typed NULL keeps the shape (no rows
+            # ever carry it)
+            return df.withColumn("__file", F.lit(None).cast("string"))
         return df.withColumn(
             "__file",
             F.element_at(
@@ -1328,16 +1664,25 @@ class ManagedTable:
         )
 
     def _read_files(
-        self, vdir: str, files: list[str], schema=None
+        self, version: int, files: list[str], schema=None
     ) -> DataFrame:
-        reader = self.spark.read
-        if schema is not None:
-            reader = reader.schema(schema)
+        """Read a subset of one version's files (by relative name),
+        resolving physical paths through the manifest homes."""
         if not files:
-            return reader.parquet(vdir).filter(F.lit(False))
-        return reader.parquet(
-            *[os.path.join(vdir, rel) for rel in files]
-        )
+            if schema is not None:
+                return self.spark.createDataFrame([], schema)
+            return self.spark.read.parquet(
+                _version_dir(self.path, version)
+            ).filter(F.lit(False))
+        want = set(files)
+        rows = [r for r in self._rows_of(version) if r["file"] in want]
+        missing = want - {r["file"] for r in rows}
+        if missing:
+            raise FileNotFoundError(
+                f"v={version} of {self.path} has no manifest entry for "
+                f"{sorted(missing)[:3]}"
+            )
+        return self._read_rows(rows, schema)
 
     # ---- read surface ----------------------------------------------------
 
@@ -1402,7 +1747,7 @@ class ManagedTable:
                 if rel not in prev_files
             ]
             return (
-                self._read_files(vdir, fresh, self.stored_schema(v))
+                self._read_files(v, fresh, self.stored_schema(v))
                 .withColumn(_CHANGE_TYPE, F.lit("insert"))
                 .withColumn(_COMMIT_VERSION, F.lit(v))
             )
@@ -1419,6 +1764,13 @@ class ManagedTable:
         v = self._resolve(version)
         vdir = _version_dir(self.path, v)
         schema = self.stored_schema(v)
+        rows = self._rows_of(v)
+        if rows and any(r["home"] != v for r in rows):
+            # reference data plane: some files live in other version
+            # directories — resolve every path through the manifest
+            return self._read_rows(rows, schema)
+        # self-homed snapshot: plain directory read (identical plan to
+        # a bare spark.read.parquet of the version dir)
         if schema is not None:
             return self.spark.read.schema(schema).parquet(vdir)
         return self.spark.read.parquet(vdir)
@@ -1468,14 +1820,13 @@ class ManagedTable:
         stays the source of truth — skipping is a performance contract,
         never a correctness one)."""
         v = self._resolve(version)
-        vdir = _version_dir(self.path, v)
         cand = self.candidate_files(col, lo, hi, v)
         if not cand:
             return self.read(v).filter(F.lit(False))
         # stored schema pins the shape: candidates may mix files written
         # before and after a schema evolution
         return self._read_files(
-            vdir, cand, self.stored_schema(v)
+            v, cand, self.stored_schema(v)
         ).filter(F.col(col).between(lo, hi))
 
     def history(self) -> DataFrame:
@@ -1490,12 +1841,11 @@ class ManagedTable:
         chain = set(self.lineage()) if current is not None else set()
         for v in self.versions():
             vdir = _version_dir(self.path, v)
-            sized = _manifest_entries(vdir)
-            if sized is None:  # pre-manifest version: list + stat
-                files = _walk_data_files(vdir)
-                sized = _sized(vdir, files)
-            files = [f for f, _ in sized]
-            n_bytes = sum(s for _, s in sized)
+            rows_m = _manifest_rows(vdir)
+            if rows_m is None:  # pre-manifest version: list + stat
+                rows_m = _sized(vdir, _walk_data_files(vdir))
+            files = [r["file"] for r in rows_m]
+            n_bytes = sum(r["size_bytes"] for r in rows_m)
             batch = None
             bpath = os.path.join(vdir, _STREAM_BATCH)
             if os.path.exists(bpath):
@@ -1548,16 +1898,30 @@ class ManagedTable:
                 )
             version_no, vdir = dst._allocate()
             os.makedirs(vdir, exist_ok=True)
-            src_files = _data_files(src)
-            for rel in src_files:
-                target = os.path.join(vdir, rel)
+            # links are resolved through the source's manifest homes
+            # (a referenced file lives in its home version's dir) and
+            # the clone's rows are SELF-homed: a manifest home can
+            # only point inside its own table root, and the links put
+            # every file physically in the clone's v=1
+            src_rows = self._rows_of(v)
+            for r in src_rows:
+                target = os.path.join(vdir, r["file"])
                 os.makedirs(os.path.dirname(target), exist_ok=True)
-                os.link(os.path.join(src, rel), target)
-            # relative names are preserved, so the source's manifest
-            # rows are the clone's manifest rows verbatim
+                os.link(r["abs"], target)
             _write_manifest(
                 vdir,
-                _manifest_entries(src) or _sized(src, src_files),
+                [
+                    {
+                        "file": r["file"],
+                        "size_bytes": (
+                            r["size_bytes"]
+                            if r["size_bytes"] is not None
+                            else os.path.getsize(r["abs"])
+                        ),
+                        "home": version_no,
+                    }
+                    for r in src_rows
+                ],
             )
             for aux in (_INDEX_DIR, _INDEX_RG_DIR):
                 if os.path.isdir(os.path.join(src, aux)):
@@ -1663,11 +2027,24 @@ class ManagedTable:
 
         v = self._resolve(version)
         vdir = _version_dir(self.path, v)
-        idx = self.rowgroup_index_df(v).withColumn(
-            "file",
-            F.concat(F.lit(vdir.rstrip("/") + "/"), F.col("file")),
+        # resolve each index row's relative name to the file's HOME
+        # directory (reference data plane) via a broadcast of the
+        # metadata-sized rel→abs map; self-homed tables resolve to
+        # vdir exactly as before
+        paths = self.spark.createDataFrame(
+            [(r["file"], r["abs"]) for r in self._rows_of(v)],
+            "file string, __abs string",
         )
-        return _rg_read(self.spark, vdir, idx, preds, columns)
+        idx = (
+            self.rowgroup_index_df(v)
+            .join(F.broadcast(paths), "file", "inner")
+            .withColumn("file", F.col("__abs"))
+            .drop("__abs")
+        )
+        return _rg_read(
+            self.spark, vdir, idx, preds, columns,
+            schema=self.stored_schema(v),
+        )
 
     # ---- internals ---------------------------------------------------------
 
@@ -1744,7 +2121,19 @@ class ManagedTable:
             # probe the WHOLE snapshot fresh — a committed version's
             # index must cover every one of its files, or reads
             # through it would silently drop the uncovered ones
-            new_files = _data_files(vdir)
+            if self.link_mode == "reference":
+                # carried files are NOT in vdir under the reference
+                # data plane, so a directory walk cannot find the full
+                # snapshot; compact() (all files rewritten fresh,
+                # self-homed) establishes the granularity instead
+                raise ValueError(
+                    f"index granularity upgrade on {self.path} needs "
+                    "every snapshot file probed, but link_mode="
+                    "'reference' commits carry files by manifest "
+                    "pointer — run compact() once to establish the "
+                    "new index granularity, then retry"
+                )
+            new_files = _walk_data_files(vdir)
             reuse_from = None
             reuse_files = None
         frames = []

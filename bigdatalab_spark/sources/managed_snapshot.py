@@ -60,6 +60,7 @@ from bigdatalab_spark.sources.managed_stream import (
     _assert_flat,
     _files_of,
     _latest,
+    _manifest_homes,
     _stored_schema_json,
     _vdir,
     _versions,
@@ -191,9 +192,16 @@ class ManagedSnapshotReader(DataSourceReader):
         return _prune(vdir, _files_of(vdir), self.bounds)
 
     def partitions(self) -> list[InputPartition]:
+        # resolve each kept file through its manifest HOME (reference
+        # data plane: carried files live in older version directories)
         vdir = _vdir(self.path, self.version)
+        homes = _manifest_homes(vdir)
         return [
-            _FilePartition(os.path.join(vdir, rel))
+            _FilePartition(
+                os.path.join(
+                    _vdir(self.path, homes.get(rel, self.version)), rel
+                )
+            )
             for rel in self.pruned_files()
         ]
 
@@ -247,6 +255,11 @@ class ManagedSnapshotDataSource(DataSource):
                 "committed (vacuumed, rolled-back debris, or never "
                 "existed) — pick one of the committed versions"
             )
+        # pin the resolution: an unpinned read must resolve the
+        # pointer ONCE — a commit landing between schema() and
+        # reader() would otherwise serve the newer version's files
+        # under this older version's stored schema
+        self.options["versionasof"] = str(version)
         return StructType.fromJson(_stored_schema_json(path, version))
 
     def reader(self, schema) -> ManagedSnapshotReader:

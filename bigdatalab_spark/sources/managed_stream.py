@@ -135,6 +135,35 @@ def _manifest_files(vdir: str) -> list[str] | None:
     return sorted(names)
 
 
+def _manifest_homes(vdir: str) -> dict[str, int]:
+    """rel file → HOME version (the directory physically storing it).
+    Versions without a manifest, or manifests predating the ``home``
+    column, are self-homed by construction. Driver-side pyarrow —
+    metadata-sized."""
+    import pyarrow.parquet as pq
+
+    own = int(os.path.basename(vdir.rstrip("/"))[2:])
+    mdir = os.path.join(vdir, "_manifest")
+    out: dict[str, int] = {}
+    if not os.path.isdir(mdir):
+        return {f: own for f in _files_of(vdir)}
+    for part in sorted(os.listdir(mdir)):
+        if not part.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(mdir, part))
+        files = t.column("file").to_pylist()
+        homes = (
+            t.column("home").to_pylist()
+            if "home" in t.column_names
+            else [own] * len(files)
+        )
+        out.update(
+            (f, h if h is not None else own)
+            for f, h in zip(files, homes)
+        )
+    return out
+
+
 def _files_of(vdir: str) -> list[str]:
     names = _manifest_files(vdir)
     if names is not None:

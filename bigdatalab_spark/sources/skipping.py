@@ -338,6 +338,7 @@ def rowgroup_pruned_read(
     index: DataFrame,
     preds: list[tuple],
     columns: list[str] | None = None,
+    schema=None,
 ) -> DataFrame:
     """Scan ONLY the candidate row groups (then re-apply the predicate
     — pruning narrows I/O, the filter stays the source of truth).
@@ -353,11 +354,18 @@ def rowgroup_pruned_read(
     import json
 
     cand = candidate_rowgroups(index, preds)
-    full = spark.read.parquet(path)
-    out_cols = list(columns) if columns else full.columns
-    out_schema = full.select(*out_cols).schema
+    # an explicit schema (the managed facade's stored snapshot schema)
+    # avoids inferring from the directory — under the reference data
+    # plane the version dir holds only the commit's delta files
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    out_cols = list(columns) if columns else [f.name for f in schema.fields]
+    from pyspark.sql.types import StructType
+
+    by_name = {f.name: f for f in schema.fields}
+    out_schema = StructType([by_name[c] for c in out_cols])
     if not cand:
-        return full.select(*out_cols).filter(F.lit(False))
+        return spark.createDataFrame([], out_schema)
 
     from pyspark.sql.pandas.types import to_arrow_schema
 

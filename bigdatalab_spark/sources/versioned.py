@@ -37,6 +37,12 @@ from bigdatalab_spark.sources.locks import (
 
 _POINTER = "_latest"
 _MARKER = "_COMMITTED"
+#: tombstone for a vacuumed version directory that must stay on disk
+#: because surviving manifests still REFERENCE files homed in it (the
+#: managed facade's reference data plane). The directory is no longer
+#: a committed version (invisible to list_versions / rollback / time
+#: travel); it is physical storage awaiting its last reference.
+_HOMEONLY = "_HOMEONLY"
 
 
 def _version_dir(path: str, version: int) -> str:
@@ -170,15 +176,34 @@ def _reserved_live(vdir: str) -> bool:
     return not _pid_gone(pid)
 
 
-def _vacuum_locked(path: str, keep_last: int) -> list[int]:
+def _vacuum_locked(
+    path: str, keep_last: int, protect: set[int] | None = None
+) -> list[int]:
+    """``protect`` names version directories that physically HOME
+    files surviving manifests still reference (the managed facade's
+    reference data plane) — deleting them would destroy live data of
+    newer versions. A protected directory beyond the retention window
+    is DEMOTED instead of deleted: its ``_COMMITTED`` marker becomes a
+    ``_HOMEONLY`` tombstone, so it stops being a version (no time
+    travel, no rollback target — the version IS vacuumed, and counts
+    in the returned list) while its bytes stay on disk until the last
+    referencing manifest is itself vacuumed."""
     import shutil
 
     keep = set(list_versions(path)[-keep_last:]) if keep_last > 0 else set()
     current = latest_version(path)
     if current is not None:
         keep.add(current)
+    protect = set(protect) if protect else set()
     removed = []
     for e in list(os.listdir(path)):
+        if e.startswith(".txn_setup_"):
+            # a crashed writer's mid-setup scratch (managed.py
+            # _allocate_staging renames these into _txn_ once stamped);
+            # same dead-pid attribution as _txn_ dirs
+            if not _reserved_live(os.path.join(path, e)):
+                shutil.rmtree(os.path.join(path, e))
+            continue
         if e.startswith("_txn_"):
             # an OPTIMISTIC transaction's staging dir: its writer is
             # alive and holds no lock during compute — not debris
@@ -191,6 +216,17 @@ def _vacuum_locked(path: str, keep_last: int) -> list[int]:
         v = int(e[2:])
         committed = os.path.exists(os.path.join(path, e, _MARKER))
         if committed and v in keep:
+            continue
+        if v in protect:
+            if committed:
+                # demote: the version is vacuumed, the bytes are not
+                os.replace(
+                    os.path.join(path, e, _MARKER),
+                    os.path.join(path, e, _HOMEONLY),
+                )
+                removed.append(v)
+            # already-demoted (or just demoted) still-referenced home:
+            # keep the directory
             continue
         shutil.rmtree(os.path.join(path, e))
         if committed:

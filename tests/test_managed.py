@@ -1624,3 +1624,275 @@ def test_managed_cursor_and_batch_range_refuse_stranded_positions(spark, tmp_pat
         spark.read.format("managed_changes").option(
             "startingVersion", 9
         ).load(root).collect()
+
+
+# ---- reference data plane (link_mode="reference") -----------------------
+
+
+def test_managed_reference_plane_matches_hardlink_twin(spark, tmp_path):
+    """The object-store data plane: a ``link_mode='reference'`` table
+    runs the same commit chain as a hardlink twin and every version
+    reads identically — but its version directories physically hold
+    ONLY each commit's delta, with the manifest homes pointing carried
+    files at their original directories (zero per-file syscalls per
+    commit, the O(delta) contract)."""
+    from bigdatalab_spark.sources.managed import (
+        _manifest_rows,
+        _walk_data_files,
+    )
+
+    ref = ManagedTable(
+        spark, str(tmp_path / "ref"), index_cols=("k",),
+        link_mode="reference",
+    )
+    twin = ManagedTable(spark, str(tmp_path / "twin"), index_cols=("k",))
+    for t in (ref, twin):
+        t.write(_mk(spark, 0, 400, parts=4))                   # v1
+        t.append(_mk(spark, 400, 500, parts=1))                # v2
+        t.delete_range("k", 0, 49)                             # v3
+        t.update_range("k", 100, 119, {"score": "score + 0.5"})  # v4
+        t.merge_into(_mk(spark, 480, 520, parts=1), keys="k")  # v5
+
+    assert ref.versions() == twin.versions()
+    for v in ref.versions():
+        assert _rows(ref.read(v)) == _rows(twin.read(v)), f"v={v}"
+        # logical file COUNTS agree (same commit protocol; names are
+        # independent write UUIDs)
+        assert len(
+            _data_files(os.path.join(str(tmp_path / "ref"), f"v={v}"))
+        ) == len(
+            _data_files(os.path.join(str(tmp_path / "twin"), f"v={v}"))
+        )
+
+    # physical: every non-initial reference version dir holds ONLY its
+    # delta; carried files stay where they were born
+    for v in ref.versions():
+        vdir = os.path.join(str(tmp_path / "ref"), f"v={v}")
+        physical = set(_walk_data_files(vdir))
+        rows = _manifest_rows(vdir)
+        assert {r["file"] for r in rows if r["home"] == v} == physical
+        for r in rows:
+            home_dir = os.path.join(
+                str(tmp_path / "ref"), f"v={r['home']}"
+            )
+            p = os.path.join(home_dir, r["file"])
+            assert os.path.exists(p)
+            assert os.stat(p).st_nlink == 1, "reference mode never links"
+            assert r["size_bytes"] == os.path.getsize(p)
+        if v >= 2:
+            carried = [r for r in rows if r["home"] != v]
+            assert carried, f"v={v} carried nothing by reference"
+
+    # the read surfaces resolve through the manifest
+    assert _rows(ref.pruned_read("k", 120, 180)) == _rows(
+        twin.pruned_read("k", 120, 180)
+    )
+    assert _rows(ref.changes_between(2)) == _rows(twin.changes_between(2))
+
+
+def test_managed_reference_optimistic_and_connectors(spark, tmp_path):
+    """Reference mode under the optimistic protocol (the commit
+    critical section does zero per-file work) and through the two
+    registered connectors + the cursor."""
+    from bigdatalab_spark.sources.pyds import register_python_sources
+
+    root = str(tmp_path / "t")
+    t = ManagedTable(
+        spark, root, index_cols=("k",),
+        concurrency="optimistic", link_mode="reference",
+    )
+    t.append(_mk(spark, 0, 300, parts=3))     # v1 bootstrap
+    t.append(_mk(spark, 300, 400, parts=1))   # v2 rebase-append
+    t.delete_range("k", 0, 24)                # v3 optimistic COW
+    t.merge_into(_mk(spark, 390, 420, parts=1), keys="k")  # v4
+
+    expect = sorted(
+        [(k, k * 2.0, str(k % 7)) for k in range(25, 420)]
+    )
+    assert _rows(t.read()) == expect
+
+    register_python_sources(spark)
+    via_snapshot = (
+        spark.read.format("managed").load(root)
+        .filter("k between 30 and 50")
+    )
+    assert via_snapshot.count() == 21
+    feed = (
+        spark.read.format("managed_changes")
+        .option("startingVersion", 3).load(root)
+    )
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in feed.groupBy("_change_type").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert by_type["delete"] == 25
+    assert by_type["insert"] == 20          # merge inserts 400..419
+    assert by_type["update_postimage"] == 10  # keys 390..399
+
+    cur = t.cursor(str(tmp_path / "cursor"))
+    df, upto = cur.pending()
+    assert upto == 4 and df.count() > 0
+    cur.ack(upto)
+    assert cur.pending() == (None, None)
+
+
+def test_managed_reference_vacuum_protects_homes(spark, tmp_path):
+    """Vacuum must NOT delete a version directory that still homes
+    files referenced by surviving manifests — and must reclaim it once
+    a compaction rewrites everything fresh."""
+    root = str(tmp_path / "t")
+    t = ManagedTable(
+        spark, root, index_cols=("k",), link_mode="reference"
+    )
+    t.write(_mk(spark, 0, 300, parts=3))   # v1 — homes most files
+    t.append(_mk(spark, 300, 320, parts=1))  # v2
+    t.delete_range("k", 0, 9)              # v3
+    t.delete_range("k", 10, 19)            # v4
+
+    # keep_last=1 keeps v4; every version homing a file v4's manifest
+    # references is DEMOTED (bytes survive, version gone), the rest is
+    # deleted outright — all of v1..v3 count as vacuumed either way
+    from bigdatalab_spark.sources.managed import _manifest_rows
+
+    homes = {
+        r["home"] for r in _manifest_rows(os.path.join(root, "v=4"))
+    }
+    assert homes - {4}, "test needs at least one carried-by-reference file"
+    removed = t.vacuum(keep_last=1)
+    assert set(removed) == {1, 2, 3}
+    assert t.versions() == [4]
+    for h in homes - {4}:  # demoted home dirs: bytes present, no marker
+        hdir = os.path.join(root, f"v={h}")
+        assert os.path.isdir(hdir)
+        assert not os.path.exists(os.path.join(hdir, "_COMMITTED"))
+        assert os.path.exists(os.path.join(hdir, "_HOMEONLY"))
+    assert _rows(t.read()) == sorted(
+        [(k, k * 2.0, str(k % 7)) for k in range(20, 320)]
+    )
+
+    # compaction rewrites everything fresh (self-homed) — now the old
+    # homes are unreferenced and vacuum reclaims them
+    t.compact(target_file_rows=1000)       # v5
+    removed2 = t.vacuum(keep_last=1)
+    assert removed2 == [4]
+    assert t.versions() == [5]
+    # demoted home dirs are unreferenced now → physically reclaimed
+    assert {
+        e for e in os.listdir(root) if e.startswith("v=")
+    } == {"v=5"}
+    assert _rows(t.read()) == sorted(
+        [(k, k * 2.0, str(k % 7)) for k in range(20, 320)]
+    )
+
+
+def test_managed_reference_rowgroup_and_clone(spark, tmp_path):
+    """Row-group pruned reads resolve referenced files through their
+    homes; clone materializes a referenced snapshot into a self-homed
+    hardlinked v=1."""
+    from bigdatalab_spark.sources.managed import _manifest_rows
+
+    root = str(tmp_path / "t")
+    t = ManagedTable(
+        spark, root, index_cols=("k",),
+        rowgroup_index=True, link_mode="reference",
+    )
+    t.write(
+        _mk(spark, 0, 2000, parts=2),
+        writer_options={"parquet.block.size": 1 << 16},
+    )
+    t.delete_range("k", 500, 599)  # v2 carries by reference
+    got = t.rowgroup_pruned_read([("k", 100, 149)])
+    assert _rows(got) == sorted(
+        [(k, k * 2.0, str(k % 7)) for k in range(100, 150)]
+    )
+
+    c = t.clone(str(tmp_path / "c"))
+    assert _rows(c.read()) == _rows(t.read(2))
+    crows = _manifest_rows(str(tmp_path / "c" / "v=1"))
+    assert all(r["home"] == 1 for r in crows)
+    for r in crows:
+        assert os.path.exists(
+            os.path.join(str(tmp_path / "c"), "v=1", r["file"])
+        )
+
+
+def test_managed_serializable_isolation(spark, tmp_path):
+    """The write-serializable anomaly, and its serializable fix: a
+    blind append lands INSIDE a concurrent delete's key range between
+    the delete's plan and its commit.
+
+    - write_serializable (default): the delete commits and the
+      appended rows survive un-filtered — Delta-default semantics,
+      documented anomaly.
+    - serializable: the delete ABORTS (the added file's stats overlap
+      its predicate read-set), leaving no debris; disjoint-range
+      appends still commit; an UNBOUNDED predicate conflicts with any
+      added file."""
+    from bigdatalab_spark.sources.managed import CommitConflictError
+
+    def seed_table(path, isolation):
+        t = ManagedTable(
+            spark, str(path), index_cols=("k",),
+            concurrency="optimistic", isolation=isolation,
+        )
+        t.write(
+            _mk(spark, 0, 1000)
+            .repartitionByRange(8, "k")
+            .sortWithinPartitions("k")
+        )
+        return t
+
+    # --- write_serializable: anomaly commits -------------------------
+    ws = seed_table(tmp_path / "ws", "write_serializable")
+    cond = F.col("k").between(F.lit(500), F.lit(509))
+    plan = ws._dml_plan(1, "delete", cond, None, ("k", 500, 509))
+    v2 = ws.append(_mk(spark, 500, 505, parts=1))  # blind append, same range
+    assert v2 == 2
+    scan, touched, new_df, cdf = plan
+    v3 = ws._commit_cow_optimistic(
+        1, scan, touched, new_df, cdf, "delete",
+        pred_bounds=("k", 500, 509),
+    )
+    assert v3 == 3
+    # the anomaly: the concurrently-appended duplicates SURVIVE
+    assert ws.read().filter("k between 500 and 509").count() == 5
+
+    # --- serializable: same interleave aborts -------------------------
+    sz = seed_table(tmp_path / "sz", "serializable")
+    plan = sz._dml_plan(1, "delete", cond, None, ("k", 500, 509))
+    assert sz.append(_mk(spark, 500, 505, parts=1)) == 2
+    scan, touched, new_df, cdf = plan
+    with pytest.raises(CommitConflictError, match="serializable delete"):
+        sz._commit_cow_optimistic(
+            1, scan, touched, new_df, cdf, "delete",
+            pred_bounds=("k", 500, 509),
+        )
+    assert sz.latest() == 2  # no debris, nothing committed
+    assert not [
+        e for e in os.listdir(str(tmp_path / "sz"))
+        if e.startswith("_txn_") or e == "v=3"
+    ]
+    # retry against the current version now sees the appended rows
+    assert sz.delete_range("k", 500, 509) == 3
+    assert sz.read().filter("k between 500 and 509").count() == 0
+
+    # --- serializable: DISJOINT added range commits fine --------------
+    plan = sz._dml_plan(3, "delete", F.col("k").between(0, 9), None, ("k", 0, 9))
+    assert sz.append(_mk(spark, 2000, 2010, parts=1)) == 4
+    scan, touched, new_df, cdf = plan
+    v5 = sz._commit_cow_optimistic(
+        3, scan, touched, new_df, cdf, "delete", pred_bounds=("k", 0, 9)
+    )
+    assert v5 == 5 and sz.read().filter("k < 10").count() == 0
+
+    # --- serializable: unbounded predicate vs any added file ----------
+    plan = sz._dml_plan(
+        5, "delete", F.col("tag") == F.lit("3"), None, None
+    )
+    assert sz.append(_mk(spark, 3000, 3010, parts=1)) == 6
+    scan, touched, new_df, cdf = plan
+    with pytest.raises(CommitConflictError, match="not an indexed range"):
+        sz._commit_cow_optimistic(
+            5, scan, touched, new_df, cdf, "delete", pred_bounds=None
+        )

@@ -57,7 +57,11 @@ def run_seed(spark, seed: int, n_ops: int) -> None:
     rng = random.Random(seed)
     scratch = tempfile.mkdtemp(prefix=f"fuzz_managed_{seed}_")
     root = scratch + "/t"
-    t = ManagedTable(spark, root, index_cols=("k",))
+    # odd seeds run the object-store data plane (manifest references,
+    # zero per-commit link syscalls); even seeds the hardlink plane —
+    # every op, invariant, and feed check below is plane-agnostic
+    link_mode = "reference" if seed % 2 else "hardlink"
+    t = ManagedTable(spark, root, index_cols=("k",), link_mode=link_mode)
     cursor = t.cursor(scratch + "/pos")
 
     has_extra = False
@@ -208,7 +212,9 @@ def run_seed(spark, seed: int, n_ops: int) -> None:
             drain_feed()  # never let vacuum outrun the consumer
             t.vacuum(keep_last=2)
         elif op == "restart":
-            t = ManagedTable(spark, root, index_cols=("k",))
+            t = ManagedTable(
+                spark, root, index_cols=("k",), link_mode=link_mode
+            )
             cursor = t.cursor(scratch + "/pos")
         elif op == "concurrent":
             from concurrent.futures import ThreadPoolExecutor
@@ -224,6 +230,13 @@ def run_seed(spark, seed: int, n_ops: int) -> None:
                     ("delete", "delete"),
                 ]
             )
+            # half the arms run serializable isolation: delete stripes
+            # are UNCONFINED (they may reach into concurrently appended
+            # fresh keys) because the engine now aborts the anomaly
+            # instead of committing it — committed outcomes replay in
+            # version order, which serializable guarantees is a valid
+            # serial history
+            iso = rng.choice(["write_serializable", "serializable"])
             cap = next_key  # key space that exists BEFORE this arm
             plans = []
             used: list[tuple[int, int]] = []
@@ -239,14 +252,21 @@ def run_seed(spark, seed: int, n_ops: int) -> None:
                         continue
                     for _ in range(10):  # find a disjoint stripe
                         lo = rng.randrange(cap)
-                        # hi capped INSIDE the pre-arm key space: a
-                        # stripe reaching into the concurrently
-                        # appended fresh keys is exactly the
-                        # WriteSerializable anomaly (the delete's base
-                        # predates the append, so the engine correctly
-                        # keeps those rows) — the sequential model
-                        # can't express it, so the arm avoids it
-                        hi = min(lo + rng.randint(0, 20), cap - 1)
+                        if iso == "serializable":
+                            # unconfined: may overlap fresh appends —
+                            # the engine aborts or serializes, both of
+                            # which the version-ordered replay models
+                            hi = lo + rng.randint(0, 20)
+                        else:
+                            # hi capped INSIDE the pre-arm key space: a
+                            # stripe reaching into the concurrently
+                            # appended fresh keys is exactly the
+                            # WriteSerializable anomaly (the delete's
+                            # base predates the append, so the engine
+                            # correctly keeps those rows) — the
+                            # sequential model can't express it, so
+                            # this mode avoids it
+                            hi = min(lo + rng.randint(0, 20), cap - 1)
                         if all(hi < a or lo > b for a, b in used):
                             used.append((lo, hi))
                             plans.append(("delete", (lo, hi)))
@@ -261,6 +281,8 @@ def run_seed(spark, seed: int, n_ops: int) -> None:
                     root,
                     index_cols=("k",),
                     concurrency="optimistic",
+                    link_mode=link_mode,
+                    isolation=iso,
                 )
                 try:
                     if kind == "append":
@@ -272,15 +294,22 @@ def run_seed(spark, seed: int, n_ops: int) -> None:
 
             with ThreadPoolExecutor(max_workers=len(plans)) as pool:
                 outcomes = list(pool.map(run_one, plans))
-            for plan, (_ver, err) in zip(plans, outcomes):
+            committed = []
+            for plan, (ver, err) in zip(plans, outcomes):
                 kind, payload = plan
                 if err == "conflict":
-                    # legal only for deletes whose touched FILES overlap
-                    # despite disjoint key ranges (file-level validation)
+                    # legal only for deletes: file-overlap despite
+                    # disjoint key ranges, or (serializable) an added
+                    # file overlapping the predicate range
                     assert kind == "delete", (
                         f"seed {seed}: optimistic append conflicted"
                     )
                     continue
+                committed.append((ver, kind, payload))
+            # replay committed outcomes in COMMIT (version) order —
+            # exact for serializable; for write_serializable the arm's
+            # stripe confinement makes order irrelevant
+            for _ver, kind, payload in sorted(committed):
                 if kind == "append":
                     for k, val, e in payload:
                         model[k] = (val, e if has_extra else None)
