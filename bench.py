@@ -191,6 +191,10 @@ def main() -> int:
         "dedup_minhash_lsh",
         "ann_cosine_topk",
         "quality_scores",
+        # storage facade commit plane (write → DELETE → MERGE → read;
+        # round-11 anchor — trend-tracks the flagship beyond-reference
+        # surface round over round)
+        "managed_table_dml_read",
     ]
     override = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     if override:

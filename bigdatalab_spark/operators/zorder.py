@@ -23,14 +23,27 @@ from pyspark.sql import functions as F
 Z_BITS = 6
 
 
-def zorder_key(x: Column, y: Column, bits: int = Z_BITS) -> Column:
-    """Morton interleave of two non-negative integer columns (low
-    ``bits`` bits each): bit j of x lands at position 2j, bit j of y at
-    2j+1. Pure codegen'd bit arithmetic — no UDF."""
+def zorder_key(*cols: Column, bits: int = Z_BITS) -> Column:
+    """Morton interleave of N ≥ 2 non-negative integer columns (low
+    ``bits`` bits each): bit j of column i lands at position N*j + i,
+    so each key prefix owns a tight hyper-rectangle in EVERY
+    dimension. Pure codegen'd bit arithmetic — no UDF. The interleaved
+    key is N*bits wide; keep it ≤ 63 bits (e.g. 3 columns × 6 bits =
+    18)."""
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zorder_key needs at least two columns")
+    if n * bits > 63:
+        raise ValueError(
+            f"{n} columns x {bits} bits = {n * bits} interleaved bits "
+            "— exceeds a signed 64-bit key; lower bits"
+        )
     z = F.lit(0).cast("bigint")
     for j in range(bits):
-        z = z + F.shiftleft(F.shiftright(x, j).bitwiseAND(1), 2 * j)
-        z = z + F.shiftleft(F.shiftright(y, j).bitwiseAND(1), 2 * j + 1)
+        for i, c in enumerate(cols):
+            z = z + F.shiftleft(
+                F.shiftright(c, j).bitwiseAND(1), n * j + i
+            )
     return z.cast("bigint")
 
 
@@ -55,7 +68,7 @@ def write_zordered(
     per file (tests use this to make row-group pruning observable on
     small fixtures; production defaults are fine at scale).
     """
-    keyed = df.withColumn("__z", zorder_key(F.col(x_col), F.col(y_col), bits))
+    keyed = df.withColumn("__z", zorder_key(F.col(x_col), F.col(y_col), bits=bits))
     writer = (
         keyed.repartitionByRange(n_files, "__z")
         .sortWithinPartitions("__z")

@@ -414,7 +414,7 @@ def zorder_clustering_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "x",
         "y",
-        zorder_key(F.col("x"), F.col("y"), _Z_BITS).alias("z_key"),
+        zorder_key(F.col("x"), F.col("y"), bits=_Z_BITS).alias("z_key"),
     ).orderBy("z_key", "event_id")
 
 

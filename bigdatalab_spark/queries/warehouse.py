@@ -562,3 +562,119 @@ def managed_table_changes_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type")
     )
+
+
+@query(
+    "managed_partitioned_dml",
+    ids=("SCALE-STORAGE", "K4", "SCALE-CDC"),
+    oracle="""
+        WITH base AS (
+            SELECT event_id, user_id, event_type, value FROM events
+        ),
+        after_del AS (
+            SELECT * FROM base WHERE user_id NOT BETWEEN 10 AND 19
+        ),
+        final AS (
+            SELECT event_type,
+                   CASE WHEN user_id BETWEEN 0 AND 4
+                        THEN value * 3 ELSE value END AS value
+            FROM after_del
+        ),
+        snap AS (
+            SELECT 'snapshot' AS surface, event_type AS kind,
+                   count(*) AS n_rows,
+                   CAST(CAST(sum(CAST(value AS DECIMAL(28,6))) AS STRING)
+                        AS DOUBLE) AS sum_value
+            FROM final GROUP BY event_type
+        ),
+        feed AS (
+            SELECT 'feed' AS surface, change_type AS kind,
+                   count(*) AS n_rows,
+                   CAST(CAST(sum(CAST(value AS DECIMAL(28,6))) AS STRING)
+                        AS DOUBLE) AS sum_value
+            FROM (
+                SELECT 'delete' AS change_type, value
+                FROM base WHERE user_id BETWEEN 10 AND 19
+                UNION ALL
+                SELECT 'update_preimage', value
+                FROM after_del WHERE user_id BETWEEN 0 AND 4
+                UNION ALL
+                SELECT 'update_postimage', value * 3
+                FROM after_del WHERE user_id BETWEEN 0 AND 4
+            ) GROUP BY change_type
+        )
+        SELECT * FROM snap
+        UNION ALL
+        SELECT * FROM feed
+        ORDER BY surface, kind
+    """,
+)
+def managed_partitioned_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DML on a PARTITIONED managed table riding the
+    REFERENCE data plane (sources/managed.py link_mode='reference':
+    untouched files carried as manifest rows pointing at their home
+    version — the object-store commit protocol, zero per-file
+    syscalls), partitioned by event_type (the reference's partitioned
+    writes, 303-spark-sql/README.md:71, upgraded to DML-able
+    table-format semantics). DELETE prunes its attribution scan
+    through the index inside each partition, UPDATE applies pre-update
+    expressions, and the result reads back through BOTH registered
+    connectors: the ``managed`` snapshot source (partition values
+    stamped from directory names into a SQL temp view) and the
+    ``managed_changes`` batch feed. The oracle replays
+    delete → update → union in plain SQL over raw events, certifying
+    partition reconstruction, referenced-file resolution, and the
+    change feed in one hash."""
+    import os
+    import shutil
+    import tempfile
+
+    from bigdatalab_spark.operators import money_sum
+    from bigdatalab_spark.sources.managed import ManagedTable
+
+    base = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "bigdatalab_managed_part_dml",
+        os.path.basename(sf_dir.rstrip("/")) or "sf",
+    )
+    shutil.rmtree(root, ignore_errors=True)  # scratch: rebuild per run
+    t = ManagedTable(
+        spark, root, index_cols=("user_id",), link_mode="reference"
+    )
+    t.write(
+        base.repartitionByRange(4, "user_id").sortWithinPartitions(
+            "user_id"
+        ),
+        partition_cols=("event_type",),
+    )
+    v_del = t.delete_range("user_id", 10, 19)
+    v_upd = t.update_range("user_id", 0, 4, {"value": "value * 3"})
+    view = t.create_view("managed_part_dml_v")
+    snap = spark.sql(
+        f"""
+        SELECT 'snapshot' AS surface, event_type AS kind,
+               count(*) AS n_rows
+        FROM {view} GROUP BY event_type
+        """
+    ).join(
+        spark.sql(f"SELECT event_type AS kind, value FROM {view}")
+        .groupBy("kind")
+        .agg(money_sum("value").alias("sum_value")),
+        "kind",
+    ).select("surface", "kind", "n_rows", "sum_value")
+    feed = (
+        spark.read.format("managed_changes")
+        .option("startingVersion", min(v_del, v_upd))
+        .load(root)
+        .select(F.col("_change_type").alias("kind"), "value")
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            money_sum("value").alias("sum_value"),
+        )
+        .select(F.lit("feed").alias("surface"), "kind", "n_rows", "sum_value")
+    )
+    return snap.unionByName(feed).orderBy("surface", "kind")

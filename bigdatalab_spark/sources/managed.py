@@ -483,15 +483,16 @@ class ManagedTable:
                 return version
             prev = _version_dir(self.path, current)
             prev_files = _data_files(prev)
-            if any(os.sep in rel for rel in prev_files):
-                raise ValueError(
-                    "append() links flat file layouts only; the current "
-                    "snapshot is partitioned — use write() to produce "
-                    "the next partitioned snapshot"
-                )
             new_schema = self._evolve_schema(current, df)
             version, vdir = self._allocate()
-            df.write.mode("errorifexists").parquet(vdir)
+            # a partitioned table's delta lands under the same
+            # col=val/ layout (partition columns are table metadata,
+            # recorded at write() time)
+            pcols = self.partition_cols_of(current)
+            writer = df.write.mode("errorifexists")
+            if pcols:
+                writer = writer.partitionBy(*pcols)
+            writer.parquet(vdir)
             new_files = set(_walk_data_files(vdir))
             clash = new_files & set(prev_files)
             if clash:  # astronomically unlikely (UUIDs)
@@ -510,13 +511,14 @@ class ManagedTable:
                 vdir, carried + _sized(vdir, sorted(new_files))
             )
             self._write_schema(vdir, new_schema)
+            self._write_partition_cols(vdir, pcols)
             self._commit(version, vdir, expected=current, op="append")
             return version
 
     def compact(
         self,
         target_file_rows: int = 1_000_000,
-        zorder_by: tuple[str, str] | None = None,
+        zorder_by: tuple[str, ...] | None = None,
         writer_options: dict | None = None,
     ) -> int:
         """Small-file compaction as a NEW version: read the current
@@ -525,11 +527,12 @@ class ManagedTable:
         keeps working (it is just version N-1); vacuum reclaims it.
         Returns the new version number.
 
-        ``zorder_by=(x, y)`` re-clusters on the Morton interleave of
-        two non-negative integer columns (``OPTIMIZE ZORDER BY``):
-        each compacted file owns a tight rectangle in BOTH dimensions,
-        so the per-version index prunes range predicates on EITHER
-        column — a linear sort only skips on its leading column. With
+        ``zorder_by=(x, y, ...)`` re-clusters on the Morton
+        interleave of N ≥ 2 non-negative integer columns (``OPTIMIZE
+        ZORDER BY``): each compacted file owns a tight
+        hyper-rectangle in EVERY listed dimension, so the per-version
+        index prunes range predicates on ANY of them — a linear sort
+        only skips on its leading column. With
         ``rowgroup_index=True`` the same compaction commits the finer
         per-row-group stats too, so 2-D predicates skip rectangles
         INSIDE kept files; pass ``writer_options`` (e.g.
@@ -551,10 +554,14 @@ class ManagedTable:
             if zorder_by is not None:
                 from bigdatalab_spark.operators.zorder import zorder_key
 
-                x, y = zorder_by
+                if len(zorder_by) < 2:
+                    raise ValueError(
+                        "zorder_by needs at least two columns"
+                    )
                 df = (
                     df.withColumn(
-                        "__z", zorder_key(F.col(x), F.col(y))
+                        "__z",
+                        zorder_key(*[F.col(c) for c in zorder_by]),
                     )
                     .repartitionByRange(n_files, "__z")
                     .sortWithinPartitions("__z")
@@ -783,16 +790,19 @@ class ManagedTable:
         src_keys = source.select(*keys).distinct()
         scanned = self._with_file(current, scan_files, tgt_schema)
         matched = scanned.join(src_keys, on=list(keys), how="leftsemi")
-        # metadata-sized collect: bounded by the snapshot file count;
-        # __file is the basename (unique UUID part names) — map it
-        # back to the relative path for partitioned layouts
-        base_to_rel = {os.path.basename(rel): rel for rel in all_files}
-        touched = sorted(
-            base_to_rel[r["f"]]
+        # metadata-sized collect: bounded by the snapshot file count
+        touched_raw = [
+            r["f"]
             for r in matched.select(
                 F.col("__file").alias("f")
             ).distinct().collect()
-        )
+        ]
+        if None in touched_raw:
+            raise RuntimeError(
+                "merge attribution could not map a scanned file path "
+                "back to the manifest — path normalization mismatch"
+            )
+        touched = sorted(touched_raw)
         insert_rows = source.join(
             scanned.select(*keys), on=list(keys), how="leftanti"
         )
@@ -939,17 +949,21 @@ class ManagedTable:
             else all_files
         )
         hit = F.coalesce(cond, F.lit(False))  # NULL never matches
-        # metadata-sized collect: bounded by the snapshot file count;
-        # basename -> relative path for partitioned layouts
-        base_to_rel = {os.path.basename(rel): rel for rel in all_files}
-        touched = sorted(
-            base_to_rel[r["f"]]
+        # metadata-sized collect: bounded by the snapshot file count
+        touched_raw = [
+            r["f"]
             for r in self._with_file(current, scan_files, cur_schema)
             .filter(hit)
             .select(F.col("__file").alias("f"))
             .distinct()
             .collect()
-        )
+        ]
+        if None in touched_raw:
+            raise RuntimeError(
+                f"{op} attribution could not map a scanned file path "
+                "back to the manifest — path normalization mismatch"
+            )
+        touched = sorted(touched_raw)
         if not touched:
             return None
         touched_df = self._read_files(current, touched, cur_schema)
@@ -1022,7 +1036,14 @@ class ManagedTable:
             ).sortWithinPartitions(*self.index_cols)
         else:
             new_df = new_df.repartition(n_out)
-        new_df.write.mode("errorifexists").parquet(vdir)
+        writer = new_df.write.mode("errorifexists")
+        pcols = self.partition_cols_of(current)
+        if pcols:
+            # partitioned table: the rewrite lands under the same
+            # col=val/ directory layout, so partition pruning keeps
+            # composing with the file-skipping index
+            writer = writer.partitionBy(*pcols)
+        writer.parquet(vdir)
         written = set(_walk_data_files(vdir))
         link = [rel for rel in all_files if rel not in touched]
         clash = written & set(link)
@@ -1052,6 +1073,7 @@ class ManagedTable:
         if schema is None:
             schema = new_df.schema
         self._write_schema(vdir, schema)
+        self._write_partition_cols(vdir, pcols)
         if stream_batch_id is not None:
             self._write_stream_batch(vdir, stream_batch_id)
         self._commit(version, vdir, expected=current, op=op)
@@ -1324,11 +1346,15 @@ class ManagedTable:
                 ).sortWithinPartitions(*self.index_cols)
             else:
                 new_df = new_df.repartition(n_out)
+            pcols = self.partition_cols_of(base)
             # append mode: the staging dir exists (and is ours alone);
             # the change feed is written UNSTAMPED — the commit version
             # is unknown until the commit section allocates it, and
             # changes() stamps it from the directory at read time
-            new_df.write.mode("append").parquet(work)
+            writer = new_df.write.mode("append")
+            if pcols:
+                writer = writer.partitionBy(*pcols)
+            writer.parquet(work)
             written = set(_walk_data_files(work))
             cdf.write.mode("append").parquet(os.path.join(work, _CDF_DIR))
             with self._commit_section(f"managed_{op}_commit"):
@@ -1375,6 +1401,7 @@ class ManagedTable:
                 if schema is None:
                     schema = new_df.schema
                 self._write_schema(vdir, schema)
+                self._write_partition_cols(vdir, pcols)
                 if stream_batch_id is not None:
                     self._write_stream_batch(vdir, stream_batch_id)
                 self._commit(version, vdir, expected=current, op=op)
@@ -1408,15 +1435,28 @@ class ManagedTable:
                     self._write_schema(vdir, df.schema)
                     self._commit(version, vdir, expected=None, op="write")
                     return version
-        self._guard_granularity_upgrade(latest_version(self.path), "append")
+        base = latest_version(self.path)
+        self._guard_granularity_upgrade(base, "append")
+        pcols = self.partition_cols_of(base)
         work = self._allocate_staging()
         try:
-            df.write.mode("append").parquet(work)
+            writer = df.write.mode("append")
+            if pcols:
+                writer = writer.partitionBy(*pcols)
+            writer.parquet(work)
             new_files = set(_walk_data_files(work))
             with self._commit_section("managed_append_commit"):
                 current = latest_version(self.path)
                 prev = _version_dir(self.path, current)
-                prev_files = self._flat_files(prev, "append")
+                prev_files = _data_files(prev)
+                if self.partition_cols_of(current) != pcols:
+                    raise CommitConflictError(
+                        f"optimistic append on {self.path}: the table's "
+                        f"partition layout changed from {pcols} to "
+                        f"{self.partition_cols_of(current)} while the "
+                        "delta was being written — recompute against "
+                        "the current version"
+                    )
                 new_schema = self._evolve_schema(current, df)
                 if new_files & set(prev_files):  # astronomically unlikely
                     raise ConcurrentWriteError(
@@ -1438,6 +1478,7 @@ class ManagedTable:
                     vdir, carried + _sized(vdir, sorted(new_files))
                 )
                 self._write_schema(vdir, new_schema)
+                self._write_partition_cols(vdir, pcols)
                 self._commit(version, vdir, expected=current, op="append")
                 return version
         except BaseException:
@@ -1581,16 +1622,6 @@ class ManagedTable:
                     return int(fh.read().strip())
         return None
 
-    def _flat_files(self, vdir: str, op: str) -> list[str]:
-        files = _data_files(vdir)
-        if any(os.sep in rel for rel in files):
-            raise ValueError(
-                f"{op} rewrites flat file layouts only; the current "
-                "snapshot is partitioned — use write() to produce the "
-                "next partitioned snapshot"
-            )
-        return files
-
     def _rows_of(self, version: int) -> list[dict]:
         """The version's manifest rows with an ``abs`` key resolved
         through each row's HOME version directory — the one place the
@@ -1610,70 +1641,110 @@ class ManagedTable:
             )
         return rows
 
-    def _read_rows(self, rows: list[dict], schema) -> DataFrame:
+    def _read_rows(
+        self, rows: list[dict], schema, with_path: bool = False
+    ) -> DataFrame:
         """DataFrame over resolved manifest rows. Flat layouts read as
         one multi-path scan; partitioned layouts group by home version
         (one ``basePath`` per group, so partition-column values are
         parsed from the directory names) and union — the group count
-        is bounded by the lineage length, never the file count."""
+        is bounded by the lineage length, never the file count.
+        ``with_path`` appends a ``__path`` column = the scan's
+        ``_metadata.file_path`` (projected INSIDE each branch — the
+        pseudo-column does not exist above a Union)."""
         if not rows:
             if schema is None:
                 raise FileNotFoundError(
                     "empty snapshot with no stored schema"
                 )
-            return self.spark.createDataFrame([], schema)
-        if not any(os.sep in r["file"] for r in rows):
+            out = self.spark.createDataFrame([], schema)
+            if with_path:
+                out = out.withColumn("__path", F.lit(None).cast("string"))
+            return out
+        def _one(paths, base=None):
             reader = self.spark.read
             if schema is not None:
                 reader = reader.schema(schema)
-            return reader.parquet(*[r["abs"] for r in rows])
+            if base is not None:
+                reader = reader.option("basePath", base)
+            part = reader.parquet(*paths)
+            if with_path:
+                part = part.withColumn(
+                    "__path", F.col("_metadata.file_path")
+                )
+            return part
+
+        if not any(os.sep in r["file"] for r in rows):
+            return _one([r["abs"] for r in rows])
         out = None
         for home in sorted({r["home"] for r in rows}):
-            reader = self.spark.read
-            if schema is not None:
-                reader = reader.schema(schema)
-            part = reader.option(
-                "basePath", _version_dir(self.path, home)
-            ).parquet(*[r["abs"] for r in rows if r["home"] == home])
+            part = _one(
+                [r["abs"] for r in rows if r["home"] == home],
+                base=_version_dir(self.path, home),
+            )
             out = part if out is None else out.unionByName(part)
         return out
 
     def _with_file(
         self, version: int, files: list[str], schema=None
     ) -> DataFrame:
-        """The given files' rows plus a ``__file`` column (relative
-        name) for match→file attribution. Flat layouts only (enforced
-        by the DML entry points), so the URI's basename IS the
-        relative name — immune to scheme/normalization differences
-        AND to which home directory a referenced file resolves to."""
-        df = self._read_files(version, files, schema)
+        """The given files' rows plus a ``__file`` column (the file's
+        RELATIVE path) for match→file attribution. A partitioned write
+        job reuses one UUID across partition directories, so basenames
+        are NOT unique — attribution joins ``_metadata.file_path``
+        (scheme-normalized) against the metadata-sized manifest map
+        instead, which also absorbs which HOME directory a referenced
+        file resolves to."""
+        df = self._read_files(version, files, schema, with_path=True)
         if "__file" in df.columns:
             raise ValueError(
                 "DML reserves the __file column for file attribution"
             )
         if not files:
-            # empty scan: no file-source _metadata exists on an empty
-            # local relation — a typed NULL keeps the shape (no rows
-            # ever carry it)
-            return df.withColumn("__file", F.lit(None).cast("string"))
-        return df.withColumn(
-            "__file",
-            F.element_at(
-                F.split(F.col("_metadata.file_path"), "/"), -1
+            # empty scan: no rows ever carry the attribution column
+            return df.drop("__path").withColumn(
+                "__file", F.lit(None).cast("string")
+            )
+        want = set(files)
+        mapping = self.spark.createDataFrame(
+            [
+                ("/" + os.path.abspath(r["abs"]).lstrip("/"), r["file"])
+                for r in self._rows_of(version)
+                if r["file"] in want
+            ],
+            "__norm string, __file string",
+        )
+        df = df.withColumn(
+            "__norm",
+            F.regexp_replace(
+                F.col("__path"),
+                "^[a-zA-Z][a-zA-Z0-9+.\\-]*:/+",
+                "/",
             ),
+        ).drop("__path")
+        return df.join(F.broadcast(mapping), "__norm", "left").drop(
+            "__norm"
         )
 
     def _read_files(
-        self, version: int, files: list[str], schema=None
+        self,
+        version: int,
+        files: list[str],
+        schema=None,
+        with_path: bool = False,
     ) -> DataFrame:
         """Read a subset of one version's files (by relative name),
         resolving physical paths through the manifest homes."""
         if not files:
             if schema is not None:
-                return self.spark.createDataFrame([], schema)
-            return self.spark.read.parquet(
-                _version_dir(self.path, version)
-            ).filter(F.lit(False))
+                out = self.spark.createDataFrame([], schema)
+            else:
+                out = self.spark.read.parquet(
+                    _version_dir(self.path, version)
+                ).filter(F.lit(False))
+            if with_path:
+                out = out.withColumn("__path", F.lit(None).cast("string"))
+            return out
         want = set(files)
         rows = [r for r in self._rows_of(version) if r["file"] in want]
         missing = want - {r["file"] for r in rows}
@@ -1682,7 +1753,7 @@ class ManagedTable:
                 f"v={version} of {self.path} has no manifest entry for "
                 f"{sorted(missing)[:3]}"
             )
-        return self._read_rows(rows, schema)
+        return self._read_rows(rows, schema, with_path=with_path)
 
     # ---- read surface ----------------------------------------------------
 
@@ -1793,6 +1864,24 @@ class ManagedTable:
         v = self._resolve(version)
         vdir = _version_dir(self.path, v)
         all_files = set(_data_files(vdir))
+        if col in self.partition_cols_of(v):
+            # partition pruning: the value is IN the directory name —
+            # exact, not a stats bound. Unparseable or NULL-sentinel
+            # values stay candidates (sound).
+            keep = set()
+            for rel in all_files:
+                raw = _partition_values(rel).get(col)
+                if raw is None:
+                    keep.add(rel)
+                    continue
+                try:
+                    val = type(lo)(raw)
+                except (TypeError, ValueError):
+                    keep.add(rel)
+                    continue
+                if lo <= val <= hi:
+                    keep.add(rel)
+            return sorted(keep)
         if col not in self.index_cols:
             return sorted(all_files)  # unindexed column: no pruning
         if not os.path.isdir(os.path.join(vdir, _INDEX_DIR)):
@@ -1968,24 +2057,37 @@ class ManagedTable:
             )
         return out
 
-    def create_view(self, name: str, version: int | None = None) -> str:
+    def create_view(
+        self,
+        name: str,
+        version: int | None = None,
+        columns: list[str] | None = None,
+    ) -> str:
         """Register a pinned snapshot as a temp view read THROUGH the
         ``managed`` connector (sources/managed_snapshot.py), so plain
         ``spark.sql`` queries it with plan-time index pruning — the
         reference's catalog read (``select * from geo``,
         303-spark-sql/README.md:46-48) upgraded to versioned
         semantics. The view stays pinned to the resolved version even
-        if the pointer moves later."""
+        if the pointer moves later. ``columns`` narrows the view's
+        declared schema so tasks decode only those parquet columns
+        (the connector API pushes filters, not projections — a bare
+        ``SELECT a`` on an unrestricted view still reads full width)."""
         from bigdatalab_spark.sources.pyds import register_python_sources
 
         register_python_sources(self.spark)
         v = self._resolve(version)
-        (
-            self.spark.read.format("managed")
-            .option("versionAsOf", v)
-            .load(self.path)
-            .createOrReplaceTempView(name)
-        )
+        reader = self.spark.read.format("managed").option("versionAsOf", v)
+        if columns:
+            reader = reader.option("columns", ",".join(columns))
+        # pruning=off: a temp view is a LONG-LIVED relation queried
+        # many times, and Spark 4.1 caches one partition list per
+        # relation that each filtered query's pushdown overwrites — a
+        # pruned plan would leak into later unfiltered view queries
+        # (see the connector's module docstring). Views trade the
+        # plan-time file skip for correctness; one-shot load() readers
+        # keep it.
+        reader.option("pruning", "off").load(self.path).createOrReplaceTempView(name)
         return name
 
     def cursor(self, cursor_path: str) -> "ChangeFeedCursor":

@@ -27,15 +27,32 @@ Data plane: each task STREAMS its parquet file with pyarrow
 RecordBatches zero-copy to the JVM (no row-at-a-time Python); files
 that predate a schema evolution are padded with typed NULL columns to
 the snapshot's stored schema, exactly like the facade's own reads.
-Partitioned snapshots refuse loudly (their files omit the
-partition-column values — same contract as DML and managed_changes).
+Partitioned snapshots stamp each file's partition-column values from
+its directory segments (cast to the stored types), and the folded
+filter bounds partition-prune BEFORE index pruning — partition ∧
+stats composition at plan time. Referenced files (the facade's
+``link_mode='reference'`` data plane) resolve through their manifest
+homes.
 
-Known limit: the Python DataSource API pushes FILTERS but not
-projections, so a narrow SELECT still reads every column of the kept
-files through this connector. For projection-heavy scans use the
-facade's native reads (``ManagedTable.read`` / ``pruned_read`` go
-through Spark's parquet source, which prunes columns); the connector
-is the SQL/time-travel surface, not the widest-scan hot path.
+Scan-reuse sharp edge (observed on Spark 4.1): a loaded DataFrame's
+relation keeps ONE cached partition list; every filtered query's
+pushdown re-plans and OVERWRITES it, and later queries WITHOUT
+pushable filters reuse whatever is cached — so a relation queried
+with a filter once would serve that pruned file list to a later full
+scan. Therefore: plan-time pruning is only enabled for the
+one-relation-one-query pattern (a fresh ``load()`` per query, which
+is how the engine's own surfaces call it); ``ManagedTable.create_view``
+registers its long-lived relation with ``.option("pruning", "off")``,
+which makes ``pushFilters`` fold nothing — every view query scans the
+full (correct) file list and Spark re-applies the filters above the
+scan.
+
+Projection: the Python DataSource API pushes FILTERS but not
+projections, so a bare ``SELECT a FROM view`` still reads every
+column of the kept files. An EXPLICIT ``.option("columns", "a,b")``
+(or ``create_view(..., columns=[...])``) narrows the declared schema,
+and the task then decodes only those parquet columns — the narrow-scan
+escape hatch until the API grows projection pushdown.
 """
 
 from __future__ import annotations
@@ -57,7 +74,7 @@ from pyspark.sql.datasource import (
 )
 
 from bigdatalab_spark.sources.managed_stream import (
-    _assert_flat,
+    _constants_of,
     _files_of,
     _latest,
     _manifest_homes,
@@ -70,8 +87,11 @@ _INDEX_DIR = "_index"
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str):
+    def __init__(self, path: str, constants: dict | None = None):
         self.path = path
+        # partition-column values parsed from the file's directory
+        # segments (partitioned snapshots carry them in the path)
+        self.constants = constants or {}
 
 
 def _fold_bounds(filters: list[Filter]) -> dict[str, tuple]:
@@ -177,33 +197,69 @@ class ManagedSnapshotReader(DataSourceReader):
                 "existed) — pick one of the committed versions"
             )
         self.bounds: dict[str, tuple] = {}
+        self.pruning = str(options.get("pruning", "on")).lower() != "off"
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
-        self.bounds = _fold_bounds(filters)
         # every filter is re-applied by Spark: index pruning narrows
-        # the scan but never substitutes for the predicate
+        # the scan but never substitutes for the predicate. With
+        # pruning=off (long-lived relations: temp views), fold nothing
+        # — the module docstring's scan-reuse sharp edge makes a
+        # pruned plan unsafe to cache on a reused relation.
+        if self.pruning:
+            self.bounds = _fold_bounds(filters)
         yield from filters
 
     def pruned_files(self) -> list[str]:
         """The plan-time candidate list (exposed for plan assertions
-        in tests and tooling)."""
+        in tests and tooling): partition pruning (exact — the value is
+        in the directory name) composed with index pruning (stats
+        bounds)."""
         vdir = _vdir(self.path, self.version)
-        _assert_flat(vdir, self.version)
-        return _prune(vdir, _files_of(vdir), self.bounds)
+        files = _files_of(vdir)
+        if self.bounds:
+            kept = []
+            for rel in files:
+                consts = _constants_of(rel) or {}
+                drop = False
+                for col, (lo, hi) in self.bounds.items():
+                    raw = consts.get(col)
+                    if raw is None:
+                        continue  # not a partition col here, or NULL
+                    probe = lo if lo is not None else hi
+                    try:
+                        val = type(probe)(raw)
+                    except (TypeError, ValueError):
+                        continue  # unparseable: stays a candidate
+                    if (lo is not None and val < lo) or (
+                        hi is not None and val > hi
+                    ):
+                        drop = True
+                        break
+                if not drop:
+                    kept.append(rel)
+            files = kept
+        return _prune(vdir, files, self.bounds)
 
     def partitions(self) -> list[InputPartition]:
         # resolve each kept file through its manifest HOME (reference
         # data plane: carried files live in older version directories)
         vdir = _vdir(self.path, self.version)
         homes = _manifest_homes(vdir)
-        return [
+        out = [
             _FilePartition(
                 os.path.join(
                     _vdir(self.path, homes.get(rel, self.version)), rel
-                )
+                ),
+                constants=_constants_of(rel),
             )
             for rel in self.pruned_files()
         ]
+        if not out:
+            # pruning eliminated every file; the DataSource API does
+            # not accept an empty plan — one sentinel task yields 0
+            # batches
+            out = [_FilePartition("")]
+        return out
 
     def read(self, partition: _FilePartition) -> Iterator:
         # STREAM batch by batch (bounded task memory at real file
@@ -214,19 +270,39 @@ class ManagedSnapshotReader(DataSourceReader):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         arrow_schema = to_arrow_schema(self.schema)
+        if not getattr(partition, "path", None):
+            return  # sentinel for a fully-pruned plan: empty result
         pf = pq.ParquetFile(partition.path)
         present = set(pf.schema_arrow.names)
-        needed = [f.name for f in arrow_schema if f.name in present]
+        constants = getattr(partition, "constants", {}) or {}
+        needed = [
+            f.name
+            for f in arrow_schema
+            if f.name in present and f.name not in constants
+        ]
         for batch in pf.iter_batches(columns=needed):
+            n = batch.num_rows
             cols = []
             for field in arrow_schema:
-                if field.name in present:
+                if field.name in constants:
+                    # partition value from the directory name, cast
+                    # from its string encoding to the declared type
+                    val = constants[field.name]
+                    if val is None:
+                        cols.append(pa.nulls(n, type=field.type))
+                    else:
+                        cols.append(
+                            pa.array([val] * n, type=pa.string()).cast(
+                                field.type
+                            )
+                        )
+                elif field.name in present:
                     col = batch.column(field.name)
                     if col.type != field.type:
                         col = col.cast(field.type)
                     cols.append(col)
                 else:  # pre-evolution file: typed NULL padding
-                    cols.append(pa.nulls(batch.num_rows, type=field.type))
+                    cols.append(pa.nulls(n, type=field.type))
             yield pa.RecordBatch.from_arrays(cols, schema=arrow_schema)
 
 
@@ -260,7 +336,22 @@ class ManagedSnapshotDataSource(DataSource):
         # reader() would otherwise serve the newer version's files
         # under this older version's stored schema
         self.options["versionasof"] = str(version)
-        return StructType.fromJson(_stored_schema_json(path, version))
+        full = StructType.fromJson(_stored_schema_json(path, version))
+        cols = self.options.get("columns")
+        if not cols:
+            return full
+        # explicit projection: the Python DataSource API pushes
+        # filters but not projections, so a narrow read must be
+        # DECLARED — the reader then decodes only these columns
+        want = [c.strip() for c in cols.split(",") if c.strip()]
+        by_name = {f.name: f for f in full.fields}
+        missing = [c for c in want if c not in by_name]
+        if missing:
+            raise ValueError(
+                f"managed: columns {missing} not in v={version}'s "
+                f"schema ({[f.name for f in full.fields]})"
+            )
+        return StructType([by_name[c] for c in want])
 
     def reader(self, schema) -> ManagedSnapshotReader:
         return ManagedSnapshotReader(self.options, schema)

@@ -168,38 +168,28 @@ def _files_of(vdir: str) -> list[str]:
     names = _manifest_files(vdir)
     if names is not None:
         return names
-    return sorted(
-        f
-        for f in os.listdir(vdir)
-        if f.endswith(".parquet") and not f.startswith(("_", "."))
-    )
-
-
-def _assert_flat(vdir: str, v: int) -> None:
-    """Refuse partitioned snapshots LOUDLY: their data files live in
-    ``col=val/`` subdirectories and omit the partition-column values,
-    so deriving per-file inserts would silently return an empty (or
-    value-stripped) feed — the same refusal DML makes at write time."""
-    names = _manifest_files(vdir)
-    if names is None:
-        names = []
-        for dirpath, dirnames, filenames in os.walk(vdir):
-            dirnames[:] = [
-                d for d in dirnames if not d.startswith(("_", "."))
-            ]
-            names.extend(
-                os.path.relpath(os.path.join(dirpath, f), vdir)
-                for f in filenames
-                if f.endswith(".parquet") and not f.startswith(("_", "."))
-            )
-    if any(os.sep in n or "/" in n for n in names):
-        raise ValueError(
-            f"managed_changes: v={v} is a partitioned snapshot "
-            "(data files under partition subdirectories) — per-file "
-            "insert derivation would drop the partition-column "
-            "values; read it via ManagedTable.read()/changes() "
-            "instead"
+    out = []
+    for dirpath, dirnames, filenames in os.walk(vdir):
+        dirnames[:] = [
+            d for d in dirnames if not d.startswith(("_", "."))
+        ]
+        out.extend(
+            os.path.relpath(os.path.join(dirpath, f), vdir)
+            for f in filenames
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
         )
+    return sorted(out)
+
+
+def _constants_of(rel: str) -> dict[str, str | None] | None:
+    """Partition-column values to STAMP when reading a partitioned
+    snapshot's file directly (the physical file omits them; the
+    directory name carries them), or None for flat paths."""
+    from bigdatalab_spark.sources.managed import _partition_values
+
+    if os.sep not in rel and "/" not in rel:
+        return None
+    return _partition_values(rel)
 
 
 def _stored_schema_json(path: str, v: int) -> dict:
@@ -217,12 +207,22 @@ def _stored_schema_json(path: str, v: int) -> dict:
 class _ChangePartition(InputPartition):
     """One parquet file of one version's feed. ``change_type`` is None
     when the file already carries the feed columns (a ``_cdf`` store);
-    otherwise the constant to stamp (derived inserts)."""
+    otherwise the constant to stamp (derived inserts). ``constants``
+    carries partition-column values parsed from the file's directory
+    segments (partitioned snapshots store them in the path, not the
+    file)."""
 
-    def __init__(self, path: str, version: int, change_type: str | None):
+    def __init__(
+        self,
+        path: str,
+        version: int,
+        change_type: str | None,
+        constants: dict | None = None,
+    ):
         self.path = path
         self.version = version
         self.change_type = change_type
+        self.constants = constants or {}
 
 
 def _plan_partitions(
@@ -279,18 +279,29 @@ def _plan_partitions(
             )
             continue
         op = _op_of(path, v)
+        homes = _manifest_homes(vdir)
         if _parent_of(path, v) is None and op in ("write", ""):
-            _assert_flat(vdir, v)
             out.extend(
-                _ChangePartition(os.path.join(vdir, f), v, "insert")
+                _ChangePartition(
+                    os.path.join(_vdir(path, homes.get(f, v)), f),
+                    v,
+                    "insert",
+                    constants=_constants_of(f),
+                )
                 for f in _files_of(vdir)
             )
         elif op == "append":
-            _assert_flat(vdir, v)
             parent = _parent_of(path, v)
             prev_files = set(_files_of(_vdir(path, parent)))
+            # files NEW to the snapshot are physically homed in v
+            # itself under both data planes
             out.extend(
-                _ChangePartition(os.path.join(vdir, f), v, "insert")
+                _ChangePartition(
+                    os.path.join(vdir, f),
+                    v,
+                    "insert",
+                    constants=_constants_of(f),
+                )
                 for f in _files_of(vdir)
                 if f not in prev_files
             )
@@ -317,7 +328,8 @@ def _read_partition(part: _ChangePartition, arrow_schema) -> Iterator:
 
     pf = pq.ParquetFile(part.path)
     present = set(pf.schema_arrow.names)
-    synthesized = {"_commit_version"}
+    constants = getattr(part, "constants", {}) or {}
+    synthesized = {"_commit_version"} | set(constants)
     if part.change_type is not None:
         synthesized.add("_change_type")
     needed = [
@@ -333,6 +345,18 @@ def _read_partition(part: _ChangePartition, arrow_schema) -> Iterator:
                 cols.append(
                     pa.array([part.change_type] * n, type=field.type)
                 )
+            elif field.name in constants:
+                # partition-column value from the directory name,
+                # cast from its string encoding to the stream type
+                val = constants[field.name]
+                if val is None:
+                    cols.append(pa.nulls(n, type=field.type))
+                else:
+                    cols.append(
+                        pa.array([val] * n, type=pa.string()).cast(
+                            field.type
+                        )
+                    )
             elif field.name == "_commit_version":
                 # always stamped from the partition (the version
                 # DIRECTORY is the authority): optimistic commits write

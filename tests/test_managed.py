@@ -90,11 +90,16 @@ def test_managed_append_links_files_and_reuses_index(spark, tmp_path):
     assert got1 == want1
     assert max(r[0] for r in got1) < 500
 
-    # appending onto a partitioned snapshot is refused loudly
+    # appending onto a partitioned snapshot preserves the layout
+    # (the delta lands under the same col=val/ directories)
     tp = ManagedTable(spark, str(tmp_path / "tp"), index_cols=("k",))
     tp.write(_mk(spark, 0, 50), partition_cols=("tag",))
-    with pytest.raises(ValueError, match="partitioned"):
-        tp.append(_mk(spark, 50, 60))
+    tp.append(_mk(spark, 50, 60))
+    assert tp.read().count() == 60
+    assert all(
+        rel.startswith("tag=")
+        for rel in _data_files(str(tmp_path / "tp" / "v=2"))
+    )
 
 
 def test_managed_compact_preserves_content_and_reindexes(spark, tmp_path):
@@ -998,16 +1003,35 @@ def test_managed_history_and_clone(spark, tmp_path):
     assert c2.read().count() == 230
 
 
-def test_managed_dml_refuses_partitioned_layouts(spark, tmp_path):
-    """Copy-on-write DML hard-links flat layouts only; a partitioned
-    snapshot refuses loudly (use write() for the next partitioned
-    snapshot) — and clone carries the row-group index when present."""
+def test_managed_dml_on_partitioned_layouts(spark, tmp_path):
+    """Copy-on-write DML on a PARTITIONED snapshot: attribution reads
+    partition values from the directory names, only touched files are
+    rewritten (under the same col=val/ layout), and the change feed
+    carries the partition columns — plus clone carries the row-group
+    index when present."""
     t = ManagedTable(spark, str(tmp_path / "t"), index_cols=("k",))
     t.write(_mk(spark, 0, 50), partition_cols=("tag",))
-    with pytest.raises(ValueError, match="flat file layouts"):
-        t.delete_range("k", 0, 5)
-    with pytest.raises(ValueError, match="flat file layouts"):
-        t.merge_into(_mk(spark, 0, 5, parts=1), "k")
+    assert t.partition_cols_of() == ("tag",)
+    v2 = t.delete_range("k", 0, 5)
+    assert v2 == 2
+    assert _rows(t.read()) == sorted(
+        [(k, k * 2.0, str(k % 7)) for k in range(6, 50)]
+    )
+    # rewritten files landed under the preserved layout
+    assert all(
+        rel.startswith("tag=")
+        for rel in _data_files(str(tmp_path / "t" / "v=2"))
+    )
+    # merge upserts + the feed keeps partition values
+    v3 = t.merge_into(_mk(spark, 48, 55, parts=1), "k")
+    got = t.read()
+    assert got.count() == 44 + 5  # 6..49 plus inserted 50..54
+    feed = t.changes_between(2)
+    assert feed.filter("_change_type = 'delete'").count() == 6
+    assert feed.filter("tag is null").count() == 0
+    # partition pruning on the partition column itself
+    cands = t.candidate_files("tag", "3", "3", version=v3)
+    assert cands and all(r.startswith("tag=3/") for r in cands)
 
     # clone with a row-group index: the finer index travels too
     tz = ManagedTable(
@@ -1104,21 +1128,28 @@ def test_managed_replace_after_vacuum_is_not_a_bootstrap(spark, tmp_path):
     assert t2.changes(1).count() == 10
 
 
-def test_managed_changes_source_refuses_partitioned_snapshots(spark, tmp_path):
-    """The managed_changes source derives bootstrap/append inserts from
-    top-level files; a partitioned snapshot (files in col=val/ subdirs,
-    values stripped from the files) must refuse LOUDLY instead of
-    returning an empty feed. (ADVICE r9: silent zero-partition plan.)"""
+def test_managed_changes_source_on_partitioned_snapshots(spark, tmp_path):
+    """The managed_changes source stamps derived inserts' partition
+    values from the directory names (cast to the stored types), so a
+    partitioned bootstrap/append streams the SAME rows the facade's
+    changes() serves."""
     from bigdatalab_spark.sources.pyds import register_python_sources
 
     register_python_sources(spark)
     root = str(tmp_path / "t")
     t = ManagedTable(spark, root)
     t.write(_mk(spark, 0, 40, parts=1), partition_cols=("tag",))
-    with pytest.raises(Exception, match="partitioned"):
-        spark.read.format("managed_changes").load(root).collect()
-    # the facade's own changes() handles partitioned bootstraps fine
-    assert t.changes(1).count() == 40
+    t.append(_mk(spark, 40, 50, parts=1))
+    feed = spark.read.format("managed_changes").load(root)
+    rows = feed.collect()
+    assert len(rows) == 50
+    assert all(r["_change_type"] == "insert" for r in rows)
+    got = sorted((r["k"], r["score"], r["tag"]) for r in rows)
+    assert got == sorted(
+        [(k, k * 2.0, str(k % 7)) for k in range(50)]
+    )
+    # the facade's own changes() agrees
+    assert t.changes(1).count() == 40 and t.changes(2).count() == 10
 
 
 def test_managed_cursor_refuses_orphaned_position(spark, tmp_path):
@@ -1519,11 +1550,13 @@ def test_managed_snapshot_source_prunes_at_plan_time(spark, tmp_path):
     assert src.filter("extra IS NOT NULL").count() == 1
     assert src.filter("k < 5000").filter("extra IS NULL").count() == 900
 
-    # partitioned snapshots refuse loudly
+    # partitioned snapshots read through the connector with their
+    # partition values stamped from the directory names
     t2 = ManagedTable(spark, str(tmp_path / "p"))
     t2.write(_mk(spark, 0, 40, parts=1), partition_cols=("tag",))
-    with pytest.raises(Exception, match="partitioned"):
-        spark.read.format("managed").load(str(tmp_path / "p")).collect()
+    psnap = spark.read.format("managed").load(str(tmp_path / "p"))
+    assert psnap.count() == 40
+    assert psnap.filter("tag IS NULL").count() == 0
 
     # uncommitted version refuses
     with pytest.raises(Exception, match="not\\s+committed|not .*committed"):
@@ -1896,3 +1929,181 @@ def test_managed_serializable_isolation(spark, tmp_path):
         sz._commit_cow_optimistic(
             5, scan, touched, new_df, cdf, "delete", pred_bounds=None
         )
+
+
+def test_managed_partitioned_connectors_and_projection(spark, tmp_path):
+    """Partitioned snapshots through both registered connectors, on
+    the reference data plane: partition values stamped from directory
+    names, plan-time partition∧index pruning, and the explicit
+    ``columns`` projection decoding ONLY the requested parquet
+    columns."""
+    from bigdatalab_spark.sources.managed_snapshot import (
+        ManagedSnapshotReader,
+        _FilePartition,
+    )
+    from bigdatalab_spark.sources.pyds import register_python_sources
+
+    register_python_sources(spark)
+    root = str(tmp_path / "t")
+    t = ManagedTable(
+        spark, root, index_cols=("k",), link_mode="reference"
+    )
+    df = _mk(spark, 0, 300).withColumn("p", F.col("k") % 3)
+    t.write(df.repartitionByRange(2, "k"), partition_cols=("p",))
+    t.append(_mk(spark, 300, 330, parts=1).withColumn("p", F.col("k") % 3))
+    t.delete_range("p", 1, 1)
+
+    # one load() per query: pruning-on relations cache their last
+    # pushed-down plan (the connector's documented scan-reuse edge),
+    # so a fresh relation per query is the pruning-safe pattern
+    load = lambda: spark.read.format("managed").load(root)  # noqa: E731
+    assert load().count() == 220
+    assert load().filter("p = 1").count() == 0
+    want = sorted(
+        (k, k * 2.0, str(k % 7), k % 3) for k in range(330) if k % 3 != 1
+    )
+    assert sorted(map(tuple, load().collect())) == want
+    snap = load()
+
+    # plan-time partition pruning composes with index pruning
+    r = ManagedSnapshotReader({"path": root}, snap.schema)
+    r.bounds = {"p": (2, 2), "k": (0, 50)}
+    pf = r.pruned_files()
+    assert pf and all(f.startswith("p=2/") for f in pf)
+    all_p2 = [
+        f for f in ManagedSnapshotReader(
+            {"path": root}, snap.schema
+        ).pruned_files() if f.startswith("p=2/")
+    ]
+    assert len(pf) < len(all_p2), "index pruning composed on top"
+
+    # fully-pruned plan returns empty, not an error
+    assert snap.filter("k > 10000000").count() == 0
+
+    # explicit projection: the task decodes ONLY the requested columns
+    narrow = (
+        spark.read.format("managed")
+        .option("columns", "k,p").load(root)
+    )
+    assert narrow.columns == ["k", "p"]
+    assert sorted(map(tuple, narrow.collect())) == sorted(
+        (k, k % 3) for k in range(330) if k % 3 != 1
+    )
+    nr = ManagedSnapshotReader({"path": root}, narrow.schema)
+    parts = nr.partitions()
+    batches = list(nr.read(parts[0]))
+    assert batches and all(b.schema.names == ["k", "p"] for b in batches)
+
+    # the changes connector streams partition values too
+    feed = spark.read.format("managed_changes").load(root)
+    dels = feed.filter("_change_type = 'delete'")
+    assert dels.count() == 110
+    assert dels.filter("p is null or p != 1").count() == 0
+
+
+def test_managed_partitioned_optimistic_reference(spark, tmp_path):
+    """Optimistic DML on a partitioned reference-plane table: disjoint
+    partition deletes rebase, the layout survives, vacuum protects the
+    homes."""
+    root = str(tmp_path / "t")
+    t = ManagedTable(
+        spark, root, index_cols=("k",),
+        concurrency="optimistic", link_mode="reference",
+    )
+    df = _mk(spark, 0, 300).withColumn("p", F.col("k") % 3)
+    t.write(df.repartitionByRange(2, "k"), partition_cols=("p",))
+
+    plan = t._dml_plan(
+        1, "delete", F.col("p") == F.lit(0), None, ("p", 0, 0)
+    )
+    assert plan is not None
+    scan, touched, new_df, cdf = plan
+    assert all(f.startswith("p=0/") for f in scan)
+    v2 = t.delete_range("p", 1, 1)  # lands first, disjoint partition
+    assert v2 == 2
+    v3 = t._commit_cow_optimistic(
+        1, scan, touched, new_df, cdf, "delete",
+        pred_bounds=("p", 0, 0),
+    )
+    assert v3 == 3
+    got = t.read()
+    assert got.filter("p != 2").count() == 0
+    assert got.count() == 100
+    assert t.partition_cols_of(v3) == ("p",)
+    before = _rows(got)
+    t.vacuum(keep_last=1)  # referenced homes demote, bytes survive
+    from bigdatalab_spark.sources.managed import _manifest_rows
+
+    for r in _manifest_rows(os.path.join(root, "v=3")):
+        assert os.path.exists(
+            os.path.join(root, f"v={r['home']}", r["file"])
+        )
+    assert _rows(t.read()) == before
+
+
+def test_managed_view_scan_reuse_is_not_poisoned(spark, tmp_path):
+    """Regression: Spark 4.1 caches ONE partition list per Python
+    DataSource relation, overwritten by every filtered query's
+    pushdown and reused by later unfiltered queries — a filtered view
+    query must NOT make a later ``SELECT *`` on the same view serve
+    the pruned file list. Views register with pruning off; one-shot
+    ``load()`` relations keep plan-time pruning (each query loads
+    fresh)."""
+    root = str(tmp_path / "t")
+    t = ManagedTable(spark, root, index_cols=("k",))
+    t.write(
+        _mk(spark, 0, 900).repartitionByRange(6, "k").sortWithinPartitions("k")
+    )
+    t.create_view("reuse_v")
+    filtered = spark.sql(
+        "select count(*) from reuse_v where k between 0 and 99"
+    ).first()[0]
+    full = spark.sql("select count(*) from reuse_v").first()[0]
+    again = len(spark.sql("select * from reuse_v").collect())
+    assert (filtered, full, again) == (100, 900, 900)
+
+    # one-shot loads still prune at plan time
+    from bigdatalab_spark.sources.managed_snapshot import (
+        ManagedSnapshotReader,
+    )
+
+    snap = spark.read.format("managed").load(root)
+    r = ManagedSnapshotReader({"path": root}, snap.schema)
+    r.bounds = {"k": (0, 99)}
+    assert len(r.pruned_files()) < 6
+    assert snap.filter("k between 0 and 99").count() == 100
+
+
+def test_managed_zorder_three_columns(spark, tmp_path):
+    """compact(zorder_by=) generalizes past two columns: a 3-D Morton
+    layout must prune range predicates on EVERY listed dimension
+    strictly better than the unclustered layout it replaced."""
+    root = str(tmp_path / "t")
+    t = ManagedTable(spark, root, index_cols=("x", "y", "w"))
+    df = (
+        spark.range(0, 64 * 64)
+        .select(
+            (F.col("id") % 64).alias("x"),
+            ((F.col("id") * 7) % 64).alias("y"),
+            ((F.col("id") * 13) % 64).alias("w"),
+            F.col("id").alias("payload"),
+        )
+        .repartition(8)  # round-robin: every file spans all 3 ranges
+    )
+    t.write(df)
+    v2 = t.compact(target_file_rows=512, zorder_by=("x", "y", "w"))
+
+    for col in ("x", "y", "w"):
+        before = len(t.candidate_files(col, 0, 7, version=1))
+        after = len(t.candidate_files(col, 0, 7, version=v2))
+        n_before = len(_data_files(os.path.join(root, "v=1")))
+        n_after = len(_data_files(os.path.join(root, f"v={v2}")))
+        # unclustered: nothing prunes; z-ordered: the 1/8 slab prunes
+        assert before == n_before, f"{col}: unclustered should not prune"
+        assert after < n_after, f"{col}: z-order must prune"
+        got = _rows(t.pruned_read(col, 0, 7, version=v2))
+        want = _rows(t.read(v2).filter(F.col(col).between(0, 7)))
+        assert got == want
+
+    with pytest.raises(ValueError, match="at least two"):
+        t.compact(zorder_by=("x",))

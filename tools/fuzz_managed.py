@@ -58,9 +58,13 @@ def run_seed(spark, seed: int, n_ops: int) -> None:
     scratch = tempfile.mkdtemp(prefix=f"fuzz_managed_{seed}_")
     root = scratch + "/t"
     # odd seeds run the object-store data plane (manifest references,
-    # zero per-commit link syscalls); even seeds the hardlink plane —
-    # every op, invariant, and feed check below is plane-agnostic
+    # zero per-commit link syscalls); even seeds the hardlink plane;
+    # seeds ≡ 2,3 (mod 4) run a PARTITIONED layout (p = k mod 4, so
+    # every DML crosses partition directories) — every op, invariant,
+    # and feed check below is plane- and layout-agnostic
     link_mode = "reference" if seed % 2 else "hardlink"
+    partitioned = seed % 4 >= 2
+    pcols = ("p",) if partitioned else ()
     t = ManagedTable(spark, root, index_cols=("k",), link_mode=link_mode)
     cursor = t.cursor(scratch + "/pos")
 
@@ -68,13 +72,17 @@ def run_seed(spark, seed: int, n_ops: int) -> None:
 
     def mk(rows):
         if has_extra:
-            return spark.createDataFrame(
+            df = spark.createDataFrame(
                 [(k, v, e) for k, v, e in rows],
                 "k long, v double, extra long",
             )
-        return spark.createDataFrame(
-            [(k, v) for k, v, _ in rows], "k long, v double"
-        )
+        else:
+            df = spark.createDataFrame(
+                [(k, v) for k, v, _ in rows], "k long, v double"
+            )
+        if partitioned:
+            df = df.withColumn("p", F.col("k") % 4)
+        return df
 
     # model: key -> (v, extra); journal of model snapshots per version
     model: dict[int, tuple] = {}
@@ -88,7 +96,8 @@ def run_seed(spark, seed: int, n_ops: int) -> None:
 
     rows = fresh(rng.randint(20, 60))
     v = t.write(
-        mk(rows).repartitionByRange(2, "k").sortWithinPartitions("k")
+        mk(rows).repartitionByRange(2, "k").sortWithinPartitions("k"),
+        partition_cols=pcols,
     )
     for k, val, e in rows:
         model[k] = (val, e)

@@ -21,7 +21,14 @@ holding the DML delta fixed:
 - ``plan_ms``: time to produce the latest version's file list
   (manifest read) — metadata-sized at every N.
 
-Usage: python -m tools.manifest_bench [--grid=8,80,800] [--rows-per-file=50]
+Round 11 adds the REFERENCE data plane (link_mode='reference'): the
+same grid runs with manifest-pointer carries (zero per-file syscalls
+per commit) and additionally times the OPTIMISTIC commit critical
+section — the claim is that with references the section does only
+O(delta) work, so its wall time is flat while live files grow 100x.
+
+Usage: python -m tools.manifest_bench [--grid=8,80,800]
+       [--rows-per-file=50] [--modes=hardlink,reference]
 Output: one JSON line.
 """
 
@@ -43,21 +50,43 @@ def main() -> int:
 
     grid = [8, 80, 800]
     rows_per_file = 50
+    modes = ["hardlink", "reference"]
     for arg in sys.argv[1:]:
         if arg.startswith("--grid="):
             grid = [int(x) for x in arg.split("=", 1)[1].split(",")]
         elif arg.startswith("--rows-per-file="):
             rows_per_file = int(arg.split("=", 1)[1])
+        elif arg.startswith("--modes="):
+            modes = arg.split("=", 1)[1].split(",")
 
     spark = get_session(app_name="manifest-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # time the optimistic commit critical section from the inside
+    import contextlib
+
+    orig_section = ManagedTable._commit_section
+    section_secs: list[float] = []
+
+    @contextlib.contextmanager
+    def timed_section(self, what, timeout=None):
+        t0 = time.perf_counter()
+        with orig_section(self, what, timeout):
+            yield
+        section_secs.append(time.perf_counter() - t0)
+
+    ManagedTable._commit_section = timed_section
+
     scratch = tempfile.mkdtemp(prefix="manifest_bench_")
     results = {}
     try:
+      for mode in modes:
+        results[mode] = {}
         for n_files in grid:
-            root = os.path.join(scratch, f"t{n_files}")
-            t = ManagedTable(spark, root, index_cols=("k",))
+            root = os.path.join(scratch, f"t_{mode}_{n_files}")
+            t = ManagedTable(
+                spark, root, index_cols=("k",), link_mode=mode
+            )
             n_rows = n_files * rows_per_file
             base = (
                 spark.range(n_rows)
@@ -74,16 +103,17 @@ def main() -> int:
             t0 = time.perf_counter()
             t.delete_range("k", 0, rows_per_file // 2)
             delete_sec = time.perf_counter() - t0
-            vdir = os.path.join(root, f"v={t.latest()}")
             prev = os.path.join(root, "v=1")
             prev_inodes = {
                 os.stat(os.path.join(prev, f)).st_ino
                 for f in _data_files(prev)
             }
+            # resolve through the manifest homes: under the reference
+            # plane carried files live in their ORIGINAL version dirs
             fresh = [
-                f
-                for f in _data_files(vdir)
-                if os.stat(os.path.join(vdir, f)).st_ino not in prev_inodes
+                r["file"]
+                for r in t._rows_of(t.latest())
+                if os.stat(r["abs"]).st_ino not in prev_inodes
             ]
 
             one = (
@@ -102,31 +132,54 @@ def main() -> int:
             files = _data_files(os.path.join(root, f"v={t.latest()}"))
             plan_ms = (time.perf_counter() - t2) * 1000
 
-            results[str(n_files)] = {
+            # optimistic delete: the critical section should be
+            # O(delta) — with references, zero per-file syscalls
+            topt = ManagedTable(
+                spark, root, index_cols=("k",),
+                concurrency="optimistic", link_mode=mode,
+            )
+            section_secs.clear()
+            topt.delete_range(
+                "k", rows_per_file, rows_per_file + rows_per_file // 2
+            )
+            commit_section_sec = sum(section_secs)
+
+            results[mode][str(n_files)] = {
                 "live_files": live,
                 "delete_sec": round(delete_sec, 3),
                 "files_rewritten": len(fresh),
                 "append_sec": round(append_sec, 3),
                 "plan_ms": round(plan_ms, 2),
                 "planned_files": len(files),
+                "optimistic_commit_section_sec": round(
+                    commit_section_sec, 4
+                ),
             }
     finally:
+        ManagedTable._commit_section = orig_section
         shutil.rmtree(scratch, ignore_errors=True)
 
     lo, hi = str(grid[0]), str(grid[-1])
-    summary = {
-        "metric": "managed_commit_vs_live_file_count",
-        "grid": results,
-        "delete_ratio_hi_over_lo": round(
-            results[hi]["delete_sec"] / results[lo]["delete_sec"], 2
-        ),
-        "append_ratio_hi_over_lo": round(
-            results[hi]["append_sec"] / results[lo]["append_sec"], 2
-        ),
-        "file_count_ratio": round(
-            results[hi]["live_files"] / results[lo]["live_files"], 1
-        ),
-    }
+    summary = {"metric": "managed_commit_vs_live_file_count"}
+    for mode in modes:
+        r = results[mode]
+        summary[mode] = {
+            "grid": r,
+            "delete_ratio_hi_over_lo": round(
+                r[hi]["delete_sec"] / r[lo]["delete_sec"], 2
+            ),
+            "append_ratio_hi_over_lo": round(
+                r[hi]["append_sec"] / r[lo]["append_sec"], 2
+            ),
+            "commit_section_ratio_hi_over_lo": round(
+                r[hi]["optimistic_commit_section_sec"]
+                / max(r[lo]["optimistic_commit_section_sec"], 1e-9),
+                2,
+            ),
+            "file_count_ratio": round(
+                r[hi]["live_files"] / r[lo]["live_files"], 1
+            ),
+        }
     print(json.dumps(summary))
     return 0
 
