@@ -1648,7 +1648,12 @@ class ManagedTable:
         one multi-path scan; partitioned layouts group by home version
         (one ``basePath`` per group, so partition-column values are
         parsed from the directory names) and union — the group count
-        is bounded by the lineage length, never the file count.
+        is bounded by the lineage length, never the file count. A
+        reference table accumulating hundreds of DML commits between
+        compactions accumulates that many homes (and union branches on
+        partitioned reads): periodic ``compact()`` collapses every
+        file back to one self-homed version, the same cadence guidance
+        as a table format's checkpointing.
         ``with_path`` appends a ``__path`` column = the scan's
         ``_metadata.file_path`` (projected INSIDE each branch — the
         pseudo-column does not exist above a Union)."""
