@@ -252,9 +252,13 @@ def main() -> int:
             return 2
         json_path = argv[i + 1]
         del argv[i : i + 2]
+    restart_every = 0
     for a in list(argv):
         if a.startswith("--max-collect="):
             max_collect = int(a.split("=", 1)[1])
+            argv.remove(a)
+        elif a.startswith("--restart-every="):
+            restart_every = int(a.split("=", 1)[1])
             argv.remove(a)
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     names = argv[1:] or list(REGISTRY)
@@ -266,7 +270,19 @@ def main() -> int:
     con = duckdb_connection(sf_dir)
     failed = 0
     results: dict[str, dict] = {}
-    for name in names:
+    for qi, name in enumerate(names):
+        if restart_every and qi and qi % restart_every == 0:
+            # long sf1 sweeps accumulate JVM pressure a clearCache
+            # cannot release (codegen classes, broadcasts, statestore
+            # providers); recycling the session every N queries keeps
+            # every verdict real in ONE sequential pass — no chunked
+            # artifacts, no log recovery
+            spark.stop()
+            from pyspark.sql import SparkSession
+
+            SparkSession._instantiatedSession = None
+            SparkSession._activeSession = None
+            spark = get_session(app_name="oracle-check")
         try:
             problems, mode = check_query(
                 spark, con, name, sf_dir, max_collect=max_collect
