@@ -133,6 +133,62 @@ def _partition_values(rel: str) -> dict[str, str | None]:
     return out
 
 
+def _cast_partition_value(raw: str, like):
+    """A directory-segment partition value cast to the type of
+    ``like`` (a predicate bound), SOUNDLY: ``bool`` is parsed rather
+    than constructed (``bool("false")`` is True — the builtin is a
+    truthiness test, not a parser), date/datetime go through
+    ``fromisoformat``, numerics/strings through their constructors.
+    Raises ``ValueError`` on any ambiguity so callers keep the file as
+    a candidate — partition pruning feeds DML attribution
+    (``delete_range``/``update_range``), where dropping a file that
+    actually holds matching rows is a correctness bug, not a missed
+    optimization."""
+    import datetime
+
+    t = type(like)
+    if t is bool:
+        low = raw.strip().lower()
+        if low not in ("true", "false"):
+            raise ValueError(f"ambiguous boolean partition value {raw!r}")
+        return low == "true"
+    if t is datetime.datetime:  # before date: datetime subclasses date
+        return datetime.datetime.fromisoformat(raw)
+    if t is datetime.date:
+        return datetime.date.fromisoformat(raw)
+    return t(raw)
+
+
+def _typed_partition_value(raw: str | None, dtype):
+    """A directory-segment partition value as a Python value of the
+    STORED Spark type ``dtype`` (None = the Hive NULL sentinel, or an
+    unknown type — callers stamp NULL). Used to materialize partition
+    columns for scans over the physical files, which omit them."""
+    if raw is None or dtype is None:
+        return None
+    import datetime
+
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.BooleanType):
+        return raw.strip().lower() == "true"
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return int(raw)
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return float(raw)
+    if isinstance(dtype, T.DecimalType):
+        from decimal import Decimal
+
+        return Decimal(raw)
+    if isinstance(dtype, T.DateType):
+        return datetime.date.fromisoformat(raw)
+    if isinstance(dtype, T.TimestampType):
+        return datetime.datetime.fromisoformat(raw)
+    if isinstance(dtype, T.StringType):
+        return raw
+    return None
+
+
 def _walk_data_files(vdir: str) -> list[str]:
     """Relative paths of a directory's parquet data files by LISTING
     (walk, so partitioned layouts work); ``_index`` and other
@@ -398,26 +454,14 @@ class ManagedTable:
         tombstone, the version disappears from :meth:`versions` (no
         time travel, no rollback target: it IS vacuumed, and appears
         in the returned list), and the bytes stay on disk until the
-        last referencing manifest is itself vacuumed."""
+        last referencing manifest is itself vacuumed. The protect set
+        is computed INSIDE ``_vacuum_locked`` (versioned.py
+        ``_referenced_homes``), so the bare module-level ``vacuum()``
+        on the same path is exactly as safe as this method."""
         from bigdatalab_spark.sources.versioned import _vacuum_locked
 
         with dataset_write_lock(self.path, "managed_vacuum"):
-            retained = (
-                set(list_versions(self.path)[-keep_last:])
-                if keep_last > 0
-                else set()
-            )
-            current = latest_version(self.path)
-            if current is not None:
-                retained.add(current)
-            protect: set[int] = set()
-            for v in retained:
-                rows = _manifest_rows(_version_dir(self.path, v))
-                if rows:
-                    protect |= {r["home"] for r in rows}
-            return _vacuum_locked(
-                self.path, keep_last, protect=protect - retained
-            )
+            return _vacuum_locked(self.path, keep_last)
 
     # ---- commit protocol -------------------------------------------------
 
@@ -1188,14 +1232,18 @@ class ManagedTable:
         vacuum does not mistake it for crash debris.
 
         The stamp must exist from the directory's FIRST visible
-        instant: a vacuum landing between mkdir and the stamp write
-        would see a stamp-less ``_txn_`` dir and rmtree a live
-        transaction. So the dir is built under a dot-prefixed scratch
-        name (invisible to vacuum and every reader), stamped, and
-        RENAMED into the ``_txn_`` namespace — atomic, so vacuum only
-        ever sees fully-stamped transaction dirs. Dot-prefixed debris
-        from a crash mid-setup is cleaned by vacuum via the same
-        dead-pid stamp check."""
+        instant in the ``_txn_`` namespace: a vacuum landing between
+        mkdir and the stamp write would see a stamp-less ``_txn_``
+        dir and rmtree a live transaction. So the dir is built under
+        a dot-prefixed scratch name, stamped, and RENAMED into the
+        ``_txn_`` namespace — atomic, so vacuum only ever sees
+        fully-stamped transaction dirs there. The scratch namespace
+        itself has the same mkdir→stamp window; vacuum closes it with
+        an AGE gate (versioned.py ``_SETUP_GRACE_S``): a stampless
+        ``.txn_setup_`` dir younger than the grace period is a live
+        writer mid-setup and is skipped, while genuinely crashed
+        debris ages past it and is swept (stamped debris is cleaned
+        by the usual dead-pid check regardless of age)."""
         import uuid
 
         from bigdatalab_spark.sources.locks import _stamp
@@ -1880,7 +1928,7 @@ class ManagedTable:
                     keep.add(rel)
                     continue
                 try:
-                    val = type(lo)(raw)
+                    val = _cast_partition_value(raw, lo)
                 except (TypeError, ValueError):
                     keep.add(rel)
                     continue
@@ -2127,19 +2175,69 @@ class ManagedTable:
         removed (sources/skipping.py rowgroup_pruned_read, bound to a
         committed snapshot). The committed invariant guarantees the
         index covers every file of the version, so the scan can trust
-        it outright — no live-listing reconciliation needed."""
+        it outright — no live-listing reconciliation needed.
+
+        Partitioned snapshots: partition-column values live in the
+        DIRECTORY names, not the physical files (and the row-group
+        index has no stats for them), so predicates on partition
+        columns prune the FILE list exactly (typed directory-name
+        compare, same soundness rules as :meth:`candidate_files`) and
+        the kernel stamps each kept file's partition values as
+        constant columns — the read returns the full stored schema,
+        never NULL-padded partition columns."""
         from bigdatalab_spark.sources.skipping import (
             rowgroup_pruned_read as _rg_read,
         )
 
         v = self._resolve(version)
         vdir = _version_dir(self.path, v)
+        schema = self.stored_schema(v)
+        rows = self._rows_of(v)
+        pcols = self.partition_cols_of(v)
+        part_preds = [p for p in preds if p[0] in pcols]
+        data_preds = [p for p in preds if p[0] not in pcols]
+        constants = None
+        if pcols:
+            dtypes = (
+                {f.name: f.dataType for f in schema.fields}
+                if schema is not None
+                else {}
+            )
+            kept, constants = [], {}
+            for r in rows:
+                vals = _partition_values(r["file"])
+                keep = True
+                for col, lo, hi in part_preds:
+                    raw = vals.get(col)
+                    if raw is None:
+                        # Hive NULL sentinel (or legacy flat file):
+                        # stays a candidate; the re-applied filter
+                        # decides (NULL fails BETWEEN)
+                        continue
+                    try:
+                        val = _cast_partition_value(raw, lo)
+                    except (TypeError, ValueError):
+                        continue  # unparseable: stays a candidate
+                    if not (lo <= val <= hi):
+                        keep = False
+                        break
+                if keep:
+                    kept.append(r)
+                    constants[r["abs"]] = {
+                        c: _typed_partition_value(
+                            vals.get(c), dtypes.get(c)
+                        )
+                        for c in pcols
+                        if c in vals
+                    }
+            rows = kept
         # resolve each index row's relative name to the file's HOME
         # directory (reference data plane) via a broadcast of the
         # metadata-sized rel→abs map; self-homed tables resolve to
-        # vdir exactly as before
+        # vdir exactly as before — partition-pruned files drop out of
+        # the inner join, so their row groups are never planned
         paths = self.spark.createDataFrame(
-            [(r["file"], r["abs"]) for r in self._rows_of(v)],
+            [(r["file"], r["abs"]) for r in rows],
             "file string, __abs string",
         )
         idx = (
@@ -2148,10 +2246,23 @@ class ManagedTable:
             .withColumn("file", F.col("__abs"))
             .drop("__abs")
         )
-        return _rg_read(
-            self.spark, vdir, idx, preds, columns,
-            schema=self.stored_schema(v),
+        # the re-applied partition predicates need their columns in
+        # the scan (stamped constants — free); a projection that
+        # excludes them re-projects after the filter
+        want = list(columns) if columns else None
+        if want is not None:
+            for col, _lo, _hi in part_preds:
+                if col not in want:
+                    want.append(col)
+        df = _rg_read(
+            self.spark, vdir, idx, data_preds, want,
+            schema=schema, constants=constants,
         )
+        for col, lo, hi in part_preds:
+            df = df.filter(F.col(col).between(lo, hi))
+        if columns and want != list(columns):
+            df = df.select(*columns)
+        return df
 
     # ---- internals ---------------------------------------------------------
 

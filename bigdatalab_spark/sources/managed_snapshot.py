@@ -73,6 +73,7 @@ from pyspark.sql.datasource import (
     LessThanOrEqual,
 )
 
+from bigdatalab_spark.sources.managed import _cast_partition_value
 from bigdatalab_spark.sources.managed_stream import (
     _constants_of,
     _files_of,
@@ -227,7 +228,9 @@ class ManagedSnapshotReader(DataSourceReader):
                         continue  # not a partition col here, or NULL
                     probe = lo if lo is not None else hi
                     try:
-                        val = type(probe)(raw)
+                        # sound typed cast (bool("false") is True —
+                        # never prune through the bool constructor)
+                        val = _cast_partition_value(raw, probe)
                     except (TypeError, ValueError):
                         continue  # unparseable: stays a candidate
                     if (lo is not None and val < lo) or (

@@ -339,6 +339,7 @@ def rowgroup_pruned_read(
     preds: list[tuple],
     columns: list[str] | None = None,
     schema=None,
+    constants: dict[str, dict] | None = None,
 ) -> DataFrame:
     """Scan ONLY the candidate row groups (then re-apply the predicate
     — pruning narrows I/O, the filter stays the source of truth).
@@ -350,10 +351,18 @@ def rowgroup_pruned_read(
     zero-copy via ``mapInArrow``. The kernel never opens a
     non-candidate file and never decodes a non-candidate row group —
     at 100 TB that is the I/O the file-level index leaves on the
-    table."""
+    table.
+
+    ``constants`` maps a file path (as it appears in the index's
+    ``file`` column) to {column: typed value} to STAMP as a constant
+    array — partition-column values a partitioned layout stores in
+    directory names, not in the physical files (the caller must NOT
+    pass predicates on those columns in ``preds``; the index has no
+    stats for them)."""
     import json
 
     cand = candidate_rowgroups(index, preds)
+    consts_all = constants or {}
     # an explicit schema (the managed facade's stored snapshot schema)
     # avoids inferring from the directory — under the reference data
     # plane the version dir holds only the commit's delta files
@@ -380,17 +389,30 @@ def rowgroup_pruned_read(
             for fname, rgs_json in zip(files, lists):
                 pf = pq.ParquetFile(fname)
                 have = set(pf.schema_arrow.names)
-                want = [c for c in out_cols if c in have]
+                consts = consts_all.get(fname, {})
+                want = [
+                    c for c in out_cols if c in have and c not in consts
+                ]
                 tbl = pf.read_row_groups(
                     json.loads(rgs_json), columns=want
                 )
-                # align to the table schema: add schema-evolution NULL
-                # columns, fix order, cast arrow types to Spark's
+                # align to the table schema: stamp partition-column
+                # constants, add schema-evolution NULL columns, fix
+                # order, cast arrow types to Spark's
                 import pyarrow as pa
 
                 arrays = []
                 for fld in target:
-                    if fld.name in tbl.column_names:
+                    if fld.name in consts:
+                        val = consts[fld.name]
+                        arrays.append(
+                            pa.nulls(len(tbl), fld.type)
+                            if val is None
+                            else pa.array(
+                                [val] * len(tbl), type=fld.type
+                            )
+                        )
+                    elif fld.name in tbl.column_names:
                         arrays.append(
                             tbl.column(fld.name).cast(fld.type)
                         )

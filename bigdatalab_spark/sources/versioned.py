@@ -43,6 +43,11 @@ _MARKER = "_COMMITTED"
 #: a committed version (invisible to list_versions / rollback / time
 #: travel); it is physical storage awaiting its last reference.
 _HOMEONLY = "_HOMEONLY"
+#: grace period before vacuum treats a STAMPLESS ``.txn_setup_``
+#: scratch dir as crash debris: a live optimistic writer is between
+#: mkdir and its ``_RESERVED`` stamp write for microseconds — any
+#: stampless dir older than this really did crash mid-setup.
+_SETUP_GRACE_S = 60.0
 
 
 def _version_dir(path: str, version: int) -> str:
@@ -176,33 +181,84 @@ def _reserved_live(vdir: str) -> bool:
     return not _pid_gone(pid)
 
 
+def _referenced_homes(path: str, retained: set[int]) -> set[int]:
+    """Versions whose directories physically HOME files referenced by
+    the RETAINED versions' manifests (the managed facade's reference
+    data plane) — deleting those directories would destroy live data
+    of surviving versions. Driver-side pyarrow read of one manifest
+    column, metadata-sized; manifests predating the ``home`` column
+    are self-homed by construction and contribute nothing beyond
+    their own (retained) version."""
+    import pyarrow.parquet as pq
+
+    homes: set[int] = set()
+    for v in retained:
+        d = os.path.join(_version_dir(path, v), "_manifest")
+        if not os.path.isdir(d):
+            continue
+        for part in sorted(os.listdir(d)):
+            if not part.endswith(".parquet") or part.startswith(("_", ".")):
+                continue
+            f = os.path.join(d, part)
+            if "home" not in pq.read_schema(f).names:
+                continue
+            homes |= {
+                h
+                for h in pq.read_table(f, columns=["home"])
+                .column("home")
+                .to_pylist()
+                if h is not None
+            }
+    return homes
+
+
 def _vacuum_locked(
     path: str, keep_last: int, protect: set[int] | None = None
 ) -> list[int]:
     """``protect`` names version directories that physically HOME
     files surviving manifests still reference (the managed facade's
     reference data plane) — deleting them would destroy live data of
-    newer versions. A protected directory beyond the retention window
-    is DEMOTED instead of deleted: its ``_COMMITTED`` marker becomes a
-    ``_HOMEONLY`` tombstone, so it stops being a version (no time
-    travel, no rollback target — the version IS vacuumed, and counts
-    in the returned list) while its bytes stay on disk until the last
+    newer versions. The retained versions' manifest homes are ALWAYS
+    added to the protect set here (``_referenced_homes``), so the bare
+    module-level :func:`vacuum` is exactly as safe on a
+    reference-plane managed table as the facade's own entry point;
+    ``protect`` lets callers widen the set further. A protected
+    directory beyond the retention window is DEMOTED instead of
+    deleted: its ``_COMMITTED`` marker becomes a ``_HOMEONLY``
+    tombstone, so it stops being a version (no time travel, no
+    rollback target — the version IS vacuumed, and counts in the
+    returned list) while its bytes stay on disk until the last
     referencing manifest is itself vacuumed."""
     import shutil
+    import time
 
     keep = set(list_versions(path)[-keep_last:]) if keep_last > 0 else set()
     current = latest_version(path)
     if current is not None:
         keep.add(current)
     protect = set(protect) if protect else set()
+    protect |= _referenced_homes(path, keep) - keep
     removed = []
     for e in list(os.listdir(path)):
         if e.startswith(".txn_setup_"):
             # a crashed writer's mid-setup scratch (managed.py
-            # _allocate_staging renames these into _txn_ once stamped);
-            # same dead-pid attribution as _txn_ dirs
-            if not _reserved_live(os.path.join(path, e)):
-                shutil.rmtree(os.path.join(path, e))
+            # _allocate_staging renames these into _txn_ once
+            # stamped); same dead-pid attribution as _txn_ dirs. A
+            # STAMPLESS dir younger than the grace period is a LIVE
+            # writer between mkdir and its stamp write — skip it;
+            # genuine crash debris ages past the grace and is swept
+            # on a later vacuum.
+            full = os.path.join(path, e)
+            if _reserved_live(full):
+                continue
+            if not os.path.exists(os.path.join(full, "_RESERVED")):
+                try:
+                    age = time.time() - os.stat(full).st_mtime
+                except FileNotFoundError:
+                    continue  # renamed into _txn_ mid-scan: live
+                if age < _SETUP_GRACE_S:
+                    continue
+            shutil.rmtree(full)
             continue
         if e.startswith("_txn_"):
             # an OPTIMISTIC transaction's staging dir: its writer is

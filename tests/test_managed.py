@@ -2107,3 +2107,124 @@ def test_managed_zorder_three_columns(spark, tmp_path):
 
     with pytest.raises(ValueError, match="at least two"):
         t.compact(zorder_by=("x",))
+
+
+def test_managed_rowgroup_pruned_read_on_partitioned_snapshot(spark, tmp_path):
+    """Round-11 advice: rowgroup_pruned_read on a PARTITIONED snapshot
+    must stamp partition-column values from the directory names (the
+    physical files omit them) — never NULL-pad them — and a predicate
+    on a partition column must prune the FILE list exactly instead of
+    consulting the row-group index (which has no stats for partition
+    columns and would return zero rows)."""
+    t = ManagedTable(
+        spark, str(tmp_path / "t"), index_cols=("k",), rowgroup_index=True
+    )
+    t.write(
+        _mk(spark, 0, 100),
+        partition_cols=("tag",),
+        writer_options={"parquet.block.size": 1 << 16},
+    )
+    want_all = sorted([(k, k * 2.0, str(k % 7)) for k in range(100)])
+
+    # no partition predicate: values stamped, never NULL
+    got = _rows(t.rowgroup_pruned_read([("k", 10, 39)]))
+    assert got == [r for r in want_all if 10 <= r[0] <= 39]
+    assert all(r[2] is not None for r in got)
+
+    # predicate ON the partition column: exact directory pruning
+    got = _rows(t.rowgroup_pruned_read([("tag", "3", "3")]))
+    assert got == [r for r in want_all if r[2] == "3"] and got
+
+    # conjunction: row-group pruning on k ∧ partition pruning on tag
+    got = _rows(t.rowgroup_pruned_read([("k", 0, 50), ("tag", "2", "2")]))
+    assert got == [
+        r for r in want_all if r[0] <= 50 and r[2] == "2"
+    ] and got
+
+    # projection EXCLUDING the partition predicate column stays correct
+    got = _rows(t.rowgroup_pruned_read([("tag", "4", "4")], columns=["k"]))
+    assert got == [(r[0],) for r in want_all if r[2] == "4"] and got
+
+
+def test_bare_vacuum_protects_reference_homes(spark, tmp_path):
+    """Round-11 advice: the MODULE-LEVEL vacuum() (no protect arg) on
+    a reference-plane managed table must demote — never delete —
+    version directories that still home files referenced by retained
+    manifests; the protect set is computed inside _vacuum_locked."""
+    from bigdatalab_spark.sources import versioned
+    from bigdatalab_spark.sources.managed import _manifest_rows
+
+    root = str(tmp_path / "t")
+    t = ManagedTable(spark, root, index_cols=("k",), link_mode="reference")
+    t.write(
+        _mk(spark, 0, 300).repartitionByRange(3, "k").sortWithinPartitions("k")
+    )
+    t.delete_range("k", 0, 9)  # v2 carries the untouched files by reference
+    homes = {r["home"] for r in _manifest_rows(os.path.join(root, "v=2"))}
+    assert homes - {2}, "test needs carried-by-reference files"
+
+    removed = versioned.vacuum(root, keep_last=1)
+    assert removed == [1]
+    # v=1 was DEMOTED (it homes live rows of v=2), not rmtree'd
+    assert os.path.isdir(os.path.join(root, "v=1"))
+    assert os.path.exists(os.path.join(root, "v=1", "_HOMEONLY"))
+    assert not os.path.exists(os.path.join(root, "v=1", "_COMMITTED"))
+    assert _rows(t.read()) == sorted(
+        [(k, k * 2.0, str(k % 7)) for k in range(10, 300)]
+    )
+
+
+def test_vacuum_grace_for_stampless_setup_scratch(spark, tmp_path):
+    """Round-11 advice: vacuum must NOT rmtree a stampless
+    .txn_setup_ dir younger than the grace period (a live optimistic
+    writer sits between mkdir and its _RESERVED stamp write); aged
+    stampless debris is still swept."""
+    import time
+
+    from bigdatalab_spark.sources import versioned
+
+    root = str(tmp_path / "t")
+    t = ManagedTable(spark, root, index_cols=("k",))
+    t.write(_mk(spark, 0, 10, parts=1))
+
+    young = os.path.join(root, ".txn_setup_live")
+    os.mkdir(young)
+    assert versioned.vacuum(root, keep_last=1) == []
+    assert os.path.isdir(young), "mid-setup writer must survive vacuum"
+
+    old_ts = time.time() - 2 * versioned._SETUP_GRACE_S
+    os.utime(young, (old_ts, old_ts))
+    versioned.vacuum(root, keep_last=1)
+    assert not os.path.exists(young), "aged stampless debris is debris"
+
+
+def test_partition_pruning_sound_for_boolean_columns(spark, tmp_path):
+    """Round-11 advice: bool("false") is True — partition-value casts
+    must PARSE booleans, or candidate_files (which feeds DML
+    attribution) and the snapshot connector's partition pruning would
+    drop files that hold matching rows."""
+    from bigdatalab_spark.sources.pyds import register_python_sources
+
+    t = ManagedTable(spark, str(tmp_path / "t"), index_cols=("k",))
+    df = spark.range(0, 20).select(
+        F.col("id").alias("k"), (F.col("id") % 2 == 0).alias("flag")
+    )
+    t.write(df, partition_cols=("flag",))
+
+    cand_false = t.candidate_files("flag", False, False)
+    assert cand_false and all(
+        r.startswith("flag=false/") for r in cand_false
+    )
+    cand_true = t.candidate_files("flag", True, True)
+    assert cand_true and all(r.startswith("flag=true/") for r in cand_true)
+
+    # the snapshot connector's plan-time partition pruning, same rule
+    register_python_sources(spark)
+    got = (
+        spark.read.format("managed")
+        .load(str(tmp_path / "t"))
+        .filter(F.col("flag") == False)  # noqa: E712 — pushed filter
+    )
+    assert sorted(r["k"] for r in got.collect()) == [
+        i for i in range(20) if i % 2 == 1
+    ]
