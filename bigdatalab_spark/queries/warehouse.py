@@ -631,7 +631,9 @@ def managed_partitioned_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from bigdatalab_spark.operators import money_sum
     from bigdatalab_spark.sources.managed import ManagedTable
+    from bigdatalab_spark.sources.pyds import register_python_sources
 
+    register_python_sources(spark)  # the managed_changes feed below
     base = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
@@ -678,3 +680,65 @@ def managed_partitioned_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("feed").alias("surface"), "kind", "n_rows", "sum_value")
     )
     return snap.unionByName(feed).orderBy("surface", "kind")
+
+
+@query(
+    "managed_catalog_table",
+    ids=("SCALE-STORAGE", "S10", "K9"),
+    oracle="""
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(CAST(sum(CAST(value AS DECIMAL(28,6))) AS STRING)
+                    AS DOUBLE) AS sum_value
+        FROM events
+        WHERE NOT (user_id BETWEEN 5 AND 14)
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def managed_catalog_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's catalog idiom — ``saveAsTable`` then
+    ``spark.table("geo")`` / ``DROP TABLE`` (303-spark-sql/
+    README.md:42-48) — answered by :class:`ManagedCatalog`
+    (sources/catalog.py) over a versioned managed table, with NO path
+    plumbing at the query site: CREATE TABLE seeds v=1, a DELETE runs
+    through the facade's indexed attribution, ``bind`` refreshes the
+    SQL surface, and the answer reads through ``spark.table(name)`` —
+    a NATIVE parquet scan (Catalyst column pruning + parquet filter
+    pushdown), never the Python DataSource path. The oracle replays
+    the lifecycle as a plain anti-range aggregate over raw events."""
+    import os
+    import shutil
+    import tempfile
+
+    from bigdatalab_spark.operators import money_sum
+    from bigdatalab_spark.sources.catalog import ManagedCatalog
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "bigdatalab_managed_catalog",
+        os.path.basename(sf_dir.rstrip("/")) or "sf",
+    )
+    shutil.rmtree(root, ignore_errors=True)  # scratch: rebuild per run
+    cat = ManagedCatalog(spark, root)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    cat.create_table(
+        "bigdatalab_cat_events",
+        df=events.repartitionByRange(4, "user_id").sortWithinPartitions(
+            "user_id"
+        ),
+        index_cols=("user_id",),
+    )
+    cat.table("bigdatalab_cat_events").delete_range("user_id", 5, 14)
+    cat.bind("bigdatalab_cat_events")  # follow the pointer post-DML
+    return (
+        spark.table("bigdatalab_cat_events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum("value").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -2116,31 +2116,28 @@ class ManagedTable:
         version: int | None = None,
         columns: list[str] | None = None,
     ) -> str:
-        """Register a pinned snapshot as a temp view read THROUGH the
-        ``managed`` connector (sources/managed_snapshot.py), so plain
-        ``spark.sql`` queries it with plan-time index pruning — the
-        reference's catalog read (``select * from geo``,
-        303-spark-sql/README.md:46-48) upgraded to versioned
-        semantics. The view stays pinned to the resolved version even
-        if the pointer moves later. ``columns`` narrows the view's
-        declared schema so tasks decode only those parquet columns
-        (the connector API pushes filters, not projections — a bare
-        ``SELECT a`` on an unrestricted view still reads full width)."""
-        from bigdatalab_spark.sources.pyds import register_python_sources
-
-        register_python_sources(self.spark)
+        """Register a pinned snapshot as a temp view over a NATIVE
+        parquet scan — the reference's catalog read (``select * from
+        geo``, 303-spark-sql/README.md:46-48) upgraded to versioned
+        semantics. Bare ``spark.sql`` on the view gets real Catalyst
+        column pruning (``ReadSchema`` shrinks to the SELECT list),
+        parquet filter pushdown (``PushedFilters`` → footer min/max
+        row-group skipping at execution — the same stats the managed
+        index stores), and directory-level partition pruning, with
+        none of the Python DataSource scan-cache hazard that forced
+        round-11 views to ``pruning=off``. The physical paths resolve
+        driver-side through the version's MANIFEST at registration
+        (:meth:`read`), so the view stays pinned to the resolved
+        version even if the pointer moves later; one-shot
+        ``spark.read.format("managed").load()`` readers keep the
+        connector's plan-time index pruning. ``columns`` narrows the
+        view's declared shape (a schema contract — Catalyst prunes
+        the scan to the queried columns regardless)."""
         v = self._resolve(version)
-        reader = self.spark.read.format("managed").option("versionAsOf", v)
+        df = self.read(v)
         if columns:
-            reader = reader.option("columns", ",".join(columns))
-        # pruning=off: a temp view is a LONG-LIVED relation queried
-        # many times, and Spark 4.1 caches one partition list per
-        # relation that each filtered query's pushdown overwrites — a
-        # pruned plan would leak into later unfiltered view queries
-        # (see the connector's module docstring). Views trade the
-        # plan-time file skip for correctness; one-shot load() readers
-        # keep it.
-        reader.option("pruning", "off").load(self.path).createOrReplaceTempView(name)
+            df = df.select(*columns)
+        df.createOrReplaceTempView(name)
         return name
 
     def cursor(self, cursor_path: str) -> "ChangeFeedCursor":

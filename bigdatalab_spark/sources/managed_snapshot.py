@@ -41,18 +41,20 @@ pushable filters reuse whatever is cached — so a relation queried
 with a filter once would serve that pruned file list to a later full
 scan. Therefore: plan-time pruning is only enabled for the
 one-relation-one-query pattern (a fresh ``load()`` per query, which
-is how the engine's own surfaces call it); ``ManagedTable.create_view``
-registers its long-lived relation with ``.option("pruning", "off")``,
-which makes ``pushFilters`` fold nothing — every view query scans the
-full (correct) file list and Spark re-applies the filters above the
-scan.
+is how the engine's own surfaces call it). Long-lived relations
+(``ManagedTable.create_view``) do not use this connector at all —
+they register a NATIVE parquet scan over the manifest-resolved paths,
+which gives bare SQL Catalyst column pruning + parquet filter
+pushdown and has no per-relation cache hazard. The ``pruning=off``
+option remains for any caller that must hold a long-lived connector
+relation.
 
 Projection: the Python DataSource API pushes FILTERS but not
-projections, so a bare ``SELECT a FROM view`` still reads every
-column of the kept files. An EXPLICIT ``.option("columns", "a,b")``
-(or ``create_view(..., columns=[...])``) narrows the declared schema,
-and the task then decodes only those parquet columns — the narrow-scan
-escape hatch until the API grows projection pushdown.
+projections, so a bare ``SELECT a`` through this connector reads
+every column of the kept files. An EXPLICIT ``.option("columns",
+"a,b")`` narrows the declared schema, and the task then decodes only
+those parquet columns — the narrow-scan escape hatch until the API
+grows projection pushdown (native-scan views don't need it).
 """
 
 from __future__ import annotations

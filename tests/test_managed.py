@@ -2228,3 +2228,91 @@ def test_partition_pruning_sound_for_boolean_columns(spark, tmp_path):
     assert sorted(r["k"] for r in got.collect()) == [
         i for i in range(20) if i % 2 == 1
     ]
+
+
+def test_managed_view_native_scan_pushdown(spark, tmp_path):
+    """Round-12: create_view registers a NATIVE parquet relation, so
+    bare SQL on a managed view gets Catalyst column pruning (pruned
+    ReadSchema) and parquet filter pushdown (PushedFilters) — neither
+    of which the Python DataSource surface could provide — and stays
+    pinned to the resolved version. Covers flat reference-plane and
+    partitioned layouts."""
+    root = str(tmp_path / "t")
+    t = ManagedTable(spark, root, index_cols=("k",), link_mode="reference")
+    t.write(
+        _mk(spark, 0, 900).repartitionByRange(6, "k").sortWithinPartitions("k")
+    )
+    t.delete_range("k", 100, 199)  # v2 carries files by reference
+    t.create_view("native_v")
+    df = spark.sql("select k from native_v where k between 300 and 350")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(k,300)" in plan
+    # column pruning reached the scan: score/tag are never decoded
+    assert "ReadSchema: struct<k:bigint>" in plan
+    assert df.count() == 51
+    # pinned: a later commit must not move the registered view
+    t.append(_mk(spark, 2000, 2100, parts=1))
+    assert spark.sql("select count(*) from native_v").first()[0] == 800
+
+    # partitioned layout: partition pruning reaches the scan
+    p = ManagedTable(spark, str(tmp_path / "p"))
+    p.write(_mk(spark, 0, 50), partition_cols=("tag",))
+    p.create_view("native_pv")
+    pdf = spark.sql("select k from native_pv where tag = '3'")
+    pplan = pdf._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in pplan
+    assert sorted(r["k"] for r in pdf.collect()) == [
+        k for k in range(50) if k % 7 == 3
+    ]
+
+
+def test_managed_catalog_ddl_veneer(spark, tmp_path):
+    """ManagedCatalog (sources/catalog.py): CREATE/DROP/SHOW and
+    spark.table() resolution against managed roots — the reference's
+    saveAsTable + spark.table idiom without path plumbing — with
+    remembered table options, pinned binds, and loud error shapes."""
+    from bigdatalab_spark.sources.catalog import (
+        ManagedCatalog,
+        TableExistsError,
+    )
+
+    cat = ManagedCatalog(spark, str(tmp_path / "wh"))
+    cat.create_table("ev", df=_mk(spark, 0, 100), index_cols=("k",))
+    assert cat.tables() == ["ev"]
+    assert spark.table("ev").count() == 100
+    # options are remembered across opens (fresh ManagedTable each time)
+    assert cat.table("ev").index_cols == ("k",)
+
+    # DML through the catalog; the bound view is pinned until re-bind
+    cat.table("ev").delete_range("k", 0, 9)
+    assert spark.table("ev").count() == 100
+    cat.bind("ev")
+    assert spark.table("ev").count() == 90
+
+    # CREATE on an existing name is loud; if_not_exists resolves it
+    with pytest.raises(TableExistsError):
+        cat.create_table("ev")
+    assert cat.create_table("ev", if_not_exists=True).latest() == 2
+
+    # pinned bind = time travel through the catalog name
+    cat.bind("ev", version=1)
+    assert spark.table("ev").count() == 100
+
+    # DROP without purge keeps the versioned data (external-table style)
+    cat.drop_table("ev")
+    assert cat.tables() == []
+    kept = ManagedTable(spark, str(tmp_path / "wh" / "ev"))
+    assert kept.read().count() == 90
+
+    # re-register surviving data under a new name; purge deletes it
+    cat.create_table(
+        "ev2", path=str(tmp_path / "wh" / "ev"), index_cols=("k",)
+    )
+    assert cat.table("ev2").read().count() == 90
+    cat.drop_table("ev2", purge=True)
+    assert not os.path.exists(str(tmp_path / "wh" / "ev"))
+    with pytest.raises(KeyError):
+        cat.table("ev2")
+    with pytest.raises(ValueError, match="identifier"):
+        cat.create_table("bad-name")
