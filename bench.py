@@ -249,11 +249,24 @@ def main() -> int:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # The headline total mixes the query-engine set with LIFECYCLE
+    # anchors (multi-commit storage benches like the write → DELETE →
+    # MERGE → read loop, dominated by fixed per-commit job overhead).
+    # legacy_subtotal is the query-engine-only number — the one the
+    # "within 2× of baseline" budget is checked against round over
+    # round, so adding a new anchor never reads as a regression.
+    lifecycle = sorted(
+        q for q in timings if q in {"managed_table_dml_read"}
+    )
     result = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "lifecycle_queries": lifecycle,
+        "legacy_subtotal": round(
+            sum(v for q, v in timings.items() if q not in lifecycle), 3
+        ),
         "sf": sf,
         "env": {
             "cpus": os.cpu_count(),

@@ -62,9 +62,31 @@ def compare(a: dict, b: dict, threshold: float = 1.3) -> dict:
                         "normalized_ratio": round(norm, 3)}
         if norm > threshold:
             regressions.append(q)
+    # legacy (query-engine-only) subtotal: exclude every LIFECYCLE
+    # anchor either side declares, recomputed from the per-query
+    # timings so artifacts predating the field still compare; the
+    # default set covers anchors added before bench.py emitted the
+    # field (round 11's commit-plane lifecycle bench)
+    lifecycle = (
+        set(a.get("lifecycle_queries") or [])
+        | set(b.get("lifecycle_queries") or [])
+        | {"managed_table_dml_read"}
+    )
+    legacy = {
+        "lifecycle_queries": sorted(lifecycle),
+        "old": round(sum(v for q, v in qa.items() if q not in lifecycle), 3),
+        "new": round(sum(v for q, v in qb.items() if q not in lifecycle), 3),
+    }
+    if legacy["old"]:
+        raw = legacy["new"] / legacy["old"]
+        legacy["raw_ratio"] = round(raw, 3)
+        legacy["normalized_ratio"] = round(
+            raw / env_ratio if env_ratio else raw, 3
+        )
     return {
         "old_total": a.get("value"),
         "new_total": b.get("value"),
+        "legacy_subtotal": legacy,
         "env_ratio": round(env_ratio, 4) if env_ratio else None,
         "sentinels": {"old": sa, "new": sb},
         "threshold": threshold,
