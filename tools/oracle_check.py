@@ -22,7 +22,22 @@ from bigdatalab_spark.sources.readers import TABLES
 
 
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """Oracle session with BOUNDED memory and a spill directory: a
+    long sf1 sweep runs ~180 oracles in one process next to a live
+    Spark JVM, and an uncapped DuckDB under that cumulative pressure
+    dies with 'bad allocation' on the heaviest replay (round-11
+    cluster_split_decontam casualty) instead of degrading to disk.
+    SPARK_GRAFT_ORACLE_MEM overrides the cap."""
+    import os
+    import tempfile
+
     con = duckdb.connect()
+    limit = os.environ.get("SPARK_GRAFT_ORACLE_MEM", "24GB")
+    con.execute(f"SET memory_limit='{limit}'")
+    con.execute(
+        "SET temp_directory="
+        f"'{tempfile.mkdtemp(prefix='duckdb_oracle_spill_')}'"
+    )
     for t in TABLES:
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
@@ -283,6 +298,10 @@ def main() -> int:
             SparkSession._instantiatedSession = None
             SparkSession._activeSession = None
             spark = get_session(app_name="oracle-check")
+            # recycle the oracle session too: DuckDB's buffer pool and
+            # temp spill accumulate the same way across a sweep
+            con.close()
+            con = duckdb_connection(sf_dir)
         try:
             problems, mode = check_query(
                 spark, con, name, sf_dir, max_collect=max_collect
