@@ -441,10 +441,28 @@ class ManagedTable:
         reads through the old pointer prune with the old index."""
         _rollback(self.path, version)
 
-    def vacuum(self, keep_last: int = 2) -> list[int]:
+    def vacuum(
+        self,
+        keep_last: int = 2,
+        keep_days: float | None = None,
+        cursors: tuple = (),
+    ) -> list[int]:
         """Reclaim old snapshots (and crash debris). Hard-linked data
         files shared with surviving versions survive — the filesystem
         drops the directory entry, not the inode.
+
+        Retention policy: keep the newest ``keep_last`` versions AND —
+        when ``keep_days`` is set — every version committed within
+        that many days (commit time = the ``_COMMITTED`` marker's
+        mtime, stamped at commit), the union semantics real table
+        formats run ("keep last N versions / M days").
+
+        ``cursors`` names change-feed consumers (paths or
+        :class:`ChangeFeedCursor` instances) this vacuum must not
+        strand: if the retention window would delete lineage versions
+        a listed consumer has not acknowledged, vacuum REFUSES loudly
+        (the consumer would otherwise be forced into a full snapshot
+        re-bootstrap) — advance the consumer or widen retention.
 
         Reference data plane: a retained version's manifest may point
         at files physically HOMED in an older version's directory, so
@@ -458,10 +476,51 @@ class ManagedTable:
         is computed INSIDE ``_vacuum_locked`` (versioned.py
         ``_referenced_homes``), so the bare module-level ``vacuum()``
         on the same path is exactly as safe as this method."""
+        import time as _time
+
         from bigdatalab_spark.sources.versioned import _vacuum_locked
 
         with dataset_write_lock(self.path, "managed_vacuum"):
-            return _vacuum_locked(self.path, keep_last)
+            committed = list_versions(self.path)
+            keep = set(committed[-keep_last:]) if keep_last > 0 else set()
+            current = latest_version(self.path)
+            if current is not None:
+                keep.add(current)
+            extra: set[int] = set()
+            if keep_days is not None:
+                cutoff = _time.time() - keep_days * 86400.0
+                for v in committed:
+                    marker = os.path.join(
+                        _version_dir(self.path, v), _MARKER
+                    )
+                    if os.path.getmtime(marker) >= cutoff:
+                        extra.add(v)
+            retained = keep | extra
+            chain = self.lineage(current) if current is not None else []
+            for c in cursors:
+                cur = (
+                    c
+                    if isinstance(c, ChangeFeedCursor)
+                    else ChangeFeedCursor(self, str(c))
+                )
+                pos = cur.position()
+                lagging = sorted(
+                    v
+                    for v in chain
+                    if (pos is None or v > pos) and v not in retained
+                )
+                if lagging:
+                    raise ValueError(
+                        f"vacuum on {self.path} would delete feed "
+                        f"version(s) {lagging} not yet acknowledged by "
+                        f"cursor {cur.cursor_path} (position="
+                        f"{'fresh' if pos is None else pos}) — advance "
+                        "the consumer (pending()/ack) or widen "
+                        "retention (keep_last/keep_days); deleting "
+                        "unconsumed history forces a full snapshot "
+                        "re-bootstrap"
+                    )
+            return _vacuum_locked(self.path, keep_last, extra_keep=extra)
 
     # ---- commit protocol -------------------------------------------------
 

@@ -213,7 +213,10 @@ def _referenced_homes(path: str, retained: set[int]) -> set[int]:
 
 
 def _vacuum_locked(
-    path: str, keep_last: int, protect: set[int] | None = None
+    path: str,
+    keep_last: int,
+    protect: set[int] | None = None,
+    extra_keep: set[int] | None = None,
 ) -> list[int]:
     """``protect`` names version directories that physically HOME
     files surviving manifests still reference (the managed facade's
@@ -232,7 +235,12 @@ def _vacuum_locked(
     import shutil
     import time
 
-    keep = set(list_versions(path)[-keep_last:]) if keep_last > 0 else set()
+    committed = list_versions(path)
+    keep = set(committed[-keep_last:]) if keep_last > 0 else set()
+    if extra_keep:
+        # time-based / policy retention from the caller (the managed
+        # facade's keep_days); only committed versions can be kept
+        keep |= set(extra_keep) & set(committed)
     current = latest_version(path)
     if current is not None:
         keep.add(current)

@@ -2470,3 +2470,41 @@ def test_managed_cross_process_dml_grid(spark, tmp_path, iso):
                     model[k] += 1000
     want = sorted((k, s, str(k % 7)) for k, s in model.items())
     assert _rows(t.read()) == want
+
+
+def test_managed_vacuum_retention_policy(spark, tmp_path):
+    """Round-12: vacuum(keep_days=) keeps versions committed inside
+    the window even past keep_last (union semantics), and a LAGGING
+    registered cursor makes vacuum refuse loudly instead of deleting
+    unconsumed feed history (which would force a snapshot
+    re-bootstrap). Reference plane: vacuumed-but-referenced homes
+    demote, bytes survive."""
+    import time
+
+    root = str(tmp_path / "t")
+    t = ManagedTable(spark, root, index_cols=("k",), link_mode="reference")
+    t.write(_mk(spark, 0, 50, parts=1))    # v1
+    t.append(_mk(spark, 50, 60, parts=1))  # v2
+    t.append(_mk(spark, 60, 70, parts=1))  # v3
+    t.append(_mk(spark, 70, 80, parts=1))  # v4
+
+    # age v1/v2 past a 1-day window; v3/v4 stay young
+    old = time.time() - 3 * 86400
+    for v in (1, 2):
+        os.utime(os.path.join(root, f"v={v}", "_COMMITTED"), (old, old))
+
+    cur = t.cursor(str(tmp_path / "cursor"))
+    with pytest.raises(ValueError, match="not yet acknowledged"):
+        t.vacuum(keep_last=1, keep_days=1.0, cursors=(cur,))
+    assert t.versions() == [1, 2, 3, 4], "refusal must leave everything"
+
+    _df, upto = cur.pending()
+    cur.ack(upto)  # consumer catches up
+    removed = t.vacuum(keep_last=1, keep_days=1.0, cursors=(cur,))
+    assert removed == [1, 2]  # keep_last keeps v4, keep_days keeps v3
+    assert set(t.versions()) == {3, 4}
+    # carried-by-reference homes were demoted, never deleted: the
+    # current snapshot still reads every row
+    assert _rows(t.read()) == sorted(
+        (k, k * 2.0, str(k % 7)) for k in range(80)
+    )

@@ -144,6 +144,13 @@ def main() -> int:
             )
             commit_section_sec = sum(section_secs)
 
+            # retention vacuum: protect-set computation (one manifest
+            # column per retained version) + demote/delete — must be
+            # metadata-sized, flat while live files grow 100x
+            t3 = time.perf_counter()
+            removed = topt.vacuum(keep_last=1)
+            vacuum_sec = time.perf_counter() - t3
+
             results[mode][str(n_files)] = {
                 "live_files": live,
                 "delete_sec": round(delete_sec, 3),
@@ -154,6 +161,8 @@ def main() -> int:
                 "optimistic_commit_section_sec": round(
                     commit_section_sec, 4
                 ),
+                "vacuum_sec": round(vacuum_sec, 3),
+                "vacuum_removed": len(removed),
             }
     finally:
         ManagedTable._commit_section = orig_section
