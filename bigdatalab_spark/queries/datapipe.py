@@ -131,12 +131,21 @@ def _cluster_leak_oracle() -> str:
             SELECT doc2, doc1 FROM pairs
         ),
         reach AS (
-            SELECT doc_id AS doc, doc_id AS label FROM documents
+            -- seed only EDGE-INCIDENT docs: a singleton cluster can
+            -- never hold both train and holdout members, so it cannot
+            -- contribute a leak row — and the recursion state shrinks
+            -- to the near-dup components instead of the whole corpus
+            -- (the sf1 sweep's memory headroom lives here)
+            SELECT src AS doc, src AS label FROM edges
             UNION
             SELECT e.src AS doc, r.label
             FROM reach r JOIN edges e ON e.dst = r.doc
         ),
-        clusters AS (SELECT doc AS doc_id, min(label) AS cluster_id FROM reach GROUP BY doc),
+        comp AS (SELECT doc, min(label) AS cluster_id FROM reach GROUP BY doc),
+        clusters AS (
+            SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id
+        ),
         {_SPLIT_CTE},
         labeled AS (
             SELECT c.doc_id, c.cluster_id, a.split

@@ -21,28 +21,49 @@ import duckdb
 from bigdatalab_spark.sources.readers import TABLES
 
 
+#: spill directory per live connection (id(con) → path) so
+#: close_connection can reclaim it — a failed spilling query can
+#: strand tens of GB of temp storage otherwise
+_SPILL_DIRS: dict[int, str] = {}
+
+
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     """Oracle session with BOUNDED memory and a spill directory: a
     long sf1 sweep runs ~180 oracles in one process next to a live
     Spark JVM, and an uncapped DuckDB under that cumulative pressure
     dies with 'bad allocation' on the heaviest replay (round-11
     cluster_split_decontam casualty) instead of degrading to disk.
-    SPARK_GRAFT_ORACLE_MEM overrides the cap."""
+    The cap leaves the Spark JVM its share of the box while keeping
+    the heaviest single replay (the near-dup cluster pipeline at sf1)
+    mostly in memory — too low a cap just moves the failure to disk
+    (ENOSPC on ~60 GB of forced spill, measured). SPARK_GRAFT_ORACLE_MEM
+    overrides. Close with :func:`close_connection` to reclaim spill."""
     import os
     import tempfile
 
     con = duckdb.connect()
-    limit = os.environ.get("SPARK_GRAFT_ORACLE_MEM", "24GB")
+    limit = os.environ.get("SPARK_GRAFT_ORACLE_MEM", "48GB")
     con.execute(f"SET memory_limit='{limit}'")
-    con.execute(
-        "SET temp_directory="
-        f"'{tempfile.mkdtemp(prefix='duckdb_oracle_spill_')}'"
-    )
+    spill = tempfile.mkdtemp(prefix="duckdb_oracle_spill_")
+    con.execute(f"SET temp_directory='{spill}'")
+    _SPILL_DIRS[id(con)] = spill
     for t in TABLES:
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
     return con
+
+
+def close_connection(con: duckdb.DuckDBPyConnection) -> None:
+    """Close + delete the connection's spill directory (DuckDB keeps
+    temp storage files around for reuse within a connection, and a
+    query that died mid-spill leaves them behind)."""
+    import shutil
+
+    spill = _SPILL_DIRS.pop(id(con), None)
+    con.close()
+    if spill:
+        shutil.rmtree(spill, ignore_errors=True)
 
 
 def _render(v) -> str:
@@ -300,7 +321,7 @@ def main() -> int:
             spark = get_session(app_name="oracle-check")
             # recycle the oracle session too: DuckDB's buffer pool and
             # temp spill accumulate the same way across a sweep
-            con.close()
+            close_connection(con)
             con = duckdb_connection(sf_dir)
         try:
             problems, mode = check_query(
@@ -324,6 +345,7 @@ def main() -> int:
         # lazy results (LSH shingles, zip_with_index stamps); drop them
         # between queries so an 80-query sweep doesn't accumulate cache
         spark.catalog.clearCache()
+    close_connection(con)
     print(f"{len(names) - failed}/{len(names)} queries pass")
     if json_path:
         import json
