@@ -116,6 +116,43 @@ def test_bench_compare_normalizes_by_sentinel(tmp_path):
     assert proc2.returncode == 0
 
 
+def test_bench_compare_legacy_subtotal(tmp_path):
+    """The legacy (query-engine-only) subtotal must exclude lifecycle
+    anchors declared by EITHER side (plus the default set covering
+    pre-field artifacts) and report raw + sentinel-normalized ratios —
+    the one-number 2x-budget check."""
+    old = {
+        "value": 11.0,
+        "queries": {"q_a": 2.0, "q_b": 3.0, "managed_table_dml_read": 6.0},
+        "sf": "0.1",
+        "env": {"sentinel_nation_count_sec": 0.10},
+    }
+    new = {
+        "value": 12.5,
+        "queries": {"q_a": 2.0, "q_b": 3.0, "managed_table_dml_read": 6.5,
+                    "life_x": 1.0},
+        "lifecycle_queries": ["managed_table_dml_read", "life_x"],
+        "sf": "0.1",
+        "env": {"sentinel_nation_count_sec": 0.10},
+    }
+    a, b = tmp_path / "a.json", tmp_path / "b.json"
+    a.write_text(json.dumps(old))
+    b.write_text(json.dumps(new))
+    proc = subprocess.run(
+        [sys.executable, "-m", "tools.bench_compare", str(a), str(b)],
+        cwd=str(ROOT), capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr
+    out = json.loads(proc.stdout.strip())
+    legacy = out["legacy_subtotal"]
+    assert set(legacy["lifecycle_queries"]) == {
+        "managed_table_dml_read", "life_x"
+    }
+    assert legacy["old"] == 5.0 and legacy["new"] == 5.0
+    assert legacy["raw_ratio"] == 1.0
+    assert legacy["normalized_ratio"] == 1.0
+
+
 def test_dedup_serve_bench_smoke():
     out = _run_tool("tools.dedup_serve_bench", SF, "50")
     assert out["n_corpus"] > 0 and out["n_batch"] == 50
