@@ -219,7 +219,29 @@ def run_seed(spark, seed: int, n_ops: int) -> None:
             # the pointer
         elif op == "vacuum":
             drain_feed()  # never let vacuum outrun the consumer
-            t.vacuum(keep_last=2)
+            if rng.random() < 0.5:
+                # retention-policy arm: a FRESH (never-acked) cursor
+                # must make vacuum refuse exactly when the window
+                # would drop unconsumed lineage; the drained cursor
+                # must never trigger the refusal; a refusal must
+                # leave the table untouched
+                probe = t.cursor(scratch + f"/probe_{step}")
+                chain = t.lineage()
+                retained = set(t.versions()[-2:]) | {t.latest()}
+                lagging = [x for x in chain if x not in retained]
+                try:
+                    t.vacuum(keep_last=2, cursors=(probe, cursor))
+                    assert not lagging, (
+                        f"seed {seed}: vacuum should have refused for "
+                        f"the fresh cursor (lagging {lagging})"
+                    )
+                except ValueError:
+                    assert lagging, (
+                        f"seed {seed}: spurious vacuum refusal"
+                    )
+                    check(f"vacuum-refusal@{step}")
+            else:
+                t.vacuum(keep_last=2)
         elif op == "restart":
             t = ManagedTable(
                 spark, root, index_cols=("k",), link_mode=link_mode
