@@ -42,8 +42,15 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     import tempfile
 
     con = duckdb.connect()
-    limit = os.environ.get("SPARK_GRAFT_ORACLE_MEM", "48GB")
+    # 80GB ≈ what a solo uncapped run gets on this box (the sf1
+    # cluster-leak replay PASSES there); 24GB and 48GB both moved the
+    # failure to ENOSPC on forced spill — the workspace is real, the
+    # cap must leave most of it in RAM. threads=16 halves per-operator
+    # buffer fan-out for the same reason (peak, not throughput, is
+    # the sweep's constraint).
+    limit = os.environ.get("SPARK_GRAFT_ORACLE_MEM", "80GB")
     con.execute(f"SET memory_limit='{limit}'")
+    con.execute(f"SET threads={min(16, os.cpu_count() or 16)}")
     spill = tempfile.mkdtemp(prefix="duckdb_oracle_spill_")
     con.execute(f"SET temp_directory='{spill}'")
     _SPILL_DIRS[id(con)] = spill
