@@ -318,6 +318,80 @@ def _data_files(vdir: str) -> list[str]:
     return _walk_data_files(vdir)
 
 
+#: driver-side index fast path: a commit whose index delta is at most
+#: this many files probes footers and rewrites the index with pyarrow
+#: on the driver (zero Spark jobs — the same idiom as the manifest);
+#: larger deltas keep the distributed mapInPandas build. Parameterised
+#: so cluster deployments can tune where "metadata-sized" ends.
+_INDEX_DRIVER_MAX_FILES = int(
+    os.environ.get("SPARK_GRAFT_INDEX_DRIVER_MAX", "256")
+)
+#: and the carried (reused) index side must itself be metadata-sized
+#: on disk for the driver path to copy it
+_INDEX_DRIVER_MAX_REUSE_BYTES = 64 << 20
+
+
+def _index_arrow_schema(with_rowgroups: bool):
+    """The stored index's arrow schema — must match what Spark's
+    parquet writer lands for ``_INDEX_SCHEMA`` / ``_RG_SCHEMA`` so
+    driver-written and Spark-written index files are interchangeable."""
+    import pyarrow as pa
+
+    fields = [("file", pa.string())]
+    if with_rowgroups:
+        fields.append(("rg", pa.int32()))
+    fields += [
+        ("col", pa.string()),
+        ("min_val", pa.float64()),
+        ("max_val", pa.float64()),
+        ("min_str", pa.string()),
+        ("max_str", pa.string()),
+        ("n_nulls", pa.int64()),
+        ("n_rows", pa.int64()),
+    ]
+    if with_rowgroups:
+        fields.append(("n_bytes", pa.int64()))
+    return pa.schema(fields)
+
+
+def _index_dir_bytes(idx_dir: str) -> int:
+    """On-disk size of an index directory's parquet parts (0 when
+    absent) — the driver-path gate for the carried side."""
+    if not os.path.isdir(idx_dir):
+        return 0
+    return sum(
+        os.path.getsize(os.path.join(idx_dir, p))
+        for p in os.listdir(idx_dir)
+        if p.endswith(".parquet")
+    )
+
+
+def _read_index_table(idx_dir: str):
+    """A committed index directory as ONE pyarrow table (None when the
+    directory holds no parquet parts). Metadata-sized by construction
+    — the index has one row per (file[, row group], indexed column) —
+    so a driver-side read costs what any table-format planner pays to
+    open its stats file, with no Spark job."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if not os.path.isdir(idx_dir):
+        return None
+    parts = sorted(
+        p for p in os.listdir(idx_dir) if p.endswith(".parquet")
+    )
+    if not parts:
+        return None
+    tables = [
+        pq.read_table(os.path.join(idx_dir, p)) for p in parts
+    ]
+    return (
+        tables[0]
+        if len(tables) == 1
+        else pa.concat_tables(tables, promote_options="default")
+    )
+
+
 class CommitConflictError(ConcurrentWriteError):
     """An optimistic transaction lost its race: a commit that landed
     after the transaction's base version touched files the transaction
@@ -800,17 +874,21 @@ class ManagedTable:
             plan = self._merge_plan(current, source, keys, when_matched)
             if plan is None:
                 return current
-            scan_files, touched, new_df, cdf, bounds = plan
-            return self._commit_cow_optimistic(
-                current,
-                scan_files,
-                touched,
-                new_df,
-                cdf,
-                "merge",
-                stream_batch_id=stream_batch_id,
-                merge_bounds=bounds,
-            )
+            scan_files, touched, new_df, cdf, bounds, cached = plan
+            try:
+                return self._commit_cow_optimistic(
+                    current,
+                    scan_files,
+                    touched,
+                    new_df,
+                    cdf,
+                    "merge",
+                    stream_batch_id=stream_batch_id,
+                    merge_bounds=bounds,
+                )
+            finally:
+                for c in cached:
+                    c.unpersist()
         with dataset_write_lock(self.path, "managed_merge"):
             current = latest_version(self.path)
             if current is None:
@@ -820,19 +898,23 @@ class ManagedTable:
             plan = self._merge_plan(current, source, keys, when_matched)
             if plan is None:
                 return current
-            _scan_files, touched, new_df, cdf, _bounds = plan
+            _scan_files, touched, new_df, cdf, _bounds, cached = plan
             prev = _version_dir(self.path, current)
             all_files = _data_files(prev)
-            return self._commit_cow(
-                current,
-                prev,
-                all_files,
-                touched,
-                new_df,
-                cdf,
-                "merge",
-                stream_batch_id=stream_batch_id,
-            )
+            try:
+                return self._commit_cow(
+                    current,
+                    prev,
+                    all_files,
+                    touched,
+                    new_df,
+                    cdf,
+                    "merge",
+                    stream_batch_id=stream_batch_id,
+                )
+            finally:
+                for c in cached:
+                    c.unpersist()
 
     def _merge_plan(
         self,
@@ -864,14 +946,34 @@ class ManagedTable:
         missing = [k for k in keys if k not in tgt_cols]
         if missing:
             raise ValueError(f"merge keys not in schema: {missing}")
-        source = source.select(*tgt_cols)
-        if (
+        if "__matched" in tgt_cols:
+            raise ValueError(
+                "merge_into reserves the __matched column for match "
+                "tagging"
+            )
+        # the source (delta-sized by the MERGE contract) feeds the
+        # validation scan, the attribution semi-join, the rewrite and
+        # the change feed — persist it so each downstream action reads
+        # the materialized batch instead of re-running its lineage
+        # (unpersisted by the caller once the commit has landed)
+        source = source.select(*tgt_cols).persist()
+        cached = [source]
+        # ONE pass over the source settles validation AND pruning (and
+        # materializes the persisted batch): the duplicate-key check
+        # and the leading-key bounds previously ran as two separate
+        # jobs, each a full re-scan of the source
+        stats = (
             source.groupBy(*keys)
-            .count()
-            .filter(F.col("count") > 1)
-            .limit(1)
-            .count()
-        ):
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .agg(
+                F.max("__n").alias("max_n"),
+                F.min(keys[0]).alias("lo"),
+                F.max(keys[0]).alias("hi"),
+            )
+            .first()
+        )
+        if (stats["max_n"] or 0) > 1:
+            source.unpersist()
             raise ValueError(
                 "merge_into source has duplicate keys — the merge "
                 "result would be nondeterministic; dedupe first "
@@ -881,15 +983,11 @@ class ManagedTable:
         # leading-key stats miss the source's key range cannot match
         scan_files = all_files
         key_bounds = None
-        if keys[0] in self.index_cols:
-            kb = source.agg(
-                F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
-            ).first()
-            if kb["lo"] is not None:
-                key_bounds = (keys[0], kb["lo"], kb["hi"])
-                scan_files = self.candidate_files(
-                    keys[0], kb["lo"], kb["hi"], current
-                )
+        if keys[0] in self.index_cols and stats["lo"] is not None:
+            key_bounds = (keys[0], stats["lo"], stats["hi"])
+            scan_files = self.candidate_files(
+                keys[0], stats["lo"], stats["hi"], current
+            )
         src_keys = source.select(*keys).distinct()
         scanned = self._with_file(current, scan_files, tgt_schema)
         matched = scanned.join(src_keys, on=list(keys), how="leftsemi")
@@ -906,27 +1004,64 @@ class ManagedTable:
                 "back to the manifest — path normalization mismatch"
             )
         touched = sorted(touched_raw)
-        insert_rows = source.join(
-            scanned.select(*keys), on=list(keys), how="leftanti"
-        )
-        if not touched and insert_rows.limit(1).count() == 0:
+        if not touched and (
+            source.join(
+                scanned.select(*keys), on=list(keys), how="leftanti"
+            ).limit(1).count()
+            == 0
+        ):
+            source.unpersist()
             return None  # nothing matched, nothing to insert
-        touched_df = self._read_files(current, touched, tgt_schema)
-        keep = touched_df.join(src_keys, on=list(keys), how="leftanti")
+        # the touched files' rows feed the rewrite AND the change feed
+        # (plus the range-sampling pass of the clustered write) —
+        # persist so they are read from storage once, not per action
+        touched_df = self._read_files(current, touched, tgt_schema).persist()
+        cached.append(touched_df)
+        # tag each SOURCE row once with whether its key exists in the
+        # touched files (match -> update_postimage, no match -> insert)
+        # instead of running separate leftsemi and leftanti joins per
+        # consumer: every downstream frame is then a FILTER over one
+        # persisted join, not its own join re-executed per action.
+        # Equivalent to the old anti join against the full candidate
+        # scan: a source key present in any candidate file makes that
+        # file touched by construction, so candidate-keys ∩ source =
+        # touched-keys ∩ source.
+        src_tagged = source.join(
+            touched_df.select(*keys)
+            .distinct()
+            .withColumn("__matched", F.lit(True)),
+            on=list(keys),
+            how="left",
+        ).persist()
+        cached.append(src_tagged)
+        insert_rows = src_tagged.filter(
+            F.col("__matched").isNull()
+        ).select(*tgt_cols)
         if when_matched is None:
+            # same single-join-then-filter shape on the TARGET side:
+            # matched target rows are preimages, unmatched ones are
+            # kept (rewritten unchanged)
+            tagged = touched_df.join(
+                src_keys.withColumn("__matched", F.lit(True)),
+                on=list(keys),
+                how="left",
+            ).persist()
+            cached.append(tagged)
+            keep = tagged.filter(F.col("__matched").isNull())
             # rows that replace matched keys + brand-new keys
             new_df = keep.select(*tgt_cols).unionByName(
                 source.select(*tgt_cols)
             )
-            matched_keys = touched_df.join(
-                src_keys, on=list(keys), how="leftsemi"
-            ).select(*keys).distinct()
-            pre = touched_df.join(
-                src_keys, on=list(keys), how="leftsemi"
-            ).withColumn(_CHANGE_TYPE, F.lit("update_preimage"))
-            post = source.join(
-                matched_keys, on=list(keys), how="leftsemi"
-            ).withColumn(_CHANGE_TYPE, F.lit("update_postimage"))
+            pre = tagged.filter(
+                F.col("__matched").isNotNull()
+            ).select(*tgt_cols).withColumn(
+                _CHANGE_TYPE, F.lit("update_preimage")
+            )
+            post = src_tagged.filter(
+                F.col("__matched").isNotNull()
+            ).select(*tgt_cols).withColumn(
+                _CHANGE_TYPE, F.lit("update_postimage")
+            )
         else:
             cond = (
                 F.expr(when_matched)
@@ -934,6 +1069,9 @@ class ManagedTable:
                 else when_matched
             )
             take = F.coalesce(cond, F.lit(False))
+            keep = touched_df.join(
+                src_keys, on=list(keys), how="leftanti"
+            )
             # plain equality, matching the unconditional path and
             # SQL MERGE: NULL keys never match anything
             joined = touched_df.alias("t").join(
@@ -976,7 +1114,7 @@ class ManagedTable:
         cdf = pre.select(*tgt_cols, _CHANGE_TYPE).unionByName(
             post.select(*tgt_cols, _CHANGE_TYPE)
         ).unionByName(ins.select(*tgt_cols, _CHANGE_TYPE))
-        return scan_files, touched, new_df, cdf, key_bounds
+        return scan_files, touched, new_df, cdf, key_bounds, cached
 
     def _cow_rewrite(
         self,
@@ -1000,19 +1138,23 @@ class ManagedTable:
             plan = self._dml_plan(current, op, cond, assignments, prune)
             if plan is None:
                 return current
-            scan_files, touched, new_df, cdf = plan
-            return self._commit_cow_optimistic(
-                current,
-                scan_files,
-                touched,
-                new_df,
-                cdf,
-                op,
-                # serializable isolation validates concurrently-ADDED
-                # files against the predicate's indexed range (None =
-                # unbounded predicate: any added file conflicts)
-                pred_bounds=tuple(prune[:3]) if prune else None,
-            )
+            scan_files, touched, new_df, cdf, cached = plan
+            try:
+                return self._commit_cow_optimistic(
+                    current,
+                    scan_files,
+                    touched,
+                    new_df,
+                    cdf,
+                    op,
+                    # serializable isolation validates concurrently-ADDED
+                    # files against the predicate's indexed range (None =
+                    # unbounded predicate: any added file conflicts)
+                    pred_bounds=tuple(prune[:3]) if prune else None,
+                )
+            finally:
+                for c in cached:
+                    c.unpersist()
         with dataset_write_lock(self.path, f"managed_{op}"):
             current = latest_version(self.path)
             if current is None:
@@ -1022,12 +1164,16 @@ class ManagedTable:
             plan = self._dml_plan(current, op, cond, assignments, prune)
             if plan is None:
                 return current  # no matches: the table is unchanged
-            _scan_files, touched, new_df, cdf = plan
+            _scan_files, touched, new_df, cdf, cached = plan
             prev = _version_dir(self.path, current)
             all_files = _data_files(prev)
-            return self._commit_cow(
-                current, prev, all_files, touched, new_df, cdf, op
-            )
+            try:
+                return self._commit_cow(
+                    current, prev, all_files, touched, new_df, cdf, op
+                )
+            finally:
+                for c in cached:
+                    c.unpersist()
 
     def _dml_plan(
         self,
@@ -1069,7 +1215,11 @@ class ManagedTable:
         touched = sorted(touched_raw)
         if not touched:
             return None
-        touched_df = self._read_files(current, touched, cur_schema)
+        # the touched files' rows feed the rewrite and the change feed
+        # (plus the clustered write's range-sampling pass) — persist so
+        # they are read from storage once, not once per action
+        # (unpersisted by the caller once the commit has landed)
+        touched_df = self._read_files(current, touched, cur_schema).persist()
         cols = touched_df.columns
         if op == "delete":
             new_df = touched_df.filter(~hit)
@@ -1105,7 +1255,28 @@ class ManagedTable:
                 .withColumn(_CHANGE_TYPE, F.lit("update_postimage"))
             )
             cdf = pre.unionByName(post)
-        return scan_files, touched, new_df, cdf
+        return scan_files, touched, new_df, cdf, [touched_df]
+
+    def _cluster_rewrite(self, new_df: DataFrame, n_out: int) -> DataFrame:
+        """Cluster a COW rewrite into ``n_out`` index-ranged output
+        files. ``n_out == 1`` short-circuits to ``coalesce(1)`` + an
+        in-partition sort: the layout is identical to
+        ``repartitionByRange(1)`` (everything in one sorted file) but
+        skips the range-sampling pass — a whole extra execution of the
+        rewrite plan for a split computation with nothing to split.
+        Single-file rewrites are the common DML case (one touched file
+        per narrow predicate), and their row volume is one file's."""
+        if self.index_cols:
+            if n_out == 1:
+                return new_df.coalesce(1).sortWithinPartitions(
+                    *self.index_cols
+                )
+            return new_df.repartitionByRange(
+                n_out, *self.index_cols
+            ).sortWithinPartitions(*self.index_cols)
+        if n_out == 1:
+            return new_df.coalesce(1)
+        return new_df.repartition(n_out)
 
     def _commit_cow(
         self,
@@ -1133,12 +1304,7 @@ class ManagedTable:
         # columns into ~one file per touched input file instead; the
         # small extra shuffle is delta-sized by construction.
         n_out = max(1, len(touched) + (1 if op == "merge" else 0))
-        if self.index_cols:
-            new_df = new_df.repartitionByRange(
-                n_out, *self.index_cols
-            ).sortWithinPartitions(*self.index_cols)
-        else:
-            new_df = new_df.repartition(n_out)
+        new_df = self._cluster_rewrite(new_df, n_out)
         writer = new_df.write.mode("errorifexists")
         pcols = self.partition_cols_of(current)
         if pcols:
@@ -1447,12 +1613,7 @@ class ManagedTable:
         try:
             # same optimized-write clustering as the exclusive path
             n_out = max(1, len(touched) + (1 if op == "merge" else 0))
-            if self.index_cols:
-                new_df = new_df.repartitionByRange(
-                    n_out, *self.index_cols
-                ).sortWithinPartitions(*self.index_cols)
-            else:
-                new_df = new_df.repartition(n_out)
+            new_df = self._cluster_rewrite(new_df, n_out)
             pcols = self.partition_cols_of(base)
             # append mode: the staging dir exists (and is ours alone);
             # the change feed is written UNSTAMPED — the commit version
@@ -1996,21 +2157,37 @@ class ManagedTable:
             return sorted(keep)
         if col not in self.index_cols:
             return sorted(all_files)  # unindexed column: no pruning
-        if not os.path.isdir(os.path.join(vdir, _INDEX_DIR)):
+        tbl = _read_index_table(os.path.join(vdir, _INDEX_DIR))
+        if tbl is None:
             # a fully-emptied snapshot has no files and no index
             return sorted(all_files)
-        idx = self.index(v).filter(F.col("col") == col)
-        if isinstance(lo, str):
-            mn, mx = F.col("min_str"), F.col("max_str")
-        else:
-            mn, mx = F.col("min_val"), F.col("max_val")
-        keep = {
-            r["file"]
-            for r in idx.filter(
-                mn.isNull() | ~((mx < lo) | (mn > hi))
-            ).select("file").collect()
-        }
-        indexed = {r["file"] for r in idx.select("file").collect()}
+        # the index is metadata-sized (one row per file and indexed
+        # column) and the result is a driver-side list either way, so
+        # read it with pyarrow directly — the Spark-collect route paid
+        # two full job round trips per pruned DML for the same bytes
+        lo_key, hi_key = ("min_str", "max_str") if isinstance(lo, str) else (
+            "min_val", "max_val",
+        )
+        keep: set[str] = set()
+        indexed: set[str] = set()
+        for f, c, mn, mx in zip(
+            tbl.column("file").to_pylist(),
+            tbl.column("col").to_pylist(),
+            tbl.column(lo_key).to_pylist(),
+            tbl.column(hi_key).to_pylist(),
+        ):
+            if c != col:
+                continue
+            indexed.add(f)
+            # NULL min = unusable stats -> the file stays a candidate;
+            # otherwise keep unless the stats range provably misses
+            # [lo, hi] (same three-valued logic the SQL filter applied)
+            if mn is None:
+                keep.add(f)
+            elif mx is None:
+                continue  # half-written stats row: never produced
+            elif not (mx < lo or mn > hi):
+                keep.add(f)
         return sorted((keep & all_files) | (all_files - indexed))
 
     def pruned_read(
@@ -2361,13 +2538,16 @@ class ManagedTable:
         granularity is enabled — same commit discipline)."""
         if not self.index_cols:
             return
+        from bigdatalab_spark.sources.skipping import index_rows_local
+
         self._write_one_index(
             vdir, new_files, reuse_from, reuse_files,
-            _index_paths, _INDEX_DIR,
+            _index_paths, _INDEX_DIR, index_rows_local, False,
         )
         if self.rowgroup_index:
             from bigdatalab_spark.sources.skipping import (
                 _rowgroup_index_paths,
+                rowgroup_rows_local,
             )
 
             rg_reuse = (
@@ -2378,6 +2558,7 @@ class ManagedTable:
             self._write_one_index(
                 vdir, new_files, rg_reuse, reuse_files,
                 _rowgroup_index_paths, _INDEX_RG_DIR,
+                rowgroup_rows_local, True,
             )
 
     def _write_one_index(
@@ -2388,6 +2569,8 @@ class ManagedTable:
         reuse_files: set[str] | None,
         probe_fn,
         out_dir: str,
+        local_rows_fn=None,
+        with_rowgroups: bool = False,
     ) -> None:
         if reuse_from is not None and not os.path.isdir(reuse_from):
             # the previous version predates this index granularity
@@ -2410,6 +2593,25 @@ class ManagedTable:
             new_files = _walk_data_files(vdir)
             reuse_from = None
             reuse_files = None
+        if (
+            local_rows_fn is not None
+            and len(new_files) <= _INDEX_DRIVER_MAX_FILES
+            and (
+                reuse_from is None
+                or _index_dir_bytes(reuse_from)
+                <= _INDEX_DRIVER_MAX_REUSE_BYTES
+            )
+        ):
+            # metadata-sized delta: probe footers and land the index
+            # with pyarrow on the driver — zero Spark jobs, the same
+            # idiom as the manifest. The distributed build below stays
+            # the path for large deltas (a million-file initial write
+            # fans the footer probe out like any other job).
+            self._write_index_local(
+                vdir, new_files, reuse_from, reuse_files,
+                local_rows_fn, out_dir, with_rowgroups,
+            )
+            return
         frames = []
         if new_files:
             paths = self.spark.createDataFrame(
@@ -2446,6 +2648,71 @@ class ManagedTable:
         out.coalesce(1).write.mode("errorifexists").parquet(
             os.path.join(vdir, out_dir)
         )
+
+    def _write_index_local(
+        self,
+        vdir: str,
+        new_files: list[str],
+        reuse_from: str | None,
+        reuse_files: set[str] | None,
+        local_rows_fn,
+        out_dir: str,
+        with_rowgroups: bool,
+    ) -> None:
+        """Driver-side twin of the distributed index build: probe the
+        delta's footers with the SAME extraction closure the
+        mapInPandas body runs (skipping._file_stat_rows_fn — one
+        implementation, no drift), carry the linked files' rows from
+        the parent's index parquet, and land one parquet part. Bytes
+        on disk are interchangeable with the Spark-written layout
+        (schema pinned by :func:`_index_arrow_schema`)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        schema = _index_arrow_schema(with_rowgroups)
+        prefix = vdir.rstrip("/") + "/"
+        tables = []
+        if new_files:
+            rows = local_rows_fn(
+                [os.path.join(vdir, rel) for rel in new_files],
+                list(self.index_cols),
+            )
+            # relativize the file names, as the distributed path does
+            rows = [(r[0][len(prefix):],) + tuple(r[1:]) for r in rows]
+            tables.append(
+                pa.table(
+                    [
+                        pa.array([r[i] for r in rows], type=f.type)
+                        for i, f in enumerate(schema)
+                    ],
+                    schema=schema,
+                )
+            )
+        if reuse_from is not None:
+            prev = _read_index_table(reuse_from)
+            if prev is not None:
+                prev = prev.select(schema.names).cast(schema)
+                if reuse_files is not None:
+                    prev = prev.filter(
+                        pc.is_in(
+                            prev.column("file"),
+                            value_set=pa.array(
+                                sorted(reuse_files), type=pa.string()
+                            ),
+                        )
+                    )
+                tables.append(prev)
+        if not tables:
+            return
+        out = (
+            tables[0]
+            if len(tables) == 1
+            else pa.concat_tables(tables)
+        )
+        d = os.path.join(vdir, out_dir)
+        os.makedirs(d, exist_ok=False)
+        pq.write_table(out, os.path.join(d, "part-0.parquet"))
 
     def _commit(
         self, version: int, vdir: str, expected: int | None, op: str = ""

@@ -62,69 +62,101 @@ def build_file_index(
     return _index_paths(spark, paths, len(files), cols)
 
 
+_INDEX_COLUMNS = (
+    "file", "col", "min_val", "max_val",
+    "min_str", "max_str", "n_nulls", "n_rows",
+)
+
+
+def _file_stat_rows_fn(cols: list[str]):
+    """Per-file footer-stat extraction shared by the distributed probe
+    (:func:`_index_paths`) and the driver-side small-delta fast path
+    (:func:`index_rows_local` / managed ``_write_one_index``): ONE
+    implementation so the two paths cannot drift. Returned as a
+    closure, not a module function, so the distributed body pickles it
+    by VALUE — executors never need the package importable."""
+    want = list(cols)
+
+    def rows_for(fname: str) -> list[tuple]:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(fname).metadata
+        idx = {
+            md.schema.column(i).name: i for i in range(md.num_columns)
+        }
+        rows = []
+        for col in want:
+            if col not in idx:
+                # schema-evolution: this file predates the column.
+                # Record NULL stats (with the footer row count) so
+                # the file stays an always-candidate instead of
+                # crashing the whole index build.
+                rows.append(
+                    (fname, col, None, None, None, None,
+                     md.num_rows, md.num_rows)
+                )
+                continue
+            i = idx[col]
+            mn = mx = None
+            nulls = 0
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(i).statistics
+                if st is None or not st.has_min_max:
+                    mn = mx = None
+                    break
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+                nulls += st.null_count or 0
+            is_str = isinstance(mn, (str, bytes))
+            if isinstance(mn, bytes):
+                mn = mn.decode("utf-8", "replace")
+                mx = mx.decode("utf-8", "replace")
+            rows.append(
+                (
+                    fname,
+                    col,
+                    None if mn is None or is_str else float(mn),
+                    None if mx is None or is_str else float(mx),
+                    mn if is_str else None,
+                    mx if is_str else None,
+                    nulls,
+                    md.num_rows,
+                )
+            )
+        return rows
+
+    return rows_for
+
+
+def index_rows_local(files: list[str], cols: list[str]) -> list[tuple]:
+    """Driver-side footer probe of a METADATA-SIZED file list: the same
+    stat rows :func:`_index_paths` computes distributed, without a
+    Spark job. A table-format commit's index delta is a handful of
+    files; probing their footers is microseconds of driver I/O, while
+    the distributed probe pays a full job-schedule + Python-worker
+    round trip (measured ~0.3 s per commit at gate scale). Callers
+    gate on file count and fall back to the distributed build for
+    large deltas (guide §5: the driver does metadata work only)."""
+    rows_for = _file_stat_rows_fn(cols)
+    out: list[tuple] = []
+    for f in files:
+        out.extend(rows_for(f))
+    return out
+
+
 def _index_paths(
     spark: SparkSession, paths: DataFrame, n_files: int, cols: list[str]
 ) -> DataFrame:
-    want = list(cols)
+    rows_for = _file_stat_rows_fn(cols)
 
     def _footer_stats(batches):
         import pandas as pd
-        import pyarrow.parquet as pq
 
         for pdf in batches:
-            out = {k: [] for k in (
-                "file", "col", "min_val", "max_val",
-                "min_str", "max_str", "n_nulls", "n_rows",
-            )}
+            rows = []
             for fname in pdf["file"]:
-                md = pq.ParquetFile(fname).metadata
-                idx = {
-                    md.schema.column(i).name: i
-                    for i in range(md.num_columns)
-                }
-                for col in want:
-                    if col not in idx:
-                        # schema-evolution: this file predates the column.
-                        # Record NULL stats (with the footer row count) so
-                        # the file stays an always-candidate instead of
-                        # crashing the whole index build.
-                        out["file"].append(fname)
-                        out["col"].append(col)
-                        out["min_val"].append(None)
-                        out["max_val"].append(None)
-                        out["min_str"].append(None)
-                        out["max_str"].append(None)
-                        out["n_nulls"].append(md.num_rows)
-                        out["n_rows"].append(md.num_rows)
-                        continue
-                    i = idx[col]
-                    mn = mx = None
-                    nulls = 0
-                    for rg in range(md.num_row_groups):
-                        st = md.row_group(rg).column(i).statistics
-                        if st is None or not st.has_min_max:
-                            mn = mx = None
-                            break
-                        mn = st.min if mn is None else min(mn, st.min)
-                        mx = st.max if mx is None else max(mx, st.max)
-                        nulls += st.null_count or 0
-                    is_str = isinstance(mn, (str, bytes))
-                    if isinstance(mn, bytes):
-                        mn = mn.decode("utf-8", "replace")
-                        mx = mx.decode("utf-8", "replace")
-                    out["file"].append(fname)
-                    out["col"].append(col)
-                    out["min_val"].append(
-                        None if mn is None or is_str else float(mn)
-                    )
-                    out["max_val"].append(
-                        None if mx is None or is_str else float(mx)
-                    )
-                    out["min_str"].append(mn if is_str else None)
-                    out["max_str"].append(mx if is_str else None)
-                    out["n_nulls"].append(nulls)
-                    out["n_rows"].append(md.num_rows)
-            yield pd.DataFrame(out)
+                rows.extend(rows_for(fname))
+            yield pd.DataFrame(rows, columns=list(_INDEX_COLUMNS))
 
     # one footer probe per file; repartition so a huge file list fans out
     n_tasks = max(1, min(n_files, spark.sparkContext.defaultParallelism))
@@ -244,59 +276,85 @@ def build_rowgroup_index(
     return _rowgroup_index_paths(spark, paths, len(files), cols)
 
 
+_RG_COLUMNS = (
+    "file", "rg", "col", "min_val", "max_val",
+    "min_str", "max_str", "n_nulls", "n_rows", "n_bytes",
+)
+
+
+def _rg_stat_rows_fn(cols: list[str]):
+    """Row-group twin of :func:`_file_stat_rows_fn` — one shared
+    per-file extraction for the distributed probe and the driver-side
+    fast path."""
+    want = list(cols)
+
+    def rows_for(fname: str) -> list[tuple]:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(fname).metadata
+        idx = {
+            md.schema.column(i).name: i for i in range(md.num_columns)
+        }
+        rows = []
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            for col in want:
+                if col not in idx:
+                    rows.append((
+                        fname, g, col, None, None, None, None,
+                        rg.num_rows, rg.num_rows,
+                        rg.total_byte_size,
+                    ))
+                    continue
+                st = rg.column(idx[col]).statistics
+                mn = mx = None
+                nulls = 0
+                if st is not None and st.has_min_max:
+                    mn, mx = st.min, st.max
+                    nulls = st.null_count or 0
+                is_str = isinstance(mn, (str, bytes))
+                if isinstance(mn, bytes):
+                    mn = mn.decode("utf-8", "replace")
+                    mx = mx.decode("utf-8", "replace")
+                rows.append((
+                    fname, g, col,
+                    None if mn is None or is_str else float(mn),
+                    None if mx is None or is_str else float(mx),
+                    mn if is_str else None,
+                    mx if is_str else None,
+                    nulls, rg.num_rows, rg.total_byte_size,
+                ))
+        return rows
+
+    return rows_for
+
+
+def rowgroup_rows_local(files: list[str], cols: list[str]) -> list[tuple]:
+    """Driver-side row-group footer probe of a metadata-sized file
+    list — see :func:`index_rows_local` for the rationale and gating."""
+    rows_for = _rg_stat_rows_fn(cols)
+    out: list[tuple] = []
+    for f in files:
+        out.extend(rows_for(f))
+    return out
+
+
 def _rowgroup_index_paths(
     spark: SparkSession, paths: DataFrame, n_files: int, cols: list[str]
 ) -> DataFrame:
     """Row-group footer probe over an explicit file-path frame — the
     row-group twin of :func:`_index_paths` (ManagedTable probes only a
     version's NEW files through this)."""
-    want = list(cols)
+    rows_for = _rg_stat_rows_fn(cols)
 
     def _rg_stats(batches):
         import pandas as pd
-        import pyarrow.parquet as pq
 
-        names = [
-            "file", "rg", "col", "min_val", "max_val",
-            "min_str", "max_str", "n_nulls", "n_rows", "n_bytes",
-        ]
         for pdf in batches:
             rows = []
             for fname in pdf["file"]:
-                md = pq.ParquetFile(fname).metadata
-                idx = {
-                    md.schema.column(i).name: i
-                    for i in range(md.num_columns)
-                }
-                for g in range(md.num_row_groups):
-                    rg = md.row_group(g)
-                    for col in want:
-                        if col not in idx:
-                            rows.append((
-                                fname, g, col, None, None, None, None,
-                                rg.num_rows, rg.num_rows,
-                                rg.total_byte_size,
-                            ))
-                            continue
-                        st = rg.column(idx[col]).statistics
-                        mn = mx = None
-                        nulls = 0
-                        if st is not None and st.has_min_max:
-                            mn, mx = st.min, st.max
-                            nulls = st.null_count or 0
-                        is_str = isinstance(mn, (str, bytes))
-                        if isinstance(mn, bytes):
-                            mn = mn.decode("utf-8", "replace")
-                            mx = mx.decode("utf-8", "replace")
-                        rows.append((
-                            fname, g, col,
-                            None if mn is None or is_str else float(mn),
-                            None if mx is None or is_str else float(mx),
-                            mn if is_str else None,
-                            mx if is_str else None,
-                            nulls, rg.num_rows, rg.total_byte_size,
-                        ))
-            yield pd.DataFrame(rows, columns=names)
+                rows.extend(rows_for(fname))
+            yield pd.DataFrame(rows, columns=list(_RG_COLUMNS))
 
     n_tasks = max(
         1, min(n_files, spark.sparkContext.defaultParallelism)

@@ -1305,7 +1305,7 @@ def test_managed_optimistic_disjoint_dml_rebases(spark, tmp_path):
     cond1 = SF.col("k").between(SF.lit(0), SF.lit(9))
     plan1 = t._dml_plan(1, "delete", cond1, None, ("k", 0, 9))
     assert plan1 is not None
-    scan1, touched1, new_df1, cdf1 = plan1
+    scan1, touched1, new_df1, cdf1, _cached1 = plan1
     assert len(scan1) < 8  # really pruned
 
     # ...meanwhile T2 (disjoint key range -> disjoint files) lands v=2
@@ -1346,7 +1346,7 @@ def test_managed_optimistic_overlapping_dml_aborts(spark, tmp_path):
     # T1 plans a delete of k 0..9 against v=1; T2 deletes the SAME range
     cond = SF.col("k").between(SF.lit(0), SF.lit(9))
     plan1 = t._dml_plan(1, "delete", cond, None, ("k", 0, 9))
-    scan1, touched1, new_df1, cdf1 = plan1
+    scan1, touched1, new_df1, cdf1, _cached1 = plan1
     assert t.delete_range("k", 0, 9) == 2
     with pytest.raises(CommitConflictError, match="removed"):
         t._commit_cow_optimistic(1, scan1, touched1, new_df1, cdf1, "delete")
@@ -1361,7 +1361,7 @@ def test_managed_optimistic_overlapping_dml_aborts(spark, tmp_path):
     # MERGE vs concurrent append: overlap in the source key range aborts
     src_overlap = _mk(spark, 1500, 1510, parts=1)
     plan_m = t._merge_plan(2, src_overlap, ("k",), None)
-    scan_m, touched_m, new_dfm, cdfm, bounds = plan_m
+    scan_m, touched_m, new_dfm, cdfm, bounds, _cm = plan_m
     assert bounds == ("k", 1500, 1509)
     t.append(_mk(spark, 1505, 1520, parts=1))  # v3 adds keys IN range
     with pytest.raises(CommitConflictError, match="overlap"):
@@ -1373,7 +1373,7 @@ def test_managed_optimistic_overlapping_dml_aborts(spark, tmp_path):
     # MERGE vs concurrent append OUTSIDE the range: rebases and commits
     src_safe = _mk(spark, 5000, 5005, parts=1)
     plan_s = t._merge_plan(3, src_safe, ("k",), None)
-    scan_s, touched_s, new_dfs, cdfs, bounds_s = plan_s
+    scan_s, touched_s, new_dfs, cdfs, bounds_s, _cs = plan_s
     t.append(_mk(spark, 9000, 9010, parts=1))  # v4, far away
     v5 = t._commit_cow_optimistic(
         3, scan_s, touched_s, new_dfs, cdfs, "merge",
@@ -1882,7 +1882,7 @@ def test_managed_serializable_isolation(spark, tmp_path):
     plan = ws._dml_plan(1, "delete", cond, None, ("k", 500, 509))
     v2 = ws.append(_mk(spark, 500, 505, parts=1))  # blind append, same range
     assert v2 == 2
-    scan, touched, new_df, cdf = plan
+    scan, touched, new_df, cdf, _cached = plan
     v3 = ws._commit_cow_optimistic(
         1, scan, touched, new_df, cdf, "delete",
         pred_bounds=("k", 500, 509),
@@ -1895,7 +1895,7 @@ def test_managed_serializable_isolation(spark, tmp_path):
     sz = seed_table(tmp_path / "sz", "serializable")
     plan = sz._dml_plan(1, "delete", cond, None, ("k", 500, 509))
     assert sz.append(_mk(spark, 500, 505, parts=1)) == 2
-    scan, touched, new_df, cdf = plan
+    scan, touched, new_df, cdf, _cached = plan
     with pytest.raises(CommitConflictError, match="serializable delete"):
         sz._commit_cow_optimistic(
             1, scan, touched, new_df, cdf, "delete",
@@ -1913,7 +1913,7 @@ def test_managed_serializable_isolation(spark, tmp_path):
     # --- serializable: DISJOINT added range commits fine --------------
     plan = sz._dml_plan(3, "delete", F.col("k").between(0, 9), None, ("k", 0, 9))
     assert sz.append(_mk(spark, 2000, 2010, parts=1)) == 4
-    scan, touched, new_df, cdf = plan
+    scan, touched, new_df, cdf, _cached = plan
     v5 = sz._commit_cow_optimistic(
         3, scan, touched, new_df, cdf, "delete", pred_bounds=("k", 0, 9)
     )
@@ -1924,7 +1924,7 @@ def test_managed_serializable_isolation(spark, tmp_path):
         5, "delete", F.col("tag") == F.lit("3"), None, None
     )
     assert sz.append(_mk(spark, 3000, 3010, parts=1)) == 6
-    scan, touched, new_df, cdf = plan
+    scan, touched, new_df, cdf, _cached = plan
     with pytest.raises(CommitConflictError, match="not an indexed range"):
         sz._commit_cow_optimistic(
             5, scan, touched, new_df, cdf, "delete", pred_bounds=None
@@ -2017,7 +2017,7 @@ def test_managed_partitioned_optimistic_reference(spark, tmp_path):
         1, "delete", F.col("p") == F.lit(0), None, ("p", 0, 0)
     )
     assert plan is not None
-    scan, touched, new_df, cdf = plan
+    scan, touched, new_df, cdf, _cached = plan
     assert all(f.startswith("p=0/") for f in scan)
     v2 = t.delete_range("p", 1, 1)  # lands first, disjoint partition
     assert v2 == 2
@@ -2507,4 +2507,69 @@ def test_managed_vacuum_retention_policy(spark, tmp_path):
     # current snapshot still reads every row
     assert _rows(t.read()) == sorted(
         (k, k * 2.0, str(k % 7)) for k in range(80)
+    )
+
+
+def test_index_driver_and_distributed_builds_agree(spark, tmp_path, monkeypatch):
+    """Round-12 optimization: a commit whose index delta is
+    metadata-sized builds the skipping index driver-side with pyarrow
+    (zero Spark jobs) instead of the distributed mapInPandas probe.
+    The two paths share one stat-extraction closure, and this test
+    pins the contract: the same write -> DELETE -> MERGE history
+    produces bit-equal index CONTENT (stats multisets; file names are
+    fresh UUIDs per run) and identical candidate pruning either way."""
+    import bigdatalab_spark.sources.managed as managed_mod
+
+    def lifecycle(root):
+        t = ManagedTable(
+            spark, root, index_cols=("k",), rowgroup_index=True
+        )
+        df = (
+            _mk(spark, 0, 1000)
+            .repartitionByRange(6, "k")
+            .sortWithinPartitions("k")
+        )
+        t.write(df)
+        t.delete_range("k", 100, 199)
+        src = _mk(spark, 950, 1050, parts=1)
+        t.merge_into(src, "k")
+        return t
+
+    def stats_multiset(t):
+        # index rows without the uuid file names, but keeping the
+        # file GROUPING (rows of one file stay together via a rank of
+        # the per-file stats tuple)
+        rows = sorted(
+            (
+                r["col"], r["min_val"], r["max_val"], r["min_str"],
+                r["max_str"], r["n_nulls"], r["n_rows"],
+            )
+            for r in t.index().collect()
+        )
+        rg = (
+            sorted(
+                (
+                    r["rg"], r["col"], r["min_val"], r["max_val"],
+                    r["n_nulls"], r["n_rows"],
+                )
+                for r in t.rowgroup_index_df().collect()
+            )
+            if t.rowgroup_index
+            else None
+        )
+        return rows, rg
+
+    t_driver = lifecycle(str(tmp_path / "drv"))  # default: driver path
+    monkeypatch.setattr(managed_mod, "_INDEX_DRIVER_MAX_FILES", -1)
+    t_dist = lifecycle(str(tmp_path / "dst"))  # forced distributed
+
+    assert stats_multiset(t_driver) == stats_multiset(t_dist)
+    assert len(t_driver.candidate_files("k", 950, 1049)) == len(
+        t_dist.candidate_files("k", 950, 1049)
+    )
+    assert _rows(t_driver.read()) == _rows(t_dist.read())
+    # and the committed parquet layouts are interchangeable: both read
+    # back through the SQL surface with identical schemas
+    assert (
+        t_driver.index().schema == t_dist.index().schema
     )
