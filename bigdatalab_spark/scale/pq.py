@@ -54,16 +54,26 @@ def train_codebooks(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub_dim = dim // m
-    books = []
-    for s in range(m):
+
+    def _fit(s: int) -> list[list[float]]:
         feats = corpus.select(
             array_to_vector(
                 _subvector(F.col(vec_col), s, sub_dim).cast("array<double>")
             ).alias("features")
         )
         model = KMeans(k=k, seed=seed + s, maxIter=20).fit(feats)
-        books.append([[float(x) for x in c] for c in model.clusterCenters()])
-    return books
+        return [[float(x) for x in c] for c in model.clusterCenters()]
+
+    # the m subspace fits are INDEPENDENT KMeans jobs over tiny
+    # frames, each a long chain of small stages (init + 20 iterations)
+    # that leaves most of the scheduler idle — run them from a small
+    # thread pool so one fit's stages back-fill another's gaps (guide
+    # §2.6 'overlap independent jobs'). Seeded fits: results are
+    # identical to the sequential loop; pool.map preserves order.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(m, 4)) as pool:
+        return list(pool.map(_fit, range(m)))
 
 
 def _sq_dist(a, b) -> F.Column:

@@ -110,18 +110,28 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def fingerprints(docs: DataFrame, text_col: str = "text", n: int = 8) -> DataFrame:
     """Document fingerprints: md5 of normalized content (exact identity)
     plus the min portable hash over character n-gram windows — the
-    winnowing-style rolling signature robust to local edits."""
-    norm = normalize_text(text_col)
-    windows = char_shingles(norm, n)
+    winnowing-style rolling signature robust to local edits.
+
+    PERF: the normalized text is materialized into its own column
+    BEFORE the window transform — higher-order functions defeat
+    subexpression elimination (see word_shingles), so an inline
+    ``normalize_text`` expression would re-run the whitespace regexp
+    over the WHOLE document once per window position, turning a
+    linear scan into O(len²) regexp work (measured 31 s -> 2 s at
+    sf0.1, round 12)."""
+    normed = docs.select(
+        "doc_id", normalize_text(text_col).alias("__norm")
+    )
+    windows = char_shingles(F.col("__norm"), n)
     min_window_hash = F.array_min(
         F.transform(
             windows,
             lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("bigint"),
         )
     )
-    return docs.select(
+    return normed.select(
         "doc_id",
-        F.md5(norm).alias("content_md5"),
+        F.md5("__norm").alias("content_md5"),
         min_window_hash.alias("min_window_hash"),
     )
 
