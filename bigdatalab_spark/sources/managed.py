@@ -189,6 +189,49 @@ def _typed_partition_value(raw: str | None, dtype):
     return None
 
 
+@contextlib.contextmanager
+def _job_label(spark, desc: str):
+    """Label the Spark jobs submitted inside the block (guide: 'label
+    your jobs') and restore the caller's description after — job
+    descriptions are thread-local, so this never bleeds into user
+    queries issued after the DML returns."""
+    sc = spark.sparkContext
+    old = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try:
+        yield
+    finally:
+        sc.setJobDescription(old)
+
+
+@contextlib.contextmanager
+def _metadata_action(spark, desc: str):
+    """Label + run a METADATA-SIZED single-row action (a global
+    aggregation to one row) with AQE off for just this action. A
+    to-one-row aggregation has nothing AQE can re-plan at ANY input
+    size — the final stage is a single partition by construction and
+    there is no keyed reduce side to coalesce or skew-split — while
+    AQE's stage-by-stage materialization turns the short chain into
+    one Spark job per exchange (measured 3 jobs for the attribution
+    agg, 1 without). Executing it as ONE job removes fixed scheduling
+    rounds from every DML commit; results are identical (AQE is a
+    physical-plan feature). Session-global setting: another thread
+    planning a query in the same session during this action would
+    also plan without AQE — a perf-only, correctness-free blip; DML
+    runs under the table write lock, so the window is one metadata
+    aggregation wide."""
+    sc = spark.sparkContext
+    old_desc = sc.getLocalProperty("spark.job.description")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    sc.setJobDescription(desc)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        sc.setJobDescription(old_desc)
+
+
 def _walk_data_files(vdir: str) -> list[str]:
     """Relative paths of a directory's parquet data files by LISTING
     (walk, so partitioned layouts work); ``_index`` and other
@@ -318,14 +361,30 @@ def _data_files(vdir: str) -> list[str]:
     return _walk_data_files(vdir)
 
 
+def _env_int(name: str, default: int) -> int:
+    """Integer env knob with a loud, non-fatal fallback: a malformed
+    value must not crash module import with an opaque ValueError."""
+    raw = os.environ.get(name)
+    if raw is None:
+        return default
+    try:
+        return int(raw)
+    except ValueError:
+        import warnings
+
+        warnings.warn(
+            f"{name}={raw!r} is not an integer; using default {default}",
+            stacklevel=2,
+        )
+        return default
+
+
 #: driver-side index fast path: a commit whose index delta is at most
 #: this many files probes footers and rewrites the index with pyarrow
 #: on the driver (zero Spark jobs — the same idiom as the manifest);
 #: larger deltas keep the distributed mapInPandas build. Parameterised
 #: so cluster deployments can tune where "metadata-sized" ends.
-_INDEX_DRIVER_MAX_FILES = int(
-    os.environ.get("SPARK_GRAFT_INDEX_DRIVER_MAX", "256")
-)
+_INDEX_DRIVER_MAX_FILES = _env_int("SPARK_GRAFT_INDEX_DRIVER_MAX", 256)
 #: and the carried (reused) index side must itself be metadata-sized
 #: on disk for the driver path to copy it
 _INDEX_DRIVER_MAX_REUSE_BYTES = 64 << 20
@@ -354,16 +413,33 @@ def _index_arrow_schema(with_rowgroups: bool):
     return pa.schema(fields)
 
 
+def _index_parts(idx_dir: str) -> list[str]:
+    """Absolute paths of an index directory's parquet parts — the ONE
+    listing shared by the pyarrow driver reads and the byte gate, so
+    they can never diverge from each other. Loud when a committed
+    index directory exists but yields no recognizable parts (nested
+    part directories or nonstandard extensions would otherwise read
+    as an EMPTY index and silently un-prune every query)."""
+    if not os.path.isdir(idx_dir):
+        return []
+    entries = os.listdir(idx_dir)
+    parts = sorted(p for p in entries if p.endswith(".parquet"))
+    if not parts and any(
+        not p.startswith((".", "_")) for p in entries
+    ):
+        raise RuntimeError(
+            f"index directory {idx_dir} exists but contains no "
+            "*.parquet parts — its data files would be read as an "
+            "empty index (layout drift from the expected flat "
+            "coalesce(1) parquet write)"
+        )
+    return [os.path.join(idx_dir, p) for p in parts]
+
+
 def _index_dir_bytes(idx_dir: str) -> int:
     """On-disk size of an index directory's parquet parts (0 when
     absent) — the driver-path gate for the carried side."""
-    if not os.path.isdir(idx_dir):
-        return 0
-    return sum(
-        os.path.getsize(os.path.join(idx_dir, p))
-        for p in os.listdir(idx_dir)
-        if p.endswith(".parquet")
-    )
+    return sum(os.path.getsize(p) for p in _index_parts(idx_dir))
 
 
 def _read_index_table(idx_dir: str):
@@ -375,16 +451,10 @@ def _read_index_table(idx_dir: str):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    if not os.path.isdir(idx_dir):
-        return None
-    parts = sorted(
-        p for p in os.listdir(idx_dir) if p.endswith(".parquet")
-    )
+    parts = _index_parts(idx_dir)
     if not parts:
         return None
-    tables = [
-        pq.read_table(os.path.join(idx_dir, p)) for p in parts
-    ]
+    tables = [pq.read_table(p) for p in parts]
     return (
         tables[0]
         if len(tables) == 1
@@ -946,34 +1016,70 @@ class ManagedTable:
         missing = [k for k in keys if k not in tgt_cols]
         if missing:
             raise ValueError(f"merge keys not in schema: {missing}")
-        if "__matched" in tgt_cols:
-            raise ValueError(
-                "merge_into reserves the __matched column for match "
-                "tagging"
-            )
+        # collision-proof internal tag/count names: any user column —
+        # including the once-reserved "__matched" — just pushes the
+        # generated name further instead of raising
+        tag = "__bdl_matched__"
+        while tag in tgt_cols:
+            tag += "_"
+        ncol = "__bdl_n__"
+        while ncol in tgt_cols:
+            ncol += "_"
         # the source (delta-sized by the MERGE contract) feeds the
         # validation scan, the attribution semi-join, the rewrite and
         # the change feed — persist it so each downstream action reads
-        # the materialized batch instead of re-running its lineage
-        # (unpersisted by the caller once the commit has landed)
+        # the materialized batch instead of re-running its lineage.
+        # Everything persisted during planning is registered in
+        # ``cached``: the except handler unpersists on ANY planning
+        # failure (persists must not outlive a failed plan), the no-op
+        # path unpersists before returning None, and the caller's
+        # finally unpersists once the commit has landed.
         source = source.select(*tgt_cols).persist()
         cached = [source]
-        # ONE pass over the source settles validation AND pruning (and
-        # materializes the persisted batch): the duplicate-key check
-        # and the leading-key bounds previously ran as two separate
-        # jobs, each a full re-scan of the source
-        stats = (
+        try:
+            return self._merge_plan_build(
+                current, source, keys, when_matched, tgt_schema,
+                tgt_cols, all_files, tag, ncol, cached,
+            )
+        except BaseException:
+            for c in cached:
+                c.unpersist()
+            raise
+
+    def _merge_plan_build(
+        self,
+        current: int,
+        source: DataFrame,
+        keys: tuple[str, ...],
+        when_matched: Column | str | None,
+        tgt_schema,
+        tgt_cols: list[str],
+        all_files: list[str],
+        tag: str,
+        ncol: str,
+        cached: list[DataFrame],
+    ):
+        """Body of :meth:`_merge_plan` after source validation/persist
+        (split out so the persist-cleanup wrapper stays flat)."""
+        # ONE pass over the GROUPED source keys settles validation AND
+        # pruning (and materializes both persisted frames): the
+        # duplicate-key check and the leading-key bounds run as a
+        # single action — and the grouped frame is persisted and
+        # reused as the distinct key set by both downstream joins, so
+        # neither pays its own .distinct() exchange per action.
+        src_keys_n = (
             source.groupBy(*keys)
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .agg(
-                F.max("__n").alias("max_n"),
+            .agg(F.count(F.lit(1)).alias(ncol))
+            .persist()
+        )
+        cached.append(src_keys_n)
+        with _metadata_action(self.spark, "managed merge: validate+bounds"):
+            stats = src_keys_n.agg(
+                F.max(ncol).alias("max_n"),
                 F.min(keys[0]).alias("lo"),
                 F.max(keys[0]).alias("hi"),
-            )
-            .first()
-        )
+            ).first()
         if (stats["max_n"] or 0) > 1:
-            source.unpersist()
             raise ValueError(
                 "merge_into source has duplicate keys — the merge "
                 "result would be nondeterministic; dedupe first "
@@ -988,29 +1094,35 @@ class ManagedTable:
             scan_files = self.candidate_files(
                 keys[0], stats["lo"], stats["hi"], current
             )
-        src_keys = source.select(*keys).distinct()
+        src_keys = src_keys_n.select(*keys)  # unique by construction
         scanned = self._with_file(current, scan_files, tgt_schema)
         matched = scanned.join(src_keys, on=list(keys), how="leftsemi")
-        # metadata-sized collect: bounded by the snapshot file count
-        touched_raw = [
-            r["f"]
-            for r in matched.select(
-                F.col("__file").alias("f")
-            ).distinct().collect()
-        ]
-        if None in touched_raw:
+        # metadata-sized: bounded by the snapshot file count. ONE
+        # global aggregation (partial collect_set per partition →
+        # final single-partition merge) instead of the extra exchange
+        # distinct().collect() paid. collect_set drops NULLs, so the
+        # path-normalization guard compares row counts to stay loud.
+        with _metadata_action(self.spark, "managed merge: attribution"):
+            att = matched.agg(
+                F.collect_set("__file").alias("fs"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count("__file").alias("n_mapped"),
+            ).first()
+        if att["n_rows"] != att["n_mapped"]:
             raise RuntimeError(
                 "merge attribution could not map a scanned file path "
                 "back to the manifest — path normalization mismatch"
             )
-        touched = sorted(touched_raw)
+        touched = sorted(att["fs"] or [])
         if not touched and (
             source.join(
                 scanned.select(*keys), on=list(keys), how="leftanti"
             ).limit(1).count()
             == 0
         ):
-            source.unpersist()
+            for c in cached:
+                c.unpersist()
+            cached.clear()
             return None  # nothing matched, nothing to insert
         # the touched files' rows feed the rewrite AND the change feed
         # (plus the range-sampling pass of the clustered write) —
@@ -1029,36 +1141,36 @@ class ManagedTable:
         src_tagged = source.join(
             touched_df.select(*keys)
             .distinct()
-            .withColumn("__matched", F.lit(True)),
+            .withColumn(tag, F.lit(True)),
             on=list(keys),
             how="left",
         ).persist()
         cached.append(src_tagged)
         insert_rows = src_tagged.filter(
-            F.col("__matched").isNull()
+            F.col(tag).isNull()
         ).select(*tgt_cols)
         if when_matched is None:
             # same single-join-then-filter shape on the TARGET side:
             # matched target rows are preimages, unmatched ones are
             # kept (rewritten unchanged)
             tagged = touched_df.join(
-                src_keys.withColumn("__matched", F.lit(True)),
+                src_keys.withColumn(tag, F.lit(True)),
                 on=list(keys),
                 how="left",
             ).persist()
             cached.append(tagged)
-            keep = tagged.filter(F.col("__matched").isNull())
+            keep = tagged.filter(F.col(tag).isNull())
             # rows that replace matched keys + brand-new keys
             new_df = keep.select(*tgt_cols).unionByName(
                 source.select(*tgt_cols)
             )
             pre = tagged.filter(
-                F.col("__matched").isNotNull()
+                F.col(tag).isNotNull()
             ).select(*tgt_cols).withColumn(
                 _CHANGE_TYPE, F.lit("update_preimage")
             )
             post = src_tagged.filter(
-                F.col("__matched").isNotNull()
+                F.col(tag).isNotNull()
             ).select(*tgt_cols).withColumn(
                 _CHANGE_TYPE, F.lit("update_postimage")
             )
@@ -1198,23 +1310,42 @@ class ManagedTable:
             else all_files
         )
         hit = F.coalesce(cond, F.lit(False))  # NULL never matches
-        # metadata-sized collect: bounded by the snapshot file count
-        touched_raw = [
-            r["f"]
-            for r in self._with_file(current, scan_files, cur_schema)
-            .filter(hit)
-            .select(F.col("__file").alias("f"))
-            .distinct()
-            .collect()
-        ]
-        if None in touched_raw:
+        # metadata-sized: bounded by the snapshot file count. ONE
+        # global aggregation (partial collect_set per partition →
+        # final single-partition merge) instead of the extra exchange
+        # distinct().collect() paid. collect_set drops NULLs, so the
+        # path-normalization guard compares row counts to stay loud.
+        with _metadata_action(self.spark, f"managed {op}: attribution"):
+            att = (
+                self._with_file(current, scan_files, cur_schema)
+                .filter(hit)
+                .agg(
+                    F.collect_set("__file").alias("fs"),
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.count("__file").alias("n_mapped"),
+                )
+                .first()
+            )
+        if att["n_rows"] != att["n_mapped"]:
             raise RuntimeError(
                 f"{op} attribution could not map a scanned file path "
                 "back to the manifest — path normalization mismatch"
             )
-        touched = sorted(touched_raw)
+        touched = sorted(att["fs"] or [])
         if not touched:
             return None
+        # validate BEFORE anything is persisted: a raise below this
+        # point would strand the persist (the caller's finally only
+        # unpersists plans that were returned)
+        tmp_cols = [f.name for f in (
+            cur_schema.fields
+            if cur_schema is not None
+            else self._read_files(current, touched, None).schema.fields
+        )]
+        if op != "delete":
+            bad = sorted(set(assignments) - set(tmp_cols))
+            if bad:
+                raise ValueError(f"update of unknown columns: {bad}")
         # the touched files' rows feed the rewrite and the change feed
         # (plus the clustered write's range-sampling pass) — persist so
         # they are read from storage once, not once per action
@@ -1227,9 +1358,7 @@ class ManagedTable:
                 _CHANGE_TYPE, F.lit("delete")
             )
         else:
-            bad = sorted(set(assignments) - set(cols))
-            if bad:
-                raise ValueError(f"update of unknown columns: {bad}")
+            # (unknown-column validation already ran pre-persist above)
             exprs = {
                 c: (F.expr(v) if isinstance(v, str) else v)
                 for c, v in assignments.items()
@@ -1278,6 +1407,35 @@ class ManagedTable:
             return new_df.coalesce(1)
         return new_df.repartition(n_out)
 
+    def _overlap_writes(self, rewrite_fn, cdf_fn) -> None:
+        """Run the rewrite write and the change-feed write as two
+        CONCURRENT Spark jobs (guide §2.6 'overlap independent jobs'):
+        both read only the plan's persisted frames and land in
+        disjoint directories, so the commit pays max(rewrite, feed)
+        wall time instead of their sum — the feed's tasks back-fill
+        executor slots the rewrite's tail leaves idle. The feed
+        thread's exception is re-raised after both complete (either
+        failure aborts the commit before the marker lands, exactly as
+        the sequential order did)."""
+        from pyspark import InheritableThread
+
+        errs: list[BaseException] = []
+
+        def run_cdf():
+            try:
+                cdf_fn()
+            except BaseException as exc:  # re-raised after join
+                errs.append(exc)
+
+        th = InheritableThread(target=run_cdf, daemon=True)
+        th.start()
+        try:
+            rewrite_fn()
+        finally:
+            th.join()
+        if errs:
+            raise errs[0]
+
     def _commit_cow(
         self,
         current: int,
@@ -1305,14 +1463,42 @@ class ManagedTable:
         # small extra shuffle is delta-sized by construction.
         n_out = max(1, len(touched) + (1 if op == "merge" else 0))
         new_df = self._cluster_rewrite(new_df, n_out)
-        writer = new_df.write.mode("errorifexists")
+        # claim the version directory ATOMICALLY before the two
+        # overlapped writes start: the change-feed thread creates
+        # vdir/_cdf (and hence vdir) concurrently with the rewrite, so
+        # the rewrite's own errorifexists check would race against its
+        # sibling. An exclusive mkdir is the same collision guard the
+        # errorifexists mode provided (two committers racing to the
+        # same version number: exactly one wins), just earlier — and
+        # both writes then append into the directory this commit owns.
+        try:
+            os.makedirs(vdir, exist_ok=False)
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                f"{op} lost the race for version directory {vdir}"
+            ) from None
+        writer = new_df.write.mode("append")
         pcols = self.partition_cols_of(current)
         if pcols:
             # partitioned table: the rewrite lands under the same
             # col=val/ directory layout, so partition pruning keeps
             # composing with the file-skipping index
             writer = writer.partitionBy(*pcols)
-        writer.parquet(vdir)
+        def _do_rewrite():
+            with _job_label(self.spark, f"managed {op}: rewrite write"):
+                writer.parquet(vdir)
+
+        def _do_cdf():
+            with _job_label(
+                self.spark, f"managed {op}: change-feed write"
+            ):
+                (
+                    cdf.withColumn(_COMMIT_VERSION, F.lit(version))
+                    .write.mode("append")
+                    .parquet(os.path.join(vdir, _CDF_DIR))
+                )
+
+        self._overlap_writes(_do_rewrite, _do_cdf)
         written = set(_walk_data_files(vdir))
         link = [rel for rel in all_files if rel not in touched]
         clash = written & set(link)
@@ -1332,11 +1518,6 @@ class ManagedTable:
         # carried files (cost stays proportional to this commit's delta)
         _write_manifest(
             vdir, carried + _sized(vdir, sorted(written))
-        )
-        (
-            cdf.withColumn(_COMMIT_VERSION, F.lit(version))
-            .write.mode("errorifexists")
-            .parquet(os.path.join(vdir, _CDF_DIR))
         )
         schema = self.stored_schema(current)
         if schema is None:
@@ -1622,9 +1803,23 @@ class ManagedTable:
             writer = new_df.write.mode("append")
             if pcols:
                 writer = writer.partitionBy(*pcols)
-            writer.parquet(work)
+
+            def _do_rewrite():
+                with _job_label(
+                    self.spark, f"managed {op}: rewrite write"
+                ):
+                    writer.parquet(work)
+
+            def _do_cdf():
+                with _job_label(
+                    self.spark, f"managed {op}: change-feed write"
+                ):
+                    cdf.write.mode("append").parquet(
+                        os.path.join(work, _CDF_DIR)
+                    )
+
+            self._overlap_writes(_do_rewrite, _do_cdf)
             written = set(_walk_data_files(work))
-            cdf.write.mode("append").parquet(os.path.join(work, _CDF_DIR))
             with self._commit_section(f"managed_{op}_commit"):
                 current = latest_version(self.path)
                 if current is None:
@@ -2157,7 +2352,40 @@ class ManagedTable:
             return sorted(keep)
         if col not in self.index_cols:
             return sorted(all_files)  # unindexed column: no pruning
-        tbl = _read_index_table(os.path.join(vdir, _INDEX_DIR))
+        idx_dir = os.path.join(vdir, _INDEX_DIR)
+        if _index_dir_bytes(idx_dir) > _INDEX_DRIVER_MAX_REUSE_BYTES:
+            # the write path gates its driver fast path on index size;
+            # mirror that here: a 10M-file table's index is no longer
+            # "metadata-sized by construction", so filter it
+            # DISTRIBUTED and move only the candidate names to the
+            # driver (same three-valued logic as the pyarrow path)
+            lo_key, hi_key = (
+                ("min_str", "max_str")
+                if isinstance(lo, str)
+                else ("min_val", "max_val")
+            )
+            cand = F.col(lo_key).isNull() | (
+                F.col(hi_key).isNotNull()
+                & ~(
+                    (F.col(hi_key) < F.lit(lo))
+                    | (F.col(lo_key) > F.lit(hi))
+                )
+            )
+            row = (
+                self.spark.read.parquet(idx_dir)
+                .filter(F.col("col") == col)
+                .agg(
+                    F.collect_set("file").alias("indexed"),
+                    F.collect_set(
+                        F.when(cand, F.col("file"))
+                    ).alias("keep"),
+                )
+                .first()
+            )
+            indexed = set(row["indexed"] or [])
+            keep = set(row["keep"] or [])
+            return sorted((keep & all_files) | (all_files - indexed))
+        tbl = _read_index_table(idx_dir)
         if tbl is None:
             # a fully-emptied snapshot has no files and no index
             return sorted(all_files)
