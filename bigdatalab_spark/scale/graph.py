@@ -51,31 +51,42 @@ def pagerank(
     """
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).persist()
     nodes = edges.select(F.col("src").alias("node")).distinct().persist()
-    n_row = nodes.agg(F.count(F.lit(1)).alias("n"))
+    # n is ONE number — take it to the driver once and embed it as a
+    # plan literal instead of crossJoin(broadcast(n_row)) every round:
+    # that broadcast re-materialized as its own Spark job per iteration
+    # (and once more for the init frame). Python float division IS the
+    # JVM's double division (both IEEE-754 binary64), so 1.0/n and
+    # (1-damping)/n embed bit-identical values.
+    n = nodes.count()
+    init_rank = 1.0 / n if n else 0.0
+    base_mass = (1.0 - damping) / n if n else 0.0
 
-    ranks = nodes.crossJoin(F.broadcast(n_row)).select(
-        "node", (F.lit(1.0) / F.col("n")).alias("rank")
-    )
+    ranks = nodes.select("node", F.lit(init_rank).alias("rank"))
     ranks = ranks.localCheckpoint(eager=True)
     for _ in range(iterations):
-        contribs = (
-            edges.join(ranks, edges.src == ranks.node)
-            .join(deg, "src")
-            .select(
-                F.col("dst").alias("node"),
-                (F.col("rank") / F.col("d")).cast(CONTRIB_DECIMAL).alias(
-                    "contrib"
-                ),
-            )
+        # rank/d is constant per source node: compute it on the
+        # NODE-sized frame (ranks ⋈ deg) and join edges once, instead
+        # of dragging both rank and d through separate edge-sized
+        # joins. Same operands per edge ⇒ bit-identical contribs, but
+        # the data-sized side now meets exactly one join per round —
+        # and the rate frame is node-sized, so AQE can broadcast it
+        # and leave the edge list entirely unshuffled before the agg.
+        rates = ranks.join(deg, ranks.node == deg.src).select(
+            F.col("src"),
+            (F.col("rank") / F.col("d")).cast(CONTRIB_DECIMAL).alias(
+                "contrib"
+            ),
+        )
+        contribs = edges.join(rates, "src").select(
+            F.col("dst").alias("node"), F.col("contrib")
         )
         new_ranks = (
             contribs.groupBy("node")
             .agg(F.sum("contrib").alias("csum"))
-            .crossJoin(F.broadcast(n_row))
             .select(
                 "node",
                 (
-                    F.lit(1.0 - damping) / F.col("n")
+                    F.lit(base_mass)
                     + F.lit(damping) * F.col("csum").cast("double")
                 ).alias("rank"),
             )
