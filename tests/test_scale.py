@@ -143,6 +143,36 @@ def test_pandas_udf_cosine_matches_column_expression(spark, sf_dir):
         assert r.arrow == pytest.approx(r.jvm, rel=1e-9)
 
 
+def test_fold_pandas_udf_cosine_is_bit_identical(spark, sf_dir):
+    """The Arrow verification kernel used by rhp_near_dups must be
+    BIT-identical to the JVM fold (not approx-equal): its value lands
+    in the query output and the strict oracle hashes it. IS DISTINCT
+    FROM catches NaN/-0.0 drift that == would mask."""
+    from pyspark.sql import functions as F
+
+    from bigdatalab_spark.scale.similarity import (
+        cosine,
+        cosine_fold_pandas_udf,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pair = (
+        emb.filter("vec_id < 40").selectExpr("vec_id AS i", "embedding AS a")
+        .crossJoin(
+            emb.filter("vec_id >= 40 AND vec_id < 80").selectExpr(
+                "embedding AS b"
+            )
+        )
+    )
+    udf = cosine_fold_pandas_udf()
+    both = pair.select(
+        cosine(F.col("a"), F.col("b")).alias("jvm"),
+        udf(F.col("a"), F.col("b")).alias("arrow"),
+    )
+    assert both.count() > 0
+    assert both.filter("jvm IS DISTINCT FROM arrow").count() == 0
+
+
 def test_ivf_kmeans_recall_vs_bruteforce(spark, sf_dir):
     """Probe-2 IVF over 8 centroids must recover most true top-3
     neighbors (recall@3 >= 0.5 on the synthetic clustered embeddings)."""
