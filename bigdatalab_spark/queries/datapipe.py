@@ -479,7 +479,11 @@ def stream_static_segment_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         money_sum("value").alias("total_value"),
     )
-    run_stream_to_memory(state, name, output_mode="complete")
+    # TPC-H market segments are a 5-value enum at every scale factor:
+    # keyspace-derived state partitioning (state_shuffle_partitions)
+    run_stream_to_memory(
+        state, name, output_mode="complete", expected_keys=8
+    )
     return spark.table(name).orderBy("segment")
 
 

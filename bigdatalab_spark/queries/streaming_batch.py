@@ -162,7 +162,13 @@ def streaming_cumulative_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("total_events"),
         money_sum("value").alias("total_value"),
     )
-    run_stream_to_memory(state, name, output_mode="complete")
+    # event_type is an enum-like domain (a handful of values at every
+    # scale factor): keyspace-derived state partitioning — see
+    # state_shuffle_partitions — instead of one RocksDB instance per
+    # configured shuffle partition, ~all of them empty
+    run_stream_to_memory(
+        state, name, output_mode="complete", expected_keys=8
+    )
     return spark.table(name).orderBy("event_type")
 
 
@@ -415,7 +421,11 @@ def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = unique_sink_name("quality_gate")
-    run_stream_to_memory(counted, name, output_mode="complete")
+    # source labels are an enum-like domain (tens of values):
+    # keyspace-derived state partitioning
+    run_stream_to_memory(
+        counted, name, output_mode="complete", expected_keys=32
+    )
     return spark.table(name).orderBy("source")
 
 

@@ -194,26 +194,71 @@ def unique_sink_name(prefix: str) -> str:
     return f"{prefix}_{_SINK_COUNTER[0]}"
 
 
+def state_shuffle_partitions(spark, expected_keys: int) -> int:
+    """Honest-at-any-scale state partition count for a KEYED streaming
+    aggregation whose key cardinality the caller knows (an enum-like
+    domain: event types, market segments, source labels).
+
+    Keyed-state parallelism is bounded by the number of DISTINCT keys —
+    a hash exchange cannot usefully employ more reducers than keys, and
+    every state partition is a real per-batch cost (a RocksDB instance
+    opened, committed and checkpointed each micro-batch, even when it
+    holds zero keys). So: never more partitions than expected keys,
+    never more than the session's configured shuffle parallelism (which
+    is the CLUSTER-scaled knob — on a large deployment it, not this
+    derivation, is the ceiling), and at least 1. This is derived from
+    the query's keyspace, not from the local core count: a 5-key
+    cumulative aggregate gets 5 state stores on this box and on a
+    1000-executor cluster alike, because a 6th could never hold a key.
+    Map-side partial aggregation keeps the exchange itself tiny
+    regardless of input size, so shrinking the reduce side loses no
+    scan parallelism."""
+    conf = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return max(1, min(int(expected_keys), conf))
+
+
 def run_stream_to_memory(
     result: DataFrame,
     name: str,
     checkpoint_dir: str | None = None,
     output_mode: str = "complete",
+    expected_keys: int | None = None,
 ) -> None:
     """Run a streaming frame to a memory sink with AvailableNow (process
     everything, then stop) — the deterministic test harness for every
     streaming job (SURVEY §5: MemoryStream-style tests). Returns once the
-    stream has drained; results are in ``spark.table(name)``."""
-    writer = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-    )
-    if checkpoint_dir:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    q = writer.start()
-    q.awaitTermination()
+    stream has drained; results are in ``spark.table(name)``.
+
+    ``expected_keys``: for keyed-state streams over enum-like keyspaces,
+    the caller's upper bound on distinct state keys; the stream then
+    runs with :func:`state_shuffle_partitions` state partitions (set for
+    the duration of the drain and restored after — the count is pinned
+    into this stream's checkpoint at first batch, so it never leaks into
+    other queries). Leave ``None`` for data-sized keyspaces. Results are
+    unchanged either way: the engine's streaming aggregates are
+    partitioning-invariant (decimal money sums, counts)."""
+    spark = result.sparkSession
+    old_parts = None
+    if expected_keys is not None:
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(state_shuffle_partitions(spark, expected_keys)),
+        )
+    try:
+        writer = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+        )
+        if checkpoint_dir:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
+        q = writer.start()
+        q.awaitTermination()
+    finally:
+        if old_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
 
 def run_stream_to_console(

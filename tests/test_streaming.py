@@ -41,6 +41,35 @@ def test_cumulative_counts_match_batch(spark, sf_dir):
     assert got == want and len(got) > 0
 
 
+def test_state_shuffle_partitions_derivation(spark):
+    """Keyspace-derived state partitioning: bounded by expected keys
+    below the configured parallelism, by the configured parallelism
+    above it, floored at 1 — and never derived from the host."""
+    from bigdatalab_spark.streaming.jobs import state_shuffle_partitions
+
+    conf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert state_shuffle_partitions(spark, 1) == 1
+    assert state_shuffle_partitions(spark, 5) == min(5, conf)
+    assert state_shuffle_partitions(spark, 10**9) == conf
+
+
+def test_expected_keys_state_matches_batch_and_restores_conf(spark, sf_dir):
+    """A keyed stream drained with expected_keys set produces the same
+    final state as the batch twin, and the session's shuffle-partition
+    conf is restored after the drain."""
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    stream = cumulative_counts(stream_events(spark, sf_dir)).drop("total_value")
+    run_stream_to_memory(stream, "t_cumulative_keyed", expected_keys=8)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    got = _rows(spark.table("t_cumulative_keyed"))
+    want = _rows(
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("total_events"))
+    )
+    assert got == want and len(got) > 0
+
+
 def test_windowed_counts_match_batch(spark, sf_dir):
     """T7 sliding window + T8 watermark."""
     stream = windowed_counts(
@@ -207,6 +236,7 @@ def test_console_sink_runs(spark, sf_dir):
     assert q.lastProgress is not None
 
 
+@pytest.mark.slow
 def test_watermark_drops_late_rows(spark, tmp_path):
     """T8: with a watermark, an event older than (max_event_time -
     watermark) arriving in a LATER micro-batch is dropped from the
@@ -340,6 +370,7 @@ def test_processing_time_window_counts(spark, sf_dir):
         assert ns == sorted(ns, reverse=True)
 
 
+@pytest.mark.slow
 def test_streaming_session_windows_close_on_watermark(spark, tmp_path):
     """T9 streaming twin: session_window under readStream + watermark.
     A session is emitted (append mode) once the watermark passes its
@@ -907,6 +938,7 @@ def test_stream_stream_attribution_multi_batch_equals_batch(spark, sf_dir, tmp_p
     assert cross, "ts split produced no cross-batch pairs; widen the interval"
 
 
+@pytest.mark.slow
 def test_stream_stream_attribution_survives_cross_process_restart(
     spark, sf_dir, tmp_path
 ):
@@ -1107,6 +1139,7 @@ def test_observe_metrics_batch_and_streaming(spark, sf_dir, tmp_path):
     assert sum(per_batch) == want_n
 
 
+@pytest.mark.slow
 def test_dedup_ingest_stream_classifies_and_grows_the_index(spark, sf_dir, tmp_path):
     """The round-8 production loop: micro-batches classified against the
     durable dedup index, new docs appended, so a batch-2 copy of a
@@ -1275,6 +1308,7 @@ def test_embedding_ingest_stream_grows_ivf_index_exactly_once(
     assert load_ivf_index(spark, idx)[0].count() == n0 + 6
 
 
+@pytest.mark.slow
 def test_ingest_stream_inline_compaction_bounds_file_count(
     spark, sf_dir, tmp_path
 ):
@@ -1339,6 +1373,7 @@ def test_ingest_stream_inline_compaction_bounds_file_count(
     assert n_files() == after_stream
 
 
+@pytest.mark.slow
 def test_dedup_ingest_stream_interplay_with_tombstone_deletes(
     spark, sf_dir, tmp_path
 ):
@@ -1421,6 +1456,7 @@ def test_dedup_ingest_stream_interplay_with_tombstone_deletes(
     assert probe_status() == "exact_dup"
 
 
+@pytest.mark.slow
 def test_embedding_ingest_stream_interplay_with_tombstone_deletes(
     spark, sf_dir, tmp_path
 ):
@@ -1499,6 +1535,7 @@ def test_embedding_ingest_stream_interplay_with_tombstone_deletes(
     assert 30_000_001 not in served_ids()
 
 
+@pytest.mark.slow
 def test_forget_stream_applies_streaming_deletes_exactly_once(
     spark, sf_dir, tmp_path
 ):
