@@ -1048,6 +1048,7 @@ def test_dedup_index_append_completes_the_daily_cycle(spark, sf_dir, tmp_path):
     assert meta["format"] == "dedup-index/2"
 
 
+@pytest.mark.slow
 def test_dedup_index_compaction_layout_only_and_crash_recoverable(
     spark, sf_dir, tmp_path
 ):

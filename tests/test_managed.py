@@ -2318,6 +2318,7 @@ def test_managed_catalog_ddl_veneer(spark, tmp_path):
         cat.create_table("bad-name")
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("iso", ["write_serializable", "serializable"])
 def test_managed_cross_process_dml_grid(spark, tmp_path, iso):
     """Round-12: THREE OS processes (this one + two children, each

@@ -6,6 +6,7 @@ depends on.
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -53,6 +54,7 @@ def test_tokenize_never_yields_empty_tokens(spark, rows):
     ),
     parts=st.integers(min_value=1, max_value=7),
 )
+@pytest.mark.slow
 @settings(**SETTINGS)
 def test_money_sum_is_partitioning_invariant(spark, values, parts):
     """The determinism claim behind operators.aggregates: the decimal
@@ -240,6 +242,7 @@ points_strategy = st.lists(
 
 @given(points=points_strategy, ivs=intervals_strategy,
        width=st.sampled_from([1, 7, 32, 500]))
+@pytest.mark.slow
 @settings(**SETTINGS)
 def test_bin_range_join_equals_naive_for_any_input(spark, points, ivs, width):
     """For ANY point set, interval set, and bin width, the binned
@@ -349,6 +352,7 @@ def test_lower_weighted_median_matches_brute_model(pairs):
     rhs=intervals_strategy,
     width=st.sampled_from([1, 7, 32, 500]),
 )
+@pytest.mark.slow
 @settings(**SETTINGS)
 def test_interval_overlap_join_equals_naive_for_any_input(spark, lhs, rhs, width):
     """For ANY two interval sets and bin width, the binned overlap join

@@ -11,9 +11,12 @@ from __future__ import annotations
 import json
 import pathlib
 
+import pytest
+
 from tests.conftest import SF_DIR_ORACLE
 
 
+@pytest.mark.slow
 def test_quality_report_refreshes_and_all_gates_pass(spark):
     from tools.quality_report import compute_metrics
 

@@ -917,6 +917,7 @@ def test_pq_compression_contract_and_rerank_recall(spark, sf_dir):
     assert all(qid in got[qid] for qid in got)
 
 
+@pytest.mark.slow
 def test_ivf_pq_recall_and_probe_bound(spark, sf_dir):
     """IVF-PQ: recall stays above the floor at probe 2/8, and a full
     probe (n_probe = n_centroids) matches plain PQ recall — routing is
@@ -1146,6 +1147,7 @@ def test_span_dedup_first_occurrence_is_corpus_ordered(spark):
     assert (row["n_spans"], row["n_dropped"]) == (3, 2)
 
 
+@pytest.mark.slow
 def test_bin_range_join_matches_naive(spark):
     """The binned equi-join returns exactly the naive O(n*m) range
     join's rows, across boundary cases: point on lo (in), point on hi
@@ -1780,6 +1782,7 @@ def test_exact_similarity_over_budget_lsh_fallback(spark, sf_dir):
         )
 
 
+@pytest.mark.slow
 def test_pq_fit_serve_split_matches_end_to_end(spark, sf_dir, tmp_path):
     """Round-7: the PQ family gets the same fit/serve split as IVF —
     serving over a PREBUILT codes frame with codebooks LOADED from the
@@ -1812,6 +1815,7 @@ def test_pq_fit_serve_split_matches_end_to_end(spark, sf_dir, tmp_path):
     assert as_rows(served) == as_rows(e2e)
 
 
+@pytest.mark.slow
 def test_ivf_pq_fit_serve_split_matches_end_to_end(spark, sf_dir):
     """Same split contract for IVF-PQ: probe + ADC + rerank over the
     prebuilt (codes, centroids, codebooks) triple equals the wrapper."""
@@ -2072,6 +2076,7 @@ def test_ivf_append_extends_the_durable_index_without_refit(
     assert 20_000_000 in by_id and by_id[20_000_000] > 0.999999
 
 
+@pytest.mark.slow
 def test_ivf_pq_append_encodes_with_stored_models(spark, sf_dir, tmp_path):
     """append_to_ivf_pq_index encodes new vectors with the STORED
     codebooks and buckets them against the STORED centroids: the
@@ -2150,6 +2155,7 @@ def test_ivf_pq_append_encodes_with_stored_models(spark, sf_dir, tmp_path):
     assert 20_000_000 in by_id and by_id[20_000_000] < 1e-9
 
 
+@pytest.mark.slow
 def test_ann_index_compaction_serves_bit_identically(spark, sf_dir, tmp_path):
     """compact_ivf_index / compact_ivf_pq_index are the maintenance
     half of the ANN append story: repeated appends fragment the
@@ -2219,6 +2225,7 @@ def test_ann_index_compaction_serves_bit_identically(spark, sf_dir, tmp_path):
     assert pq_rows() == before_pq
 
 
+@pytest.mark.slow
 def test_durable_indexes_serve_from_fresh_process(spark, sf_dir, tmp_path):
     """Round-8 (verdict #2): the DPP tests load each durable index in
     the SAME session that built it — this proves the artifacts are
@@ -2690,6 +2697,7 @@ def test_refit_ivf_index_recovers_append_drift(spark, tmp_path):
     assert c_hits() == 30
 
 
+@pytest.mark.slow
 def test_ann_index_tombstone_delete_and_purge(spark, tmp_path):
     """Forgotten vectors must vanish from top-k immediately (logical
     delete) and stay gone across physical purge (bit-identical serve);

@@ -14,6 +14,13 @@ import subprocess
 import sys
 from pathlib import Path
 
+import pytest
+
+# every test here shells out a fresh Spark process per tool run —
+# 940 s of the full suite's 54 min; smoke-gates the measurement
+# tools, not the engine, so it lives in the slow tier
+pytestmark = pytest.mark.slow
+
 ROOT = Path(__file__).resolve().parent.parent
 SF = "/root/testdata/sf0.001"
 
