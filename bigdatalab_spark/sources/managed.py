@@ -1226,6 +1226,26 @@ class ManagedTable:
         cdf = pre.select(*tgt_cols, _CHANGE_TYPE).unionByName(
             post.select(*tgt_cols, _CHANGE_TYPE)
         ).unionByName(ins.select(*tgt_cols, _CHANGE_TYPE))
+        # force-fill the persisted frames BOTH overlapped commit writes
+        # read: persist() is lazy and RDD cache fills are unsynchronized
+        # — two concurrent first-consumers each compute the tag-join
+        # lineage until blocks land. Two delta-sized fill passes (run
+        # concurrently themselves) make the rewrite and the change feed
+        # pure cache scans; filling the downstream frame fills its
+        # cached touched_df input on the way.
+        # _metadata_action (AQE off): each fill is a count-to-one-row on
+        # top of the cache materialization, and a cached plan's
+        # partitioning is frozen at persist() time regardless — AQE's
+        # only contribution here is one stage-job per exchange (measured
+        # 11 fill jobs with it, ~5 without). Filling the TAG JOINS (not
+        # just the touched-file base) means each join computes exactly
+        # once; left lazy, the rewrite's sampling pass, the rewrite
+        # write and the two change-feed branches would each re-run them.
+        deep = tagged if when_matched is None else touched_df
+        with _metadata_action(self.spark, "managed merge: plan cache fill"):
+            self._overlap_writes(
+                lambda: deep.count(), lambda: src_tagged.count()
+            )
         return scan_files, touched, new_df, cdf, key_bounds, cached
 
     def _cow_rewrite(
@@ -1384,6 +1404,11 @@ class ManagedTable:
                 .withColumn(_CHANGE_TYPE, F.lit("update_postimage"))
             )
             cdf = pre.unionByName(post)
+        # force-fill the persisted touched-file rows before the commit's
+        # two OVERLAPPED writes both race to compute them (same
+        # rationale as the merge plan's fill pass)
+        with _metadata_action(self.spark, f"managed {op}: plan cache fill"):
+            touched_df.count()
         return scan_files, touched, new_df, cdf, [touched_df]
 
     def _cluster_rewrite(self, new_df: DataFrame, n_out: int) -> DataFrame:
