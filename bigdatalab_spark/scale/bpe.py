@@ -134,24 +134,38 @@ def bpe_train(
     # accumulates dead token copies waiting on GC-driven cleanup.
     from bigdatalab_spark.operators.checkpoints import release_local_checkpoint
 
+    # LAZY checkpoints: each round's pair-count action materializes the
+    # round's rewrite as a side effect, so rewrite + count are ONE Spark
+    # job instead of two (eager checkpointing paid a separate
+    # materialization job per round). The previous round's blocks are
+    # released only AFTER the new round has materialized (the rewrite
+    # reads them), preserving the eager loop's release discipline.
     toks = docs.select(
         F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, int]] = []
+    prev = None
     for r in range(1, n_merges + 1):
         top = (
             pair_counts(toks)
             .orderBy(F.desc("n_pairs"), F.asc("l"), F.asc("r"))
             .first()
         )
+        # toks is materialized now; its predecessor is safe to release
+        if prev is not None:
+            release_local_checkpoint(prev)
+            prev = None
         if top is None:
             break
         merges.append((r, top["l"], top["r"], top["n_pairs"]))
-        prev = toks
-        toks = merge_pair(toks, top["l"], top["r"]).localCheckpoint(eager=True)
-        release_local_checkpoint(prev)
-    # the FINAL round's corpus-sized checkpoint is dead too — the
-    # returned merge table is driver-built
+        if r < n_merges:
+            prev = toks
+            toks = merge_pair(toks, top["l"], top["r"]).localCheckpoint(
+                eager=False
+            )
+        # else: the FINAL round's rewrite is never counted — skip
+        # building (and materializing) a corpus-sized frame nothing
+        # reads; the merge table below is driver-built
     release_local_checkpoint(toks)
     return spark.createDataFrame(
         merges, "merge_round int, left string, right string, n_pairs bigint"
