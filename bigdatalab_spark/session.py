@@ -22,6 +22,34 @@ def _local_cpus() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _local_split_bytes(sf_dir: str | None = None, cpus: int | None = None) -> int:
+    """Scale-adaptive LOCAL split size: total input bytes / (3 × cores),
+    clamped to [4 MB, 128 MB] — about three scan-task waves per core at
+    full parallelism instead of a constant tuned to one dataset size.
+    At the gate scale factors (≤ ~20 MB of parquet) this resolves to
+    the 4 MB floor, i.e. byte-identical splits to prior rounds; a
+    replica-scaled dataset gets proportionally larger splits rather
+    than thousands of 4 MB tasks (guide §6: fewer, larger map tasks
+    also shrink every downstream shuffle's block matrix). Derived from
+    the dataset the session is pointed at (``SPARK_GRAFT_SF_DIR``), not
+    from the host; without one the 4 MB local floor stands. Cluster
+    deployments never reach this code path (they keep Spark's 128 MB
+    default)."""
+    if sf_dir is None:
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR")
+    if not sf_dir or not os.path.isdir(sf_dir):
+        return 4 << 20
+    total = 0
+    for dirpath, _dirnames, filenames in os.walk(sf_dir):
+        for f in filenames:
+            try:
+                total += os.path.getsize(os.path.join(dirpath, f))
+            except OSError:
+                pass
+    per = total // (3 * (cpus if cpus is not None else _local_cpus()))
+    return min(max(per, 4 << 20), 128 << 20)
+
+
 def get_session(
     app_name: str = "bigdatalab-spark",
     master: str | None = None,
@@ -94,9 +122,12 @@ def get_session(
     if local_mode:
         # Local single-file datasets are far below the 128 MB default
         # split size, which would serialize scans on one core; split
-        # finer so all local cores participate. Cluster deployments
+        # finer so all local cores participate — sized from the dataset
+        # (see _local_split_bytes), not a constant. Cluster deployments
         # (SPARK_MASTER / explicit master) keep the HDFS-friendly default.
-        builder = builder.config("spark.sql.files.maxPartitionBytes", "4m")
+        builder = builder.config(
+            "spark.sql.files.maxPartitionBytes", str(_local_split_bytes())
+        )
         # In local mode the driver JVM IS the executor; the 1g default
         # driver heap fails broadcast builds at ~10x gate scale. Only
         # effective at JVM launch (first session in the process).

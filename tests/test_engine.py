@@ -207,3 +207,26 @@ def test_full_oracle_artifact_covers_entire_registry():
     failed = sorted(n for n, r in data["results"].items() if not r["ok"])
     assert not failed, f"{latest.name} records failures: {failed}"
     assert data["n_pass"] == data["n_queries"] == len(data["results"])
+
+
+def test_local_split_bytes_derivation(tmp_path):
+    """Scale-adaptive local split size: 4 MB floor at gate-sized data,
+    total/(3*cores) in the scaling regime, 128 MB ceiling — and the 4 MB
+    default when no dataset directory is known."""
+    from bigdatalab_spark.session import _local_split_bytes
+
+    assert _local_split_bytes(None) == 4 << 20
+    assert _local_split_bytes(str(tmp_path / "missing")) == 4 << 20
+    d = tmp_path / "sf"
+    d.mkdir()
+    (d / "t.parquet").write_bytes(b"x" * (1 << 20))  # 1 MB -> floor
+    assert _local_split_bytes(str(d), cpus=32) == 4 << 20
+    big = d / "big.parquet"
+    with open(big, "wb") as fh:  # sparse-ish: 3 GiB of zeros via truncate
+        fh.truncate(3 << 30)
+    # 3 GiB / 96 = 32 MiB (plus the 1 MB file) -> mid-range
+    got = _local_split_bytes(str(d), cpus=32)
+    assert (16 << 20) < got < (64 << 20)
+    with open(big, "wb") as fh:
+        fh.truncate(100 << 30)
+    assert _local_split_bytes(str(d), cpus=32) == 128 << 20  # ceiling
