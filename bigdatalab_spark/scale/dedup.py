@@ -39,6 +39,35 @@ from bigdatalab_spark.scale.hashing import (
 )
 
 
+def _overlap_jobs(fns) -> None:
+    """Run independent Spark actions as CONCURRENT jobs (guide §2.6):
+    the scheduler happily runs several jobs at once inside one
+    application — actions are only sequential because driver code
+    calls them sequentially. Used for the dedup-index store writes,
+    which land in disjoint directories off one shared cached frame,
+    so a commit pays max(write) wall time instead of their sum.
+    Every submitted action runs to completion (a failed sibling can't
+    be cancelled mid-write any more than it could be un-run in the
+    sequential order — the commit marker is only written after this
+    returns); the first failure is re-raised once all have finished."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    fns = list(fns)
+    if len(fns) == 1:
+        fns[0]()
+        return
+    with ThreadPoolExecutor(max_workers=len(fns)) as pool:
+        futures = [pool.submit(fn) for fn in fns]
+        errs = []
+        for f in futures:
+            try:
+                f.result()
+            except BaseException as exc:  # noqa: PERF203
+                errs.append(exc)
+    if errs:
+        raise errs[0]
+
+
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact duplicate groups by md5 of normalized text: one row per
     distinct content with the keeper id (min id) and multiplicity."""
@@ -531,21 +560,36 @@ def save_dedup_index(
         "minhash_bands": MINHASH_BANDS,
     }
     with dataset_write_lock(path, "save_dedup_index"):
-        bands.write.mode("overwrite").partitionBy("band").parquet(
-            f"{path}/bands"
-        )
+        # the shingles write runs FIRST and alone: it scans sh fully,
+        # so it materializes the shared cache exactly once (two
+        # concurrent actions on a not-yet-cached frame would both
+        # compute it). The remaining stores are independent reads of
+        # that cache (bands, sizes), a second corpus scan (hashes) and
+        # an empty frame (tombstones) landing in disjoint directories
+        # — run them as concurrent jobs (§2.6) so the build pays
+        # max(store write), not the sum; the store contents and the
+        # marker-last crash contract are unchanged (meta.json is still
+        # written only after every store has landed).
         sh.withColumn(
             "shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int")
         ).write.mode("overwrite").partitionBy("shard").parquet(
             f"{path}/shingles"
         )
-        sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh")).write.mode(
-            "overwrite"
-        ).parquet(f"{path}/sizes")
-        hashes.write.mode("overwrite").parquet(f"{path}/hashes")
-        corpus.sparkSession.createDataFrame(
-            [], "doc_id long"
-        ).write.mode("overwrite").parquet(f"{path}/tombstones")
+        _overlap_jobs([
+            lambda: bands.write.mode("overwrite").partitionBy(
+                "band"
+            ).parquet(f"{path}/bands"),
+            lambda: sh.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_sh"))
+            .write.mode("overwrite")
+            .parquet(f"{path}/sizes"),
+            lambda: hashes.write.mode("overwrite").parquet(
+                f"{path}/hashes"
+            ),
+            lambda: corpus.sparkSession.createDataFrame(
+                [], "doc_id long"
+            ).write.mode("overwrite").parquet(f"{path}/tombstones"),
+        ])
         tmp = os.path.join(path, "meta.json.tmp")
         with open(tmp, "w", encoding="utf-8") as fh:
             json.dump(meta, fh)
@@ -638,24 +682,31 @@ def append_to_dedup_index(
                 )
         meta_path = os.path.join(path, "meta.json")
         os.remove(meta_path)  # uncommit: a crash below must refuse loads
-        bands_new.write.mode("append").partitionBy("band").parquet(
-            f"{path}/bands"
-        )
+        # shingles first and alone (materializes the sh_new cache in
+        # one pass), then the three remaining batch-proportional
+        # appends as concurrent jobs into disjoint stores (§2.6) —
+        # same contents, marker-last crash contract unchanged
         sh_new.withColumn(
             "shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int")
         ).write.mode("append").partitionBy("shard").parquet(f"{path}/shingles")
-        sh_new.groupBy("doc_id").agg(
-            F.count(F.lit(1)).alias("n_sh")
-        ).write.mode("append").parquet(f"{path}/sizes")
-        (
-            docs_new.select(
-                F.col(id_col).cast("long").alias("doc_id"),
-                F.md5(normalize_text(text_col)).alias("content_hash"),
-            )
-            .filter(F.col("content_hash").isNotNull())
+        _overlap_jobs([
+            lambda: bands_new.write.mode("append").partitionBy(
+                "band"
+            ).parquet(f"{path}/bands"),
+            lambda: sh_new.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_sh"))
             .write.mode("append")
-            .parquet(f"{path}/hashes")
-        )
+            .parquet(f"{path}/sizes"),
+            lambda: (
+                docs_new.select(
+                    F.col(id_col).cast("long").alias("doc_id"),
+                    F.md5(normalize_text(text_col)).alias("content_hash"),
+                )
+                .filter(F.col("content_hash").isNotNull())
+                .write.mode("append")
+                .parquet(f"{path}/hashes")
+            ),
+        ])
         tmp = meta_path + ".tmp"
         with open(tmp, "w", encoding="utf-8") as fh:
             json.dump(meta, fh)
