@@ -639,7 +639,16 @@ def append_to_dedup_index(
     import os
 
     spark = docs_new.sparkSession
-    _, bands_cur, _, _, meta = load_dedup_index(spark, path)
+    # read only the stores the append USES: meta (validated first, same
+    # refusal contract as load_dedup_index) and the live band rows for
+    # cap accounting. Opening hashes/shingles/sizes too — as the full
+    # loader does — costs one file-listing/schema job per store that
+    # this path then never reads.
+    meta = _read_dedup_meta(path)
+    tomb = spark.read.parquet(f"{path}/tombstones")
+    bands_cur = spark.read.parquet(f"{path}/bands").join(
+        tomb, "doc_id", "left_anti"
+    )
     n, cap, n_shards = meta["n"], meta["max_bucket_size"], meta["n_shards"]
 
     from bigdatalab_spark.sources.locks import dataset_write_lock
