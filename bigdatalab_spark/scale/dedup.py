@@ -484,6 +484,36 @@ def _classify_batch(
 DEDUP_INDEX_FORMAT = "dedup-index/2"
 
 
+def _dedup_store_schemas(id_type: str) -> dict:
+    """Read-back DDL schemas of the five index stores as the reader
+    returns them (data columns in frame order, the partition column
+    last). ``id_type`` is the corpus id column's type — the builders
+    carry it through unchanged, while the hash/tombstone stores cast
+    to long on write. Pinned into meta.json by :func:`save_dedup_index`
+    so serve-time opens never run a footer-inference job; the store
+    contents themselves are unchanged (the pinned schema equals what
+    inference returns — asserted by test against a built index)."""
+    return {
+        "bands": f"doc_id {id_type}, sig string, band int",
+        "shingles": f"doc_id {id_type}, shingle string, shard int",
+        "sizes": f"doc_id {id_type}, n_sh bigint",
+        "hashes": "doc_id bigint, content_hash string",
+        "tombstones": "doc_id bigint",
+    }
+
+
+def _open_store(spark, path: str, store: str, meta: dict | None = None):
+    """Open one index store, with the schema pinned in ``meta`` when
+    present (zero Spark jobs — no footer inference, no schema-merge
+    pass) and plain inference for indexes built before the schemas
+    were recorded. Explicit-schema reads of a partitioned store still
+    discover partitions from directory names; values parse to the
+    declared partition type."""
+    sch = (meta or {}).get("store_schemas", {}).get(store)
+    reader = spark.read.schema(sch) if sch else spark.read
+    return reader.parquet(f"{path}/{store}")
+
+
 def save_dedup_index(
     corpus: DataFrame,
     path: str,
@@ -558,6 +588,17 @@ def save_dedup_index(
         "n_shards": n_shards,
         "minhash_k": len(MINHASH_COEFFS),
         "minhash_bands": MINHASH_BANDS,
+        # store read-back schemas, pinned at build time so every later
+        # open skips parquet footer inference — a Spark JOB per store
+        # per open (guide §5: metadata work belongs on the driver; the
+        # serve loop opens 5 stores per micro-batch). The id column
+        # keeps the corpus's own type; the schemas below are the
+        # read-back shapes (partition column LAST, as the partitioned
+        # reader returns them). meta is the commit marker, so a pinned
+        # schema can never describe an uncommitted layout.
+        "store_schemas": _dedup_store_schemas(
+            corpus.schema[id_col].dataType.simpleString()
+        ),
     }
     with dataset_write_lock(path, "save_dedup_index"):
         # the shingles write runs FIRST and alone: it scans sh fully,
@@ -645,8 +686,8 @@ def append_to_dedup_index(
     # loader does — costs one file-listing/schema job per store that
     # this path then never reads.
     meta = _read_dedup_meta(path)
-    tomb = spark.read.parquet(f"{path}/tombstones")
-    bands_cur = spark.read.parquet(f"{path}/bands").join(
+    tomb = _open_store(spark, path, "tombstones", meta)
+    bands_cur = _open_store(spark, path, "bands", meta).join(
         tomb, "doc_id", "left_anti"
     )
     n, cap, n_shards = meta["n"], meta["max_bucket_size"], meta["n_shards"]
@@ -840,12 +881,12 @@ def load_dedup_index(
     column traffic, and with an empty tombstone store AQE collapses it
     to a broadcast no-op."""
     meta = _read_dedup_meta(path)
-    tomb = spark.read.parquet(f"{path}/tombstones")
+    tomb = _open_store(spark, path, "tombstones", meta)
     return (
-        spark.read.parquet(f"{path}/hashes").join(tomb, "doc_id", "left_anti"),
-        spark.read.parquet(f"{path}/bands").join(tomb, "doc_id", "left_anti"),
-        spark.read.parquet(f"{path}/shingles"),
-        spark.read.parquet(f"{path}/sizes"),
+        _open_store(spark, path, "hashes", meta).join(tomb, "doc_id", "left_anti"),
+        _open_store(spark, path, "bands", meta).join(tomb, "doc_id", "left_anti"),
+        _open_store(spark, path, "shingles", meta),
+        _open_store(spark, path, "sizes", meta),
         meta,
     )
 
@@ -887,19 +928,23 @@ def remove_from_dedup_index(doc_ids: DataFrame, path: str) -> int:
 
     spark = doc_ids.sparkSession
     with dataset_write_lock(path, "remove_from_dedup_index"):
-        _read_dedup_meta(path)
+        meta = _read_dedup_meta(path)
         resume_interrupted_flip(f"{path}/tombstones")
         staging = f"{path}/_tombstones_staging"
         (
             doc_ids.select(F.col("doc_id").cast("long").alias("doc_id"))
             .distinct()
             .join(
-                spark.read.parquet(f"{path}/tombstones"), "doc_id", "left_anti"
+                _open_store(spark, path, "tombstones", meta),
+                "doc_id",
+                "left_anti",
             )
             .write.mode("overwrite")
             .parquet(staging)
         )
-        staged = spark.read.parquet(staging)
+        # the staging rows were written from the cast-to-long select
+        # above — pin the read so it costs no inference job either
+        staged = spark.read.schema("doc_id bigint").parquet(staging)
         n_new = staged.count()
         if n_new:
             staged.write.mode("append").parquet(f"{path}/tombstones")
@@ -938,18 +983,20 @@ def purge_dedup_tombstones(
     from bigdatalab_spark.sources.sinks import resume_interrupted_flip
 
     with dataset_write_lock(path, "purge_dedup_tombstones"):
-        _read_dedup_meta(path)
+        meta = _read_dedup_meta(path)
         # a PREVIOUS purge may have crashed mid-tombstones-flip (path
         # missing, __compact_old holding the only copy) — the flip
         # helper's debris preamble would recover it, but only when it
         # runs for that store, which is after this top-level read:
         # resume the flip here first or the re-run fails at read time
         resume_interrupted_flip(f"{path}/tombstones")
-        n_tomb = spark.read.parquet(f"{path}/tombstones").count()
+        n_tomb = _open_store(spark, path, "tombstones", meta).count()
 
         def drop_dead(df: DataFrame) -> DataFrame:
             return df.join(
-                spark.read.parquet(f"{path}/tombstones"), "doc_id", "left_anti"
+                _open_store(spark, path, "tombstones", meta),
+                "doc_id",
+                "left_anti",
             )
 
         stats = {

@@ -667,6 +667,8 @@ def dedup_ingest_stream(
     import os
 
     from bigdatalab_spark.scale.dedup import (
+        _open_store,
+        _read_dedup_meta,
         append_to_dedup_index,
         compact_dedup_index,
         incremental_dedup_from_index,
@@ -681,8 +683,17 @@ def dedup_ingest_stream(
             incremental_dedup_from_index(
                 spark, batch_df, index_path, threshold, text_col, id_col
             ).write.mode("overwrite").parquet(part)
+        # the status/staged re-reads and the sizes probe all have
+        # schemas known without looking at a footer (classify output is
+        # (id-as-written, status); staged rows are new_docs' own
+        # schema; sizes is pinned in the index meta) — pass them
+        # explicitly so none of the per-batch opens runs a parquet
+        # footer-inference job (guide §5: the serve loop's cost is
+        # fixed per-batch job count, not bytes)
+        id_type = batch_df.schema[id_col].dataType.simpleString()
         new_ids = (
-            spark.read.parquet(part)
+            spark.read.schema(f"doc_id {id_type}, status string")
+            .parquet(part)
             .filter(F.col("status") == "new")
             .select("doc_id")
         )
@@ -692,7 +703,9 @@ def dedup_ingest_stream(
             )
             .join(new_ids, "doc_id", "left_semi")
             .join(
-                spark.read.parquet(f"{index_path}/sizes").select("doc_id"),
+                _open_store(
+                    spark, index_path, "sizes", _read_dedup_meta(index_path)
+                ).select("doc_id"),
                 "doc_id",
                 "left_anti",  # replay guard: already-admitted docs skip
             )
@@ -703,7 +716,7 @@ def dedup_ingest_stream(
         # persist() would not guarantee that under cache eviction)
         staged = os.path.join(checkpoint_dir, f"_staged_batch_{batch_id}")
         new_docs.write.mode("overwrite").parquet(staged)
-        staged_docs = spark.read.parquet(staged)
+        staged_docs = spark.read.schema(new_docs.schema).parquet(staged)
         if not staged_docs.isEmpty():
             append_to_dedup_index(staged_docs, index_path)
         import shutil

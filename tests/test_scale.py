@@ -3047,3 +3047,45 @@ def test_jpeg_header_parse_roundtrip_and_poison_tolerance(spark):
     for i, r in rows.items():
         assert r["decode_error"] is not None, i
         assert r["width"] is None and r["orientation"] is None
+
+
+def test_dedup_index_pinned_store_schemas_match_inference(spark, sf_dir, tmp_path):
+    """The store schemas save_dedup_index pins into meta.json must equal
+    what parquet footer inference returns for every store — the pinned
+    read (zero schema-inference jobs per open, the round-13 serve-loop
+    optimization) and the inferred read must be the same DataFrame
+    shape, and indexes written BEFORE the field existed must still load
+    via the inference fallback."""
+    from bigdatalab_spark.scale.dedup import (
+        _open_store,
+        _read_dedup_meta,
+        load_dedup_index,
+        save_dedup_index,
+    )
+    from bigdatalab_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = str(tmp_path / "idx")
+    save_dedup_index(docs, path)
+    meta = _read_dedup_meta(path)
+    assert set(meta["store_schemas"]) == {
+        "bands", "shingles", "sizes", "hashes", "tombstones",
+    }
+    for store in meta["store_schemas"]:
+        pinned = _open_store(spark, path, store, meta)
+        inferred = spark.read.parquet(f"{path}/{store}")
+        assert pinned.schema == inferred.schema, (
+            f"{store}: pinned {pinned.schema.simpleString()} != "
+            f"inferred {inferred.schema.simpleString()}"
+        )
+    # pre-schema index: dropping the field must fall back to inference
+    import json
+    import os
+
+    legacy = dict(meta)
+    del legacy["store_schemas"]
+    with open(os.path.join(path, "meta.json"), "w", encoding="utf-8") as fh:
+        json.dump(legacy, fh)
+    hashes, bands, shingles, sizes, _ = load_dedup_index(spark, path)
+    assert [f.name for f in bands.schema.fields] == ["doc_id", "sig", "band"]
+    assert shingles.schema.simpleString().endswith("shard:int>")
