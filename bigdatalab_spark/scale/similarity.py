@@ -833,7 +833,11 @@ def _apply_index_tombstones(spark, rows: DataFrame, path: str) -> DataFrame:
 
     if not os.path.exists(f"{path}/tombstones"):
         return rows
-    tomb = spark.read.parquet(f"{path}/tombstones")
+    # the tombstone store's schema is fixed by construction (created as
+    # ``neighbor_id long``, appends cast to long) — pass it explicitly
+    # so the open never runs a footer-inference job (one Spark job per
+    # serve otherwise; guide §5)
+    tomb = spark.read.schema("neighbor_id bigint").parquet(f"{path}/tombstones")
     return rows.join(tomb, "neighbor_id", "left_anti")
 
 
@@ -857,10 +861,16 @@ def _remove_from_index(vec_ids: DataFrame, path: str, op: str) -> int:
         store = f"{path}/tombstones"
         resume_interrupted_flip(store)
         if os.path.exists(store):
-            ids = ids.join(spark.read.parquet(store), "neighbor_id", "left_anti")
+            ids = ids.join(
+                spark.read.schema("neighbor_id bigint").parquet(store),
+                "neighbor_id",
+                "left_anti",
+            )
         staging = f"{path}/_tombstones_staging"
         ids.write.mode("overwrite").parquet(staging)
-        staged = spark.read.parquet(staging)
+        # staged rows come from the cast-to-long select above — pinned
+        # read, no inference job
+        staged = spark.read.schema("neighbor_id bigint").parquet(staging)
         n_new = staged.count()
         if n_new:
             staged.write.mode("append").parquet(store)
@@ -886,11 +896,17 @@ def _purge_index_tombstones(
 
     with dataset_write_lock(path, op):
         resume_interrupted_flip(f"{path}/tombstones")
-        n_tomb = spark.read.parquet(f"{path}/tombstones").count()
+        n_tomb = (
+            spark.read.schema("neighbor_id bigint")
+            .parquet(f"{path}/tombstones")
+            .count()
+        )
 
         def drop_dead(df: DataFrame) -> DataFrame:
             return df.join(
-                spark.read.parquet(f"{path}/tombstones"),
+                spark.read.schema("neighbor_id bigint").parquet(
+                    f"{path}/tombstones"
+                ),
                 "neighbor_id",
                 "left_anti",
             )

@@ -590,15 +590,18 @@ def embedding_ingest_stream(
         fresh = batch_df.select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
         ).join(
-            spark.read.parquet(f"{index_path}/corpus").select(
-                F.col("neighbor_id").alias("vec_id")
-            ),
+            # id-only probe of the corpus store: a partial explicit
+            # schema reads just the id column (partition column is
+            # appended automatically) with no footer-inference job
+            spark.read.schema("neighbor_id bigint")
+            .parquet(f"{index_path}/corpus")
+            .select(F.col("neighbor_id").alias("vec_id")),
             "vec_id",
             "left_anti",  # replay guard: already-ingested ids skip
         )
         staged = os.path.join(checkpoint_dir, f"_staged_batch_{batch_id}")
         fresh.write.mode("overwrite").parquet(staged)
-        staged_vecs = spark.read.parquet(staged)
+        staged_vecs = spark.read.schema(fresh.schema).parquet(staged)
         if not staged_vecs.isEmpty():
             append_to_ivf_index(staged_vecs, index_path)
         shutil.rmtree(staged, ignore_errors=True)
