@@ -83,6 +83,31 @@ def _sq_dist(a, b) -> F.Column:
     )
 
 
+def _lit_double_sql(x: float) -> str:
+    """SQL double literal parsing to exactly this IEEE-754 value:
+    ``repr`` is Python's shortest-round-trip form and Spark's literal
+    parser (Java ``Double.parseDouble``) is correctly rounded, so the
+    round trip is exact for every finite double."""
+    return f"{float(x)!r}D"
+
+
+def _sq_dist_sql(sub_sql: str, centroid: list[float]) -> str:
+    """SQL-string twin of ``_sq_dist(sub, F.array(*lits))`` — the same
+    zip_with/transform/aggregate fold over the same double literals,
+    built as ONE string instead of ~9 py4j round trips per centroid.
+    With m*k centroids embedded per plan, Column-by-Column construction
+    was 8-10 s of pure driver time per serve (measured at sf0.1);
+    parsing one expression string is milliseconds. The analyzed
+    expression tree — and therefore every emitted double — is
+    identical (pinned by test against the Column builder)."""
+    arr = "array(" + ", ".join(_lit_double_sql(x) for x in centroid) + ")"
+    return (
+        f"aggregate(transform(zip_with({sub_sql}, {arr}, "
+        "(x, y) -> CAST(x AS DOUBLE) - CAST(y AS DOUBLE)), "
+        "x -> x * x), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
 def encode_corpus(
     corpus: DataFrame,
     codebooks: list[list[list[float]]],
@@ -91,19 +116,21 @@ def encode_corpus(
 ) -> DataFrame:
     """(vec_id, s, code): nearest-centroid code per subspace — narrow
     scan, centroids embedded as plan literals (argmin over k squared
-    distances via ``array_position`` of the minimum)."""
-    m = len(codebooks)
+    distances via ``array_position`` of the minimum). The m*k distance
+    folds are assembled as one SQL expression string (see
+    :func:`_sq_dist_sql`)."""
     sub_dim = len(codebooks[0][0])
     entries = []
     for s, book in enumerate(codebooks):
-        sub = _subvector(F.col(vec_col), s, sub_dim)
-        dists = F.array(
-            *[_sq_dist(sub, F.array(*[F.lit(x) for x in c])) for c in book]
+        sub = f"slice(`{vec_col}`, {s * sub_dim + 1}, {sub_dim})"
+        dists = "array(" + ", ".join(_sq_dist_sql(sub, c) for c in book) + ")"
+        entries.append(
+            f"named_struct('s', {s}, 'code', "
+            f"CAST(array_position({dists}, array_min({dists})) - 1 AS INT))"
         )
-        code = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-        entries.append(F.struct(F.lit(s).alias("s"), code.alias("code")))
     return corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.explode(F.array(*entries)).alias("e")
+        F.col(id_col).alias("neighbor_id"),
+        F.explode(F.expr("array(" + ", ".join(entries) + ")")).alias("e"),
     ).select("neighbor_id", "e.s", "e.code")
 
 
@@ -114,22 +141,20 @@ def query_lut(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """(query_id, s, code, sq_dist): the ADC lookup table — one row per
-    query x subspace x centroid (|Q| * m * k rows, broadcast-sized)."""
-    m = len(codebooks)
+    query x subspace x centroid (|Q| * m * k rows, broadcast-sized).
+    Same one-string expression assembly as :func:`encode_corpus`."""
     sub_dim = len(codebooks[0][0])
     entries = []
     for s, book in enumerate(codebooks):
-        sub = _subvector(F.col(vec_col), s, sub_dim)
+        sub = f"slice(`{vec_col}`, {s * sub_dim + 1}, {sub_dim})"
         for c_idx, c in enumerate(book):
             entries.append(
-                F.struct(
-                    F.lit(s).alias("s"),
-                    F.lit(c_idx).alias("code"),
-                    _sq_dist(sub, F.array(*[F.lit(x) for x in c])).alias("sq_dist"),
-                )
+                f"named_struct('s', {s}, 'code', {c_idx}, "
+                f"'sq_dist', {_sq_dist_sql(sub, c)})"
             )
     return queries.select(
-        F.col(id_col).alias("query_id"), F.explode(F.array(*entries)).alias("e")
+        F.col(id_col).alias("query_id"),
+        F.explode(F.expr("array(" + ", ".join(entries) + ")")).alias("e"),
     ).select("query_id", "e.s", "e.code", "e.sq_dist")
 
 

@@ -240,16 +240,28 @@ def hyperplane_table_rows(
     ``list_sum(list_transform(...))``). Narrow — the explode multiplies
     rows by ``tables`` but nothing shuffles until the bucket join.
     """
+    # assembled as ONE SQL expression string: tables*bits*dim literal
+    # doubles built Column-by-Column cost thousands of py4j round
+    # trips of pure driver time per plan (the same fix as
+    # pq._sq_dist_sql — see its exactness note; repr round-trips every
+    # finite double and the parsed tree is the identical fold)
     entries = []
     for t, table in enumerate(planes):
-        sig = F.lit(0)
+        terms = ["0"]
         for i, plane in enumerate(table):
-            dot = _dot(F.col(vec_col), F.array(*[F.lit(x) for x in plane]))
-            sig = sig + F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        entries.append(F.struct(F.lit(t).alias("tbl"), sig.alias("sig")))
+            arr = "array(" + ", ".join(f"{float(x)!r}D" for x in plane) + ")"
+            dot = (
+                f"aggregate(zip_with(`{vec_col}`, {arr}, "
+                "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                "0.0D, (acc, x) -> acc + x)"
+            )
+            terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END)")
+        entries.append(
+            f"named_struct('tbl', {t}, 'sig', {' + '.join(terms)})"
+        )
     return vectors.select(
         F.col(id_col).alias("vid"),
-        F.explode(F.array(*entries)).alias("b"),
+        F.explode(F.expr("array(" + ", ".join(entries) + ")")).alias("b"),
     ).select("vid", "b.tbl", "b.sig")
 
 

@@ -215,7 +215,11 @@ def _metadata_action(spark, desc: str):
     one Spark job per exchange (measured 3 jobs for the attribution
     agg, 1 without). Executing it as ONE job removes fixed scheduling
     rounds from every DML commit; results are identical (AQE is a
-    physical-plan feature). Session-global setting: another thread
+    physical-plan feature). Callers fetch their one-row result with
+    ``collect()[0]``, not ``first()``: take(1) wraps the aggregation
+    in a separate Limit plan that is re-planned and codegen-compiled
+    on every commit for no benefit when the result is a single row by
+    construction. Session-global setting: another thread
     planning a query in the same session during this action would
     also plan without AQE — a perf-only, correctness-free blip; DML
     runs under the table write lock, so the window is one metadata
@@ -1078,7 +1082,7 @@ class ManagedTable:
                 F.max(ncol).alias("max_n"),
                 F.min(keys[0]).alias("lo"),
                 F.max(keys[0]).alias("hi"),
-            ).first()
+            ).collect()[0]
         if (stats["max_n"] or 0) > 1:
             raise ValueError(
                 "merge_into source has duplicate keys — the merge "
@@ -1107,7 +1111,7 @@ class ManagedTable:
                 F.collect_set("__file").alias("fs"),
                 F.count(F.lit(1)).alias("n_rows"),
                 F.count("__file").alias("n_mapped"),
-            ).first()
+            ).collect()[0]
         if att["n_rows"] != att["n_mapped"]:
             raise RuntimeError(
                 "merge attribution could not map a scanned file path "
@@ -1344,7 +1348,7 @@ class ManagedTable:
                     F.count(F.lit(1)).alias("n_rows"),
                     F.count("__file").alias("n_mapped"),
                 )
-                .first()
+                .collect()[0]
             )
         if att["n_rows"] != att["n_mapped"]:
             raise RuntimeError(
@@ -2405,7 +2409,7 @@ class ManagedTable:
                         F.when(cand, F.col("file"))
                     ).alias("keep"),
                 )
-                .first()
+                .collect()[0]
             )
             indexed = set(row["indexed"] or [])
             keep = set(row["keep"] or [])

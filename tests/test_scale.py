@@ -3089,3 +3089,106 @@ def test_dedup_index_pinned_store_schemas_match_inference(spark, sf_dir, tmp_pat
     hashes, bands, shingles, sizes, _ = load_dedup_index(spark, path)
     assert [f.name for f in bands.schema.fields] == ["doc_id", "sig", "band"]
     assert shingles.schema.simpleString().endswith("shard:int>")
+
+
+def test_sql_string_expression_builders_bit_identical(spark, sf_dir):
+    """The round-13 SQL-string expression assembly (pq.encode_corpus /
+    pq.query_lut / similarity.hyperplane_table_rows) must produce
+    BIT-identical frames to the original Column-by-Column builders —
+    same schema, same rows, doubles compared by raw IEEE-754 bits."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from bigdatalab_spark.scale import pq as pqm
+    from bigdatalab_spark.scale.similarity import (
+        RHP_BITS,
+        RHP_SEED,
+        RHP_TABLES,
+        _dot,
+        hyperplane_table_rows,
+        random_hyperplanes,
+    )
+    from bigdatalab_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    books = pqm.train_codebooks(emb, m=4, k=8, seed=42)
+
+    # reference: the pre-round-13 Column-based builders, verbatim
+    def ref_encode(corpus, codebooks, vec_col="embedding", id_col="vec_id"):
+        sub_dim = len(codebooks[0][0])
+        entries = []
+        for s, book in enumerate(codebooks):
+            sub = pqm._subvector(F.col(vec_col), s, sub_dim)
+            dists = F.array(
+                *[pqm._sq_dist(sub, F.array(*[F.lit(x) for x in c])) for c in book]
+            )
+            code = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+            entries.append(F.struct(F.lit(s).alias("s"), code.alias("code")))
+        return corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.explode(F.array(*entries)).alias("e"),
+        ).select("neighbor_id", "e.s", "e.code")
+
+    def ref_lut(queries, codebooks, vec_col="embedding", id_col="vec_id"):
+        sub_dim = len(codebooks[0][0])
+        entries = []
+        for s, book in enumerate(codebooks):
+            sub = pqm._subvector(F.col(vec_col), s, sub_dim)
+            for c_idx, c in enumerate(book):
+                entries.append(
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.lit(c_idx).alias("code"),
+                        pqm._sq_dist(
+                            sub, F.array(*[F.lit(x) for x in c])
+                        ).alias("sq_dist"),
+                    )
+                )
+        return queries.select(
+            F.col(id_col).alias("query_id"),
+            F.explode(F.array(*entries)).alias("e"),
+        ).select("query_id", "e.s", "e.code", "e.sq_dist")
+
+    def ref_hyperplanes(vectors, planes, vec_col="embedding", id_col="vec_id"):
+        entries = []
+        for t, table in enumerate(planes):
+            sig = F.lit(0)
+            for i, plane in enumerate(table):
+                dot = _dot(F.col(vec_col), F.array(*[F.lit(x) for x in plane]))
+                sig = sig + F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+            entries.append(F.struct(F.lit(t).alias("tbl"), sig.alias("sig")))
+        return vectors.select(
+            F.col(id_col).alias("vid"),
+            F.explode(F.array(*entries)).alias("b"),
+        ).select("vid", "b.tbl", "b.sig")
+
+    def bits(rows):
+        return sorted(
+            tuple(
+                struct.pack("<d", v).hex() if isinstance(v, float) else v
+                for v in r
+            )
+            for r in rows
+        )
+
+    pairs = [
+        (pqm.encode_corpus(emb, books), ref_encode(emb, books)),
+        (
+            pqm.query_lut(emb.filter("vec_id < 10"), books),
+            ref_lut(emb.filter("vec_id < 10"), books),
+        ),
+        (
+            hyperplane_table_rows(
+                emb, random_hyperplanes(64, RHP_BITS, RHP_TABLES, RHP_SEED)
+            ),
+            ref_hyperplanes(
+                emb, random_hyperplanes(64, RHP_BITS, RHP_TABLES, RHP_SEED)
+            ),
+        ),
+    ]
+    for got, want in pairs:
+        assert got.schema == want.schema, (
+            f"{got.schema.simpleString()} != {want.schema.simpleString()}"
+        )
+        assert bits(got.collect()) == bits(want.collect())
