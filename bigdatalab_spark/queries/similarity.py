@@ -181,13 +181,23 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # brute force is asserted in tests/test_scale.py
 )
 def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: KMeans coarse quantizer (seeded) + probe-2 bucket search."""
+    """IVF ANN: KMeans coarse quantizer (seeded) + probe-2 bucket
+    search. The coarse fit comes from the session memo — trained once
+    per (session, corpus), amortized over every query batch, same
+    contract as the PQ codebook memo."""
     from bigdatalab_spark.scale.similarity import ivf_kmeans_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_kmeans_topk(emb.filter("vec_id < 10"), emb, k=3).orderBy(
-        "query_id", "rank"
-    )
+    return ivf_kmeans_topk(
+        emb.filter("vec_id < 10"),
+        emb,
+        k=3,
+        fit_key=(
+            spark.sparkContext.applicationId,
+            corpus_fingerprint(sf_dir, "embeddings"),
+            "ivf-coarse",
+        ),
+    ).orderBy("query_id", "rank")
 
 
 @query(
@@ -198,11 +208,21 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def semantic_dedup_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: cluster-blocked embedding dedup, one survivor per
-    near-identical group (threshold 0.95, seeded KMeans blocking)."""
+    near-identical group (threshold 0.95, seeded KMeans blocking).
+    The blocking KMeans comes from the session memo — fit once per
+    (session, corpus)."""
     from bigdatalab_spark.scale.similarity import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, threshold=0.95).orderBy("vec_id")
+    return semantic_dedup(
+        emb,
+        threshold=0.95,
+        fit_key=(
+            spark.sparkContext.applicationId,
+            corpus_fingerprint(sf_dir, "embeddings"),
+            "semdedup-blocking",
+        ),
+    ).orderBy("vec_id")
 
 
 @query(
@@ -256,5 +276,15 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=43,
     )
     return ivf_pq_topk(
-        emb.filter("vec_id < 10"), emb, k=5, codebooks=books
+        emb.filter("vec_id < 10"),
+        emb,
+        k=5,
+        codebooks=books,
+        # the coarse quantizer is session-memoized like the codebooks —
+        # refitting it per call was the remaining per-invocation KMeans
+        coarse_fit_key=(
+            spark.sparkContext.applicationId,
+            corpus_fingerprint(sf_dir, "embeddings"),
+            "ivfpq-coarse",
+        ),
     ).orderBy("query_id", "rank")

@@ -285,6 +285,7 @@ def ivf_pq_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     codebooks: list[list[list[float]]] | None = None,
+    coarse_fit_key: tuple | None = None,
 ) -> DataFrame:
     """IVF-PQ: coarse-quantizer routing + PQ-compressed scoring — the
     standard production vector-index layout (FAISS ``IVFx,PQy``).
@@ -313,7 +314,8 @@ def ivf_pq_topk(
     The small defaults here fit the gate corpus.
     """
     codes, centroids, books = fit_ivf_pq_index(
-        corpus, n_centroids, m, codebook_k, seed, vec_col, id_col, codebooks
+        corpus, n_centroids, m, codebook_k, seed, vec_col, id_col, codebooks,
+        coarse_fit_key=coarse_fit_key,
     )
     return ivf_pq_serve_topk(
         queries, codes, centroids, books,
@@ -331,6 +333,7 @@ def fit_ivf_pq_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     codebooks: list[list[list[float]]] | None = None,
+    coarse_fit_key: tuple | None = None,
 ) -> tuple[DataFrame, DataFrame, list[list[list[float]]]]:
     """OFFLINE phase of IVF-PQ: train the coarse quantizer, bucket the
     corpus, train (or reuse) PQ codebooks, and encode. Returns
@@ -338,15 +341,17 @@ def fit_ivf_pq_index(
     ``(neighbor_id, s, code, bucket)``, the frame you persist
     PARTITIONED BY bucket at 100 TB so a probe reads only its
     directories; centroids is ``n_centroids`` rows; codebooks go in
-    the model store."""
-    from pyspark.ml.clustering import KMeans
+    the model store. ``coarse_fit_key`` memoizes the coarse KMeans per
+    (session, corpus) — see similarity._fit_kmeans_cached."""
     from pyspark.ml.functions import array_to_vector
+
+    from bigdatalab_spark.scale.similarity import _fit_kmeans_cached
 
     corpus_v = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
     )
-    coarse = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(corpus_v)
+    coarse = _fit_kmeans_cached(corpus_v, coarse_fit_key, n_centroids, seed)
     assigned = coarse.transform(corpus_v).select(
         "neighbor_id", F.col("prediction").alias("bucket")
     )

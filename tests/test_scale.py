@@ -3192,3 +3192,70 @@ def test_sql_string_expression_builders_bit_identical(spark, sf_dir):
             f"{got.schema.simpleString()} != {want.schema.simpleString()}"
         )
         assert bits(got.collect()) == bits(want.collect())
+
+
+def test_semantic_dedup_arrow_kernel_matches_column_cosine(spark, sf_dir):
+    """semantic_dedup's witness cosine now runs through the bit-exact
+    Arrow fold kernel; its full output frame must equal the
+    Column-expression variant row for row, max_sim compared by raw
+    IEEE-754 bits."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from bigdatalab_spark.scale.similarity import (
+        _fit_kmeans_cached,
+        cosine,
+        semantic_dedup,
+    )
+    from bigdatalab_spark.sources import load_table
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = semantic_dedup(emb, threshold=0.95).collect()
+
+    # reference: the pre-swap Column-cosine witnesses, verbatim
+    v = emb.select(
+        F.col("vec_id").alias("vid"),
+        F.col("embedding").alias("vec"),
+        array_to_vector(F.col("embedding")).alias("features"),
+    )
+    model = _fit_kmeans_cached(v, None, 8, 42)
+    assigned = model.transform(v).select(
+        "vid", "vec", F.col("prediction").alias("cluster_id")
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    witnesses = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(
+            F.col("b.vid").alias("vid"),
+            F.col("a.vid").alias("src"),
+            cosine(F.col("a.vec"), F.col("b.vec")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.95)
+        .groupBy("vid")
+        .agg(F.min("src").alias("dup_of"), F.max("cos_sim").alias("max_sim"))
+    )
+    want = assigned.join(witnesses, "vid", "left").select(
+        F.col("vid").alias("vec_id"),
+        "cluster_id",
+        F.col("dup_of").isNull().alias("is_kept"),
+        "dup_of",
+        "max_sim",
+    ).collect()
+
+    def key(rows):
+        return sorted(
+            (
+                r["vec_id"], r["cluster_id"], r["is_kept"], r["dup_of"],
+                None if r["max_sim"] is None
+                else struct.pack("<d", r["max_sim"]).hex(),
+            )
+            for r in rows
+        )
+
+    assert key(got) == key(want)
