@@ -205,6 +205,33 @@ def _job_label(spark, desc: str):
 
 
 @contextlib.contextmanager
+def _delta_plan_scope(spark):
+    """Compile a DML plan's PERSISTED frames without AQE. Spark
+    compiles a cached plan's physical plan at ``persist()`` call time
+    (CacheManager.cacheQuery), so the session's AQE flag AT THAT MOMENT
+    decides how the cache later materializes: with AQE captured, every
+    Exchange inside the cached plan becomes its own stage-job on first
+    use (measured: the merge validate+bounds collect ran as 3 jobs and
+    the plan cache fill as 7 — the extra jobs are AQE stage
+    materializations of the cached joins/aggs). The frames persisted
+    here are delta-sized by the DML contract (the MERGE batch and the
+    touched files' rows), their joins are keyed on validated-unique
+    keys (no skew for AQE to split), and the static planner already
+    broadcasts below the threshold once cache statistics are exact —
+    AQE's only observable contribution was one fixed scheduling round
+    per exchange per commit, at any scale. Actions and the commit
+    writes keep their own AQE settings (the labeled metadata actions
+    run AQE-off regardless; the writes compile AQE-on after this scope
+    exits, so output coalescing is unchanged)."""
+    old = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
+@contextlib.contextmanager
 def _metadata_action(spark, desc: str):
     """Label + run a METADATA-SIZED single-row action (a global
     aggregation to one row) with AQE off for just this action. A
@@ -1038,17 +1065,18 @@ class ManagedTable:
         # failure (persists must not outlive a failed plan), the no-op
         # path unpersists before returning None, and the caller's
         # finally unpersists once the commit has landed.
-        source = source.select(*tgt_cols).persist()
-        cached = [source]
-        try:
-            return self._merge_plan_build(
-                current, source, keys, when_matched, tgt_schema,
-                tgt_cols, all_files, tag, ncol, cached,
-            )
-        except BaseException:
-            for c in cached:
-                c.unpersist()
-            raise
+        with _delta_plan_scope(self.spark):
+            source = source.select(*tgt_cols).persist()
+            cached = [source]
+            try:
+                return self._merge_plan_build(
+                    current, source, keys, when_matched, tgt_schema,
+                    tgt_cols, all_files, tag, ncol, cached,
+                )
+            except BaseException:
+                for c in cached:
+                    c.unpersist()
+                raise
 
     def _merge_plan_build(
         self,
@@ -1374,7 +1402,10 @@ class ManagedTable:
         # (plus the clustered write's range-sampling pass) — persist so
         # they are read from storage once, not once per action
         # (unpersisted by the caller once the commit has landed)
-        touched_df = self._read_files(current, touched, cur_schema).persist()
+        with _delta_plan_scope(self.spark):
+            touched_df = self._read_files(
+                current, touched, cur_schema
+            ).persist()
         cols = touched_df.columns
         if op == "delete":
             new_df = touched_df.filter(~hit)
