@@ -49,6 +49,15 @@ def pagerank(
     fixed-order double arithmetic — so a DuckDB oracle unrolling the
     same ``iterations`` rounds reproduces the ranks bit for bit.
     """
+    # the edge list feeds deg, nodes AND every iteration's contribution
+    # join — left lazy, each of those consumers re-executes the edge
+    # lineage (for warehouse-derived graphs: a data-sized join +
+    # distinct) once per round. Persist for the loop's duration
+    # (guide §5: cache what is reused when recomputing costs more);
+    # MEMORY_AND_DISK spills rather than OOMs on edge lists bigger
+    # than memory, and the decimal contribution sum is order-
+    # independent, so caching cannot move a single bit of the ranks.
+    edges = edges.persist()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).persist()
     nodes = edges.select(F.col("src").alias("node")).distinct().persist()
     # n is ONE number — take it to the driver once and embed it as a
@@ -94,6 +103,7 @@ def pagerank(
         new_ranks = new_ranks.localCheckpoint(eager=True)
         release_local_checkpoint(ranks)
         ranks = new_ranks
+    edges.unpersist()
     deg.unpersist()
     nodes.unpersist()
     return ranks
