@@ -14,6 +14,8 @@ plans for the stream.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -247,7 +249,14 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = unique_sink_name("stream_dedup")
     deduped = stream_events(spark, sf_dir).dropDuplicates(["user_id", "event_type"])
     out = deduped.select("user_id", "event_type", F.lit(1).alias("n"))
-    run_stream_to_memory(out, name, output_mode="append")
+    # (user_id, event_type) is a data-sized keyspace: derive the
+    # dedup state's partition count from the drain's input bytes
+    run_stream_to_memory(
+        out,
+        name,
+        output_mode="append",
+        state_input_bytes=os.path.getsize(f"{sf_dir}/events.parquet"),
+    )
     return spark.table(name).orderBy("user_id", "event_type")
 
 
@@ -478,7 +487,18 @@ def streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("purchase_ts").cast("string").alias("purchase_ts"),
     )
     name = unique_sink_name("stream_attr")
-    run_stream_to_memory(out, name, output_mode="append")
+    # user_id is a data-sized keyspace: size the join's state
+    # partitions from the bounded drain's input bytes (a stream-stream
+    # join opens FOUR RocksDB stores per partition per batch — at the
+    # session's static partition count that fixed cost dwarfed the
+    # join itself on small drains, and AQE cannot coalesce stateful
+    # exchanges)
+    run_stream_to_memory(
+        out,
+        name,
+        output_mode="append",
+        state_input_bytes=os.path.getsize(f"{sf_dir}/events.parquet"),
+    )
     return spark.table(name).orderBy("click_id", "purchase_id")
 
 
@@ -517,15 +537,33 @@ def statestore_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scratch = tempfile.mkdtemp(prefix="statestore_q_")
     counts = stream_events(spark, sf_dir).groupBy("user_id").count()
-    q = (
-        counts.writeStream.format("memory")
-        .queryName(unique_sink_name("statestore_counts"))
-        .outputMode("update")
-        .option("checkpointLocation", f"{scratch}/ckpt")
-        .trigger(availableNow=True)
-        .start()
+    # user_id is a data-sized keyspace: size the drain's state
+    # partitions from the input bytes (state_partitions_for_bytes) —
+    # the state READER below scans one task per state partition either
+    # way, so inspection parallelism follows the same derivation
+    from bigdatalab_spark.streaming.jobs import state_partitions_for_bytes
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(
+            state_partitions_for_bytes(
+                spark, os.path.getsize(f"{sf_dir}/events.parquet")
+            )
+        ),
     )
-    q.awaitTermination(600)
+    try:
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(unique_sink_name("statestore_counts"))
+            .outputMode("update")
+            .option("checkpointLocation", f"{scratch}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return (
         grouped_count_state(spark, f"{scratch}/ckpt")
         .select("user_id", F.col("cnt").cast("long").alias("cnt"))

@@ -217,12 +217,51 @@ def state_shuffle_partitions(spark, expected_keys: int) -> int:
     return max(1, min(int(expected_keys), conf))
 
 
+#: AQE's advisory post-shuffle partition size (Spark default 64 MB) —
+#: the same target AQE coalesces batch exchanges to. Stateful streaming
+#: exchanges pin their partition count at the first batch, so AQE
+#: cannot coalesce them; :func:`state_partitions_for_bytes` applies the
+#: identical sizing rule up front.
+STATE_ADVISORY_BYTES = 64 << 20
+
+#: minimum state partitions for a data-sized keyspace: state-store
+#: commits are fsync-bound, and a handful of concurrent RocksDB
+#: instances hide each other's commit latency — a small constant
+#: (overlap depth), not a core-count tuning.
+STATE_MIN_PARTITIONS = 4
+
+
+def state_partitions_for_bytes(spark, input_bytes: int) -> int:
+    """Honest-at-any-scale state partition count for a keyed streaming
+    operator over a DATA-sized keyspace whose bounded input size the
+    caller knows (an AvailableNow drain over files).
+
+    Every state partition is a real per-batch cost — a RocksDB
+    instance opened, committed and fsynced each micro-batch even when
+    nearly empty — while AQE, which right-sizes every *batch* exchange
+    to its advisory partition size, cannot touch stateful exchanges
+    (their partition count is pinned into the checkpoint at the first
+    batch). This applies AQE's own sizing rule ahead of time:
+    ``ceil(input_bytes / 64 MB)``, floored at a small fsync-overlap
+    constant and capped by the session's configured shuffle
+    parallelism (the cluster-scaled knob, which stays the ceiling on a
+    large deployment). Derived from the data, not the local core
+    count: a 2 MB drain gets the floor on this box and on a
+    1000-executor cluster alike; a 100 TB backlog hits the configured
+    ceiling on both. Results are unchanged: keyed state operators are
+    partitioning-invariant."""
+    conf = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    want = -(-max(int(input_bytes), 1) // STATE_ADVISORY_BYTES)
+    return max(1, min(max(want, STATE_MIN_PARTITIONS), conf))
+
+
 def run_stream_to_memory(
     result: DataFrame,
     name: str,
     checkpoint_dir: str | None = None,
     output_mode: str = "complete",
     expected_keys: int | None = None,
+    state_input_bytes: int | None = None,
 ) -> None:
     """Run a streaming frame to a memory sink with AvailableNow (process
     everything, then stop) — the deterministic test harness for every
@@ -236,15 +275,27 @@ def run_stream_to_memory(
     into this stream's checkpoint at first batch, so it never leaks into
     other queries). Leave ``None`` for data-sized keyspaces. Results are
     unchanged either way: the engine's streaming aggregates are
-    partitioning-invariant (decimal money sums, counts)."""
+    partitioning-invariant (decimal money sums, counts).
+
+    ``state_input_bytes``: for keyed-state streams over DATA-sized
+    keyspaces drained from a bounded input of known size, the input
+    byte count; the drain then runs with
+    :func:`state_partitions_for_bytes` partitions (same set/restore
+    discipline). Mutually exclusive with ``expected_keys``."""
     spark = result.sparkSession
     old_parts = None
-    if expected_keys is not None:
-        old_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
-        spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            str(state_shuffle_partitions(spark, expected_keys)),
+    if expected_keys is not None and state_input_bytes is not None:
+        raise ValueError(
+            "pass expected_keys OR state_input_bytes, not both"
         )
+    parts = None
+    if expected_keys is not None:
+        parts = state_shuffle_partitions(spark, expected_keys)
+    elif state_input_bytes is not None:
+        parts = state_partitions_for_bytes(spark, state_input_bytes)
+    if parts is not None:
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     try:
         writer = (
             result.writeStream.format("memory")

@@ -53,6 +53,33 @@ def test_state_shuffle_partitions_derivation(spark):
     assert state_shuffle_partitions(spark, 10**9) == conf
 
 
+def test_state_partitions_for_bytes_derivation(spark):
+    """Input-size-derived state partitioning for data-sized keyspaces:
+    AQE's advisory partition size applied ahead of the (pinned)
+    stateful exchange — floored at the small fsync-overlap constant,
+    capped by the configured parallelism, never derived from the
+    host."""
+    from bigdatalab_spark.streaming.jobs import (
+        STATE_ADVISORY_BYTES,
+        STATE_MIN_PARTITIONS,
+        state_partitions_for_bytes,
+    )
+
+    conf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    floor = min(max(STATE_MIN_PARTITIONS, 1), conf)
+    # tiny drains get the floor, not one store per configured partition
+    assert state_partitions_for_bytes(spark, 1) == floor
+    assert state_partitions_for_bytes(spark, 2 << 20) == floor
+    # past the advisory size the count scales with the data…
+    want = -(-(50 * STATE_ADVISORY_BYTES) // STATE_ADVISORY_BYTES)
+    assert state_partitions_for_bytes(
+        spark, 50 * STATE_ADVISORY_BYTES
+    ) == min(want, conf)
+    # …and the configured parallelism stays the ceiling (the
+    # cluster-scaled knob)
+    assert state_partitions_for_bytes(spark, 1 << 50) == conf
+
+
 def test_expected_keys_state_matches_batch_and_restores_conf(spark, sf_dir):
     """A keyed stream drained with expected_keys set produces the same
     final state as the batch twin, and the session's shuffle-partition
