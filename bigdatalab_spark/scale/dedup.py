@@ -422,17 +422,26 @@ def _classify_batch(
         # candidate frame is persisted first, so the corpus BANDS scan
         # it contains runs once and the main query reuses the (small,
         # batch-proportional) cached candidates instead of re-scanning.
-        cands = cands.persist()
-        shard_vals = [
-            r["shard"]
-            for r in cands.select(
-                F.pmod(F.xxhash64("doc2"), F.lit(n_shards))
-                .cast("int")
-                .alias("shard")
-            )
-            .distinct()
-            .collect()
-        ]
+        # flat_plan_scope: the probe is batch-proportional by the
+        # bucket-cap contract and its keys are unique pairs (no skew
+        # for AQE to split) — compile the cache and run the collect as
+        # ONE job instead of one per exchange (plans/compile.py); the
+        # MAIN classify plan below keeps the session's AQE (its
+        # shingle joins are store-sized and genuinely skewable).
+        from bigdatalab_spark.plans.compile import flat_plan_scope
+
+        with flat_plan_scope(batch.sparkSession):
+            cands = cands.persist()
+            shard_vals = [
+                r["shard"]
+                for r in cands.select(
+                    F.pmod(F.xxhash64("doc2"), F.lit(n_shards))
+                    .cast("int")
+                    .alias("shard")
+                )
+                .distinct()
+                .collect()
+            ]
         s2 = s2.filter(
             F.col("shard").isin(shard_vals) if shard_vals else F.lit(False)
         ).drop("shard")
@@ -692,9 +701,14 @@ def append_to_dedup_index(
     )
     n, cap, n_shards = meta["n"], meta["max_bucket_size"], meta["n_shards"]
 
+    from bigdatalab_spark.plans.compile import flat_plan_scope
     from bigdatalab_spark.sources.locks import dataset_write_lock
 
-    sh_new = doc_shingles(docs_new, text_col, id_col, n).cache()
+    with flat_plan_scope(spark):
+        # compile the batch-sized shingle cache without AQE so its
+        # materialization (inside the probe below) is a stage of that
+        # job, not its own per-exchange jobs (plans/compile.py)
+        sh_new = doc_shingles(docs_new, text_col, id_col, n).cache()
     bands_new = band_rows(minhash_signatures(sh_new))
 
     with dataset_write_lock(path, "append_to_dedup_index"):
@@ -714,15 +728,22 @@ def append_to_dedup_index(
                 .agg(F.count(F.lit(1)).alias("_n_old"))
             )
             # over-cap keys are ~zero in a healthy corpus: collect the
-            # DROP set (metadata-sized) and anti-join it as a literal
-            drop = (
-                new_counts.join(old_counts, ["band", "sig"], "left")
-                .filter(
-                    F.col("_n_new") + F.coalesce(F.col("_n_old"), F.lit(0)) > cap
+            # DROP set (metadata-sized) and anti-join it as a literal.
+            # flat_plan_scope: the probe is an aggregation-to-a-drop-set
+            # over the batch's band keys — one job instead of one per
+            # exchange (the WRITES below keep AQE, so store file
+            # coalescing is unchanged)
+            with flat_plan_scope(spark):
+                drop = (
+                    new_counts.join(old_counts, ["band", "sig"], "left")
+                    .filter(
+                        F.col("_n_new")
+                        + F.coalesce(F.col("_n_old"), F.lit(0))
+                        > cap
+                    )
+                    .select("band", "sig")
+                    .collect()
                 )
-                .select("band", "sig")
-                .collect()
-            )
             if drop:
                 drop_df = spark.createDataFrame(
                     [(r["band"], r["sig"]) for r in drop], "band int, sig string"
