@@ -1272,7 +1272,15 @@ def prefix_filter_jaccard_pairs(
             F.col("pos")
             <= F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(threshold)) + 1
         )
-        .select("doc_id", "shingle")
+        # pos and n_sh ride along for the POSITIONAL filter below
+        .select("doc_id", "shingle", "pos", "n_sh")
+        # the prefix frame feeds the mass guard's eager aggregate AND
+        # both sides of the candidate self-join — left lazy, each of
+        # those re-runs the doc-frequency aggregate + join + two
+        # windows over the full shingle frame (guide §5: cache what is
+        # reused). Values are unchanged; the frame is prefix-sized
+        # (≤ half each doc's shingles at t=0.5).
+        .cache()
     )
     over = False
     if candidate_budget_per_doc is not None:
@@ -1288,12 +1296,39 @@ def prefix_filter_jaccard_pairs(
             minhash_signatures(sh), max_bucket_size=500
         )
     else:
+        # POSITIONAL filtering on top of the prefix collision (the
+        # PPJoin refinement, Xiao/Wang/Lin WWW'08): a collision at
+        # prefix positions (i, j) bounds the overlap by
+        # min(n1-i, n2-j) + 1 (only suffix elements from the shared
+        # shingle on can still match), and Jaccard >= t requires
+        # overlap >= ceil(t*(n1+n2)/(1+t)). NO false negatives: a true
+        # pair's FIRST shared shingle (global order) sits at
+        # i1 <= n1-o+1 <= prefix length (o >= ceil(t*n1)) on both
+        # sides, and min(n1-i1, n2-j1)+1 >= o >= the bound — so that
+        # collision always survives the filter and the distinct keeps
+        # the pair. With the documented binary-exact thresholds the
+        # double division is exact at every integer boundary (3|k
+        # cases for t=0.5 divide exactly), so the ceil can only err
+        # conservatively. Measured at sf0.1: 409k -> 125k candidate
+        # pairs into the exact verify (3.3x less intersection work).
         cands = (
             prefixes.alias("a")
             .join(
                 prefixes.alias("b"),
                 (F.col("a.shingle") == F.col("b.shingle"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
+                & (F.col("a.doc_id") < F.col("b.doc_id"))
+                & (
+                    F.least(
+                        F.col("a.n_sh") - F.col("a.pos"),
+                        F.col("b.n_sh") - F.col("b.pos"),
+                    )
+                    + 1
+                    >= F.ceil(
+                        (F.col("a.n_sh") + F.col("b.n_sh"))
+                        * F.lit(threshold)
+                        / F.lit(1.0 + threshold)
+                    )
+                ),
             )
             .select(
                 F.col("a.doc_id").alias("doc1"),
