@@ -300,6 +300,27 @@ AUDIO_SCHEMA = StructType(
 WAV_RATE = 8000
 
 
+def _ids_at_core_parallelism(docs: DataFrame, id_col: str) -> DataFrame:
+    """Shared input shaping for the blob GENERATORS: one long id per
+    row, at no less than the session's default parallelism.
+
+    Blob generation and every downstream codec pass are CPU-bound
+    Python (mapInArrow) stages whose partitioning is otherwise
+    inherited from the SCAN split of a byte-tiny id source — a 2 MB
+    documents file scans as 1-2 tasks, so the whole encode→resize→
+    decode chain ran on 1-2 cores regardless of the machine (measured:
+    png_resize_features spent its ~9 s of Python time on 2 tasks).
+    Widening costs an exchange of 8-byte rows; a data-sized input that
+    already scans wider keeps its own layout (never shrunk). Features
+    are pure per-id functions, so placement cannot change a value."""
+    ids = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+    sc = docs.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if ids.rdd.getNumPartitions() < target:
+        ids = ids.repartition(target)
+    return ids
+
+
 def _wav_samples(doc_id: int) -> list[int]:
     """The generator the oracle replays: n = doc_id % 50 + 10 mono PCM16
     samples, sample(i) = ((doc_id*31 + i*7) % 65536) - 32768."""
@@ -340,7 +361,7 @@ def make_wav_blobs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return docs.select(F.col(id_col).cast("long").alias("doc_id")).mapInArrow(
+    return _ids_at_core_parallelism(docs, id_col).mapInArrow(
         kernel,
         schema=StructType(
             [
@@ -650,7 +671,7 @@ def make_png_blobs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return docs.select(F.col(id_col).cast("long").alias("doc_id")).mapInArrow(
+    return _ids_at_core_parallelism(docs, id_col).mapInArrow(
         kernel,
         schema=StructType(
             [
@@ -925,7 +946,7 @@ def make_jpeg_blobs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return docs.select(F.col(id_col).cast("long").alias("doc_id")).mapInArrow(
+    return _ids_at_core_parallelism(docs, id_col).mapInArrow(
         kernel,
         schema=StructType(
             [
