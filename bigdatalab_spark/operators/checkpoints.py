@@ -23,10 +23,18 @@ def release_local_checkpoint(df: DataFrame) -> None:
     (localCheckpoint truncates lineage, so there is nothing to
     recompute from). No-op if the plan is not a ``LogicalRDD`` (e.g. a
     frame that was never checkpointed), so callers can release
-    unconditionally in loop epilogues.
+    unconditionally in loop epilogues. Pure column projections and
+    aliases OVER a checkpoint are seen through: releasing a
+    ``df.select(...)`` of a checkpointed frame releases the underlying
+    blocks — the caller holds no other handle to them.
     """
     try:
         plan = df._jdf.queryExecution().analyzed()
+        while (
+            plan.getClass().getSimpleName() in ("Project", "SubqueryAlias")
+            and plan.children().size() == 1
+        ):
+            plan = plan.children().apply(0)
         if plan.getClass().getSimpleName() != "LogicalRDD":
             return
         plan.rdd().unpersist(False)

@@ -1499,32 +1499,52 @@ def connected_components(
         nodes.select(F.col("doc_id"), F.col("doc_id").alias("cluster_id"))
         .localCheckpoint(eager=True)
     )
+    # the raw checkpointed frame of the CURRENT labels — kept separate
+    # because release_local_checkpoint must see the LogicalRDD itself,
+    # not a projection over it
+    labels_ck = labels
     converged = False
     for _ in range(max_iter):
-        # candidate label per node: min over own label and neighbors' labels
+        # candidate label per node: min over own label and neighbors'
+        # labels. The node's OWN row rides through the union with its
+        # previous label in a side column (neighbors carry NULL, min
+        # skips NULLs, and every node has exactly one own row), so the
+        # fixpoint check below is a scan of THIS round's checkpointed
+        # blocks instead of a per-iteration join of two label frames —
+        # one fewer join + broadcast build per round, same labels.
         neighbor_labels = (
             sym.join(labels, sym.dst == labels.doc_id)
-            .select(F.col("src").alias("doc_id"), "cluster_id")
+            .select(
+                F.col("src").alias("doc_id"),
+                "cluster_id",
+                F.lit(None).cast("long").alias("_prev"),
+            )
         )
         new_labels = (
-            labels.select("doc_id", "cluster_id")
+            labels.select(
+                "doc_id",
+                "cluster_id",
+                F.col("cluster_id").alias("_prev"),
+            )
             .union(neighbor_labels)
             .groupBy("doc_id")
-            .agg(F.min("cluster_id").alias("cluster_id"))
+            .agg(
+                F.min("cluster_id").alias("cluster_id"),
+                F.min("_prev").alias("_prev"),
+            )
             .localCheckpoint(eager=True)
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            new_labels.filter(F.col("cluster_id") != F.col("_prev"))
             .limit(1)
             .count()
         )
         # new_labels is materialized (eager checkpoint + the count just
         # read it), so the previous round's blocks are dead — free them
         # now instead of waiting for GC-driven cleanup
-        release_local_checkpoint(labels)
-        labels = new_labels
+        release_local_checkpoint(labels_ck)
+        labels_ck = new_labels
+        labels = new_labels.select("doc_id", "cluster_id")
         if changed == 0:
             converged = True
             break
