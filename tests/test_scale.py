@@ -1554,6 +1554,39 @@ class TestSnapshotDiff:
         assert ops == {1: "update", 2: "update"}
 
 
+def test_prefix_filter_positional_keeps_threshold_boundary_pairs(spark):
+    """The PPJoin positional filter must keep pairs at EXACTLY the
+    Jaccard threshold (where the overlap bound is tight) and exact
+    duplicates — the two cases a too-aggressive bound would drop
+    first. Constructed sets: docs 1/2 share 2 of 3 shingles
+    (J = 2/4 = 0.5, exactly at threshold), docs 1/3 are identical."""
+    from bigdatalab_spark.scale.dedup import prefix_filter_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),    # shingles {abc, bcd, cde}
+            (2, "a b c d f"),    # {abc, bcd, cdf}: o=2, J=0.5 exactly
+            (3, "a b c d e"),    # exact duplicate of doc 1 (J=1)
+            (4, "x y z p q"),    # unrelated
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        (r.doc1, r.doc2): r.jaccard
+        for r in prefix_filter_jaccard_pairs(
+            docs, threshold=0.5, candidate_budget_per_doc=None
+        ).collect()
+    }
+    base = {
+        (r.doc1, r.doc2): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.5, candidate_budget_per_doc=None
+        ).collect()
+    }
+    assert got == base
+    assert got[(1, 2)] == 0.5 and got[(1, 3)] == 1.0
+
+
 def test_prefix_filter_jaccard_equals_inverted_index(spark, sf_dir):
     """prefix_filter_jaccard_pairs is EXACT: same verified pairs as the
     inverted-index baseline (no false negatives, per the prefix-filter
